@@ -1,13 +1,246 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Every implemented operator has a `queries` entry; every
+  * SQL-expressible one has a matching `oracleSql` entry with identical
+  * output column names (the driver sorts columns by name and hashes
+  * values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Views.genreRatings(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ETL core (reference transform/load semantics)
+    "ingest_normalize"    -> (EtlOps.ingestNormalize _),
+    "dedup_latest_by_key" -> (EtlOps.dedupLatestByKey _),
+    "dup_report"          -> (EtlOps.dupReport _),
+    "cap_topn_per_group"  -> ((s, d) => EtlOps.capTopNPerGroup(s, d)),
+    "upsert_merge"        -> (EtlOps.upsertMerge _),
+    "junction_build"      -> (EtlOps.junctionBuild _),
+    // Analytics views (reference sql/03_views.sql)
+    "v_top_actors"           -> (Views.topActors _),
+    "v_top_genres"           -> (Views.topGenres _),
+    "v_genre_ratings"        -> (Views.genreRatings _),
+    "v_top_actors_by_rating" -> (Views.topActorsByRating _),
+    // Relational / analytic core
+    "q1_pricing_summary"    -> (Analytics.q1PricingSummary _),
+    "q3_top_unshipped"      -> (Analytics.q3TopUnshipped _),
+    "q_filter_pushdown"     -> (Analytics.filterPushdown _),
+    "rollup_flag_status"    -> (Analytics.rollupFlagStatus _),
+    "pivot_event_types"     -> (Analytics.pivotEventTypes _),
+    "window_running"        -> (Analytics.windowRunning _),
+    "sessionize_events"     -> (Analytics.sessionizeEvents _),
+    "percentile_value"      -> (Analytics.percentileValue _),
+    "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
+    "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
+    "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
+    // Join operators
+    "asof_join_events"   -> (Joins.asofJoinEvents _),
+    "range_join_buckets" -> (Joins.rangeJoinBuckets _),
+    "salted_join_skew"   -> ((s, d) => Joins.saltedJoinSkew(s, d)),
+  )
+
+  // DuckDB-dialect helpers used below (kept textual so the driver can
+  // run them verbatim):
+  //   sum2(x)  = CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+  //   avg2(x)  = FLOOR((2*CAST(SUM(CAST(x AS DECIMAL(18,2)))*100 AS BIGINT)
+  //                     + COUNT(*)) / (2.0*COUNT(*))) / 100.0
+  //   epochS(t)= epoch_ns(t)//1000000000
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "ingest_normalize" ->
+      """SELECT event_id, lower(event_type) AS event_type,
+         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT) AS prop_k,
+         CAST(ts AS DATE) AS event_date, value
+         FROM events ORDER BY event_id""",
+    "dedup_latest_by_key" ->
+      """SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "dup_report" ->
+      """SELECT user_id, event_type, COUNT(*) AS occurrences
+         FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
+         ORDER BY user_id, event_type""",
+    "cap_topn_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, rank_in_order
+         FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                      ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                         ORDER BY l_extendedprice DESC, l_linenumber) AS rank_in_order
+               FROM lineitem)
+         WHERE rank_in_order <= 3 ORDER BY l_orderkey, rank_in_order""",
+    "upsert_merge" ->
+      """SELECT user_id, event_id AS latest_event_id, event_type AS latest_event_type,
+                value AS latest_value
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
+    "junction_build" ->
+      """SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+         ORDER BY l_orderkey, l_partkey""",
+    "v_top_actors" ->
+      """SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l.l_orderkey) AS movie_count
+         FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+         GROUP BY s.s_suppkey, s.s_name
+         ORDER BY movie_count DESC, s.s_name""",
+    "v_top_genres" ->
+      """SELECT p.p_brand AS genre_name, COUNT(DISTINCT l.l_orderkey) AS movie_count
+         FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+         GROUP BY p.p_brand
+         ORDER BY movie_count DESC, genre_name""",
+    "v_genre_ratings" ->
+      """SELECT p.p_brand AS genre_name,
+                COUNT(DISTINCT o.o_orderkey) AS movies_in_genre,
+                FLOOR((2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT)
+                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_rating,
+                SUM(CAST(l.l_quantity AS BIGINT)) AS total_votes,
+                FLOOR((2*CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT)
+                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_popularity
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY p.p_brand
+         ORDER BY avg_rating DESC, movies_in_genre DESC, genre_name""",
+    "v_top_actors_by_rating" ->
+      """SELECT s.s_suppkey, s.s_name,
+                COUNT(DISTINCT o.o_orderkey) AS movie_count,
+                FLOOR((2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT)
+                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_movie_rating,
+                SUM(CAST(l.l_quantity AS BIGINT)) AS total_votes
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY s.s_suppkey, s.s_name
+         HAVING COUNT(DISTINCT o.o_orderkey) >= 3
+         ORDER BY avg_movie_rating DESC, movie_count DESC, total_votes DESC, s.s_suppkey""",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(26,8))) AS DOUBLE) AS sum_charge,
+                FLOOR((2*CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT)
+                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_qty,
+                FLOOR((2*CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT)
+                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_price,
+                FLOOR((2*CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))*100 AS BIGINT)
+                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_disc,
+                COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q3_top_unshipped" ->
+      """SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority,
+                CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING'
+           AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+         ORDER BY revenue DESC, l.l_orderkey
+         LIMIT 10""",
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity >= 48.0 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "rollup_flag_status" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem
+         GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "pivot_event_types" ->
+      """SELECT user_id,
+                COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+                COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+                COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+                COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+                COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "window_running" ->
+      """SELECT event_id, user_id,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+         FROM events ORDER BY user_id, seq""",
+    "sessionize_events" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, epoch_ns(ts)//1000000000 AS ts_s, ts
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          OR LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+           FROM e),
+         sess AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM flagged)
+         SELECT user_id, session_seq, COUNT(*) AS n_events,
+                MIN(ts_s) AS session_start_s, MAX(ts_s) AS session_end_s,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM sess GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+    "percentile_value" ->
+      """SELECT event_type,
+                ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                ROUND(quantile_cont(value, 0.9), 4) AS p90,
+                COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_windowed_counts" ->
+      """SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS window_start_s,
+                event_type, COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start_s, event_type""",
+    "stream_dedup_ids" ->
+      """SELECT user_id, event_type, event_id AS first_event_id,
+                epoch_ns(ts)//1000000000 AS first_ts_s
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "asof_join_events" ->
+      """SELECT p.event_id AS purchase_event_id, p.user_id,
+                epoch_ns(p.ts)//1000000000 AS purchase_ts_s,
+                (SELECT epoch_ns(MAX(s.ts))//1000000000 FROM events s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts)
+                  AS last_signup_ts_s,
+                (SELECT s.event_id FROM events s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+                 ORDER BY s.ts DESC, s.event_id DESC LIMIT 1) AS last_signup_id
+         FROM events p WHERE p.event_type = 'purchase'
+         ORDER BY purchase_event_id""",
+    "range_join_buckets" ->
+      """SELECT s.event_id AS signup_event_id, p.event_id AS purchase_event_id, s.user_id,
+                (epoch_ns(p.ts)//1000000000 - epoch_ns(s.ts)//1000000000) AS diff_s
+         FROM events s JOIN events p
+           ON p.user_id = s.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase'
+         WHERE (epoch_ns(p.ts)//1000000000 - epoch_ns(s.ts)//1000000000) > 0
+           AND (epoch_ns(p.ts)//1000000000 - epoch_ns(s.ts)//1000000000) <= 3600
+         ORDER BY signup_event_id, purchase_event_id""",
+    "salted_join_skew" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n_events,
+                CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+  ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 }

@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver-provided testdata star schema
+  * (see TESTDATA.md). Every operator reads through these so column
+  * pruning / predicate pushdown always start from a plain parquet
+  * scan the optimizer can reason about.
+  *
+  * Mirrors the reference's normalized relational model
+  * (/root/reference/sql/01_schema.sql:9-59) — movies/actors/genres +
+  * junctions — onto the TPC-H-ish tables per SURVEY.md §1.
+  */
+object Tables {
+  def region(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/region.parquet")
+  def nation(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/nation.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")
+  def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/supplier.parquet")
+  def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(s"$dir/part.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/orders.parquet")
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
+  def events(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/events.parquet")
+  def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/documents.parquet")
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.OracleSafe._
+
+/** Relational/analytic engine surface: scan→filter→agg pipelines,
+  * grouping sets, pivot, running windows, sessionization, percentiles.
+  * These are the query shapes the reference's analytics views imply at
+  * warehouse scale; all are single-exchange plans (partial aggregation
+  * map-side, one shuffle on the group key).
+  */
+object Analytics {
+
+  /** TPC-H Q1 shape: wide scan + timestamp predicate (pushed to
+    * parquet) + 8 aggregates in one pass.
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum2(col("l_quantity")).as("sum_qty"),
+        sum2(col("l_extendedprice")).as("sum_base_price"),
+        sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+             * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avg2(col("l_quantity")).as("avg_qty"),
+        avg2(col("l_extendedprice")).as("avg_price"),
+        avg2(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: selective dim filter (broadcast) ⋈ orders ⋈
+    * lineitem, revenue agg, deterministic top-10. customer is broadcast
+    * so the two big tables shuffle only for their own equi-join keys.
+    */
+  def q3TopUnshipped(s: SparkSession, dir: String): DataFrame = {
+    val c  = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o  = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
+               col("o_orderpriority"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Projection + predicate that must reach the parquet scan
+    * (PushedFilters / 3-column ReadSchema in the plan).
+    */
+  def filterPushdown(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 48.0 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** ROLLUP grouping sets — subtotals + grand total in one shuffle. */
+  def rollupFlagStatus(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), sum2(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_price"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** Pivot event types to wide counts per user (missing combos
+    * coalesced to 0 so the shape is engine-independent).
+    */
+  def pivotEventTypes(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val wide = Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    wide.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("user_id")
+  }
+
+  /** Running sum per user over event time — exact DECIMAL accumulation
+    * inside the window so the result is order-of-evaluation-proof.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast(DoubleType).as("running_value"),
+        row_number().over(w).as("seq"))
+      .orderBy("user_id", "seq")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session
+    * flag → running count = session id → per-session rollup. Two window
+    * passes over one (user_id, ts) sort — a single exchange.
+    */
+  def sessionizeEvents(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_s", epochS(col("ts")))
+    val gap = col("ts_s") - lag(col("ts_s"), 1).over(byUser)
+    ev.withColumn("is_new", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("session_start_s"),
+        max(col("ts_s")).as("session_end_s"),
+        sum2(col("value")).as("session_value"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def percentileValue(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** HLL approximate distinct — the 100 TB way to count users. No
+    * oracle (approximate by construction); driver does rows-only.
+    */
+  def approxDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  /** Batch-equivalent of the streaming tumbling-window count (see
+    * graft.streaming.EventStreams.windowedCounts — same plan shape,
+    * bounded source).
+    */
+  def streamWindowedCounts(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("sum_value"))
+      .select(
+        epochS(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+  }
+
+  /** Batch-equivalent of streaming dropDuplicates: first occurrence per
+    * (user_id, event_type) by event time.
+    */
+  def streamDedupIds(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+              col("event_id").as("first_event_id"),
+              epochS(col("ts")).as("first_ts_s"))
+      .orderBy("user_id", "event_type")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.OracleSafe._
+
+/** The reference's transform/load stages re-expressed as distributed,
+  * shuffle-minimal Spark plans.
+  *
+  * Reference semantics covered here (file:line cites into
+  * /root/reference):
+  *  - nested-API-response normalization   02_etl.py:64-105
+  *  - dedupe keeping latest occurrence    02_etl.py:224-231
+  *  - duplicate reporting                 02_etl.py:233-244
+  *  - cap detail rows to top-N per group  02_etl.py:172-184
+  *  - idempotent upsert by natural key    02_etl.py:84-105 (ON CONFLICT)
+  *  - junction-table construction         02_etl.py:107-134
+  */
+object EtlOps {
+
+  /** Normalize a semi-structured ingest batch: typed JSON extraction +
+    * canonical casing + derived date — the Spark analogue of flattening
+    * a TMDB API page into relational rows. `from_json` is codegen'd and
+    * runs row-local: no shuffle, fully pushdown-friendly.
+    */
+  def ingestNormalize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(
+        col("event_id"),
+        lower(col("event_type")).as("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("prop_k"),
+        to_date(col("ts")).as("event_date"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
+  /** Dedupe keeping the latest occurrence per key (ref
+    * `dedupe_by_tmdb_id`, 02_etl.py:224-231). One hash-shuffle on the
+    * key, window row_number, no collect — at 100 TB this is a single
+    * exchange on (user_id, event_type).
+    */
+  def dedupLatestByKey(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("user_id"), col("event_type"),
+        col("event_id").as("latest_event_id"),
+        col("value").as("latest_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Duplicate-key report (ref `print_duplicate_movie_ids`,
+    * 02_etl.py:233-244) — but as a distributed aggregate instead of a
+    * driver-side set.
+    */
+  def dupReport(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > 1)
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Keep only the top-N detail rows per group by rank (ref
+    * `cast[:top_n]`, 02_etl.py:172-184). Window + filter: Spark plans
+    * this as a single shuffle with a rank-limit pushed into the sort.
+    */
+  def capTopNPerGroup(s: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    li.withColumn("rank_in_order", row_number().over(w))
+      .filter(col("rank_in_order") <= n)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "rank_in_order")
+      .orderBy("l_orderkey", "rank_in_order")
+  }
+
+  /** Idempotent merge of a delta batch into a base snapshot by natural
+    * key, delta rows winning (ref `INSERT .. ON CONFLICT DO UPDATE`,
+    * 02_etl.py:84-105). Generic: union + one window over the key.
+    * Rerunning with the same delta yields the same table (idempotent).
+    */
+  def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String],
+             versionCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col(tieBreak).desc)
+    base.unionByName(delta)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Demonstration query for [[upsert]]: treat events before Jan 20 as
+    * the base snapshot (already collapsed to latest-per-user) and the
+    * rest as the incoming delta; merged result == latest event per user
+    * over the whole table, which is what the oracle checks.
+    */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev  = Tables.events(s, dir)
+    val cut = "2024-01-20 00:00:00"
+    val keys = Seq("user_id")
+    val base  = upsert(ev.filter(col("ts") < to_timestamp(lit(cut))),
+                       ev.filter(col("ts") < to_timestamp(lit(cut))).limit(0),
+                       keys, "ts", "event_id")
+    val delta = ev.filter(col("ts") >= to_timestamp(lit(cut)))
+    upsert(base, delta, keys, "ts", "event_id")
+      .select(
+        col("user_id"),
+        col("event_id").as("latest_event_id"),
+        col("event_type").as("latest_event_type"),
+        col("value").as("latest_value"))
+      .orderBy("user_id")
+  }
+
+  /** Distinct many-to-many pair extraction (ref movie_genre /
+    * movie_actor junction loads, 02_etl.py:107-134). DISTINCT is a
+    * partial-agg shuffle on the pair — no row ever leaves its executor
+    * un-combined.
+    */
+  def junctionBuild(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey")
+      .distinct()
+      .orderBy("l_orderkey", "l_partkey")
+  }
+}
