@@ -61,7 +61,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
-         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT) AS prop_k,
+         TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS prop_k,
          CAST(ts AS DATE) AS event_date, value
          FROM events ORDER BY event_id""",
     "dedup_latest_by_key" ->
@@ -106,7 +106,7 @@ object SparkEntry {
                 COUNT(DISTINCT o.o_orderkey) AS movies_in_genre,
                 FLOOR((2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT)
                        + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_rating,
-                SUM(CAST(l.l_quantity AS BIGINT)) AS total_votes,
+                CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_votes,
                 FLOOR((2*CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT)
                        + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_popularity
          FROM lineitem l
@@ -119,7 +119,7 @@ object SparkEntry {
                 COUNT(DISTINCT o.o_orderkey) AS movie_count,
                 FLOOR((2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT)
                        + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_movie_rating,
-                SUM(CAST(l.l_quantity AS BIGINT)) AS total_votes
+                CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_votes
          FROM lineitem l
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
          JOIN orders o ON l.l_orderkey = o.o_orderkey

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Typed loaders for the driver-provided testdata star schema
   * (see TESTDATA.md). Every operator reads through these so column
@@ -19,7 +20,20 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
-  def events(s: SparkSession, dir: String): DataFrame   = s.read.parquet(s"$dir/events.parquet")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). Read it as a
+    * nanosecond long (legacy nanosAsLong), keep the exact value as `ts_ns`
+    * (all orderings use it — µs truncation could reorder ties), and expose
+    * `ts` as a proper µs timestamp for date/window functions. `div` keeps
+    * the arithmetic integral: a double division of an ~1.7e18 ns value
+    * would lose precision (53-bit mantissa).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 }

@@ -93,7 +93,7 @@ object Analytics {
     * inside the window so the result is order-of-evaluation-proof.
     */
   def windowRunning(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
     Tables.events(s, dir)
       .select(
         col("event_id"), col("user_id"),
@@ -109,7 +109,7 @@ object Analytics {
     * passes over one (user_id, ts) sort — a single exchange.
     */
   def sessionizeEvents(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
     val ev = Tables.events(s, dir)
       .withColumn("ts_s", epochS(col("ts")))
     val gap = col("ts_s") - lag(col("ts_s"), 1).over(byUser)
@@ -167,7 +167,7 @@ object Analytics {
     */
   def streamDedupIds(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
     Tables.events(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -44,8 +44,11 @@ object EtlOps {
     */
   def dedupLatestByKey(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
+    // ts_ns, not ts: the parquet source is ns-precision, so ordering on
+    // the µs-truncated timestamp could resolve ties differently than the
+    // oracle's full-precision ORDER BY ts.
     val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
     ev.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(
@@ -107,9 +110,9 @@ object EtlOps {
     val keys = Seq("user_id")
     val base  = upsert(ev.filter(col("ts") < to_timestamp(lit(cut))),
                        ev.filter(col("ts") < to_timestamp(lit(cut))).limit(0),
-                       keys, "ts", "event_id")
+                       keys, "ts_ns", "event_id")
     val delta = ev.filter(col("ts") >= to_timestamp(lit(cut)))
-    upsert(base, delta, keys, "ts", "event_id")
+    upsert(base, delta, keys, "ts_ns", "event_id")
       .select(
         col("user_id"),
         col("event_id").as("latest_event_id"),

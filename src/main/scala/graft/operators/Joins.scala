@@ -26,12 +26,13 @@ object Joins {
     // side=0 for signup so that at equal ts the signup sorts first and
     // is visible to a same-instant purchase ("at or before").
     val tagged = ev.select(
-      col("user_id"), col("ts"), col("event_id"), col("event_type"),
+      col("user_id"), col("ts"), col("ts_ns"), col("event_id"), col("event_type"),
       when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("side"),
       when(col("event_type") === "signup", epochS(col("ts"))).as("sig_ts_s"),
       when(col("event_type") === "signup", col("event_id")).as("sig_id"))
+    // ts_ns: the oracle's `s.ts <= p.ts` compares full ns precision.
     val w = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("side"), col("event_id"))
+      .orderBy(col("ts_ns"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, 0)
     tagged
       .withColumn("last_signup_id", last(col("sig_id"), ignoreNulls = true).over(w))
