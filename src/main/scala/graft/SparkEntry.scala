@@ -45,6 +45,11 @@ object SparkEntry {
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
     "salted_join_skew"   -> ((s, d) => Joins.saltedJoinSkew(s, d)),
+    // Text analysis (LLM-data pipeline)
+    "text_lang_id"       -> (TextOps.textLangId _),
+    "text_quality_score" -> (TextOps.textQualityScore _),
+    "text_token_count"   -> (TextOps.textTokenCount _),
+    "text_fingerprint"   -> (TextOps.textFingerprint _),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -237,6 +242,53 @@ object SparkEntry {
          WHERE (epoch_ns(p.ts)//1000000000 - epoch_ns(s.ts)//1000000000) > 0
            AND (epoch_ns(p.ts)//1000000000 - epoch_ns(s.ts)//1000000000) <= 3600
          ORDER BY signup_event_id, purchase_event_id""",
+    "text_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_score,
+             CAST(len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS BIGINT) AS de_score,
+             CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS BIGINT) AS fr_score,
+             CAST(len(list_filter(toks, x -> x IN ('el','que','los','una','es'))) AS BIGINT) AS es_score
+           FROM t)
+         SELECT doc_id,
+                CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+                     WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                     WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS lang_guess,
+                en_score, de_score, fr_score, es_score
+         FROM s ORDER BY doc_id""",
+    "text_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+         c AS (
+           SELECT doc_id,
+                  CAST(length(norm) AS BIGINT) AS n_chars,
+                  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(string_split(norm, ' '),
+                                       x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop,
+                  CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+           FROM t),
+         r AS (
+           SELECT doc_id, n_chars, n_tokens,
+                  CAST(FLOOR(100.0*n_stop/n_tokens) AS BIGINT) AS stop_x100,
+                  CAST(FLOOR(100.0*n_alpha/n_chars) AS BIGINT) AS alpha_x100
+           FROM c)
+         SELECT doc_id, n_chars, n_tokens, stop_x100, alpha_x100,
+                CAST(LEAST(100, CAST(FLOOR((stop_x100 + alpha_x100)/2.0) AS BIGINT)) AS BIGINT) AS quality_score
+         FROM r ORDER BY doc_id""",
+    "text_token_count" ->
+      """WITH t AS (
+           SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents)
+         SELECT doc_id,
+                CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+         FROM t ORDER BY doc_id""",
+    "text_fingerprint" ->
+      """SELECT doc_id,
+                array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint
+         FROM documents ORDER BY doc_id""",
     "salted_join_skew" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,
                 CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

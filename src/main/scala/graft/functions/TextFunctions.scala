@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis primitives for the LLM-data pipeline
+  * (SURVEY.md §2 "Text analysis"). Everything here is built from
+  * codegen'd built-in functions — no UDFs — so the expressions stay
+  * inside whole-stage codegen and run row-local (zero shuffle): at
+  * 100 TB these are pure map-side scans.
+  *
+  * The reference's text surface is the `overview` column
+  * (/root/reference/sql/01_schema.sql:14); these generalize it to
+  * corpus-scale quality/language/token statistics.
+  *
+  * Cross-engine determinism rules (the DuckDB oracle must match
+  * bit-for-bit): only integer outputs or FLOOR(100.0*a/b) ratios —
+  * IEEE division of exact small ints is identical across engines;
+  * token operations defined on a single canonical normalization.
+  */
+object TextFunctions {
+
+  /** Canonical normalization: lowercase, trim, collapse whitespace.
+    * DuckDB mirror: lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+    */
+  def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Count of tokens that appear in `words` (language-marker /
+    * stopword counting). DuckDB mirror:
+    * len(list_filter(string_split(norm, ' '), x -> x IN (...)))
+    */
+  def markerCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), x => x.isin(words: _*))).cast("long")
+
+  /** floor(100*a/b) as BIGINT — the cross-engine-safe integer ratio.
+    * DuckDB mirror: CAST(FLOOR(100.0*a/b) AS BIGINT)
+    */
+  def ratioX100(a: Column, b: Column): Column =
+    floor(lit(100.0) * a / b).cast("long")
+
+  /** Whitespace token count. */
+  def wsTokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * other non-space chars — the classic pre-tokenizer split. DuckDB
+    * mirror: len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+    */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(normText(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+
+  /** Canonical document fingerprint: the sorted distinct-token key
+    * (fingerprint clustering à la OpenRefine). Two documents with the
+    * same token set — any order, any duplication, any whitespace —
+    * collide. DuckDB mirror:
+    * array_to_string(list_sort(list_distinct(string_split(norm,' '))),' ')
+    */
+  def fingerprintKey(c: Column): Column =
+    array_join(array_sort(array_distinct(tokens(c))), " ")
+
+  /** 64-bit hash of the fingerprint key — what actually shuffles at
+    * 100 TB (8 bytes/doc instead of the full key). Not oracle-compared
+    * (engine-specific hash); exercised in ScalaTest.
+    */
+  def fingerprint64(c: Column): Column = xxhash64(fingerprintKey(c))
+}
