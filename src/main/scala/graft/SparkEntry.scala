@@ -45,6 +45,12 @@ object SparkEntry {
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
     "salted_join_skew"   -> ((s, d) => Joins.saltedJoinSkew(s, d)),
+    // Dedup family (LLM-data pipeline)
+    "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
+    "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
+    "dedup_simhash"          -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_ngram_jaccard"    -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
@@ -242,6 +248,11 @@ object SparkEntry {
          WHERE (epoch_ns(p.ts)//1000000000 - epoch_ns(s.ts)//1000000000) > 0
            AND (epoch_ns(p.ts)//1000000000 - epoch_ns(s.ts)//1000000000) <= 3600
          ORDER BY signup_event_id, purchase_event_id""",
+    "dedup_exact_hash" ->
+      """SELECT MIN(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+         FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+               FROM documents)
+         GROUP BY norm ORDER BY keep_doc_id""",
     "text_lang_id" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

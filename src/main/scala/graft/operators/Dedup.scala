@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Content-level deduplication family (SURVEY.md §2 "Dedup family") —
+  * the reference's key-level dedupe (`dedupe_by_tmdb_id`,
+  * /root/reference/02_etl.py:224-231) generalized to document content
+  * for LLM training-data pipelines.
+  *
+  * Scale design (SURVEY.md §4): signatures are computed row-local with
+  * codegen'd higher-order functions (one scan, no shuffle); only the
+  * band→bucket join shuffles, and it shuffles fixed-width signatures,
+  * never document text. Candidate pairs (≪ n²) are verified exactly
+  * post-join. All-pairs comparison never happens at any stage.
+  *
+  * Every operator emits one verdict row per document —
+  * (id, rep_id, is_dup) — so the output is the actionable "which doc
+  * to keep" table a pipeline filters on. `rep_id` is the one-hop
+  * representative (smallest verified neighbor); full transitive
+  * closure is an iterative driver loop a batch pipeline runs to a
+  * fixpoint when clusters can chain, which near-dup text clusters
+  * rarely do.
+  */
+object Dedup {
+
+  // ----------------------------------------------------------------
+  // shared building blocks
+  // ----------------------------------------------------------------
+
+  /** Distinct word n-gram shingles of a token array. Documents shorter
+    * than `n` tokens fall back to a single whole-document shingle
+    * (sequence(1, k) would silently generate a DESCENDING range for
+    * k < 1, so the short case must be explicit).
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+    .otherwise(array(concat_ws(" ", toks)))
+
+  /** MinHash signature: `nPerms` permutations, each simulated as
+    * min(xxhash64(shingle, seed=p)) over the shingle set — row-local,
+    * one pass, emits nPerms longs per document.
+    */
+  def minhashSignature(shingleCol: Column, nPerms: Int): Column =
+    array((0 until nPerms).map(p =>
+      array_min(transform(shingleCol, x => xxhash64(x, lit(p))))): _*)
+
+  /** LSH banding: split a minhash signature into `nBands` bands of
+    * `rowsPerBand` and hash each band. Docs agreeing on ANY band become
+    * candidates — the (band_idx, band_hash) pair is the shuffle key.
+    */
+  def bandHashes(sigCol: Column, nBands: Int, rowsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        xxhash64((0 until rowsPerBand)
+          .map(r => element_at(sigCol, b * rowsPerBand + r + 1)): _*).as("band_hash"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two array columns as floor(1000*j)
+    * (integer output: engine-neutral, no float-compare hazards).
+    */
+  def jaccardX1000(a: Column, b: Column): Column =
+    floor(lit(1000.0) * size(array_intersect(a, b)) / size(array_union(a, b))).cast("long")
+
+  /** Candidate pairs (a < b) from an exploded (id, band_idx, band_hash)
+    * table: equi-self-join on the bucket key, so the work is
+    * O(Σ bucket²) with LSH-sized buckets, never O(n²).
+    */
+  private def candidatePairs(bands: DataFrame, id: String): DataFrame = {
+    val l = bands.select(col(id).as("a"), col("band_idx"), col("band_hash"))
+    val r = bands.select(col(id).as("b"), col("band_idx").as("bi"), col("band_hash").as("bh"))
+    l.join(r, l("band_idx") === r("bi") && l("band_hash") === r("bh") && l("a") < r("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** One verdict row per doc: rep_id = smallest verified neighbor
+    * below it (one-hop), else itself; is_dup = a smaller rep exists.
+    */
+  private def verdicts(ids: DataFrame, id: String, verified: DataFrame): DataFrame = {
+    val reps = verified.groupBy(col("b").as(id)).agg(min("a").as("smaller_rep"))
+    ids.join(reps, Seq(id), "left")
+      .select(
+        col(id),
+        coalesce(col("smaller_rep"), col(id)).as(s"rep_$id"),
+        col("smaller_rep").isNotNull.as("is_dup"))
+      .orderBy(id)
+  }
+
+  // ----------------------------------------------------------------
+  // operators
+  // ----------------------------------------------------------------
+
+  /** Exact dedup by hash of the normalized text: group on the 256-bit
+    * digest (what shuffles at 100 TB — 32 bytes/doc, not the text),
+    * keep the smallest doc_id per group. SQL-expressible → oracle
+    * groups on the normalized text itself (bit-identical groups,
+    * collision probability ~0).
+    */
+  def dedupExactHash(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .select("keep_doc_id", "n_copies")
+      .orderBy("keep_doc_id")
+  }
+
+  /** MinHash(64 perms) + LSH(16 bands × 4) over word-3-gram shingles,
+    * candidates verified with exact shingle Jaccard ≥ 0.8. The
+    * ~(1/16)^(1/4) ≈ 0.5 banding threshold over-generates candidates
+    * slightly; exact verification trims to the true near-dup set.
+    */
+  def dedupMinhashLsh(s: SparkSession, dir: String,
+                      nPerms: Int = 64, nBands: Int = 16,
+                      shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), wordNgrams(tokens(col("text")), shingleN).as("sh"))
+    val sig = docs.select(col("doc_id"),
+      bandHashes(minhashSignature(col("sh"), nPerms), nBands, nPerms / nBands).as("bands"))
+    val bands = sig.select(col("doc_id"), explode(col("bands")).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+    val cand = candidatePairs(bands, "doc_id")
+    val shA = docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    val verified = cand.join(shA, "a").join(shB, "b")
+      .filter(jaccardX1000(col("sh_a"), col("sh_b")) >= tauX1000)
+      .select("a", "b")
+    verdicts(docs.select("doc_id"), "doc_id", verified)
+  }
+
+  /** 64-bit SimHash over the token multiset + 4×16-bit hamming-band
+    * bucketing; candidates verified with bit_count(xor) ≤ 3. A pair
+    * within hamming distance d is guaranteed to agree on ≥ one of
+    * (d+1) bands, so 4 bands exactly covers d ≤ 3.
+    */
+  def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // Each token hashed ONCE into a long array; then 64 bit-position
+    // sums over that array (pure ALU work, codegen'd). Bit k of the
+    // simhash is set iff the accumulated ±1 weight at position k is
+    // positive. All row-local — signatures shuffle, text never does.
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), transform(tokens(col("text")), x => xxhash64(x)).as("hs"))
+    val simhash = (0 until 64).map { k =>
+      val bitSum = aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, k).bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L)))
+      shiftleft(when(bitSum > 0L, lit(1L)).otherwise(lit(0L)), k)
+    }.reduce(_ bitwiseOR _)
+    val withSig = docs.select(col("doc_id"), simhash.as("simhash"))
+    val bands = withSig.select(
+        col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_idx"),
+                 shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("band_hash"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+    val cand = candidatePairs(bands, "doc_id")
+    val sigA = withSig.select(col("doc_id").as("a"), col("simhash").as("sim_a"))
+    val sigB = withSig.select(col("doc_id").as("b"), col("simhash").as("sim_b"))
+    val verified = cand.join(sigA, "a").join(sigB, "b")
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= maxHamming)
+      .select("a", "b")
+    verdicts(withSig.select("doc_id"), "doc_id", verified)
+      .join(withSig, "doc_id")
+      .select("doc_id", "simhash", "rep_doc_id", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** Word-bigram Jaccard scoring within MinHash-LSH candidates: for
+    * every doc, the best-scoring candidate partner and its exact
+    * bigram Jaccard (×1000). is_dup at τ = 0.5. Bigrams + a laxer
+    * banding (32 bands × 2) recall weaker matches than
+    * [[dedupMinhashLsh]]'s 3-gram/0.8 setting.
+    */
+  def dedupNgramJaccard(s: SparkSession, dir: String,
+                        nPerms: Int = 64, nBands: Int = 32,
+                        tauX1000: Long = 500): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), wordNgrams(tokens(col("text")), 2).as("sh"))
+    val sig = docs.select(col("doc_id"),
+      bandHashes(minhashSignature(col("sh"), nPerms), nBands, nPerms / nBands).as("bands"))
+    val bands = sig.select(col("doc_id"), explode(col("bands")).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+    val cand = candidatePairs(bands, "doc_id")
+    val shA = docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+    val shB = docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    // Score both directions so every member of a pair gets a verdict.
+    val scored = cand.join(shA, "a").join(shB, "b")
+      .select(col("a"), col("b"), jaccardX1000(col("sh_a"), col("sh_b")).as("j"))
+    val both = scored.select(col("a").as("doc_id"), col("b").as("partner"), col("j"))
+      .unionByName(scored.select(col("b").as("doc_id"), col("a").as("partner"), col("j")))
+    val best = both.groupBy("doc_id")
+      .agg(max(struct(col("j"), (col("partner") * -1).as("neg_partner"))).as("top"))
+      .select(col("doc_id"),
+              (col("top.neg_partner") * -1).as("best_match_id"),
+              col("top.j").as("best_jaccard_x1000"))
+    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("best_match_id"),
+        coalesce(col("best_jaccard_x1000"), lit(0L)).as("best_jaccard_x1000"),
+        (coalesce(col("best_jaccard_x1000"), lit(0L)) >= tauX1000).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding near-dup: 16-bit random-hyperplane signature buckets
+    * (only (vec_id, signature) shuffles), exact cosine ≥ τ verification
+    * within buckets. High-cosine pairs agree on most hyperplane signs,
+    * so true near-dups share a bucket with high probability.
+    */
+  def dedupEmbeddingCosine(s: SparkSession, dir: String,
+                           nBits: Int = 16, tau: Double = 0.9): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+              hyperplaneSignature(col("embedding"), nBits).as("bucket"))
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"), col("bucket"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
+                       col("bucket").as("bucket_b"))
+    val verified = l.join(r, l("bucket") === r("bucket_b") && l("a") < r("b"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= tau)
+      .select("a", "b")
+    verdicts(emb.select("vec_id"), "vec_id", verified)
+      .join(emb.select("vec_id", "bucket"), "vec_id")
+      .select("vec_id", "bucket", "rep_vec_id", "is_dup")
+      .orderBy("vec_id")
+  }
+}
