@@ -51,6 +51,11 @@ object SparkEntry {
     "dedup_simhash"          -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
+    // Similarity search (LLM-data pipeline)
+    "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
+    "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
+    // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
+    "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),

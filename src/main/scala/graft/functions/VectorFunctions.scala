@@ -54,4 +54,23 @@ object VectorFunctions {
       .map(b => shiftleft(when(hyperplaneProjection(vec, b) >= 0.0, 1L).otherwise(0L), b))
       .reduce(_ bitwiseOR _)
   }
+
+  /** OR-amplified SRP-LSH banding: `nBands` independent band keys, band
+    * b being a `bitsPerBand`-bit signature over planes
+    * [b·bitsPerBand, (b+1)·bitsPerBand). Two vectors at angle θ share a
+    * given band w.p. (1-θ/π)^bitsPerBand and are candidates if ANY band
+    * matches — recall 1-(1-p^r)^b, tuned via (b, r) to the corpus's
+    * similarity profile. Returns array<struct<band_idx, band_hash>>
+    * ready for `explode` → equi-join; only these fixed-width keys ever
+    * shuffle, never embeddings by construction of the callers.
+    */
+  def bandSignatures(vec: Column, nBands: Int, bitsPerBand: Int): Column =
+    array((0 until nBands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        (0 until bitsPerBand)
+          .map(j => shiftleft(
+            when(hyperplaneProjection(vec, b * bitsPerBand + j) >= 0.0, 1L).otherwise(0L), j))
+          .reduce(_ bitwiseOR _).as("band_hash"))
+    }: _*)
 }

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY.md §2 `mm_extract_meta`): media
+  * payloads as opaque `binary` columns + typed metadata extraction.
+  *
+  * The container has no image/audio codecs, so the pixel/sample decode
+  * is a deterministic STUB (see [[decodeStub]]) — but everything
+  * Spark-side is real: the binary column, the self-describing header
+  * layout, header parsing with native binary/string functions (stays
+  * inside whole-stage codegen), and the schema a downstream
+  * feature-extract stage would consume. At 100 TB this is a pure map
+  * stage: metadata extraction reads only the first 21 bytes of each
+  * payload and never shuffles blob bytes.
+  *
+  * Header layout (ASCII, fixed-width so `substring` parses it):
+  * bytes 1-4 magic "GFT0" | 5 media kind I/A/V | 6-11 width/samples |
+  * 12-17 height/channels | 18-21 frame count. Body follows.
+  */
+object Multimodal {
+
+  /** Synthesize a deterministic media payload per document: a typed
+    * header + the document text as stand-in body bytes. Stands in for
+    * reading real blobs (parquet binary columns work identically).
+    */
+  def synthesizePayloads(s: SparkSession, dir: String): DataFrame = {
+    val kind = element_at(array(lit("I"), lit("A"), lit("V")),
+      (pmod(xxhash64(col("doc_id")), lit(3L)) + 1).cast("int"))
+    val width  = (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920L)) + 16).cast("long")
+    val height = (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080L)) + 16).cast("long")
+    val frames = when(kind === "I", 1L)
+      .otherwise(pmod(xxhash64(col("doc_id"), lit(3)), lit(9000L)) + 1)
+    val header = concat(
+      lit("GFT0"), kind,
+      lpad(width.cast("string"), 6, "0"),
+      lpad(height.cast("string"), 6, "0"),
+      lpad(frames.cast("string"), 4, "0"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), encode(concat(header, col("text")), "UTF-8").as("payload"))
+  }
+
+  /** STUB for the codec stage. A real deployment would decode pixels /
+    * samples here via `mapInPandas`/`mapPartitions` batches against an
+    * image or audio library; this container has none, so the "content
+    * feature" is a deterministic hash of the body bytes. The signature
+    * (binary in, fixed-width feature out, row-local) is what the real
+    * decoder would have.
+    */
+  def decodeStub(payload: Column): Column =
+    pmod(xxhash64(payload), lit(1000000L)).as("content_feature")
+
+  /** Typed metadata extraction from the binary payload: parse the
+    * fixed-width header (first 21 bytes only — column-pruned reads
+    * never touch blob bodies), validate magic, emit typed columns plus
+    * the stubbed content feature.
+    */
+  def extractMeta(payloads: DataFrame): DataFrame = {
+    val head = decode(substring(col("payload"), 1, 21), "UTF-8")
+    payloads
+      .select(
+        col("doc_id"),
+        (substring(head, 1, 4) === "GFT0").as("header_ok"),
+        substring(head, 5, 1).as("media_kind"),
+        substring(head, 6, 6).cast("long").as("width"),
+        substring(head, 12, 6).cast("long").as("height"),
+        substring(head, 18, 4).cast("long").as("n_frames"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        decodeStub(col("payload")).as("content_feature"))
+      .orderBy("doc_id")
+  }
+
+  /** SURVEY §2 `mm_extract_meta`: synthesize then extract. */
+  def mmExtractMeta(s: SparkSession, dir: String): DataFrame =
+    extractMeta(synthesizePayloads(s, dir))
+}

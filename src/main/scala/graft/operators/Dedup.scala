@@ -208,25 +208,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding near-dup: 16-bit random-hyperplane signature buckets
-    * (only (vec_id, signature) shuffles), exact cosine ≥ τ verification
-    * within buckets. High-cosine pairs agree on most hyperplane signs,
-    * so true near-dups share a bucket with high probability.
+  /** Embedding near-dup: banded random-hyperplane LSH (8 bands ×
+    * 6 bits — a cos ≥ 0.9 pair shares a given 6-bit band w.p.
+    * (1-θ/π)^6 ≈ 0.39, so ANY-band collision catches it w.p.
+    * 1-(1-0.39)^8 ≈ 0.98), exact cosine ≥ τ verification within
+    * band buckets. Only (vec_id, band keys) shuffle through the
+    * candidate join; embeddings join back solely for the ≪n²
+    * verified candidates.
     */
   def dedupEmbeddingCosine(s: SparkSession, dir: String,
-                           nBits: Int = 16, tau: Double = 0.9): DataFrame = {
+                           nBands: Int = 8, bitsPerBand: Int = 6,
+                           tau: Double = 0.9): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding"),
-              hyperplaneSignature(col("embedding"), nBits).as("bucket"))
-    val l = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"), col("bucket"))
-    val r = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"),
-                       col("bucket").as("bucket_b"))
-    val verified = l.join(r, l("bucket") === r("bucket_b") && l("a") < r("b"))
+    val bands = emb.select(col("vec_id"),
+        explode(bandSignatures(col("embedding"), nBands, bitsPerBand)).as("bd"))
+      .select(col("vec_id"), col("bd.band_idx"), col("bd.band_hash"))
+    val cand = candidatePairs(bands, "vec_id")
+    val embA = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
+    val embB = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
+    val verified = cand.join(embA, "a").join(embB, "b")
       .filter(cosine(col("emb_a"), col("emb_b")) >= tau)
       .select("a", "b")
     verdicts(emb.select("vec_id"), "vec_id", verified)
-      .join(emb.select("vec_id", "bucket"), "vec_id")
-      .select("vec_id", "bucket", "rep_vec_id", "is_dup")
       .orderBy("vec_id")
   }
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` corpus
+  * (SURVEY.md §2 "Similarity search"). The reference has no vector
+  * surface; this is part of the engine-superset for LLM-data
+  * pipelines.
+  *
+  * Probe set: a deterministic 2% sample (`vec_id % 100 < 2`) standing
+  * in for an external query batch — always broadcast, never shuffled.
+  *
+  * Scale design (SURVEY.md §4):
+  * - brute force scores the corpus against the broadcast probe set in
+  *   the scan stage (no shuffle of embeddings); only scored
+  *   (probe_id, vec_id, score) triples — 24 bytes each — shuffle into
+  *   the per-probe top-k window.
+  * - the LSH path buckets the corpus by an `nBits` random-hyperplane
+  *   signature (one long per vector); the probe side explodes into its
+  *   own bucket plus all hamming-1 neighbors (multi-probe, recall ↑),
+  *   so the big side still shuffles nothing but (bucket, id, vec) for
+  *   bucket-matched candidates — a O(n / 2^nBits · probes) slice of
+  *   the corpus, never the n² cross product.
+  */
+object Similarity {
+
+  /** Deterministic probe subset — stands in for a query batch. */
+  private def probes(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 100 < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+
+  /** Exact cosine scored as floor(1e6·cos) BIGINT: deterministic
+    * ordering across partitionings (IEEE double sums of the same
+    * row-local products are order-independent here because each dot
+    * product is computed in one task), integer output for stable
+    * rows-only checks and tests.
+    */
+  private def scoreX1e6(a: Column, b: Column): Column =
+    floor(cosine(a, b) * 1e6).cast("long")
+
+  /** Baseline: exact cosine top-k per probe. Corpus scanned once;
+    * probe set broadcast; per-probe ranking by (score desc, vec_id)
+    * for full determinism.
+    */
+  def annBruteforceTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val scored = emb
+      .join(broadcast(probes(emb)), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              scoreX1e6(col("probe_emb"), col("embedding")).as("cosine_x1e6"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine_x1e6")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Scale path: banded (OR-amplified) SRP-LSH. Corpus and probes each
+    * compute `nBands` band keys ([[bandSignatures]]); a corpus vector
+    * is a candidate for a probe iff ANY band key matches. The probe
+    * band table is broadcast, so the corpus is scored map-side with NO
+    * shuffle of embeddings — only candidate (probe_id, neighbor_id,
+    * score) triples shuffle into distinct + per-probe top-k. Exact
+    * cosine re-ranks candidates; recall ≈ 1-(1-p^r)^b where
+    * p = 1-θ/π (tune (nBands, bitsPerBand) to the corpus similarity
+    * profile — defaults suit mid-similarity neighbors; high-similarity
+    * corpora want more bits per band). Output schema matches
+    * [[annBruteforceTopK]] so recall is directly measurable
+    * (see SimilaritySpec).
+    */
+  def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
+                 nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpusBands = emb.select(
+        col("vec_id"), col("embedding"),
+        explode(bandSignatures(col("embedding"), nBands, bitsPerBand)).as("bd"))
+      .select(col("vec_id"), col("embedding"), col("bd.band_idx"), col("bd.band_hash"))
+    val probeBands = probes(emb)
+      .select(col("probe_id"), col("probe_emb"),
+              explode(bandSignatures(col("probe_emb"), nBands, bitsPerBand)).as("bd"))
+      .select(col("probe_id"), col("probe_emb"), col("bd.band_idx"), col("bd.band_hash"))
+    val scored = corpusBands
+      .join(broadcast(probeBands), Seq("band_idx", "band_hash"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              scoreX1e6(col("probe_emb"), col("embedding")).as("cosine_x1e6"))
+      .distinct() // a candidate can match on several bands
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine_x1e6")
+      .orderBy("probe_id", "rank")
+  }
+}
