@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions.OracleSafe.sum2
+
+/** Structured Streaming pipelines over the event stream (SURVEY.md §2
+  * "Streaming"). Each transform takes the source DataFrame/Dataset as
+  * input — bounded (batch) and unbounded (readStream / MemoryStream)
+  * sources run the SAME logical plan, which is how the batch
+  * equivalents registered in `SparkEntry.queries` stay provably in sync
+  * with the streaming path (see StreamingSpec: MemoryStream results ==
+  * batch results on the same rows).
+  *
+  * This is the streaming analogue of the reference's incremental
+  * ingest loop (/root/reference/02_etl.py:50-62 pages through the API
+  * and upserts) re-expressed as continuous pipelines: windowed
+  * aggregation, in-window dedup, and stateful sessionization.
+  *
+  * Scale notes: all three are key-partitioned stateful ops — state
+  * lives in the state store sharded by the grouping key, watermarks
+  * bound its size (late data beyond the watermark is dropped, state
+  * for closed windows/sessions is evicted), so a 1000-executor cluster
+  * holds state for active keys only, never the full history.
+  */
+object EventStreams {
+
+  /** Event row as fed to the typed streaming ops. */
+  case class Ev(event_id: Long, user_id: Long, event_type: String,
+                ts: java.sql.Timestamp, value: Double)
+
+  /** A closed (or force-flushed) user session. */
+  case class SessionOut(user_id: Long, session_start_s: Long, session_end_s: Long,
+                        n_events: Long, session_value: Double)
+
+  /** Per-user open-session accumulator kept in the state store. */
+  case class SessionState(start_s: Long, end_s: Long, n: Long, value: Double)
+
+  /** Tumbling 1-hour counts + sums per event type, 2h watermark.
+    * Mirrors Analytics.streamWindowedCounts (same plan on a bounded
+    * source minus the watermark node).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Streaming first-occurrence dedup per (user_id, event_type) within
+    * the watermark horizon — `dropDuplicates` keyed state, evicted once
+    * the watermark passes. Mirrors Analytics.streamDedupIds (batch picks
+    * the earliest by event time; streaming keeps the first *arrival*,
+    * which for an in-order replay is the same row).
+    */
+  def dedupIds(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"),
+              col("event_id").as("first_event_id"), col("ts"))
+
+  /** Gap-based sessionization (30-min inactivity) with CUSTOM state:
+    * one `SessionState` per user in the state store, extended on each
+    * event, closed + emitted either by an in-batch gap or by an
+    * event-time timeout once the watermark passes the gap horizon.
+    * Mirrors Analytics.sessionizeEvents.
+    */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start_s, s.end_s, s.n, s.value))
+          } else {
+            // In-batch events arrive unordered; sort by event time.
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val ts = math.floorDiv(e.ts.getTime, 1000L)
+              open match {
+                case Some(s) if ts - s.end_s <= gapSec =>
+                  open = Some(SessionState(s.start_s, ts, s.n + 1, s.value + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start_s, s.end_s, s.n, s.value)
+                  open = Some(SessionState(ts, ts, 1, e.value))
+                case None =>
+                  open = Some(SessionState(ts, ts, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // Close the session once event time passes end + gap.
+              state.setTimeoutTimestamp((s.end_s + gapSec) * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.functions.TextFunctions._
+
+/** Dedup-family semantics: building-block units on crafted rows plus
+  * whole-operator invariants on the sf0.001 corpus.
+  */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  test("wordNgrams produces n-1 fewer shingles; short docs fall back to one") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(size(Dedup.wordNgrams(tokens(col("text")), 3)).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 1))
+  }
+
+  test("jaccardX1000: identical sets 1000, disjoint 0, half-overlap computed exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b"), Seq("a", "b")),
+      (Seq("a"), Seq("b")),
+      (Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Dedup.jaccardX1000(col("x"), col("y")).as("j"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1000L, 0L, 500L))
+  }
+
+  test("minhash signatures of identical shingle sets are identical") {
+    import spark.implicits._
+    val df = Seq("x y z w", "x y z w").toDF("text")
+      .select(Dedup.minhashSignature(Dedup.wordNgrams(tokens(col("text")), 2), 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("dedup_exact_hash partitions the corpus: n_copies sums to corpus size") {
+    val docs = Tables.documents(spark, sf).count()
+    val out = Dedup.dedupExactHash(spark, sf)
+    assert(out.agg(sum("n_copies")).head().getLong(0) == docs)
+  }
+
+  test("dedup_minhash_lsh: one verdict per doc; reps are smaller ids; dup pairs verified") {
+    val out = Dedup.dedupMinhashLsh(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("is_dup") && col("rep_doc_id") >= col("doc_id")).count() == 0)
+    assert(out.filter(!col("is_dup") && col("rep_doc_id") =!= col("doc_id")).count() == 0)
+    out.unpersist()
+  }
+
+  test("dedup_simhash: near-identical docs collide, distinct docs don't explode") {
+    val out = Dedup.dedupSimhash(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // exact duplicates (same normalized text) must be simhash-dups too
+    val exact = Dedup.dedupExactHash(spark, sf).filter(col("n_copies") > 1)
+    if (exact.count() > 0) assert(out.filter(col("is_dup")).count() > 0)
+    out.unpersist()
+  }
+
+  test("dedup_embedding_cosine verdicts cover every vector") {
+    val out = Dedup.dedupEmbeddingCosine(spark, sf)
+    assert(out.count() == Tables.embeddings(spark, sf).count())
+  }
+}

@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing: the typed header written by the synthesizer is
+  * recovered exactly by the extractor from the binary payload.
+  */
+class MultimodalSpec extends AnyFunSuite with SparkFixture {
+
+  test("extractMeta recovers the synthesized header for every doc") {
+    val out = Multimodal.mmExtractMeta(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(!col("header_ok")).count() == 0)
+    assert(out.filter(!col("media_kind").isin("I", "A", "V")).count() == 0)
+    assert(out.filter(col("width") < 16 || col("width") > 1936
+                   || col("height") < 16 || col("height") > 1096).count() == 0)
+    // images are single-frame by construction
+    assert(out.filter(col("media_kind") === "I" && col("n_frames") =!= 1).count() == 0)
+    out.unpersist()
+  }
+
+  test("n_bytes = 21-byte header + UTF-8 body length") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), (lit(21) + length(encode(col("text"), "UTF-8"))).as("expect"))
+    val out = Multimodal.mmExtractMeta(spark, sf).select("doc_id", "n_bytes")
+    assert(out.join(docs, "doc_id").filter(col("n_bytes") =!= col("expect")).count() == 0)
+  }
+}

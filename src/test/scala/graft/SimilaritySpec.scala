@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.functions.VectorFunctions._
+
+/** ANN semantics: vector primitives on crafted vectors; LSH recall
+  * against the exact brute-force baseline on the sf0.001 corpus.
+  */
+class SimilaritySpec extends AnyFunSuite with SparkFixture {
+
+  test("dot/norm/cosine on known vectors") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 0f), Seq(0f, 1f)), (Seq(3f, 4f), Seq(3f, 4f)))
+      .toDF("a", "b")
+      .select(dot(col("a"), col("b")).as("d"),
+              norm(col("a")).as("n"),
+              cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 0.0 && rows(0).getDouble(2) == 0.0)
+    assert(rows(1).getDouble(1) == 5.0 && math.abs(rows(1).getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("cosine of a zero vector is 0, not NaN") {
+    import spark.implicits._
+    val c = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
+      .select(cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(c == 0.0)
+  }
+
+  test("brute force: k rows per probe, ranks contiguous, scores non-increasing") {
+    val out = Similarity.annBruteforceTopK(spark, sf).cache()
+    val perProbe = out.groupBy("probe_id").agg(
+      count(lit(1)).as("n"), max("rank").as("maxr"),
+      min("cosine_x1e6").as("worst"), max("cosine_x1e6").as("best"))
+    assert(perProbe.filter(col("n") =!= 10 || col("maxr") =!= 10).count() == 0)
+    assert(perProbe.filter(col("worst") > col("best")).count() == 0)
+    out.unpersist()
+  }
+
+  test("banded LSH recalls >= 80% of exact top-10 on the test corpus") {
+    val bf = Similarity.annBruteforceTopK(spark, sf).select("probe_id", "neighbor_id")
+    val lsh = Similarity.annLshTopK(spark, sf).select("probe_id", "neighbor_id")
+    val nBf = bf.count()
+    val hit = bf.intersect(lsh).count()
+    assert(nBf > 0 && hit.toDouble / nBf >= 0.8, s"recall ${hit.toDouble / nBf}")
+  }
+}

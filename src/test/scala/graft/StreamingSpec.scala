@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** Structured Streaming pipelines driven through MemoryStream — proves
+  * the streaming transforms agree with their registered batch
+  * equivalents on the same rows.
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  private def eventRows(): Seq[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .as[Ev].collect().toSeq
+  }
+
+  test("windowedCounts over MemoryStream equals the batch equivalent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc_test").outputMode("complete").start()
+    try {
+      input.addData(eventRows())
+      q.processAllAvailable()
+      val streamed = spark.table("wc_test")
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+                col("event_type"), col("n_events"), col("sum_value"))
+      val batch = graft.operators.Analytics.streamWindowedCounts(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
+  test("dedupIds keeps exactly one row per (user, type) within the watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupIds(input.toDF())
+      .writeStream.format("memory").queryName("dd_test").outputMode("append").start()
+    try {
+      // in-order replay: the first arrival IS the earliest by event time
+      input.addData(eventRows().sortBy(e => (e.ts.getTime, e.event_id)))
+      q.processAllAvailable()
+      val streamed = spark.table("dd_test")
+      val batch = graft.operators.Analytics.streamDedupIds(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.select(col("user_id"), col("event_type"), col("first_event_id"))
+        .exceptAll(batch.select(col("user_id"), col("event_type"), col("first_event_id")))
+        .count() == 0)
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on gap and on event-time timeout") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000L // arbitrary fixed epoch seconds
+    def ev(id: Long, user: Long, sec: Long, v: Double) =
+      Ev(id, user, "click", new Timestamp(sec * 1000), v)
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session), then a 2h-later
+      // event that closes it in-batch and opens a second session.
+      input.addData(Seq(
+        ev(1, 1, t0, 1.0), ev(2, 1, t0 + 600, 2.0), ev(3, 1, t0 + 7800, 4.0)))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("sess_test").as[EventStreams.SessionOut].collect()
+      assert(afterBatch1.toSeq == Seq(
+        EventStreams.SessionOut(1, t0, t0 + 600, 2, 3.0)))
+      // advance the watermark far past session 2's gap horizon → the
+      // open session times out and flushes.
+      input.addData(Seq(ev(99, 2, t0 + 100000, 0.5)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(100, 2, t0 + 100001, 0.5)))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_test").as[EventStreams.SessionOut].collect()
+      assert(flushed.exists(s => s.user_id == 1 && s.session_start_s == t0 + 7800
+        && s.n_events == 1 && s.session_value == 4.0))
+    } finally q.stop()
+  }
+}
