@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path (SURVEY.md §3:
+  * "custom Catalyst Expression ... codegen'd"). The higher-order-
+  * function formulations in [[VectorFunctions]] are semantically
+  * identical but evaluate one lambda call per element per row; these
+  * compile to a tight primitive loop inside whole-stage codegen — at
+  * 100 TB the cosine/signature scan is the dominant cost of the ANN
+  * and embedding-dedup operators, so this is where custom codegen
+  * genuinely beats composing built-ins.
+  *
+  * Registered as SQL functions `graft_cosine` / `graft_srp_sig` via
+  * [[graft.plans.GraftExtensions]] (SparkSessionExtensions) and
+  * reachable from any session through
+  * [[graft.plans.GraftFunctions.ensureRegistered]].
+  */
+object VectorExpressions {
+
+  /** Deterministic pseudo-random hyperplanes: plane `b` is seeded by
+    * (seed, b) alone, so every executor — and every round — derives
+    * the identical matrix with no broadcast state. java.util.Random's
+    * LCG is specified behavior, stable across JVMs.
+    */
+  def planeMatrix(nBits: Int, seed: Long, maxDim: Int): Array[Array[Float]] =
+    Array.tabulate(nBits) { b =>
+      val rnd = new java.util.Random(seed * 1000003L + b)
+      Array.fill(maxDim)(rnd.nextFloat() * 2f - 1f)
+    }
+}
+
+/** cosine(a, b) over two array<float> columns: one fused loop for
+  * dot + both norms; 0.0 (not NaN/null) when either norm is zero.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true; case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val den = math.sqrt(nx) * math.sqrt(ny)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val den = ctx.freshName("den")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getFloat($i);
+          $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+        }
+        double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `nBits`-bit signed-random-projection signature of an array<float>
+  * vector, packed into a long: bit b = sign of vec · plane_b. The
+  * plane matrix is materialized once per executor from the
+  * deterministic seed (no per-row hashing, no broadcast).
+  */
+case class SrpSignature(child: Expression, nBits: Int, seed: Long = 42L,
+                        maxDim: Int = 1024)
+    extends UnaryExpression {
+  require(nBits >= 1 && nBits <= 63, s"nBits must be in [1,63], got $nBits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_srp_sig expects array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_sig"
+
+  @transient private lazy val planes: Array[Array[Float]] =
+    VectorExpressions.planeMatrix(nBits, seed, maxDim)
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      val p = planes(b)
+      val d = math.min(vec.numElements(), p.length)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += vec.getFloat(j).toDouble * p(j); j += 1 }
+      if (acc >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val sig = ctx.freshName("sig"); val b = ctx.freshName("b")
+      val p = ctx.freshName("p"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
+      s"""
+        long $sig = 0L;
+        for (int $b = 0; $b < $nBits; $b++) {
+          float[] $p = $planesRef[$b];
+          int $d = java.lang.Math.min($vec.numElements(), $p.length);
+          double $acc = 0.0;
+          for (int $j = 0; $j < $d; $j++) {
+            $acc += (double) $vec.getFloat($j) * (double) $p[$j];
+          }
+          if ($acc >= 0.0) $sig |= (1L << $b);
+        }
+        ${ev.value} = $sig;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}

@@ -73,4 +73,19 @@ object VectorFunctions {
             when(hyperplaneProjection(vec, b * bitsPerBand + j) >= 0.0, 1L).otherwise(0L), j))
           .reduce(_ bitwiseOR _).as("band_hash"))
     }: _*)
+
+  /** Slice a packed `nBands·bitsPerBand`-bit signature long (e.g. from
+    * the codegen'd `graft_srp_sig`) into the same
+    * array<struct<band_idx, band_hash>> shape as [[bandSignatures]] —
+    * compute the signature ONCE per row, band it for free.
+    */
+  def sliceBands(sig: Column, nBands: Int, bitsPerBand: Int): Column = {
+    require(nBands * bitsPerBand <= 63, s"$nBands bands x $bitsPerBand bits exceeds 63")
+    array((0 until nBands).map { b =>
+      struct(
+        lit(b).as("band_idx"),
+        shiftright(sig, b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("band_hash"))
+    }: _*)
+  }
 }

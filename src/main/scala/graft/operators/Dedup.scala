@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
+import graft.plans.GraftFunctions
 
 /** Content-level deduplication family (SURVEY.md §2 "Dedup family") —
   * the reference's key-level dedupe (`dedupe_by_tmdb_id`,
@@ -219,15 +220,18 @@ object Dedup {
   def dedupEmbeddingCosine(s: SparkSession, dir: String,
                            nBands: Int = 8, bitsPerBand: Int = 6,
                            tau: Double = 0.9): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
     val bands = emb.select(col("vec_id"),
-        explode(bandSignatures(col("embedding"), nBands, bitsPerBand)).as("bd"))
+        explode(sliceBands(
+          call_function("graft_srp_sig", col("embedding"), lit(nBands * bitsPerBand)),
+          nBands, bitsPerBand)).as("bd"))
       .select(col("vec_id"), col("bd.band_idx"), col("bd.band_hash"))
     val cand = candidatePairs(bands, "vec_id")
     val embA = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))
     val embB = emb.select(col("vec_id").as("b"), col("embedding").as("emb_b"))
     val verified = cand.join(embA, "a").join(embB, "b")
-      .filter(cosine(col("emb_a"), col("emb_b")) >= tau)
+      .filter(call_function("graft_cosine", col("emb_a"), col("emb_b")) >= tau)
       .select("a", "b")
     verdicts(emb.select("vec_id"), "vec_id", verified)
       .orderBy("vec_id")

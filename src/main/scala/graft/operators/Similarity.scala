@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions._
+import graft.plans.GraftFunctions
 
 /** Approximate-nearest-neighbor search over the `embeddings` corpus
   * (SURVEY.md §2 "Similarity search"). The reference has no vector
@@ -33,20 +34,21 @@ object Similarity {
     emb.filter(col("vec_id") % 100 < 2)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
 
-  /** Exact cosine scored as floor(1e6·cos) BIGINT: deterministic
-    * ordering across partitionings (IEEE double sums of the same
-    * row-local products are order-independent here because each dot
-    * product is computed in one task), integer output for stable
-    * rows-only checks and tests.
+  /** Exact cosine — the codegen'd Catalyst expression
+    * ([[graft.functions.CosineSim]]) — scored as floor(1e6·cos)
+    * BIGINT: deterministic across partitionings (each dot product is
+    * one fused row-local loop), integer output for stable rows-only
+    * checks and tests.
     */
   private def scoreX1e6(a: Column, b: Column): Column =
-    floor(cosine(a, b) * 1e6).cast("long")
+    floor(call_function("graft_cosine", a, b) * 1e6).cast("long")
 
   /** Baseline: exact cosine top-k per probe. Corpus scanned once;
     * probe set broadcast; per-probe ranking by (score desc, vec_id)
     * for full determinism.
     */
   def annBruteforceTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
     val scored = emb
       .join(broadcast(probes(emb)), col("vec_id") =!= col("probe_id"))
@@ -76,14 +78,16 @@ object Similarity {
     */
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
+    def srp(c: Column) = call_function("graft_srp_sig", c, lit(nBands * bitsPerBand))
     val corpusBands = emb.select(
         col("vec_id"), col("embedding"),
-        explode(bandSignatures(col("embedding"), nBands, bitsPerBand)).as("bd"))
+        explode(sliceBands(srp(col("embedding")), nBands, bitsPerBand)).as("bd"))
       .select(col("vec_id"), col("embedding"), col("bd.band_idx"), col("bd.band_hash"))
     val probeBands = probes(emb)
       .select(col("probe_id"), col("probe_emb"),
-              explode(bandSignatures(col("probe_emb"), nBands, bitsPerBand)).as("bd"))
+              explode(sliceBands(srp(col("probe_emb")), nBands, bitsPerBand)).as("bd"))
       .select(col("probe_id"), col("probe_emb"), col("bd.band_idx"), col("bd.band_hash"))
     val scored = corpusBands
       .join(broadcast(probeBands), Seq("band_idx", "band_hash"))

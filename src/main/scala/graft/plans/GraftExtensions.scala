@@ -1,0 +1,62 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.functions.call_function
+import graft.functions.{CosineSim, SrpSignature}
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Idiomatic path: `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  * (used by Verify/Bench/tests). Defensive path: operators call
+  * [[GraftFunctions.ensureRegistered]] so the functions exist even on
+  * a session built without the extension (e.g. an external driver
+  * invoking `SparkEntry.queries` directly).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(args: Seq[Expression], i: Int, name: String): Int =
+    args(i) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal int at position $i, got $other")
+    }
+
+  /** (identifier, info, builder) triples for both injection routes. */
+  val definitions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))),
+    (FunctionIdentifier("graft_srp_sig"),
+      new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
+      (args: Seq[Expression]) => SrpSignature(args(0), intArg(args, 1, "graft_srp_sig"))))
+
+  /** Idempotently register on an existing session. */
+  def ensureRegistered(s: SparkSession): Unit = {
+    val reg = s.sessionState.functionRegistry
+    definitions.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+
+  /** Codegen'd cosine similarity over two array<float> columns. */
+  def cosineFast(s: SparkSession, a: Column, b: Column): Column = {
+    ensureRegistered(s)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** Codegen'd `nBits`-bit SRP signature of an array<float> column. */
+  def srpSignature(s: SparkSession, vec: Column, nBits: Int): Column = {
+    ensureRegistered(s)
+    call_function("graft_srp_sig", vec, org.apache.spark.sql.functions.lit(nBits))
+  }
+}

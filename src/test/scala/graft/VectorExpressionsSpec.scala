@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+import graft.plans.GraftFunctions
+
+/** The codegen'd Catalyst expressions agree with the higher-order-
+  * function formulations, through both registration routes.
+  */
+class VectorExpressionsSpec extends AnyFunSuite with SparkFixture {
+
+  test("graft_cosine is registered by the session extension and matches the HOF cosine") {
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.crossJoin(
+      emb.select(col("vec_id").as("v2"), col("embedding").as("e2"))).limit(500)
+    val diff = pairs.select(
+      abs(call_function("graft_cosine", col("embedding"), col("e2"))
+        - VectorFunctions.cosine(col("embedding"), col("e2"))).as("d"))
+    assert(diff.agg(max("d")).head().getDouble(0) < 1e-9)
+  }
+
+  test("graft_cosine known values: orthogonal 0, parallel 1, zero-vector 0") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(2f, 3f), Seq(2f, 3f)),
+      (Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+      .select(call_function("graft_cosine", col("a"), col("b")).as("c"))
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals(0) == 0.0 && math.abs(vals(1) - 1.0) < 1e-12 && vals(2) == 0.0)
+  }
+
+  test("graft_srp_sig: deterministic, in range, identical vectors collide") {
+    import spark.implicits._
+    val df = Seq(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f), Seq(-1f, -2f, -3f)).toDF("v")
+      .select(GraftFunctions.srpSignature(spark, col("v"), 16).as("sig"))
+    val sigs = df.collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    assert(sigs.forall(s => s >= 0 && s < (1L << 16)))
+    // antipodal vectors flip every projection sign
+    assert((sigs(0) ^ sigs(2)) == (1L << 16) - 1)
+  }
+
+  test("interpreted eval agrees with codegen on the corpus") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    import graft.functions.{CosineSim, SrpSignature}
+    val rows = Tables.embeddings(spark, sf).limit(20)
+      .select("vec_id", "embedding").collect()
+    val viaCodegen = Tables.embeddings(spark, sf).limit(20)
+      .select(col("vec_id"),
+        GraftFunctions.srpSignature(spark, col("embedding"), 36).as("sig"),
+        call_function("graft_cosine", col("embedding"), col("embedding")).as("self_cos"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val litVec = Literal.create(vec, ArrayType(FloatType))
+      val (sig, selfCos) = viaCodegen(r.getLong(0))
+      assert(SrpSignature(litVec, 36).eval(null) == sig)
+      assert(math.abs(CosineSim(litVec, litVec).eval(null).asInstanceOf[Double] - selfCos) < 1e-12)
+    }
+  }
+}
