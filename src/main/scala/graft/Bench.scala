@@ -20,6 +20,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Warm up codegen/classloading/file-listing once so the first timed
+    // query doesn't absorb session initialization.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

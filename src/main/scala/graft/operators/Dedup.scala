@@ -44,13 +44,13 @@ object Dedup {
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
     .otherwise(array(concat_ws(" ", toks)))
 
-  /** MinHash signature: `nPerms` permutations, each simulated as
-    * min(xxhash64(shingle, seed=p)) over the shingle set — row-local,
-    * one pass, emits nPerms longs per document.
+  /** MinHash signature via the codegen'd [[graft.functions.MinHashSig]]
+    * (one hash per shingle + universal-hash mixing). Row-local, one
+    * pass, emits nPerms longs per document. Requires
+    * GraftFunctions.ensureRegistered on the session.
     */
   def minhashSignature(shingleCol: Column, nPerms: Int): Column =
-    array((0 until nPerms).map(p =>
-      array_min(transform(shingleCol, x => xxhash64(x, lit(p))))): _*)
+    call_function("graft_minhash", shingleCol, lit(nPerms))
 
   /** LSH banding: split a minhash signature into `nBands` bands of
     * `rowsPerBand` and hash each band. Docs agreeing on ANY band become
@@ -121,6 +121,7 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String,
                       nPerms: Int = 64, nBands: Int = 16,
                       shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), wordNgrams(tokens(col("text")), shingleN).as("sh"))
     val sig = docs.select(col("doc_id"),
@@ -142,18 +143,13 @@ object Dedup {
     * (d+1) bands, so 4 bands exactly covers d ≤ 3.
     */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    // Each token hashed ONCE into a long array; then 64 bit-position
-    // sums over that array (pure ALU work, codegen'd). Bit k of the
-    // simhash is set iff the accumulated ±1 weight at position k is
-    // positive. All row-local — signatures shuffle, text never does.
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), transform(tokens(col("text")), x => xxhash64(x)).as("hs"))
-    val simhash = (0 until 64).map { k =>
-      val bitSum = aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, k).bitwiseAND(lit(1L)) === lit(1L), lit(1L)).otherwise(lit(-1L)))
-      shiftleft(when(bitSum > 0L, lit(1L)).otherwise(lit(0L)), k)
-    }.reduce(_ bitwiseOR _)
-    val withSig = docs.select(col("doc_id"), simhash.as("simhash"))
+    // One codegen'd pass (graft.functions.SimHash64): each token hashed
+    // once, 64 signed bit-position accumulators, sign bit k of the
+    // result = accumulated weight at position k is positive. All
+    // row-local — signatures shuffle, text never does.
+    GraftFunctions.ensureRegistered(s)
+    val withSig = Tables.documents(s, dir)
+      .select(col("doc_id"), call_function("graft_simhash", tokens(col("text"))).as("simhash"))
     val bands = withSig.select(
         col("doc_id"),
         explode(array((0 until 4).map(b =>
@@ -181,6 +177,7 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         nPerms: Int = 64, nBands: Int = 32,
                         tauX1000: Long = 500): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), wordNgrams(tokens(col("text")), 2).as("sh"))
     val sig = docs.select(col("doc_id"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, SrpSignature}
+import graft.functions.{CosineSim, MinHashSig, SimHash64, SrpSignature}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -38,7 +38,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
     (FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
-      (args: Seq[Expression]) => SrpSignature(args(0), intArg(args, 1, "graft_srp_sig"))))
+      (args: Seq[Expression]) => SrpSignature(args(0), intArg(args, 1, "graft_srp_sig"))),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSig(args(0), intArg(args, 1, "graft_minhash"))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
 
   /** Idempotently register on an existing session. */
   def ensureRegistered(s: SparkSession): Unit = {
