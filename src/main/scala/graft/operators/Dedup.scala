@@ -13,18 +13,17 @@ import graft.plans.GraftFunctions
   * for LLM training-data pipelines.
   *
   * Scale design (SURVEY.md §4): signatures are computed row-local with
-  * codegen'd higher-order functions (one scan, no shuffle); only the
-  * band→bucket join shuffles, and it shuffles fixed-width signatures,
-  * never document text. Candidate pairs (≪ n²) are verified exactly
-  * post-join. All-pairs comparison never happens at any stage.
+  * codegen'd Catalyst expressions (graft_minhash / graft_simhash /
+  * graft_srp_sig — one scan, no shuffle); only the band→bucket join
+  * shuffles, and it shuffles fixed-width signatures, never document
+  * text. Candidate pairs (≪ n²) are verified exactly post-join.
+  * All-pairs comparison never happens at any stage.
   *
   * Every operator emits one verdict row per document —
   * (id, rep_id, is_dup) — so the output is the actionable "which doc
   * to keep" table a pipeline filters on. `rep_id` is the one-hop
-  * representative (smallest verified neighbor); full transitive
-  * closure is an iterative driver loop a batch pipeline runs to a
-  * fixpoint when clusters can chain, which near-dup text clusters
-  * rarely do.
+  * representative (smallest verified neighbor); [[transitiveClosure]]
+  * iterates that to a fixpoint for the rare chained clusters.
   */
 object Dedup {
 
@@ -92,6 +91,33 @@ object Dedup {
         coalesce(col("smaller_rep"), col(id)).as(s"rep_$id"),
         col("smaller_rep").isNotNull.as("is_dup"))
       .orderBy(id)
+  }
+
+  /** Min-label propagation to a fixpoint: resolve chained near-dup
+    * clusters (a~b, b~c ⇒ rep(c)=a) from one-hop verdict rows.
+    * Each iteration is one self-join shuffle on `rep`; iteration count
+    * is O(log(max chain length)) because labels hop two levels at a
+    * time (pointer doubling). `localCheckpoint` truncates lineage so
+    * the loop's plan doesn't grow; the driver only ever sees a single
+    * changed-row COUNT per round, never data.
+    */
+  def transitiveClosure(verdictRows: DataFrame, id: String, maxIters: Int = 20): DataFrame = {
+    val repCol = s"rep_$id"
+    var cur = verdictRows.select(col(id), col(repCol)).localCheckpoint()
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      val parent = cur.toDF("p_id", "p_rep")
+      val next = cur.join(parent, col(repCol) === col("p_id"), "left")
+        .select(col(id), coalesce(col("p_rep"), col(repCol)).as(repCol))
+        .localCheckpoint()
+      val prev = cur.toDF("c_id", "c_rep")
+      converged = next.join(prev, col(id) === col("c_id"))
+        .filter(col(repCol) =!= col("c_rep")).isEmpty
+      cur = next
+      i += 1
+    }
+    cur.withColumn("is_dup", col(repCol) =!= col(id)).orderBy(id)
   }
 
   // ----------------------------------------------------------------

@@ -37,6 +37,18 @@ object Sources {
   def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** Bucketed table sink: pre-shuffle once at write time so repeated
+    * joins/aggregations on `bucketCol` run with NO exchange (the classic
+    * co-located-join layout for a fact table joined every day on the
+    * same key). Requires a table name (bucketing metadata lives in the
+    * catalog). SourcesSpec asserts the exchange-free join plan.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                         nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+
   /** CSV with header — flat exports. Explicit schema, never inferred. */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

@@ -62,4 +62,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val out = Dedup.dedupEmbeddingCosine(spark, sf)
     assert(out.count() == Tables.embeddings(spark, sf).count())
   }
+
+  test("transitiveClosure collapses chained clusters to the smallest id") {
+    import spark.implicits._
+    // one-hop verdicts: 2's rep is 1, 3's rep is 2 (chain), 5 standalone
+    val oneHop = Seq((1L, 1L), (2L, 1L), (3L, 2L), (5L, 5L))
+      .toDF("doc_id", "rep_doc_id")
+    val closed = graft.operators.Dedup.transitiveClosure(oneHop, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(closed(1L) == ((1L, false)))
+    assert(closed(2L) == ((1L, true)))
+    assert(closed(3L) == ((1L, true)))   // chained: 3 -> 2 -> 1
+    assert(closed(5L) == ((5L, false)))
+  }
 }

@@ -25,6 +25,25 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"))
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    // disable auto-broadcast so the join would otherwise be a
+    // shuffled sort-merge join — bucketing must remove the exchanges
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    Sources.writeBucketedTable(orders, "b_orders", "o_orderkey", 4)
+    Sources.writeBucketedTable(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", 4)
+    val joined = spark.table("b_lineitem").join(spark.table("b_orders"), "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() == lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("CSV round-trip with explicit schema preserves values") {
     val dir = tmp("csv")
     val region = Tables.region(spark, sf).select("r_regionkey", "r_name")
