@@ -305,6 +305,30 @@ object SparkEntry {
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint
          FROM documents ORDER BY doc_id""",
+    "mm_extract_meta" ->
+      """WITH m AS (
+           SELECT doc_id, text,
+             ['I','A','V'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             16 + (doc_id * 7919) % 1920 AS width,
+             16 + (doc_id * 104729) % 1080 AS height,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + (doc_id * 31) % 9000 END AS frames
+           FROM documents),
+         p AS (
+           SELECT doc_id,
+                  encode('GFT0' || kind || lpad(CAST(width AS VARCHAR), 6, '0') ||
+                         lpad(CAST(height AS VARCHAR), 6, '0') ||
+                         lpad(CAST(frames AS VARCHAR), 4, '0') || text) AS payload
+           FROM m),
+         h AS (SELECT doc_id, payload, substr(decode(payload), 1, 21) AS head FROM p)
+         SELECT doc_id,
+                substr(head, 1, 4) = 'GFT0' AS header_ok,
+                substr(head, 5, 1) AS media_kind,
+                CAST(substr(head, 6, 6) AS BIGINT) AS width,
+                CAST(substr(head, 12, 6) AS BIGINT) AS height,
+                CAST(substr(head, 18, 4) AS BIGINT) AS n_frames,
+                CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+                CAST(CONCAT('0x', substr(md5(decode(payload)), 1, 6)) AS BIGINT) AS content_feature
+         FROM h ORDER BY doc_id""",
     "salted_join_skew" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,
                 CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -27,12 +27,14 @@ object Multimodal {
     * reading real blobs (parquet binary columns work identically).
     */
   def synthesizePayloads(s: SparkSession, dir: String): DataFrame = {
+    // Engine-neutral arithmetic (mirrors the DuckDB oracle exactly) —
+    // a real deployment reads blobs; the header is what's under test.
     val kind = element_at(array(lit("I"), lit("A"), lit("V")),
-      (pmod(xxhash64(col("doc_id")), lit(3L)) + 1).cast("int"))
-    val width  = (pmod(xxhash64(col("doc_id"), lit(1)), lit(1920L)) + 16).cast("long")
-    val height = (pmod(xxhash64(col("doc_id"), lit(2)), lit(1080L)) + 16).cast("long")
+      (pmod(col("doc_id"), lit(3L)) + 1).cast("int"))
+    val width  = pmod(col("doc_id") * 7919L, lit(1920L)) + 16L
+    val height = pmod(col("doc_id") * 104729L, lit(1080L)) + 16L
     val frames = when(kind === "I", 1L)
-      .otherwise(pmod(xxhash64(col("doc_id"), lit(3)), lit(9000L)) + 1)
+      .otherwise(pmod(col("doc_id") * 31L, lit(9000L)) + 1L)
     val header = concat(
       lit("GFT0"), kind,
       lpad(width.cast("string"), 6, "0"),
@@ -45,12 +47,13 @@ object Multimodal {
   /** STUB for the codec stage. A real deployment would decode pixels /
     * samples here via `mapInPandas`/`mapPartitions` batches against an
     * image or audio library; this container has none, so the "content
-    * feature" is a deterministic hash of the body bytes. The signature
-    * (binary in, fixed-width feature out, row-local) is what the real
-    * decoder would have.
+    * feature" is a deterministic digest of the payload bytes (md5 —
+    * engine-neutral, so the oracle can verify the plumbing). The
+    * signature (binary in, fixed-width feature out, row-local) is what
+    * the real decoder would have.
     */
   def decodeStub(payload: Column): Column =
-    pmod(xxhash64(payload), lit(1000000L)).as("content_feature")
+    conv(substring(md5(payload), 1, 6), 16, 10).cast("long").as("content_feature")
 
   /** Typed metadata extraction from the binary payload: parse the
     * fixed-width header (first 21 bytes only — column-pruned reads
