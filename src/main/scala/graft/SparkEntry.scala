@@ -105,7 +105,9 @@ object SparkEntry {
                FROM events)
          WHERE rn = 1 ORDER BY user_id""",
     "junction_build" ->
-      """SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      """SELECT l_orderkey, l_partkey, MIN(l_linenumber) AS cast_order,
+                COUNT(*) AS n_lines
+         FROM lineitem GROUP BY l_orderkey, l_partkey
          ORDER BY l_orderkey, l_partkey""",
     "v_top_actors" ->
       """SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l.l_orderkey) AS movie_count

@@ -78,4 +78,32 @@ object Multimodal {
   /** SURVEY §2 `mm_extract_meta`: synthesize then extract. */
   def mmExtractMeta(s: SparkSession, dir: String): DataFrame =
     extractMeta(synthesizePayloads(s, dir))
+
+  /** Decoded-content row produced by the batch decoder. */
+  case class DecodedMeta(doc_id: Long, n_bytes: Long, content_feature: Long)
+
+  /** The BATCH decode path a real codec plugs into: `mapPartitions`
+    * over (id, payload) rows, so a partition's blobs stream through one
+    * decoder instance (the shape `mapInPandas` gives Python codecs —
+    * amortized model/codec init, batch-friendly). The decoder here is
+    * the same deterministic md5 stub as [[decodeStub]] — MultimodalSpec
+    * asserts both paths agree byte-for-byte — but the signature
+    * (Iterator[bytes] in, typed rows out, row-local, no shuffle) is
+    * exactly what a pixel/sample decoder would have.
+    */
+  def decodeBatched(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition "codec" init happens once, here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).take(3).map(b => f"$b%02x").mkString
+          DecodedMeta(id, bytes.length.toLong, java.lang.Long.parseLong(hex, 16))
+        }
+      }
+      .toDF()
+  }
 }

@@ -125,7 +125,12 @@ object Analytics {
       .orderBy("user_id", "session_seq")
   }
 
-  /** Exact interpolated percentiles per group. */
+  /** Exact interpolated percentiles per group — exact by spec for
+    * oracle parity (bounded group count here). At 100 TB the same plan
+    * shape swaps `percentile` for `approx_percentile(value, p, acc)`
+    * (t-digest state, partial-aggregated, bounded memory) instead of
+    * buffering each group's values.
+    */
   def percentileValue(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
       .groupBy("event_type")

@@ -121,15 +121,19 @@ object EtlOps {
       .orderBy("user_id")
   }
 
-  /** Distinct many-to-many pair extraction (ref movie_genre /
-    * movie_actor junction loads, 02_etl.py:107-134). DISTINCT is a
-    * partial-agg shuffle on the pair — no row ever leaves its executor
+  /** Many-to-many junction extraction with payload columns (ref
+    * movie_actor carries cast_order/character_name,
+    * sql/01_schema.sql:47-53; loads at 02_etl.py:107-134,172-200).
+    * One partial-agg shuffle on the pair key builds both the distinct
+    * pair AND its payload (first line number = the cast_order
+    * analogue, line count) — no row ever leaves its executor
     * un-combined.
     */
   def junctionBuild(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir)
-      .select("l_orderkey", "l_partkey")
-      .distinct()
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(min("l_linenumber").as("cast_order"),
+           count(lit(1)).as("n_lines"))
       .orderBy("l_orderkey", "l_partkey")
   }
 }

@@ -21,6 +21,15 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("batch decode (mapPartitions) agrees with the column-expression stub") {
+    val payloads = Multimodal.synthesizePayloads(spark, sf)
+    val batch = Multimodal.decodeBatched(spark, payloads)
+      .select("doc_id", "n_bytes", "content_feature")
+    val expr = Multimodal.extractMeta(payloads)
+      .select("doc_id", "n_bytes", "content_feature")
+    assert(batch.exceptAll(expr).count() == 0 && expr.exceptAll(batch).count() == 0)
+  }
+
   test("n_bytes = 21-byte header + UTF-8 body length") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), (lit(21) + length(encode(col("text"), "UTF-8"))).as("expect"))
