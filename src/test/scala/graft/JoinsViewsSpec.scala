@@ -30,6 +30,17 @@ class JoinsViewsSpec extends AnyFunSuite with SparkFixture {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("driver entry point returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query has rows at sf0.001") {
+    // cheap structural guard: no key in the contract silently breaks
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).limit(1).count() == 1, s"$name returned no rows")
+    }
+  }
+
   test("v_top_actors ranks by distinct order count, descending") {
     val out = Views.topActors(spark, sf).collect()
     val counts = out.map(_.getAs[Long]("movie_count"))
