@@ -70,14 +70,24 @@ object Dedup {
     floor(lit(1000.0) * size(array_intersect(a, b)) / size(array_union(a, b))).cast("long")
 
   /** Candidate pairs (a < b) from an exploded (id, band_idx, band_hash)
-    * table: equi-self-join on the bucket key, so the work is
-    * O(Σ bucket²) with LSH-sized buckets, never O(n²).
+    * table: ONE shuffle groups ids per bucket (a self-join formulation
+    * would scan the corpus and recompute every signature twice), then
+    * pairs expand bucket-locally — O(Σ bucket²) with LSH-sized
+    * buckets, never O(n²). Buckets larger than `maxBucket` are dropped
+    * entirely: an over-full bucket means the band value is too common
+    * to be a dedup signal (a stopword-like band), and the cap is what
+    * stops a degenerate corpus from exploding a 100 TB job.
     */
-  private def candidatePairs(bands: DataFrame, id: String): DataFrame = {
-    val l = bands.select(col(id).as("a"), col("band_idx"), col("band_hash"))
-    val r = bands.select(col(id).as("b"), col("band_idx").as("bi"), col("band_hash").as("bh"))
-    l.join(r, l("band_idx") === r("bi") && l("band_hash") === r("bh") && l("a") < r("b"))
-      .select("a", "b").distinct()
+  private def candidatePairs(bands: DataFrame, id: String,
+                             maxBucket: Int = 1024): DataFrame = {
+    bands
+      .groupBy("band_idx", "band_hash")
+      .agg(collect_list(col(id)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("a"), col("ids"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
   }
 
   /** One verdict row per doc: rep_id = smallest verified neighbor
