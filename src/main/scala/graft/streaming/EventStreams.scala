@@ -62,6 +62,22 @@ object EventStreams {
       .select(col("user_id"), col("event_type"),
               col("event_id").as("first_event_id"), col("ts"))
 
+  /** Durable load stage for a streaming pipeline: append sink to
+    * partitioned parquet with exactly-once progress via the checkpoint
+    * (the streaming analogue of the reference's idempotent load —
+    * re-running after failure never duplicates a committed batch; a
+    * mutable-key upsert target would use a table format's MERGE on
+    * top of the same plumbing).
+    */
+  def toParquetSink(df: DataFrame, path: String,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Gap-based sessionization (30-min inactivity) with CUSTOM state:
     * one `SessionState` per user in the state store, extended on each
     * event, closed + emitted either by an in-batch gap or by an

@@ -57,6 +57,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("parquet sink with checkpoint lands the deduped stream durably") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    val input = MemoryStream[Ev]
+    val q = EventStreams.toParquetSink(
+      EventStreams.dedupIds(input.toDF()), out, cp)
+    try {
+      input.addData(eventRows().sortBy(e => (e.ts.getTime, e.event_id)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(out)
+    val batch = graft.operators.Analytics.streamDedupIds(spark, sf)
+    assert(landed.count() == batch.count())
+  }
+
   test("sessionize closes sessions on gap and on event-time timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
