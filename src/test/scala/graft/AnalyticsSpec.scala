@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, TextOps}
+
+/** Cross-operator consistency invariants on sf0.001 — cheap internal
+  * checks that complement the DuckDB oracle (which already
+  * hash-verifies exact values).
+  */
+class AnalyticsSpec extends AnyFunSuite with SparkFixture {
+
+  test("rollup grand total equals the table row count and the leaf sum") {
+    val li = Tables.lineitem(spark, sf).count()
+    val out = Analytics.rollupFlagStatus(spark, sf).cache()
+    val grand = out.filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")
+      .select("n_rows").head().getLong(0)
+    val leaves = out.filter(col("returnflag") =!= "ALL" && col("linestatus") =!= "ALL")
+      .agg(sum("n_rows")).head().getLong(0)
+    assert(grand == li && leaves == li)
+    out.unpersist()
+  }
+
+  test("pivot counts sum to the events row count") {
+    val ev = Tables.events(spark, sf).count()
+    val out = Analytics.pivotEventTypes(spark, sf)
+    val total = out.select(
+      (col("click") + col("error") + col("purchase") + col("signup") + col("view")).as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(total == ev)
+  }
+
+  test("final running value per user equals the user's total") {
+    val out = Analytics.windowRunning(spark, sf)
+    val last = out.groupBy("user_id")
+      .agg(max(struct(col("seq"), col("running_value"))).as("m"))
+      .select(col("user_id"), col("m.running_value").as("final_run"))
+    val totals = Tables.events(spark, sf).groupBy("user_id")
+      .agg(graft.functions.OracleSafe.sum2(col("value")).as("total"))
+    val bad = last.join(totals, "user_id")
+      .filter(abs(col("final_run") - col("total")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("sessionization partitions each user's events exactly") {
+    val perUser = Analytics.sessionizeEvents(spark, sf)
+      .groupBy("user_id").agg(sum("n_events").as("n"))
+    val evPerUser = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("ev_n"))
+    assert(perUser.join(evPerUser, "user_id")
+      .filter(col("n") =!= col("ev_n")).count() == 0)
+  }
+
+  test("percentiles are ordered and quality scores bounded") {
+    assert(Analytics.percentileValue(spark, sf)
+      .filter(col("p50") > col("p90")).count() == 0)
+    assert(TextOps.textQualityScore(spark, sf)
+      .filter(col("quality_score") < 0 || col("quality_score") > 100).count() == 0)
+  }
+
+  test("BPE-ish tokenization is at least as fine as whitespace tokenization") {
+    assert(TextOps.textTokenCount(spark, sf)
+      .filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
+  }
+}
