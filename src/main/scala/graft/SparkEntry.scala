@@ -213,7 +213,7 @@ object SparkEntry {
            SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            FROM flagged)
-         SELECT user_id, session_seq, COUNT(*) AS n_events,
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
                 MIN(ts_s) AS session_start_s, MAX(ts_s) AS session_end_s,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          FROM sess GROUP BY user_id, session_seq

@@ -46,13 +46,15 @@ case class MinHashSig(child: Expression, nPerms: Int, seed: Long = 42L)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-      var p = 0
-      while (p < nPerms) {
-        val v = as(p) * h + bs(p)
-        if (v < mins(p)) mins(p) = v
-        p += 1
+      if (!arr.isNullAt(i)) { // null shingles contribute nothing to the signature
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var p = 0
+        while (p < nPerms) {
+          val v = as(p) * h + bs(p)
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
       }
       i += 1
     }
@@ -72,6 +74,7 @@ case class MinHashSig(child: Expression, nPerms: Int, seed: Long = 42L)
         java.util.Arrays.fill($mins, Long.MAX_VALUE);
         int $n = $arr.numElements();
         for (int $i = 0; $i < $n; $i++) {
+          if ($arr.isNullAt($i)) continue;
           ${classOf[UTF8String].getName} $s = $arr.getUTF8String($i);
           long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
@@ -110,12 +113,14 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-      var k = 0
-      while (k < 64) {
-        if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
-        k += 1
+      if (!arr.isNullAt(i)) { // null tokens contribute nothing to the signature
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) acc(k) += 1 else acc(k) -= 1
+          k += 1
+        }
       }
       i += 1
     }
@@ -135,6 +140,7 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
         int[] $acc = new int[64];
         int $n = $arr.numElements();
         for (int $i = 0; $i < $n; $i++) {
+          if ($arr.isNullAt($i)) continue;
           ${classOf[UTF8String].getName} $s = $arr.getUTF8String($i);
           long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);

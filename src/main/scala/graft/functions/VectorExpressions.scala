@@ -89,10 +89,23 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object SrpSignature {
+  /** Raised (from both interpreted and codegen paths) when a vector is
+    * wider than the plane matrix — silent truncation would degrade
+    * signature quality with no signal.
+    */
+  def dimError(dim: Int, maxDim: Int): RuntimeException =
+    new IllegalArgumentException(
+      s"graft_srp_sig: embedding has $dim dims but the plane matrix covers " +
+        s"$maxDim; pass a larger maxDim (4th argument) instead of truncating")
+}
+
 /** `nBits`-bit signed-random-projection signature of an array<float>
   * vector, packed into a long: bit b = sign of vec · plane_b. The
   * plane matrix is materialized once per executor from the
-  * deterministic seed (no per-row hashing, no broadcast).
+  * deterministic seed (no per-row hashing, no broadcast). Vectors
+  * wider than `maxDim` FAIL the task (see [[SrpSignature.dimError]])
+  * rather than silently truncating the projection.
   */
 case class SrpSignature(child: Expression, nBits: Int, seed: Long = 42L,
                         maxDim: Int = 1024)
@@ -113,14 +126,15 @@ case class SrpSignature(child: Expression, nBits: Int, seed: Long = 42L,
 
   override def nullSafeEval(input: Any): Any = {
     val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    if (dim > maxDim) throw SrpSignature.dimError(dim, maxDim)
     var sig = 0L
     var b = 0
     while (b < nBits) {
       val p = planes(b)
-      val d = math.min(vec.numElements(), p.length)
       var acc = 0.0
       var j = 0
-      while (j < d) { acc += vec.getFloat(j).toDouble * p(j); j += 1 }
+      while (j < dim) { acc += vec.getFloat(j).toDouble * p(j); j += 1 }
       if (acc >= 0.0) sig |= (1L << b)
       b += 1
     }
@@ -134,10 +148,13 @@ case class SrpSignature(child: Expression, nBits: Int, seed: Long = 42L,
       val p = ctx.freshName("p"); val d = ctx.freshName("d")
       val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
       s"""
+        int $d = $vec.numElements();
+        if ($d > $maxDim) {
+          throw graft.functions.SrpSignature.dimError($d, $maxDim);
+        }
         long $sig = 0L;
         for (int $b = 0; $b < $nBits; $b++) {
           float[] $p = $planesRef[$b];
-          int $d = java.lang.Math.min($vec.numElements(), $p.length);
           double $acc = 0.0;
           for (int $j = 0; $j < $d; $j++) {
             $acc += (double) $vec.getFloat($j) * (double) $p[$j];

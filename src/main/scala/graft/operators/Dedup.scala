@@ -157,6 +157,9 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String,
                       nPerms: Int = 64, nBands: Int = 16,
                       shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+    require(nPerms % nBands == 0,
+      s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
+        "division would silently drop the trailing permutations from the banding")
     GraftFunctions.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), wordNgrams(tokens(col("text")), shingleN).as("sh"))
@@ -213,6 +216,9 @@ object Dedup {
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         nPerms: Int = 64, nBands: Int = 32,
                         tauX1000: Long = 500): DataFrame = {
+    require(nPerms % nBands == 0,
+      s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
+        "division would silently drop the trailing permutations from the banding")
     GraftFunctions.ensureRegistered(s)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), wordNgrams(tokens(col("text")), 2).as("sh"))

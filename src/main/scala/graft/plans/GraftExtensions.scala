@@ -38,7 +38,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => CosineSim(args(0), args(1))),
     (FunctionIdentifier("graft_srp_sig"),
       new ExpressionInfo(classOf[SrpSignature].getName, "graft_srp_sig"),
-      (args: Seq[Expression]) => SrpSignature(args(0), intArg(args, 1, "graft_srp_sig"))),
+      // graft_srp_sig(vec, nBits[, maxDim]) — optional 3rd arg raises the
+      // plane-matrix width for >1024-dim embeddings (truncation is an error).
+      (args: Seq[Expression]) => SrpSignature(args(0), intArg(args, 1, "graft_srp_sig"),
+        maxDim = if (args.length > 2) intArg(args, 2, "graft_srp_sig") else 1024)),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSig(args(0), intArg(args, 1, "graft_minhash"))),
@@ -60,9 +63,13 @@ object GraftFunctions {
     call_function("graft_cosine", a, b)
   }
 
-  /** Codegen'd `nBits`-bit SRP signature of an array<float> column. */
-  def srpSignature(s: SparkSession, vec: Column, nBits: Int): Column = {
+  /** Codegen'd `nBits`-bit SRP signature of an array<float> column.
+    * `maxDim` must cover the embedding width — wider vectors fail the
+    * task rather than silently truncating.
+    */
+  def srpSignature(s: SparkSession, vec: Column, nBits: Int, maxDim: Int = 1024): Column = {
     ensureRegistered(s)
-    call_function("graft_srp_sig", vec, org.apache.spark.sql.functions.lit(nBits))
+    call_function("graft_srp_sig", vec, org.apache.spark.sql.functions.lit(nBits),
+      org.apache.spark.sql.functions.lit(maxDim))
   }
 }

@@ -20,9 +20,10 @@ import graft.functions.OracleSafe.sum2
   *
   * Scale notes: all three are key-partitioned stateful ops — state
   * lives in the state store sharded by the grouping key, watermarks
-  * bound its size (late data beyond the watermark is dropped, state
-  * for closed windows/sessions is evicted), so a 1000-executor cluster
-  * holds state for active keys only, never the full history.
+  * bound its size (late data beyond the watermark is dropped; window,
+  * session, and dedup state is evicted once the watermark passes its
+  * event-time stamp), so a 1000-executor cluster holds state for
+  * active keys only, never the full history.
   */
 object EventStreams {
 
@@ -49,16 +50,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Streaming first-occurrence dedup per (user_id, event_type) within
-    * the watermark horizon — `dropDuplicates` keyed state, evicted once
-    * the watermark passes. Mirrors Analytics.streamDedupIds (batch picks
-    * the earliest by event time; streaming keeps the first *arrival*,
-    * which for an in-order replay is the same row).
+  /** Streaming first-occurrence dedup per (user_id, event_type) —
+    * `dropDuplicatesWithinWatermark` keyed state: a key's state row is
+    * stamped with its event time and EVICTED once the watermark passes
+    * it (plain `dropDuplicates` without the event-time column in the
+    * keys would keep state forever). A duplicate arriving within the
+    * 2h horizon of the first occurrence is dropped; beyond it the key
+    * re-emits — the bounded-state trade every infinite-stream dedup
+    * makes. Mirrors Analytics.streamDedupIds (batch picks the earliest
+    * by event time; streaming keeps the first *arrival*, which for an
+    * in-order replay is the same row).
     */
   def dedupIds(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"),
               col("event_id").as("first_event_id"), col("ts"))
 
