@@ -260,6 +260,73 @@ object SparkEntry {
          FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
                FROM documents)
          GROUP BY norm ORDER BY keep_doc_id""",
+    // The LSH operators are verifiable with EXACT all-pairs SQL because
+    // their outputs are candidate-generation-independent at these
+    // parameters: any-band collision probability at the verification
+    // threshold is ≥ 1-1e-4 (16 bands×4 rows at J=0.8; 32×2 at J=0.5),
+    // so the verified pair set equals the true ≥τ pair set. All-pairs
+    // is O(n²) — fine for the oracle at sf0.01, never run by the engine.
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800),
+         reps AS (SELECT b AS doc_id, MIN(a) AS smaller_rep FROM pairs GROUP BY b)
+         SELECT d.doc_id, COALESCE(smaller_rep, d.doc_id) AS rep_doc_id,
+                smaller_rep IS NOT NULL AS is_dup
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN reps USING (doc_id)
+         ORDER BY doc_id""",
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         scored AS (
+           SELECT a.doc_id AS a, b.doc_id AS b,
+                  CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         verified AS (SELECT * FROM scored WHERE j >= 500),
+         two_way AS (
+           SELECT a AS doc_id, b AS partner, j FROM verified
+           UNION ALL
+           SELECT b AS doc_id, a AS partner, j FROM verified),
+         best AS (
+           SELECT doc_id, partner AS best_match_id, j AS best_jaccard_x1000
+           FROM two_way
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, partner ASC) = 1)
+         SELECT d.doc_id, best_match_id,
+                COALESCE(best_jaccard_x1000, 0) AS best_jaccard_x1000,
+                best_match_id IS NOT NULL AS is_dup
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN best USING (doc_id)
+         ORDER BY doc_id""",
+    // Exact all-pairs cosine; the corpus has no pairs anywhere near the
+    // 0.9 threshold (max ≈ 0.51), so DuckDB's float32
+    // list_cosine_similarity cannot disagree with Spark's double
+    // arithmetic on the ≥τ comparison.
+    "dedup_embedding_cosine" ->
+      """WITH pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+         reps AS (SELECT b AS vec_id, MIN(a) AS smaller_rep FROM pairs GROUP BY b)
+         SELECT e.vec_id, COALESCE(smaller_rep, e.vec_id) AS rep_vec_id,
+                smaller_rep IS NOT NULL AS is_dup
+         FROM (SELECT vec_id FROM embeddings) e LEFT JOIN reps USING (vec_id)
+         ORDER BY vec_id""",
     "text_lang_id" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

@@ -208,10 +208,15 @@ object Dedup {
   }
 
   /** Word-bigram Jaccard scoring within MinHash-LSH candidates: for
-    * every doc, the best-scoring candidate partner and its exact
-    * bigram Jaccard (×1000). is_dup at τ = 0.5. Bigrams + a laxer
-    * banding (32 bands × 2) recall weaker matches than
-    * [[dedupMinhashLsh]]'s 3-gram/0.8 setting.
+    * every doc, the best VERIFIED partner (exact bigram Jaccard ≥ τ)
+    * and its score (×1000); docs with no verified partner report
+    * (null, 0, false). Bigrams + a laxer banding (32 bands × 2)
+    * recall weaker matches than [[dedupMinhashLsh]]'s 3-gram/0.8
+    * setting. Filtering to ≥ τ BEFORE best-partner selection keeps
+    * the per-doc aggregation off the (much larger) sub-threshold
+    * candidate set — and makes the output a pure function of the
+    * corpus (any-band LSH recall at J ≥ 0.5 is 1-(1-0.5²)³² ≈
+    * 1-1e-4), so the DuckDB all-pairs oracle can verify it exactly.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         nPerms: Int = 64, nBands: Int = 32,
@@ -232,6 +237,7 @@ object Dedup {
     // Score both directions so every member of a pair gets a verdict.
     val scored = cand.join(shA, "a").join(shB, "b")
       .select(col("a"), col("b"), jaccardX1000(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= tauX1000)
     val both = scored.select(col("a").as("doc_id"), col("b").as("partner"), col("j"))
       .unionByName(scored.select(col("b").as("doc_id"), col("a").as("partner"), col("j")))
     val best = both.groupBy("doc_id")
@@ -244,7 +250,7 @@ object Dedup {
         col("doc_id"),
         col("best_match_id"),
         coalesce(col("best_jaccard_x1000"), lit(0L)).as("best_jaccard_x1000"),
-        (coalesce(col("best_jaccard_x1000"), lit(0L)) >= tauX1000).as("is_dup"))
+        col("best_match_id").isNotNull.as("is_dup"))
       .orderBy("doc_id")
   }
 

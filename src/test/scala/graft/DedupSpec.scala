@@ -63,6 +63,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == Tables.embeddings(spark, sf).count())
   }
 
+  test("non-divisible nPerms/nBands is rejected, not silently truncated") {
+    intercept[IllegalArgumentException](Dedup.dedupMinhashLsh(spark, sf, nPerms = 60, nBands = 16))
+    intercept[IllegalArgumentException](Dedup.dedupNgramJaccard(spark, sf, nPerms = 60, nBands = 32))
+  }
+
+  test("graft_minhash / graft_simhash skip null array elements instead of NPEing") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Seq[String]("a", null, "b"), Seq[String]("a", "b")),
+      (Seq[String](null), Seq[String]())).toDF("with_nulls", "clean")
+    val rows = df.select(
+      Dedup.minhashSignature(col("with_nulls"), 8).as("m1"),
+      Dedup.minhashSignature(col("clean"), 8).as("m2"),
+      call_function("graft_simhash", col("with_nulls")).as("s1"),
+      call_function("graft_simhash", col("clean")).as("s2")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
+
   test("transitiveClosure collapses chained clusters to the smallest id") {
     import spark.implicits._
     // one-hop verdicts: 2's rep is 1, 3's rep is 2 (chain), 5 standalone

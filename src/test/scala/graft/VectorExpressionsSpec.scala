@@ -44,6 +44,26 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert((sigs(0) ^ sigs(2)) == (1L << 16) - 1)
   }
 
+  test("graft_srp_sig fails loudly (not silent truncation) past maxDim; explicit maxDim raises it") {
+    import spark.implicits._
+    GraftFunctions.ensureRegistered(spark)
+    val wide = Seq(Seq.tabulate(8)(_.toFloat)).toDF("v")
+    val ex = intercept[Exception] {
+      wide.select(call_function("graft_srp_sig", col("v"), lit(8), lit(4))).collect()
+    }
+    assert(ex.getMessage.contains("graft_srp_sig") || ex.getCause != null)
+    // same vector, maxDim covering it: succeeds
+    val ok = wide.select(call_function("graft_srp_sig", col("v"), lit(8), lit(8))).head().getLong(0)
+    assert(ok >= 0 && ok < (1L << 8))
+    // interpreted path throws the same way
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val litVec = Literal.create(Seq.tabulate(8)(_.toFloat), ArrayType(FloatType))
+    intercept[IllegalArgumentException] {
+      graft.functions.SrpSignature(litVec, 8, maxDim = 4).eval(null)
+    }
+  }
+
   test("interpreted eval agrees with codegen on the corpus") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
