@@ -403,5 +403,33 @@ object SparkEntry {
                 CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    "ann_bruteforce_topk" -> annBruteforceOracle,
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
+
+  /** Exact-double brute-force ANN oracle. DuckDB's
+    * `list_cosine_similarity` computes in float32 (1-ulp score drift →
+    * hash mismatches), but an explicitly expanded per-dimension sum of
+    * `CAST(... AS DOUBLE)` products evaluates left-associated in IEEE
+    * double — the SAME operation order as [[graft.functions.CosineSim]]'s
+    * sequential loop — so floor(1e6·cos) is bit-identical across
+    * engines (verified at sf0.001 and sf0.01). Fixed to the testdata's
+    * 64-dim embeddings; the oracle is per-corpus by nature.
+    */
+  private lazy val annBruteforceOracle: String = {
+    val dim = 64
+    val dot = (1 to dim).map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    val nx  = (1 to dim).map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(a.embedding[$i] AS DOUBLE)").mkString(" + ")
+    val ny  = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 < 2),
+        scored AS (
+          SELECT p.probe_id, a.vec_id AS neighbor_id,
+                 CASE WHEN sqrt($nx)*sqrt($ny) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(($dot) / (sqrt($nx)*sqrt($ny)) * 1000000.0) AS BIGINT) END AS cosine_x1e6
+          FROM embeddings a JOIN p ON a.vec_id <> p.probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= 10
+        ORDER BY probe_id, rank"""
+  }
 }
