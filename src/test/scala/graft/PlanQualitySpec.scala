@@ -41,6 +41,37 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("WindowGroupLimit"), s"window limit not inserted:\n$p")
   }
 
+  test("LSH dedup plans never degenerate to an all-pairs join") {
+    Seq(graft.operators.Dedup.dedupMinhashLsh(spark, sf),
+        graft.operators.Dedup.dedupSimhash(spark, sf),
+        graft.operators.Dedup.dedupEmbeddingCosine(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in an LSH plan:\n$p")
+    }
+  }
+
+  test("ANN probe side is broadcast — corpus embeddings never shuffle") {
+    // brute force: broadcast nested-loop against the streamed corpus scan
+    val bf = plan(graft.operators.Similarity.annBruteforceTopK(spark, sf))
+    assert(bf.contains("BroadcastNestedLoopJoin"), s"probe set not broadcast:\n$bf")
+    // LSH: band-key equi-join with the broadcast probe bands; the only
+    // hash exchanges after it carry (ids, score) triples, not embeddings
+    val lsh = graft.operators.Similarity.annLshTopK(spark, sf)
+    val p = plan(lsh)
+    assert(p.contains("BroadcastHashJoin"), s"probe bands not broadcast:\n$p")
+    val shuffledEmbedding = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!shuffledEmbedding, s"embeddings in a shuffle:\n$p")
+  }
+
+  test("as-of join is the union+window single-shuffle formulation") {
+    val p = plan(graft.operators.Joins.asofJoinEvents(spark, sf))
+    val hashExchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges <= 1, s"expected <=1 hash shuffle, got $hashExchanges:\n$p")
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
