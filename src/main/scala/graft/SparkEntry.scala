@@ -51,6 +51,8 @@ object SparkEntry {
     "dedup_simhash"          -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
+    "dedup_clusters"         -> ((s, d) =>
+      Dedup.transitiveClosure(Dedup.dedupMinhashLsh(s, d), "doc_id")),
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -404,6 +406,35 @@ object SparkEntry {
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
+    // Pointer-chase fixpoint via recursive CTE. The engine's
+    // transitiveClosure follows one-hop rep pointers (rep(x) = smallest
+    // verified neighbor < x) with pointer doubling; reps only DECREASE
+    // along a chain, so MIN(rep) over all chase steps = the fixpoint.
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800),
+         onehop AS (
+           SELECT d.doc_id, COALESCE(r.smaller_rep, d.doc_id) AS rep
+           FROM (SELECT doc_id FROM documents) d
+           LEFT JOIN (SELECT b AS doc_id, MIN(a) AS smaller_rep FROM pairs GROUP BY b) r USING (doc_id)),
+         chase(doc_id, rep) AS (
+           SELECT doc_id, rep FROM onehop
+           UNION
+           SELECT c.doc_id, o.rep FROM chase c JOIN onehop o ON c.rep = o.doc_id WHERE o.rep <> c.rep)
+         SELECT doc_id, MIN(rep) AS rep_doc_id, MIN(rep) <> doc_id AS is_dup
+         FROM chase GROUP BY doc_id ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Exact-double brute-force ANN oracle. DuckDB's

@@ -92,6 +92,119 @@ case class MinHashSig(child: Expression, nPerms: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** MinHash + LSH banding fused into ONE pass: the `nPerms` signature
+  * mins are computed once (identically to [[MinHashSig]]), then each
+  * of the `nBands` bands of `nPerms/nBands` consecutive mins is
+  * folded into a single 64-bit band hash (seeded xxhash64 chain over
+  * the band's longs, the same construction as Spark's `xxhash64`
+  * multi-column function). Output: array<long> of length `nBands`,
+  * pair it with `posexplode` for (band_idx, band_hash).
+  *
+  * Exists because composing `bandHashes(minhashSignature(c))` as
+  * column expressions duplicates the signature expression into every
+  * `element_at` — measured ~64× recompute of the MinHash scan per row
+  * at sf0.1 (neither CollapseProject's expensive-expression guard nor
+  * codegen subexpression elimination reliably prevents it inside a
+  * single `array(struct(...))` tree). A banded signature is also what
+  * shuffles at 100 TB: nBands longs per doc, nothing else.
+  */
+case class MinHashBands(child: Expression, nPerms: Int, nBands: Int,
+                        seed: Long = 42L)
+    extends UnaryExpression {
+  require(nPerms >= 1 && nPerms <= 512, s"nPerms must be in [1,512], got $nPerms")
+  require(nBands >= 1 && nPerms % nBands == 0,
+    s"nPerms ($nPerms) must be divisible by nBands ($nBands)")
+  private val rowsPerBand = nPerms / nBands
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_bands expects array<string>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+
+  @transient private lazy val mixers: (Array[Long], Array[Long]) = {
+    val rnd = new java.util.Random(seed)
+    val a = Array.fill(nPerms)(rnd.nextLong() | 1L)
+    val b = Array.fill(nPerms)(rnd.nextLong())
+    (a, b)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val (as, bs) = mixers
+    val mins = Array.fill(nPerms)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        var p = 0
+        while (p < nPerms) {
+          val v = as(p) * h + bs(p)
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      i += 1
+    }
+    val bands = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = seed
+      var r = 0
+      while (r < rowsPerBand) { h = XXH64.hashLong(mins(b * rowsPerBand + r), h); r += 1 }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", mixers._1, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", mixers._2, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val p = ctx.freshName("p")
+      val v = ctx.freshName("v"); val bands = ctx.freshName("bands")
+      val b = ctx.freshName("b"); val r = ctx.freshName("r")
+      val bh = ctx.freshName("bh")
+      s"""
+        long[] $mins = new long[$nPerms];
+        java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        int $n = $arr.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if ($arr.isNullAt($i)) continue;
+          ${classOf[UTF8String].getName} $s = $arr.getUTF8String($i);
+          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+          for (int $p = 0; $p < $nPerms; $p++) {
+            long $v = $aRef[$p] * $h + $bRef[$p];
+            if ($v < $mins[$p]) $mins[$p] = $v;
+          }
+        }
+        long[] $bands = new long[$nBands];
+        for (int $b = 0; $b < $nBands; $b++) {
+          long $bh = ${seed}L;
+          for (int $r = 0; $r < $rowsPerBand; $r++) {
+            $bh = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+              $mins[$b * $rowsPerBand + $r], $bh);
+          }
+          $bands[$b] = $bh;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bands);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an array<string> token column: one xxhash64 per
   * token, 64 signed bit-position accumulators, all in one codegen'd
   * loop (the HOF formulation runs 64 interpreted `aggregate` passes).

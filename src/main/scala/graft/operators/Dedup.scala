@@ -54,6 +54,14 @@ object Dedup {
   /** LSH banding: split a minhash signature into `nBands` bands of
     * `rowsPerBand` and hash each band. Docs agreeing on ANY band become
     * candidates — the (band_idx, band_hash) pair is the shuffle key.
+    *
+    * NOTE for the hot path: do NOT feed this a signature EXPRESSION —
+    * composed as `bandHashes(minhashSignature(c))` the signature is
+    * duplicated into every `element_at` and recomputed per band
+    * (measured ~64× at sf0.1). The operators below use the fused
+    * [[graft.functions.MinHashBands]] (`graft_minhash_bands`) instead;
+    * this form remains for banding an already-materialized signature
+    * column.
     */
   def bandHashes(sigCol: Column, nBands: Int, rowsPerBand: Int): Column =
     array((0 until nBands).map { b =>
@@ -107,23 +115,29 @@ object Dedup {
     * clusters (a~b, b~c ⇒ rep(c)=a) from one-hop verdict rows.
     * Each iteration is one self-join shuffle on `rep`; iteration count
     * is O(log(max chain length)) because labels hop two levels at a
-    * time (pointer doubling). `localCheckpoint` truncates lineage so
-    * the loop's plan doesn't grow; the driver only ever sees a single
-    * changed-row COUNT per round, never data.
+    * time (pointer doubling). Iterates on `cache()`d frames — NOT
+    * `localCheckpoint`, whose RDD materialization bypasses the adaptive
+    * SQL execution path (measured 160× slower than running the same
+    * plan as a DataFrame action at sf0.1). The convergence check is a
+    * per-round `isEmpty` (which also materializes the round's cache);
+    * the driver never sees data, only the empty/non-empty signal, and
+    * lineage depth is bounded by the ≤ maxIters chain of cached joins.
     */
   def transitiveClosure(verdictRows: DataFrame, id: String, maxIters: Int = 20): DataFrame = {
     val repCol = s"rep_$id"
-    var cur = verdictRows.select(col(id), col(repCol)).localCheckpoint()
+    var cur = verdictRows.select(col(id), col(repCol)).cache()
     var i = 0
     var converged = false
     while (i < maxIters && !converged) {
       val parent = cur.toDF("p_id", "p_rep")
       val next = cur.join(parent, col(repCol) === col("p_id"), "left")
         .select(col(id), coalesce(col("p_rep"), col(repCol)).as(repCol))
-        .localCheckpoint()
+        .cache()
       val prev = cur.toDF("c_id", "c_rep")
+      // Materializes `next`'s cache and checks convergence in one action.
       converged = next.join(prev, col(id) === col("c_id"))
         .filter(col(repCol) =!= col("c_rep")).isEmpty
+      cur.unpersist()
       cur = next
       i += 1
     }
@@ -161,12 +175,19 @@ object Dedup {
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
         "division would silently drop the trailing permutations from the banding")
     GraftFunctions.ensureRegistered(s)
+    // Tokens are projected to an attribute BEFORE shingling: wordNgrams
+    // references its input inside a transform() lambda (outside the
+    // lambda argument), so an inline tokens() expression would be
+    // re-evaluated per element_at — ~3 regex+split passes per shingle
+    // position (measured 16× slower at sf0.1). CollapseProject keeps
+    // multi-referenced non-cheap aliases materialized.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), wordNgrams(tokens(col("text")), shingleN).as("sh"))
-    val sig = docs.select(col("doc_id"),
-      bandHashes(minhashSignature(col("sh"), nPerms), nBands, nPerms / nBands).as("bands"))
-    val bands = sig.select(col("doc_id"), explode(col("bands")).as("bd"))
-      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
+    // Fused one-pass banded MinHash (signature computed ONCE per row).
+    val bands = docs.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("sh"), lit(nPerms), lit(nBands)))
+        .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
     val shA = docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
     val shB = docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
@@ -225,12 +246,14 @@ object Dedup {
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
         "division would silently drop the trailing permutations from the banding")
     GraftFunctions.ensureRegistered(s)
+    // Two-step tokens projection: see dedupMinhashLsh for why.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), wordNgrams(tokens(col("text")), 2).as("sh"))
-    val sig = docs.select(col("doc_id"),
-      bandHashes(minhashSignature(col("sh"), nPerms), nBands, nPerms / nBands).as("bands"))
-    val bands = sig.select(col("doc_id"), explode(col("bands")).as("bd"))
-      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), 2).as("sh"))
+    // Fused one-pass banded MinHash (signature computed ONCE per row).
+    val bands = docs.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("sh"), lit(nPerms), lit(nBands)))
+        .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
     val shA = docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
     val shB = docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, MinHashSig, SimHash64, SrpSignature}
+import graft.functions.{CosineSim, MinHashBands, MinHashSig, SimHash64, SrpSignature}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -45,6 +45,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSig(args(0), intArg(args, 1, "graft_minhash"))),
+    (FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBands].getName, "graft_minhash_bands"),
+      (args: Seq[Expression]) => MinHashBands(args(0),
+        intArg(args, 1, "graft_minhash_bands"), intArg(args, 2, "graft_minhash_bands"))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
