@@ -63,6 +63,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == Tables.embeddings(spark, sf).count())
   }
 
+  test("graft_minhash_bands: identical shingle sets collide on every band, order-invariant") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val df = Seq(
+      Seq("a b", "b c", "c d"),
+      Seq("c d", "a b", "b c"),   // same set, different order
+      Seq("x y", "y z", "z w"))   // different set
+      .toDF("sh")
+      .select(call_function("graft_minhash_bands", col("sh"), lit(64), lit(16)).as("bands"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length == 16)
+    assert(rows(0) == rows(1))           // MinHash is set-based
+    assert(rows(0) != rows(2))
+    // non-divisible banding rejected at construction
+    intercept[IllegalArgumentException](
+      graft.functions.MinHashBands(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq("a"), org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType)), 60, 16))
+  }
+
   test("non-divisible nPerms/nBands is rejected, not silently truncated") {
     intercept[IllegalArgumentException](Dedup.dedupMinhashLsh(spark, sf, nPerms = 60, nBands = 16))
     intercept[IllegalArgumentException](Dedup.dedupNgramJaccard(spark, sf, nPerms = 60, nBands = 32))
