@@ -68,6 +68,32 @@ object EventStreams {
       .select(col("user_id"), col("event_type"),
               col("event_id").as("first_event_id"), col("ts"))
 
+  /** Stream-stream event-time interval join: each purchase joins the
+    * signups of the same user whose event time falls within
+    * `horizonSec` BEFORE the purchase — the continuous analogue of
+    * the batch as-of/range join surface ([[graft.operators.Joins]]).
+    * Both sides carry watermarks, so the state store holds only rows
+    * inside the watermark horizon per key: Spark derives the eviction
+    * bound from the interval condition (a signup can be dropped once
+    * the purchase-side watermark passes signup ts + horizon), which
+    * is what keeps a 100 TB/day stream's join state finite.
+    */
+  def intervalJoin(signups: DataFrame, purchases: DataFrame,
+                   horizonSec: Long = 3600): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val s = signups.withWatermark("ts", "2 hours").alias("s")
+    val p = purchases.withWatermark("ts", "2 hours").alias("p")
+    s.join(p, expr(
+        s"""s.user_id = p.user_id
+            AND p.ts > s.ts
+            AND p.ts <= s.ts + INTERVAL $horizonSec SECONDS"""))
+      .select(col("s.user_id").as("user_id"),
+              col("s.event_id").as("signup_event_id"),
+              col("p.event_id").as("purchase_event_id"),
+              col("s.ts").as("signup_ts"), col("p.ts").as("purchase_ts"),
+              col("p.value").as("purchase_value"))
+  }
+
   /** Durable load stage for a streaming pipeline: append sink to
     * partitioned parquet with exactly-once progress via the checkpoint
     * (the streaming analogue of the reference's idempotent load —

@@ -74,6 +74,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(landed.count() == batch.count())
   }
 
+  test("stream-stream interval join matches the batch interval join on the same rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rows = eventRows()
+    val signups = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = EventStreams.intervalJoin(
+        signups.toDF().filter(col("event_type") === "signup"),
+        purchases.toDF().filter(col("event_type") === "purchase"))
+      .writeStream.format("memory").queryName("ij_test").outputMode("append").start()
+    try {
+      signups.addData(rows)
+      purchases.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("ij_test")
+        .select("user_id", "signup_event_id", "purchase_event_id")
+      // batch equivalent of the same interval condition on the same rows
+      val ev = rows.toDF()
+      val s = ev.filter(col("event_type") === "signup").alias("s")
+      val p = ev.filter(col("event_type") === "purchase").alias("p")
+      val batch = s.join(p, expr(
+          "s.user_id = p.user_id AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 3600 SECONDS"))
+        .select(col("s.user_id").as("user_id"),
+                col("s.event_id").as("signup_event_id"),
+                col("p.event_id").as("purchase_event_id"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on event-time timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
