@@ -32,9 +32,19 @@ object TextFunctions {
   /** Count of tokens that appear in `words` (language-marker /
     * stopword counting). DuckDB mirror:
     * len(list_filter(string_split(norm, ' '), x -> x IN (...)))
+    *
+    * Prefer [[markerCountIn]] when computing several marker counts
+    * over the same text: this form re-tokenizes per call.
     */
   def markerCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), x => x.isin(words: _*))).cast("long")
+
+  /** [[markerCount]] over an already-tokenized array column — use with
+    * a projected `tokens(...)` attribute so the normalize+split scan
+    * runs once per row however many marker sets are counted.
+    */
+  def markerCountIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words: _*))).cast("long")
 
   /** floor(100*a/b) as BIGINT — the cross-engine-safe integer ratio.
     * DuckDB mirror: CAST(FLOOR(100.0*a/b) AS BIGINT)

@@ -35,11 +35,16 @@ object TextOps {
     * fixed tie-break order (en > de > fr > es).
     */
   def textLangId(s: SparkSession, dir: String): DataFrame = {
+    // Tokens projected once, then four marker counts over the attribute
+    // — the inline markerCount form would re-run the normalize+split
+    // scan per language (CollapseProject keeps multi-referenced
+    // non-cheap aliases materialized; see Dedup for the general hazard).
     val d = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
     val scored = d.select(
       col("doc_id") +:
       langMarkers.map { case (lang, words) =>
-        markerCount(col("text"), words).as(s"${lang}_score")
+        markerCountIn(col("toks"), words).as(s"${lang}_score")
       }: _*)
     val Seq(en, de, fr, es) =
       Seq("en", "de", "fr", "es").map(l => col(s"${l}_score"))
@@ -57,14 +62,17 @@ object TextOps {
     * outputs (FLOOR(100*a/b) ratios) so the oracle matches exactly.
     */
   def textQualityScore(s: SparkSession, dir: String): DataFrame = {
+    // Normalize once, tokenize once; every statistic reads the
+    // attributes (the inline form re-ran the whitespace regex ~4×/row).
     val d = Tables.documents(s, dir)
-    val norm = normText(col("text"))
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("toks"))
     d.select(
         col("doc_id"),
-        length(norm).cast("long").as("n_chars"),
-        wsTokenCount(col("text")).as("n_tokens"),
-        markerCount(col("text"), stopwords).as("n_stop"),
-        length(regexp_replace(norm, "[^a-z]", "")).cast("long").as("n_alpha"))
+        length(col("norm")).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        markerCountIn(col("toks"), stopwords).as("n_stop"),
+        length(regexp_replace(col("norm"), "[^a-z]", "")).cast("long").as("n_alpha"))
       .withColumn("stop_x100", ratioX100(col("n_stop"), col("n_tokens")))
       .withColumn("alpha_x100", ratioX100(col("n_alpha"), col("n_chars")))
       .withColumn("quality_score",
@@ -75,11 +83,14 @@ object TextOps {
 
   /** Whitespace + BPE-ish-regex token counts per document. */
   def textTokenCount(s: SparkSession, dir: String): DataFrame = {
+    // Single normalization pass feeding both tokenizers.
     Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(
         col("doc_id"),
-        wsTokenCount(col("text")).as("ws_tokens"),
-        bpeTokenCount(col("text")).as("bpe_tokens"))
+        size(split(col("norm"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_tokens"))
       .orderBy("doc_id")
   }
 
