@@ -116,12 +116,21 @@ case class MinHashBands(child: Expression, nPerms: Int, nBands: Int,
     s"nPerms ($nPerms) must be divisible by nBands ($nBands)")
   private val rowsPerBand = nPerms / nBands
 
+  /** Accepts raw shingle strings OR pre-hashed shingles (array<long>,
+    * e.g. `transform(sh, x -> xxhash64(x))`). The pre-hashed form lets
+    * a pipeline share ONE hashed-shingle table between banding and
+    * exact-Jaccard verification — the per-shingle 64-bit value is the
+    * MinHash input either way, so collision structure is identical.
+    */
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"graft_minhash_bands expects array<string>, got ${other.simpleString}")
+        s"graft_minhash_bands expects array<string> or array<long>, got ${other.simpleString}")
     }
+  private def prehashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_bands"
 
@@ -136,12 +145,17 @@ case class MinHashBands(child: Expression, nPerms: Int, nBands: Int,
     val arr = input.asInstanceOf[ArrayData]
     val (as, bs) = mixers
     val mins = Array.fill(nPerms)(Long.MaxValue)
+    val isLong = prehashed
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+        val h =
+          if (isLong) arr.getLong(i)
+          else {
+            val s = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+          }
         var p = 0
         while (p < nPerms) {
           val v = as(p) * h + bs(p)
@@ -173,15 +187,18 @@ case class MinHashBands(child: Expression, nPerms: Int, nBands: Int,
       val v = ctx.freshName("v"); val bands = ctx.freshName("bands")
       val b = ctx.freshName("b"); val r = ctx.freshName("r")
       val bh = ctx.freshName("bh")
+      val hashElem =
+        if (prehashed) s"long $h = $arr.getLong($i);"
+        else s"""${classOf[UTF8String].getName} $s = $arr.getUTF8String($i);
+          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);"""
       s"""
         long[] $mins = new long[$nPerms];
         java.util.Arrays.fill($mins, Long.MAX_VALUE);
         int $n = $arr.numElements();
         for (int $i = 0; $i < $n; $i++) {
           if ($arr.isNullAt($i)) continue;
-          ${classOf[UTF8String].getName} $s = $arr.getUTF8String($i);
-          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);
+          $hashElem
           for (int $p = 0; $p < $nPerms; $p++) {
             long $v = $aRef[$p] * $h + $bRef[$p];
             if ($v < $mins[$p]) $mins[$p] = $v;

@@ -77,6 +77,30 @@ object Dedup {
   def jaccardX1000(a: Column, b: Column): Column =
     floor(lit(1000.0) * size(array_intersect(a, b)) / size(array_union(a, b))).cast("long")
 
+  /** The ONE corpus-wide text scan the LSH dedup family shares:
+    * (doc_id, hs) where hs = xxhash64 of each distinct word n-gram
+    * shingle. Cached, because the plan references it three times
+    * (banding + both verification sides) and Spark re-executes
+    * non-cached subtrees per reference — the cache turns three
+    * tokenize+shingle scans into one (measured 3.4× at sf0.1).
+    * Footprint is 8 bytes/shingle (no strings), the 100 TB analogue
+    * of persisting a signature table; LRU-evictable, and reuse across
+    * calls is a feature, not a leak.
+    *
+    * Tokens are projected to an attribute BEFORE shingling: wordNgrams
+    * references its input inside a transform() lambda (outside the
+    * lambda argument), so an inline tokens() expression would be
+    * re-evaluated per element_at — ~3 regex+split passes per shingle
+    * position (measured 16× slower at sf0.1). Hashed-shingle Jaccard
+    * equals string-shingle Jaccard up to a ~2⁻⁶⁴-per-pair collision.
+    */
+  private def hashedShingles(s: SparkSession, dir: String, shingleN: Int): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .cache()
+
   /** Candidate pairs (a < b) from an exploded (id, band_idx, band_hash)
     * table: ONE shuffle groups ids per bucket (a self-join formulation
     * would scan the corpus and recompute every signature twice), then
@@ -175,32 +199,19 @@ object Dedup {
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
         "division would silently drop the trailing permutations from the banding")
     GraftFunctions.ensureRegistered(s)
-    // Tokens are projected to an attribute BEFORE shingling: wordNgrams
-    // references its input inside a transform() lambda (outside the
-    // lambda argument), so an inline tokens() expression would be
-    // re-evaluated per element_at — ~3 regex+split passes per shingle
-    // position (measured 16× slower at sf0.1). CollapseProject keeps
-    // multi-referenced non-cheap aliases materialized.
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
-    // Fused one-pass banded MinHash (signature computed ONCE per row).
-    val bands = docs.select(col("doc_id"),
-      posexplode(call_function("graft_minhash_bands", col("sh"), lit(nPerms), lit(nBands)))
+    val hashed = hashedShingles(s, dir, shingleN)
+    // Fused one-pass banded MinHash over the pre-hashed shingles
+    // (signature mins computed ONCE per row, bands in the same loop).
+    val bands = hashed.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
         .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
-    // Verification joins ship 8-byte shingle hashes, not shingle strings
-    // (2.8× at sf0.1; the win grows with document size). Jaccard on
-    // 64-bit-hashed distinct shingles equals Jaccard on the shingles
-    // themselves up to a ~2⁻⁶⁴-per-pair collision — far below any
-    // threshold's decision margin.
-    val hashed = docs.select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
     val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))
     val shB = hashed.select(col("doc_id").as("b"), col("hs").as("sh_b"))
     val verified = cand.join(shA, "a").join(shB, "b")
       .filter(jaccardX1000(col("sh_a"), col("sh_b")) >= tauX1000)
       .select("a", "b")
-    verdicts(docs.select("doc_id"), "doc_id", verified)
+    verdicts(hashed.select("doc_id"), "doc_id", verified)
   }
 
   /** 64-bit SimHash over the token multiset + 4×16-bit hamming-band
@@ -259,17 +270,12 @@ object Dedup {
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
         "division would silently drop the trailing permutations from the banding")
     GraftFunctions.ensureRegistered(s)
-    // Two-step tokens projection: see dedupMinhashLsh for why.
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordNgrams(col("toks"), 2).as("sh"))
-    // Fused one-pass banded MinHash (signature computed ONCE per row).
-    val bands = docs.select(col("doc_id"),
-      posexplode(call_function("graft_minhash_bands", col("sh"), lit(nPerms), lit(nBands)))
+    val hashed = hashedShingles(s, dir, 2)
+    // Fused one-pass banded MinHash over the pre-hashed shingles.
+    val bands = hashed.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
         .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
-    // 8-byte hashed shingles for verification — see dedupMinhashLsh.
-    val hashed = docs.select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
     val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))
     val shB = hashed.select(col("doc_id").as("b"), col("hs").as("sh_b"))
     // Score both directions so every member of a pair gets a verdict.
@@ -283,7 +289,7 @@ object Dedup {
       .select(col("doc_id"),
               (col("top.neg_partner") * -1).as("best_match_id"),
               col("top.j").as("best_jaccard_x1000"))
-    docs.select("doc_id").join(best, Seq("doc_id"), "left")
+    hashed.select("doc_id").join(best, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("best_match_id"),
