@@ -51,6 +51,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("LSH dedup shares one cached hashed-shingle scan (3 plan references, 1 computation)") {
+    Seq(graft.operators.Dedup.dedupMinhashLsh(spark, sf),
+        graft.operators.Dedup.dedupNgramJaccard(spark, sf)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("InMemoryTableScan"),
+        s"hashed-shingle scan not cached — banding and verification each recompute it:\n$p")
+    }
+  }
+
   test("ANN probe side is broadcast — corpus embeddings never shuffle") {
     // brute force: broadcast nested-loop against the streamed corpus scan
     val bf = plan(graft.operators.Similarity.annBruteforceTopK(spark, sf))
