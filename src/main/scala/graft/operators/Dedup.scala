@@ -223,10 +223,13 @@ object Dedup {
     // One codegen'd pass (graft.functions.SimHash64): each token hashed
     // once, 64 signed bit-position accumulators, sign bit k of the
     // result = accumulated weight at position k is positive. All
-    // row-local — signatures shuffle, text never does.
+    // row-local — signatures shuffle, text never does. Cached (16
+    // bytes/doc) because the plan references it four times: banding,
+    // both verification sides, and the output's signature column.
     GraftFunctions.ensureRegistered(s)
     val withSig = Tables.documents(s, dir)
       .select(col("doc_id"), call_function("graft_simhash", tokens(col("text"))).as("simhash"))
+      .cache()
     val bands = withSig.select(
         col("doc_id"),
         explode(array((0 until 4).map(b =>
