@@ -281,12 +281,17 @@ object Dedup {
     val cand = candidatePairs(bands, "doc_id")
     val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))
     val shB = hashed.select(col("doc_id").as("b"), col("hs").as("sh_b"))
-    // Score both directions so every member of a pair gets a verdict.
+    // Score both directions so every member of a pair gets a verdict —
+    // via a 2-row explode, NOT a union of two selects over `scored`
+    // (a union would reference the subtree twice and re-execute the
+    // candidate join; same multi-reference hazard as everywhere else).
     val scored = cand.join(shA, "a").join(shB, "b")
       .select(col("a"), col("b"), jaccardX1000(col("sh_a"), col("sh_b")).as("j"))
       .filter(col("j") >= tauX1000)
-    val both = scored.select(col("a").as("doc_id"), col("b").as("partner"), col("j"))
-      .unionByName(scored.select(col("b").as("doc_id"), col("a").as("partner"), col("j")))
+    val both = scored.select(explode(array(
+        struct(col("a").as("doc_id"), col("b").as("partner"), col("j")),
+        struct(col("b").as("doc_id"), col("a").as("partner"), col("j")))).as("e"))
+      .select(col("e.doc_id"), col("e.partner"), col("e.j").as("j"))
     val best = both.groupBy("doc_id")
       .agg(max(struct(col("j"), (col("partner") * -1).as("neg_partner"))).as("top"))
       .select(col("doc_id"),
