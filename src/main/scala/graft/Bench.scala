@@ -64,8 +64,11 @@ object Bench {
     val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
+    // "action" documents WHAT is timed: rounds 1-2 timed count(), which
+    // let Catalyst prune joins/sorts; round 3+ times full materialization
+    // (noop write), so totals are not comparable across that boundary.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
     spark.stop()
     // Printed after spark.stop() so it is the last stdout line.
