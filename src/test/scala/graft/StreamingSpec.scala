@@ -74,6 +74,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(landed.count() == batch.count())
   }
 
+  test("dedup state is evicted once the watermark passes — a later duplicate re-emits") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000L
+    def ev(id: Long, sec: Long) = Ev(id, 1L, "click", new Timestamp(sec * 1000), 1.0)
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupIds(input.toDF())
+      .writeStream.format("memory").queryName("ddw_evict").outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, t0)))
+      q.processAllAvailable()           // ev1 emits; state (1,click) stamped t0
+      input.addData(Seq(ev(2, t0 + 36000)))
+      q.processAllAvailable()           // watermark still < t0+2h here → ev2 dropped
+                                        // as a duplicate, but it advances the
+                                        // watermark to t0+10h-2h, evicting the state
+      input.addData(Seq(ev(3, t0 + 36600)))
+      q.processAllAvailable()           // state gone → ev3 re-emits
+      val ids = spark.table("ddw_evict").select("first_event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 3L),
+        s"expected eviction to re-emit the key exactly once (got ids=$ids)")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join on the same rows") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
