@@ -63,18 +63,21 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  /** Scale path: banded (OR-amplified) SRP-LSH. Corpus and probes each
-    * compute `nBands` band keys ([[bandSignatures]]); a corpus vector
-    * is a candidate for a probe iff ANY band key matches. The probe
-    * band table is broadcast, so the corpus is scored map-side with NO
-    * shuffle of embeddings — only candidate (probe_id, neighbor_id,
-    * score) triples shuffle into distinct + per-probe top-k. Exact
-    * cosine re-ranks candidates; recall ≈ 1-(1-p^r)^b where
-    * p = 1-θ/π (tune (nBands, bitsPerBand) to the corpus similarity
-    * profile — defaults suit mid-similarity neighbors; high-similarity
-    * corpora want more bits per band). Output schema matches
-    * [[annBruteforceTopK]] so recall is directly measurable
-    * (see SimilaritySpec).
+  /** Scale path: banded (OR-amplified) SRP-LSH with MULTI-PROBE on the
+    * broadcast side. Corpus and probes each compute `nBands` band keys;
+    * a corpus vector is a candidate for a probe iff ANY band key
+    * matches either the probe's own key or one of its hamming-1
+    * variants (each single-bit flip of a band = crossing ONE
+    * hyperplane — the nearest neighboring bucket, the classic
+    * multi-probe recall boost at zero corpus-side cost: the probe
+    * table just grows ×(1+bits), and it is broadcast). The corpus is
+    * scored map-side with NO shuffle of embeddings — only candidate
+    * (probe_id, neighbor_id, score) triples shuffle into distinct +
+    * per-probe top-k. Exact cosine re-ranks candidates; single-probe
+    * band-match prob is p^r with p = 1-θ/π — multi-probe adds the
+    * r one-bit-off buckets, ≈ (1+r(1-p)/p)·p^r per band. Output schema
+    * matches [[annBruteforceTopK]] so recall is directly measurable
+    * (SimilaritySpec asserts it).
     */
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
@@ -88,11 +91,16 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
               explode(sliceBands(col("sig"), nBands, bitsPerBand)).as("bd"))
       .select(col("vec_id"), col("embedding"), col("bd.band_idx"), col("bd.band_hash"))
+    // Probe side: own bucket + every hamming-1 bucket per band.
     val probeBands = probes(emb)
       .select(col("probe_id"), col("probe_emb"), srp(col("probe_emb")).as("sig"))
       .select(col("probe_id"), col("probe_emb"),
               explode(sliceBands(col("sig"), nBands, bitsPerBand)).as("bd"))
       .select(col("probe_id"), col("probe_emb"), col("bd.band_idx"), col("bd.band_hash"))
+      .select(col("probe_id"), col("probe_emb"), col("band_idx"),
+              explode(array(col("band_hash") +:
+                (0 until bitsPerBand).map(bit =>
+                  col("band_hash").bitwiseXOR(lit(1L << bit))): _*)).as("band_hash"))
     val scored = corpusBands
       .join(broadcast(probeBands), Seq("band_idx", "band_hash"))
       .filter(col("vec_id") =!= col("probe_id"))
