@@ -40,23 +40,39 @@ object Bench {
                 col("vec_id"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
     } catch { case _: Throwable => () }
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = loadavg
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query BEST-OF-N (min): a shared machine can slow any single
+    // pass 2-3× (measured: identical binaries swung 0.4×-2.5× per query
+    // between driver rounds), and the min of independent passes is the
+    // contention-filtered estimate of what the plan actually costs.
+    // Caches.clear() before EVERY pass makes passes do identical work
+    // (no operator-internal cache survives into the next timing).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        // noop write = FULL materialization of every output row without
-        // sink I/O. count() is not an honest benchmark action: Catalyst
-        // prunes unreferenced joins and eliminates the trailing sorts,
-        // so a verdict-producing operator can bench at 0.3 s while a
-        // user materializing its rows pays 30 s (measured, round 3).
-        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        timings(name) = -1.0
-        errors(name) = e.toString.linesIterator.next().take(160)
+      val passTimes = (1 to passes).flatMap { _ =>
+        Caches.clear()
+        val t0 = System.nanoTime()
+        try {
+          // noop write = FULL materialization of every output row without
+          // sink I/O. count() is not an honest benchmark action: Catalyst
+          // prunes unreferenced joins and eliminates the trailing sorts,
+          // so a verdict-producing operator can bench at 0.3 s while a
+          // user materializing its rows pays 30 s (measured, round 3).
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors.getOrElseUpdate(name, e.toString.linesIterator.next().take(160))
+          None
+        }
       }
+      timings(name) = if (passTimes.isEmpty) -1.0 else passTimes.min
     }
+    Caches.clear()
+    val loadEnd = loadavg
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -67,8 +83,10 @@ object Bench {
     // "action" documents WHAT is timed: rounds 1-2 timed count(), which
     // let Catalyst prune joins/sorts; round 3+ times full materialization
     // (noop write), so totals are not comparable across that boundary.
+    // loadavg stamps let a reader reject a contended run outright
+    // (loadavg >> allotted cpus means the numbers measure the machine).
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries":$qs,"errors":$es,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
     spark.stop()
     // Printed after spark.stop() so it is the last stdout line.

@@ -51,8 +51,7 @@ object SparkEntry {
     "dedup_simhash"          -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
-    "dedup_clusters"         -> ((s, d) =>
-      Dedup.transitiveClosure(Dedup.dedupMinhashLsh(s, d), "doc_id")),
+    "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -265,9 +264,13 @@ object SparkEntry {
     // The LSH operators are verifiable with EXACT all-pairs SQL because
     // their outputs are candidate-generation-independent at these
     // parameters: any-band collision probability at the verification
-    // threshold is ≥ 1-1e-4 (16 bands×4 rows at J=0.8; 32×2 at J=0.5),
-    // so the verified pair set equals the true ≥τ pair set. All-pairs
-    // is O(n²) — fine for the oracle at sf0.01, never run by the engine.
+    // threshold is 1-(1-0.8^4)^16 ≈ 1-2.2e-4 (16 bands×4 rows at J=0.8)
+    // and 1-(1-0.5^3)^86 ≈ 1-1e-5 (86×3 at J=0.5). Those are banding
+    // parameters' EXPECTED bounds; with a fixed hash seed the actual
+    // all-pairs equivalence is a per-corpus empirical property — it held
+    // at sf0.001/0.01/0.1 and must be re-verified if the corpus is
+    // regenerated. All-pairs is O(n²) — fine for the oracle at sf0.01,
+    // never run by the engine.
     "dedup_minhash_lsh" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
@@ -406,10 +409,13 @@ object SparkEntry {
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
-    // Pointer-chase fixpoint via recursive CTE. The engine's
-    // transitiveClosure follows one-hop rep pointers (rep(x) = smallest
-    // verified neighbor < x) with pointer doubling; reps only DECREASE
-    // along a chain, so MIN(rep) over all chase steps = the fixpoint.
+    // GENUINE undirected reachability over the verified near-dup pair
+    // set: reach(x, r) holds every r reachable from x through the
+    // SYMMETRIZED edge list, so MIN(r) per doc is the true connected
+    // component minimum — the oracle is independent of the engine's
+    // label-propagation mechanics (unlike a one-hop pointer chase,
+    // this merges docs linked only through a shared larger neighbor:
+    // edges (1,3),(2,3) put 1, 2 and 3 in one component).
     "dedup_clusters" ->
       """WITH RECURSIVE
          t AS (
@@ -425,16 +431,16 @@ object SparkEntry {
            SELECT a.doc_id AS a, b.doc_id AS b
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
            WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800),
-         onehop AS (
-           SELECT d.doc_id, COALESCE(r.smaller_rep, d.doc_id) AS rep
-           FROM (SELECT doc_id FROM documents) d
-           LEFT JOIN (SELECT b AS doc_id, MIN(a) AS smaller_rep FROM pairs GROUP BY b) r USING (doc_id)),
-         chase(doc_id, rep) AS (
-           SELECT doc_id, rep FROM onehop
+         sym AS (
+           SELECT a, b FROM pairs
+           UNION ALL
+           SELECT b AS a, a AS b FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT doc_id, doc_id AS r FROM documents
            UNION
-           SELECT c.doc_id, o.rep FROM chase c JOIN onehop o ON c.rep = o.doc_id WHERE o.rep <> c.rep)
-         SELECT doc_id, MIN(rep) AS rep_doc_id, MIN(rep) <> doc_id AS is_dup
-         FROM chase GROUP BY doc_id ORDER BY doc_id""",
+           SELECT s.a AS doc_id, c.r FROM sym s JOIN reach c ON s.b = c.doc_id)
+         SELECT doc_id, MIN(r) AS rep_doc_id, MIN(r) <> doc_id AS is_dup
+         FROM reach GROUP BY doc_id ORDER BY doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Exact-double brute-force ANN oracle. DuckDB's

@@ -22,8 +22,9 @@ import graft.plans.GraftFunctions
   * Every operator emits one verdict row per document —
   * (id, rep_id, is_dup) — so the output is the actionable "which doc
   * to keep" table a pipeline filters on. `rep_id` is the one-hop
-  * representative (smallest verified neighbor); [[transitiveClosure]]
-  * iterates that to a fixpoint for the rare chained clusters.
+  * representative (smallest verified neighbor); [[connectedComponents]]
+  * resolves the full undirected near-dup graph to true components for
+  * the rare chained clusters (see [[dedupClusters]]).
   */
 object Dedup {
 
@@ -95,11 +96,11 @@ object Dedup {
     * equals string-shingle Jaccard up to a ~2⁻⁶⁴-per-pair collision.
     */
   private def hashedShingles(s: SparkSession, dir: String, shingleN: Int): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
-      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
-      .cache()
+    graft.Caches.cached(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs")))
 
   /** Candidate pairs (a < b) from an exploded (id, band_idx, band_hash)
     * table: ONE shuffle groups ids per bucket (a self-join formulation
@@ -135,37 +136,66 @@ object Dedup {
       .orderBy(id)
   }
 
-  /** Min-label propagation to a fixpoint: resolve chained near-dup
-    * clusters (a~b, b~c ⇒ rep(c)=a) from one-hop verdict rows.
-    * Each iteration is one self-join shuffle on `rep`; iteration count
-    * is O(log(max chain length)) because labels hop two levels at a
-    * time (pointer doubling). Iterates on `cache()`d frames — NOT
-    * `localCheckpoint`, whose RDD materialization bypasses the adaptive
-    * SQL execution path (measured 160× slower than running the same
-    * plan as a DataFrame action at sf0.1). The convergence check is a
-    * per-round `isEmpty` (which also materializes the round's cache);
-    * the driver never sees data, only the empty/non-empty signal, and
-    * lineage depth is bounded by the ≤ maxIters chain of cached joins.
+  /** True connected components over the undirected verified-pair graph:
+    * every doc labeled with the SMALLEST id reachable through any chain
+    * of verified near-dup edges. One-hop rep pointers are NOT enough —
+    * a pair of docs linked only through a shared LARGER neighbor
+    * (edges (1,3),(2,3)) never merges under a<b pointer chasing; label
+    * propagation must run across BOTH directions of every edge, which
+    * is why this takes the raw edge list, not verdict rows (verdicts
+    * keep only min(a) per b and lose the second edge).
+    *
+    * Each round does (a) neighbor-min propagation over the symmetrized
+    * edge list and (b) a pointer-jump (label ← label(label)), so labels
+    * cross a component in O(log diameter) rounds — the
+    * large-star/small-star recipe of the MapReduce-CC literature. Rounds
+    * iterate on `cache()`d frames — NOT `localCheckpoint`, whose RDD
+    * materialization bypasses adaptive SQL execution (measured 160×
+    * slower at sf0.1). The convergence signal is a `changed` column
+    * folded into the round's frame and read with ONE aggregate action —
+    * which scans every partition, so it fully materializes the round's
+    * cache before the previous round is unpersisted (a limit-1 `isEmpty`
+    * would leave the cache partial and force recompute through an
+    * unpersisted parent). Per round only (id, label) pairs shuffle —
+    * 16 bytes/doc at any corpus size.
+    *
+    * @param ids   one row per document (column `id`)
+    * @param edges verified near-dup pairs, columns `a`, `b` (any order,
+    *              deduplication not required)
     */
-  def transitiveClosure(verdictRows: DataFrame, id: String, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(ids: DataFrame, edges: DataFrame, id: String,
+                          maxIters: Int = 20): DataFrame = {
     val repCol = s"rep_$id"
-    var cur = verdictRows.select(col(id), col(repCol)).cache()
+    // Symmetrize once; referenced every round, so cache the (a,b) pairs
+    // (two longs per edge — the text never enters the iteration).
+    val sym = graft.Caches.cached(
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b"))))
+    var cur = graft.Caches.cached(ids.select(col(id), col(id).as(repCol)))
     var i = 0
-    var converged = false
-    while (i < maxIters && !converged) {
-      val parent = cur.toDF("p_id", "p_rep")
-      val next = cur.join(parent, col(repCol) === col("p_id"), "left")
-        .select(col(id), coalesce(col("p_rep"), col(repCol)).as(repCol))
-        .cache()
-      val prev = cur.toDF("c_id", "c_rep")
-      // Materializes `next`'s cache and checks convergence in one action.
-      converged = next.join(prev, col(id) === col("c_id"))
-        .filter(col(repCol) =!= col("c_rep")).isEmpty
+    var changed = true
+    while (i < maxIters && changed) {
+      val lbl = cur.select(col(id).as("l_id"), col(repCol).as("l_rep"))
+      val nbrMin = sym.join(lbl, col("b") === col("l_id"))
+        .groupBy(col("a")).agg(min("l_rep").as("nbr_rep"))
+      val par = cur.select(col(id).as("p_id"), col(repCol).as("p_rep"))
+      val next = graft.Caches.cached(
+        cur.join(nbrMin, col(id) === col("a"), "left")
+          .select(col(id), col(repCol).as("old_rep"),
+                  least(col(repCol), coalesce(col("nbr_rep"), col(repCol))).as("rep1"))
+          .join(par, col("rep1") === col("p_id"), "left")
+          .select(col(id), col("old_rep"),
+                  least(col("rep1"), coalesce(col("p_rep"), col("rep1"))).as(repCol))
+          .select(col(id), col(repCol), (col(repCol) =!= col("old_rep")).as("changed")))
+      // ONE action: materializes next's cache fully AND returns the
+      // convergence signal. coalesce guards the empty-corpus case.
+      changed = next.agg(coalesce(max(col("changed")), lit(false))).head().getBoolean(0)
       cur.unpersist()
       cur = next
       i += 1
     }
-    cur.withColumn("is_dup", col(repCol) =!= col(id)).orderBy(id)
+    cur.select(col(id), col(repCol), (col(repCol) =!= col(id)).as("is_dup"))
+      .orderBy(id)
   }
 
   // ----------------------------------------------------------------
@@ -192,9 +222,15 @@ object Dedup {
     * ~(1/16)^(1/4) ≈ 0.5 banding threshold over-generates candidates
     * slightly; exact verification trims to the true near-dup set.
     */
-  def dedupMinhashLsh(s: SparkSession, dir: String,
-                      nPerms: Int = 64, nBands: Int = 16,
-                      shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+  /** The MinHash-LSH pipeline up to (and including) exact verification:
+    * returns (ids, verified pairs a<b). Shared by [[dedupMinhashLsh]]
+    * (one-hop verdicts) and [[dedupClusters]] (true connected
+    * components, which needs the FULL edge set — verdict rows lose
+    * every edge that is not the min).
+    */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String,
+                                   nPerms: Int, nBands: Int,
+                                   shingleN: Int, tauX1000: Long): (DataFrame, DataFrame) = {
     require(nPerms % nBands == 0,
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
         "division would silently drop the trailing permutations from the banding")
@@ -211,7 +247,26 @@ object Dedup {
     val verified = cand.join(shA, "a").join(shB, "b")
       .filter(jaccardX1000(col("sh_a"), col("sh_b")) >= tauX1000)
       .select("a", "b")
-    verdicts(hashed.select("doc_id"), "doc_id", verified)
+    (hashed.select("doc_id"), verified)
+  }
+
+  def dedupMinhashLsh(s: SparkSession, dir: String,
+                      nPerms: Int = 64, nBands: Int = 16,
+                      shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+    val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, shingleN, tauX1000)
+    verdicts(ids, "doc_id", verified)
+  }
+
+  /** MinHash-LSH near-dup detection resolved to TRUE clusters: every
+    * doc labeled with the smallest doc_id in its connected component of
+    * the verified-pair graph ([[connectedComponents]] over the same
+    * verified edges [[dedupMinhashLsh]] judges one-hop).
+    */
+  def dedupClusters(s: SparkSession, dir: String,
+                    nPerms: Int = 64, nBands: Int = 16,
+                    shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+    val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, shingleN, tauX1000)
+    connectedComponents(ids, verified, "doc_id")
   }
 
   /** 64-bit SimHash over the token multiset + 4×16-bit hamming-band
@@ -227,9 +282,9 @@ object Dedup {
     // bytes/doc) because the plan references it four times: banding,
     // both verification sides, and the output's signature column.
     GraftFunctions.ensureRegistered(s)
-    val withSig = Tables.documents(s, dir)
-      .select(col("doc_id"), call_function("graft_simhash", tokens(col("text"))).as("simhash"))
-      .cache()
+    val withSig = graft.Caches.cached(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), call_function("graft_simhash", tokens(col("text"))).as("simhash")))
     val bands = withSig.select(
         col("doc_id"),
         explode(array((0 until 4).map(b =>

@@ -106,16 +106,45 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("transitiveClosure collapses chained clusters to the smallest id") {
+  test("connectedComponents collapses chained clusters to the smallest id") {
     import spark.implicits._
-    // one-hop verdicts: 2's rep is 1, 3's rep is 2 (chain), 5 standalone
-    val oneHop = Seq((1L, 1L), (2L, 1L), (3L, 2L), (5L, 5L))
-      .toDF("doc_id", "rep_doc_id")
-    val closed = graft.operators.Dedup.transitiveClosure(oneHop, "doc_id")
+    // chain 1-2-3 plus standalone 5
+    val ids = Seq(1L, 2L, 3L, 5L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val closed = graft.operators.Dedup.connectedComponents(ids, edges, "doc_id")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
     assert(closed(1L) == ((1L, false)))
     assert(closed(2L) == ((1L, true)))
-    assert(closed(3L) == ((1L, true)))   // chained: 3 -> 2 -> 1
+    assert(closed(3L) == ((1L, true)))   // chained: 3 ~ 2 ~ 1
     assert(closed(5L) == ((5L, false)))
+    graft.Caches.clear()
+  }
+
+  test("connectedComponents merges docs linked only through a shared LARGER neighbor") {
+    import spark.implicits._
+    // Edges (1,3),(2,3): an a<b min-parent pointer chase yields {1,3}
+    // and {2} — true undirected components must yield {1,2,3}.
+    val ids = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val edges = Seq((1L, 3L), (2L, 3L)).toDF("a", "b")
+    val closed = graft.operators.Dedup.connectedComponents(ids, edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(closed(1L) == ((1L, false)))
+    assert(closed(2L) == ((1L, true)))
+    assert(closed(3L) == ((1L, true)))
+    assert(closed(4L) == ((4L, false)))
+    graft.Caches.clear()
+  }
+
+  test("connectedComponents handles long chains within the iteration budget") {
+    import spark.implicits._
+    // 0-1-2-...-63: diameter 63, must converge in O(log) rounds thanks
+    // to the pointer-jump step (well under the default maxIters = 20).
+    val n = 64L
+    val ids = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val closed = graft.operators.Dedup.connectedComponents(ids, edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(closed.values.toSet == Set(0L))
+    graft.Caches.clear()
   }
 }
