@@ -148,16 +148,29 @@ object Dedup {
     * Each round does (a) neighbor-min propagation over the symmetrized
     * edge list and (b) a pointer-jump (label ← label(label)), so labels
     * cross a component in O(log diameter) rounds — the
-    * large-star/small-star recipe of the MapReduce-CC literature. Rounds
-    * iterate on `cache()`d frames — NOT `localCheckpoint`, whose RDD
-    * materialization bypasses adaptive SQL execution (measured 160×
-    * slower at sf0.1). The convergence signal is a `changed` column
-    * folded into the round's frame and read with ONE aggregate action —
-    * which scans every partition, so it fully materializes the round's
-    * cache before the previous round is unpersisted (a limit-1 `isEmpty`
-    * would leave the cache partial and force recompute through an
-    * unpersisted parent). Per round only (id, label) pairs shuffle —
-    * 16 bytes/doc at any corpus size.
+    * large-star/small-star recipe of the MapReduce-CC literature.
+    *
+    * Two structural decisions matter at scale:
+    *  - The loop runs ONLY over vertices that appear in an edge (at real
+    *    dup rates a small fraction of the corpus); the full id table
+    *    joins back exactly once at the end. Without this every round
+    *    self-joins O(corpus) rows no matter how few dups exist.
+    *  - Each round ends in an EAGER `localCheckpoint`, which both
+    *    materializes the round and TRUNCATES logical lineage. Truncation
+    *    is not optional: a round references the previous frame three
+    *    times (neighbor side, join spine, pointer-jump side), so the
+    *    un-truncated logical plan grows 3^rounds — an 8-round chain
+    *    OOMed the driver just BUILDING the plan string. `cache()` does
+    *    not help (it truncates physical execution, not the logical
+    *    plan the analyzer re-walks every round). The checkpointed
+    *    frame is the touched-vertex set — two longs per row — so the
+    *    RDD materialization that bypasses AQE is irrelevant here,
+    *    unlike the corpus-wide iteration this replaced.
+    * The convergence signal is a `changed` column folded into the
+    * round's frame and read with one cheap aggregate over the already-
+    * materialized checkpoint (the old limit-1 `isEmpty` left the
+    * round's cache partially populated and recomputed through an
+    * unpersisted parent).
     *
     * @param ids   one row per document (column `id`)
     * @param edges verified near-dup pairs, columns `a`, `b` (any order,
@@ -171,7 +184,9 @@ object Dedup {
     val sym = graft.Caches.cached(
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var cur = graft.Caches.cached(ids.select(col(id), col(id).as(repCol)))
+    var cur = sym.select(col("a").as(id)).distinct()
+      .select(col(id), col(id).as(repCol))
+      .localCheckpoint(true)
     var i = 0
     var changed = true
     while (i < maxIters && changed) {
@@ -179,22 +194,23 @@ object Dedup {
       val nbrMin = sym.join(lbl, col("b") === col("l_id"))
         .groupBy(col("a")).agg(min("l_rep").as("nbr_rep"))
       val par = cur.select(col(id).as("p_id"), col(repCol).as("p_rep"))
-      val next = graft.Caches.cached(
-        cur.join(nbrMin, col(id) === col("a"), "left")
-          .select(col(id), col(repCol).as("old_rep"),
-                  least(col(repCol), coalesce(col("nbr_rep"), col(repCol))).as("rep1"))
-          .join(par, col("rep1") === col("p_id"), "left")
-          .select(col(id), col("old_rep"),
-                  least(col("rep1"), coalesce(col("p_rep"), col("rep1"))).as(repCol))
-          .select(col(id), col(repCol), (col(repCol) =!= col("old_rep")).as("changed")))
-      // ONE action: materializes next's cache fully AND returns the
-      // convergence signal. coalesce guards the empty-corpus case.
+      val next = cur.join(nbrMin, col(id) === col("a"), "left")
+        .select(col(id), col(repCol).as("old_rep"),
+                least(col(repCol), coalesce(col("nbr_rep"), col(repCol))).as("rep1"))
+        .join(par, col("rep1") === col("p_id"), "left")
+        .select(col(id), col("old_rep"),
+                least(col("rep1"), coalesce(col("p_rep"), col("rep1"))).as(repCol))
+        .select(col(id), col(repCol), (col(repCol) =!= col("old_rep")).as("changed"))
+        .localCheckpoint(true) // eager: materialize + truncate lineage
+      // Cheap aggregate over the materialized checkpoint; coalesce
+      // guards the empty-edge-set case.
       changed = next.agg(coalesce(max(col("changed")), lit(false))).head().getBoolean(0)
-      cur.unpersist()
-      cur = next
+      cur = next.select(col(id), col(repCol))
       i += 1
     }
-    cur.select(col(id), col(repCol), (col(repCol) =!= col(id)).as("is_dup"))
+    ids.join(cur, Seq(id), "left")
+      .select(col(id), coalesce(col(repCol), col(id)).as(repCol))
+      .withColumn("is_dup", col(repCol) =!= col(id))
       .orderBy(id)
   }
 
