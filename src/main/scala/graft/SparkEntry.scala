@@ -123,11 +123,11 @@ object SparkEntry {
     "v_genre_ratings" ->
       """SELECT p.p_brand AS genre_name,
                 COUNT(DISTINCT o.o_orderkey) AS movies_in_genre,
-                FLOOR((2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT)
-                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_rating,
+                (2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS HUGEINT)
+                       + COUNT(*)) // (2*COUNT(*)) / 100.0 AS avg_rating,
                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_votes,
-                FLOOR((2*CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT)
-                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_popularity
+                (2*CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))*100 AS HUGEINT)
+                       + COUNT(*)) // (2*COUNT(*)) / 100.0 AS avg_popularity
          FROM lineitem l
          JOIN part p ON l.l_partkey = p.p_partkey
          JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -136,8 +136,8 @@ object SparkEntry {
     "v_top_actors_by_rating" ->
       """SELECT s.s_suppkey, s.s_name,
                 COUNT(DISTINCT o.o_orderkey) AS movie_count,
-                FLOOR((2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS BIGINT)
-                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_movie_rating,
+                (2*CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))*100 AS HUGEINT)
+                       + COUNT(*)) // (2*COUNT(*)) / 100.0 AS avg_movie_rating,
                 CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_votes
          FROM lineitem l
          JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -151,12 +151,12 @@ object SparkEntry {
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(26,8))) AS DOUBLE) AS sum_charge,
-                FLOOR((2*CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))*100 AS BIGINT)
-                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_qty,
-                FLOOR((2*CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))*100 AS BIGINT)
-                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_price,
-                FLOOR((2*CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))*100 AS BIGINT)
-                       + COUNT(*)) / (2.0*COUNT(*))) / 100.0 AS avg_disc,
+                (2*CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))*100 AS HUGEINT)
+                       + COUNT(*)) // (2*COUNT(*)) / 100.0 AS avg_qty,
+                (2*CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))*100 AS HUGEINT)
+                       + COUNT(*)) // (2*COUNT(*)) / 100.0 AS avg_price,
+                (2*CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))*100 AS HUGEINT)
+                       + COUNT(*)) // (2*COUNT(*)) / 100.0 AS avg_disc,
                 COUNT(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

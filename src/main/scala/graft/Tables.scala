@@ -27,9 +27,17 @@ object Tables {
     * `ts` as a proper µs timestamp for date/window functions. `div` keeps
     * the arithmetic integral: a double division of an ~1.7e18 ns value
     * would lose precision (53-bit mantissa).
+    *
+    * The conf is REQUIRED of the session, not set here: a loader that
+    * mutates session state at plan-build time changes the semantics of
+    * every other parquet read on the session as a side effect, and
+    * whether nanos decode as long is a session-construction decision
+    * the builder owns (all graft entrypoints set it).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see graft.Verify/Bench builders)")
     s.read.parquet(s"$dir/events.parquet")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))

@@ -36,15 +36,23 @@ object OracleSafe {
 
   /** Exact HALF_UP 2-decimal average of a money-like double column,
     * computed with integer arithmetic so every engine agrees bit-for-bit:
-    * cents = SUM(x as DECIMAL)*100;  avg = FLOOR((2*cents + n)/(2*n))/100.
-    * DuckDB mirror:
-    *   FLOOR((2*CAST(SUM(CAST(x AS DECIMAL(18,2)))*100 AS BIGINT) + COUNT(*))
-    *         / (2.0*COUNT(*))) / 100.0
+    * cents = SUM(x as DECIMAL)*100;  avg = (2*cents + n) div (2*n) / 100.
+    *
+    * The quotient is an INTEGRAL division over DECIMAL(38,0) operands —
+    * never a floating `/`: a double quotient is exact only below 2^53,
+    * and at 100 TB a money sum crosses 2^53 cents (~$90T? no — ~9e15
+    * cents = $90B, a single day of a large ledger). `div` on decimals
+    * is exact at any magnitude the 38-digit type holds. The final
+    * /100.0 maps an exact integer to double identically on both
+    * engines (same integer → same nearest-double).
+    * DuckDB mirror (HUGEINT, not BIGINT — SUM*100 can cross 2^63):
+    *   (2*CAST(SUM(CAST(x AS DECIMAL(18,2)))*100 AS HUGEINT) + COUNT(*))
+    *     // (2*COUNT(*)) / 100.0
     */
   def avg2(c: Column): Column = {
-    val cents = (sum(c.cast(DecimalType(18, 2))) * 100).cast(LongType)
-    val n     = count(lit(1))
-    floor((cents * 2 + n) / (n * 2)) / 100.0
+    val cents = (sum(c.cast(DecimalType(18, 2))) * 100).cast(DecimalType(38, 0))
+    val n     = count(lit(1)).cast(DecimalType(38, 0))
+    call_function("div", cents * 2 + n, n * 2) / 100.0
   }
 
   /** Epoch seconds (floor) of a timestamp column — safe to compare even

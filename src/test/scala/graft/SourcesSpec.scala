@@ -54,6 +54,67 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.exceptAll(region).count() == 0 && region.exceptAll(back).count() == 0)
   }
 
+  // --- JDBC load stage (embedded Derby — no external DB in container) ---
+
+  private def derbyUrl(name: String): String =
+    s"jdbc:derby:${tmp(name)}/db;create=true"
+
+  private def readTable(url: String, table: String) =
+    spark.read.jdbc(url, table, new java.util.Properties())
+
+  test("writeJdbcUpsert: reruns are idempotent, conflicts update in place") {
+    import spark.implicits._
+    val url = derbyUrl("upsert")
+    val v1 = Seq((1L, "alpha", 10), (2L, "beta", 20)).toDF("id", "name", "score")
+    Sources.writeJdbcUpsert(v1, url, "movies_like", Seq("id"))
+    // second load: key 2 changed, key 3 new — the reference's
+    // ON CONFLICT DO UPDATE semantics (02_etl.py:84-105)
+    val v2 = Seq((2L, "beta2", 21), (3L, "gamma", 30)).toDF("id", "name", "score")
+    Sources.writeJdbcUpsert(v2, url, "movies_like", Seq("id"))
+    // rerun the SAME load — must be a no-op, not duplicate rows
+    Sources.writeJdbcUpsert(v2, url, "movies_like", Seq("id"))
+    val back = readTable(url, "movies_like")
+      .orderBy("id").as[(Long, String, Int)].collect().toSeq
+    assert(back == Seq((1L, "alpha", 10), (2L, "beta2", 21), (3L, "gamma", 30)))
+  }
+
+  test("writeJdbcUpsert with updateOnConflict=false keeps existing rows (DO NOTHING)") {
+    import spark.implicits._
+    val url = derbyUrl("nothing")
+    val v1 = Seq((1L, "keep"), (2L, "keep")).toDF("id", "name")
+    Sources.writeJdbcUpsert(v1, url, "genres_like", Seq("id"))
+    val v2 = Seq((2L, "clobber"), (3L, "new")).toDF("id", "name")
+    Sources.writeJdbcUpsert(v2, url, "genres_like", Seq("id"), updateOnConflict = false)
+    val back = readTable(url, "genres_like")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == Seq((1L, "keep"), (2L, "keep"), (3L, "new")))
+  }
+
+  test("writeJdbcUpsert: all-key junction load is rerun-safe and dedupes the batch") {
+    import spark.implicits._
+    val url = derbyUrl("junction")
+    // duplicate composite key within one batch (the reference's junction
+    // payload can repeat a (movie, genre) pair across API pages)
+    val j1 = Seq((1L, 10L), (1L, 10L), (1L, 11L)).toDF("movie_id", "genre_id")
+    Sources.writeJdbcUpsert(j1, url, "movie_genre_like", Seq("movie_id", "genre_id"))
+    val j2 = Seq((1L, 10L), (2L, 10L)).toDF("movie_id", "genre_id")
+    Sources.writeJdbcUpsert(j2, url, "movie_genre_like", Seq("movie_id", "genre_id"))
+    Sources.writeJdbcUpsert(j2, url, "movie_genre_like", Seq("movie_id", "genre_id"))
+    val back = readTable(url, "movie_genre_like")
+      .orderBy("movie_id", "genre_id").as[(Long, Long)].collect().toSeq
+    assert(back == Seq((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("readJdbc partitions the scan into parallel range reads") {
+    import spark.implicits._
+    val url = derbyUrl("readpart")
+    val rows = (1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")
+    Sources.writeJdbcUpsert(rows, url, "wide_read", Seq("id"))
+    val back = Sources.readJdbc(spark, url, "wide_read", "id", 1L, 100L, numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4)
+    assert(back.count() == 100)
+  }
+
   test("JSONL round-trip preserves nested-free rows exactly") {
     val dir = tmp("jsonl")
     val supplier = Tables.supplier(spark, sf).select("s_suppkey", "s_name", "s_nationkey")
