@@ -35,9 +35,11 @@ object Analytics {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q3 shape: selective dim filter (broadcast) ⋈ orders ⋈
-    * lineitem, revenue agg, deterministic top-10. customer is broadcast
-    * so the two big tables shuffle only for their own equi-join keys.
+  /** TPC-H Q3 shape: selective dim filter (size-guarded broadcast) ⋈
+    * orders ⋈ lineitem, revenue agg, deterministic top-10. When
+    * customer broadcasts, the two big tables shuffle only for their
+    * own equi-join keys; a design-scale customer table falls back to
+    * AQE's decision (see [[Hints.maybeBroadcast]]).
     */
   def q3TopUnshipped(s: SparkSession, dir: String): DataFrame = {
     val c  = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -46,7 +48,7 @@ object Analytics {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01 00:00:00")))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(Hints.maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("orderdate"),
                col("o_orderpriority"))
       .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))

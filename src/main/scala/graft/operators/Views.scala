@@ -9,10 +9,12 @@ import graft.functions.OracleSafe._
   * re-expressed on the testdata star schema per the SURVEY.md §1 mapping:
   * actors→suppliers, genres→brands, movies→orders, junctions→lineitem.
   *
-  * Every dimension join is an explicit broadcast — supplier/part are
-  * TPC-H-ratio dims (tiny next to lineitem at any scale factor), so the
-  * fact table never shuffles for the join; only the final partial
-  * aggregation exchanges data.
+  * Every dimension join goes through [[Hints.maybeBroadcast]]: at
+  * small scale the dim broadcasts (the fact table never shuffles for
+  * the join; only the final partial aggregation exchanges data), but
+  * the hint is size-guarded — TPC-H dims grow linearly with scale
+  * factor, and an unconditional broadcast() of a grown dim is a
+  * driver OOM at the 100 TB design point (see Hints scaladoc).
   */
 object Views {
 
@@ -22,7 +24,7 @@ object Views {
   def topActors(s: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(s, dir)
     val li  = Tables.lineitem(s, dir)
-    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+    li.join(Hints.maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey"))
       .groupBy("s_suppkey", "s_name")
       .agg(countDistinct(col("l_orderkey")).as("movie_count"))
       .orderBy(col("movie_count").desc, col("s_name"))
@@ -34,7 +36,7 @@ object Views {
   def topGenres(s: SparkSession, dir: String): DataFrame = {
     val p  = Tables.part(s, dir)
     val li = Tables.lineitem(s, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(Hints.maybeBroadcast(p), li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand").as("genre_name"))
       .agg(countDistinct(col("l_orderkey")).as("movie_count"))
       .orderBy(col("movie_count").desc, col("genre_name"))
@@ -48,7 +50,7 @@ object Views {
     val p  = Tables.part(s, dir)
     val li = Tables.lineitem(s, dir)
     val o  = Tables.orders(s, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(Hints.maybeBroadcast(p), li("l_partkey") === p("p_partkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("p_brand").as("genre_name"))
       .agg(
@@ -66,7 +68,7 @@ object Views {
     val sup = Tables.supplier(s, dir)
     val li  = Tables.lineitem(s, dir)
     val o   = Tables.orders(s, dir)
-    li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+    li.join(Hints.maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey"))
       .join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy("s_suppkey", "s_name")
       .agg(

@@ -31,6 +31,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
   }
 
+  test("dim broadcast is size-guarded: hash-broadcast when small, shuffle join when large") {
+    import graft.operators.Hints
+    // Small dim (sf0.001 stats are KB): the hint fires on every guarded
+    // site and the plan is a BroadcastHashJoin.
+    Seq(Views.topActors(spark, sf), Views.topGenres(spark, sf),
+        Views.genreRatings(spark, sf), Views.topActorsByRating(spark, sf),
+        Analytics.q3TopUnshipped(spark, sf)).foreach { df =>
+      assert(plan(df).contains("BroadcastHashJoin"),
+        s"small dim not broadcast:\n${plan(df)}")
+    }
+    // Simulated design-scale dim: force the guard threshold to 1 byte
+    // (every estimate exceeds it → no hint) and disable the session's
+    // own auto-broadcast so the planner's fallback is visible. The plan
+    // MUST degrade to a shuffle join rather than attempt the broadcast.
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set(Hints.ThresholdKey, "1")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Seq(Views.topActors(spark, sf), Analytics.q3TopUnshipped(spark, sf)).foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("BroadcastHashJoin"),
+          s"forced-large dim still broadcast — the hint ignored the guard:\n$p")
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"no shuffle join fallback in forced-large plan:\n$p")
+      }
+    } finally {
+      conf.unset(Hints.ThresholdKey)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    }
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val p = plan(Views.topActors(spark, sf))
     assert(p.contains("partial_"), s"no partial aggregation:\n$p")
