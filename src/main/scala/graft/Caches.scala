@@ -15,6 +15,7 @@ import org.apache.spark.sql.DataFrame
   */
 object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Cache `df` and register it for the next [[clear]]. */
   def cached(df: DataFrame): DataFrame = synchronized {
@@ -23,11 +24,21 @@ object Caches {
     df
   }
 
-  /** Unpersist (non-blocking) every registered frame. Idempotent:
-    * frames already unpersisted by their operator are a no-op.
+  /** Register a cleanup thunk to run at the next [[clear]] — for
+    * materializations `DataFrame.unpersist` cannot reach (e.g. the
+    * RDD behind a checkpointed frame, which the cache manager does
+    * not track). Must be idempotent and non-throwing.
+    */
+  def onClear(f: () => Unit): Unit = synchronized { cleanups += f }
+
+  /** Unpersist (non-blocking) every registered frame and run every
+    * registered cleanup. Idempotent: frames already unpersisted by
+    * their operator are a no-op.
     */
   def clear(): Unit = synchronized {
     frames.foreach(_.unpersist(false))
     frames.clear()
+    cleanups.foreach(f => f())
+    cleanups.clear()
   }
 }

@@ -150,64 +150,113 @@ object Dedup {
     * cross a component in O(log diameter) rounds — the
     * large-star/small-star recipe of the MapReduce-CC literature.
     *
-    * Two structural decisions matter at scale:
+    * Structural decisions that matter at scale:
     *  - The loop runs ONLY over vertices that appear in an edge (at real
     *    dup rates a small fraction of the corpus); the full id table
-    *    joins back exactly once at the end. Without this every round
-    *    self-joins O(corpus) rows no matter how few dups exist.
-    *  - Each round ends in an EAGER `localCheckpoint`, which both
-    *    materializes the round and TRUNCATES logical lineage. Truncation
-    *    is not optional: a round references the previous frame three
-    *    times (neighbor side, join spine, pointer-jump side), so the
-    *    un-truncated logical plan grows 3^rounds — an 8-round chain
+    *    joins back exactly once at the end — and not at all when the
+    *    edge set is empty (early exit: every doc is trivially its own
+    *    representative).
+    *  - Each round applies the neighbor-min and then TWO pointer jumps
+    *    against the previous round's label snapshot. A second jump
+    *    costs one more small join inside the same round but follows
+    *    two hops of the old pointer graph, cutting the number of
+    *    rounds (≈ fixed per-round scheduling + checkpoint cost, the
+    *    dominant term) for chain-heavy components.
+    *  - Each round ends in an EAGER checkpoint, which both materializes
+    *    the round and TRUNCATES logical lineage. Truncation is not
+    *    optional: a round references the previous frame four times
+    *    (neighbor side, join spine, two pointer-jump sides), so the
+    *    un-truncated logical plan grows 4^rounds — an 8-round chain
     *    OOMed the driver just BUILDING the plan string. `cache()` does
     *    not help (it truncates physical execution, not the logical
     *    plan the analyzer re-walks every round). The checkpointed
     *    frame is the touched-vertex set — two longs per row — so the
     *    RDD materialization that bypasses AQE is irrelevant here,
     *    unlike the corpus-wide iteration this replaced.
+    *  - The previous round's checkpoint is unpersisted as soon as the
+    *    next one is materialized, so exactly one round is ever pinned
+    *    (not maxIters+1 accumulating in the block manager per call).
     * The convergence signal is a `changed` column folded into the
     * round's frame and read with one cheap aggregate over the already-
     * materialized checkpoint (the old limit-1 `isEmpty` left the
     * round's cache partially populated and recomputed through an
     * unpersisted parent).
     *
-    * @param ids   one row per document (column `id`)
-    * @param edges verified near-dup pairs, columns `a`, `b` (any order,
-    *              deduplication not required)
+    * Fault tolerance: the default `localCheckpoint` stores round
+    * blocks on executors — fast, but on a real cluster an executor
+    * loss mid-iteration fails the job unrecoverably (lineage is
+    * truncated, the blocks are gone). Pass `reliable = true` on a
+    * cluster to use reliable `checkpoint()` instead: each round (two
+    * longs per touched vertex) is written to the checkpoint directory,
+    * surviving executor loss for the price of a small HDFS/object-store
+    * write per round. The caller owns `sc.setCheckpointDir` and the
+    * directory's cleanup (Spark removes the files on context stop only
+    * with `spark.cleaner.referenceTracking.cleanCheckpoints`).
+    *
+    * @param ids      one row per document (column `id`)
+    * @param edges    verified near-dup pairs, columns `a`, `b` (any
+    *                 order, deduplication not required)
+    * @param reliable use reliable `checkpoint()` (requires the session's
+    *                 checkpoint dir to be set) instead of
+    *                 `localCheckpoint` — see fault-tolerance note
     */
   def connectedComponents(ids: DataFrame, edges: DataFrame, id: String,
-                          maxIters: Int = 20): DataFrame = {
+                          maxIters: Int = 20, reliable: Boolean = false): DataFrame = {
     val repCol = s"rep_$id"
     // Symmetrize once; referenced every round, so cache the (a,b) pairs
     // (two longs per edge — the text never enters the iteration).
     val sym = graft.Caches.cached(
       edges.select(col("a"), col("b"))
         .union(edges.select(col("b").as("a"), col("a").as("b"))))
-    var cur = sym.select(col("a").as(id)).distinct()
-      .select(col(id), col(id).as(repCol))
-      .localCheckpoint(true)
+    // Empty edge set: skip the loop AND the rep join — nothing is a dup.
+    if (sym.isEmpty)
+      return ids.select(col(id), col(id).as(repCol), lit(false).as("is_dup")).orderBy(id)
+
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    // Free a round's materialized blocks once its successor exists. The
+    // checkpointed frame's plan is exactly a LogicalRDD over the
+    // persisted RDD; a reliable-checkpoint RDD holds no block-manager
+    // blocks, so unpersist is a harmless no-op there.
+    def unpersistRound(df: DataFrame): Unit = df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+    var kept = checkpointed(sym.select(col("a").as(id)).distinct()
+      .select(col(id), col(id).as(repCol)))
+    var cur = kept
     var i = 0
     var changed = true
     while (i < maxIters && changed) {
-      val lbl = cur.select(col(id).as("l_id"), col(repCol).as("l_rep"))
+      val lbl  = cur.select(col(id).as("l_id"), col(repCol).as("l_rep"))
+      val par  = cur.select(col(id).as("p_id"), col(repCol).as("p_rep"))
+      val par2 = cur.select(col(id).as("q_id"), col(repCol).as("q_rep"))
       val nbrMin = sym.join(lbl, col("b") === col("l_id"))
         .groupBy(col("a")).agg(min("l_rep").as("nbr_rep"))
-      val par = cur.select(col(id).as("p_id"), col(repCol).as("p_rep"))
-      val next = cur.join(nbrMin, col(id) === col("a"), "left")
-        .select(col(id), col(repCol).as("old_rep"),
-                least(col(repCol), coalesce(col("nbr_rep"), col(repCol))).as("rep1"))
-        .join(par, col("rep1") === col("p_id"), "left")
-        .select(col(id), col("old_rep"),
-                least(col("rep1"), coalesce(col("p_rep"), col("rep1"))).as(repCol))
-        .select(col(id), col(repCol), (col(repCol) =!= col("old_rep")).as("changed"))
-        .localCheckpoint(true) // eager: materialize + truncate lineage
-      // Cheap aggregate over the materialized checkpoint; coalesce
-      // guards the empty-edge-set case.
+      val next = checkpointed(
+        cur.join(nbrMin, col(id) === col("a"), "left")
+          .select(col(id), col(repCol).as("old_rep"),
+                  least(col(repCol), coalesce(col("nbr_rep"), col(repCol))).as("rep1"))
+          .join(par, col("rep1") === col("p_id"), "left")
+          .select(col(id), col("old_rep"),
+                  least(col("rep1"), coalesce(col("p_rep"), col("rep1"))).as("rep2"))
+          .join(par2, col("rep2") === col("q_id"), "left")
+          .select(col(id), col("old_rep"),
+                  least(col("rep2"), coalesce(col("q_rep"), col("rep2"))).as(repCol))
+          .select(col(id), col(repCol), (col(repCol) =!= col("old_rep")).as("changed")))
+      // Cheap aggregate over the materialized checkpoint.
       changed = next.agg(coalesce(max(col("changed")), lit(false))).head().getBoolean(0)
+      unpersistRound(kept)
+      kept = next
       cur = next.select(col(id), col(repCol))
       i += 1
     }
+    // The final round must stay materialized until the caller consumes
+    // the result; hand its blocks to the Caches lifecycle (freed at the
+    // same batch boundary as the operator's cached scans).
+    val lastRound = kept
+    graft.Caches.onClear(() => unpersistRound(lastRound))
     ids.join(cur, Seq(id), "left")
       .select(col(id), coalesce(col(repCol), col(id)).as(repCol))
       .withColumn("is_dup", col(repCol) =!= col(id))

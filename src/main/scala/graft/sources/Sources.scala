@@ -87,6 +87,27 @@ object Sources {
     * (the staging writer's own DDL mapping, so target and staging
     * column quoting always agree); an existing target is used as-is,
     * like the reference's schema.sql-owned tables.
+    *
+    * Operational notes:
+    *  - The staging table name carries a per-invocation random suffix,
+    *    so two concurrent loads into the same target never clobber
+    *    each other's stage. A crash can strand a stage table (e.g.
+    *    between the staging write and the MERGE); stranded stages are
+    *    inert — uniquely named, never re-read — and a rerun converges
+    *    regardless (proven in SourcesSpec).
+    *  - MERGE and the stage DROP run in ONE transaction (commit after
+    *    both), so the stage can never be dropped without its rows
+    *    having landed.
+    *  - Dialect: the MERGE is SQL:2003-standard, accepted by Derby
+    *    (what SourcesSpec runs against), Postgres ≥ 15, Oracle, SQL
+    *    Server, DB2. For Postgres < 15 the statement would need the
+    *    `INSERT … ON CONFLICT` form the reference uses — swap the
+    *    merge text, the two-phase shape stays.
+    *  - Table-absence is detected via `DatabaseMetaData.getTables`
+    *    (exact, UPPER and lower case, covering case-folding dialects);
+    *    any other JDBC failure propagates instead of being mistaken
+    *    for "absent" — a transient error must never route an upsert
+    *    into the create-from-scratch overwrite path.
     */
   def writeJdbcUpsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
                       updateOnConflict: Boolean = true,
@@ -96,18 +117,35 @@ object Sources {
     require(keyCols.nonEmpty, "writeJdbcUpsert needs at least one key column")
     require(keyCols.forall(cols.contains),
       s"key columns ${keyCols.filterNot(cols.contains).mkString(", ")} not in frame schema")
+    // Identifiers are interpolated into driver-issued SQL: restrict them
+    // to a safe shape instead of trusting quoting alone.
+    val SafeIdent = "[A-Za-z][A-Za-z0-9_]*".r
+    require(SafeIdent.matches(table),
+      s"table name '$table' must match ${SafeIdent.regex} (schema-qualified or quoted names are not supported)")
+    cols.foreach(c => require(!c.contains("\""),
+      s"""column name '$c' contains a quote character — unsupported in the merge SQL"""))
     // Spark's JDBC DDL writes column identifiers dialect-quoted; every
     // identifier below is quoted the same way so merge SQL matches the
     // writer-created tables byte-for-byte. Table names stay UNQUOTED
     // (database-canonical case) in both paths.
     def q(c: String) = "\"" + c + "\""
-    val stage = table + "__stage"
+    val stage = table + "__stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val deduped = df.dropDuplicates(keyCols)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      def exists(t: String): Boolean =
-        try { conn.createStatement().executeQuery(s"SELECT 1 FROM $t WHERE 1=0").close(); true }
-        catch { case _: java.sql.SQLException => false }
+      // Metadata-based existence check: a transient SQLException here
+      // PROPAGATES (the old query-probe treated any failure as
+      // "absent", which sent an upsert of an existing table into the
+      // overwrite path — destroying rows not in the current batch).
+      def exists(t: String): Boolean = {
+        val md = conn.getMetaData
+        def hit(n: String): Boolean = {
+          val rs = md.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
+        hit(t) || hit(t.toUpperCase) || hit(t.toLowerCase)
+      }
       def jdbcWrite(target: String): Unit =
         deduped.write.mode(SaveMode.Overwrite)
           .option("numPartitions", numPartitions)
@@ -127,12 +165,20 @@ object Sources {
           else ""
         val insertCols = cols.map(q).mkString(", ")
         val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+        // MERGE + stage DROP commit together: a failure between them
+        // rolls BOTH back (stage survives for post-mortem under its
+        // unique name; the target is untouched).
+        conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
           st.executeUpdate(
             s"MERGE INTO $table t USING $stage s ON ($on) " + matched +
               s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
           st.executeUpdate(s"DROP TABLE $stage")
+          conn.commit()
+        } catch { case e: Throwable =>
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          throw e
         } finally st.close()
       }
     } finally conn.close()

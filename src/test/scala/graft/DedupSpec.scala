@@ -147,4 +147,31 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(closed.values.toSet == Set(0L))
     graft.Caches.clear()
   }
+
+  test("connectedComponents empty edge set short-circuits to singleton components") {
+    import spark.implicits._
+    val ids = Seq(7L, 8L, 9L).toDF("doc_id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val closed = graft.operators.Dedup.connectedComponents(ids, edges, "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(closed == Map(7L -> ((7L, false)), 8L -> ((8L, false)), 9L -> ((9L, false))))
+    graft.Caches.clear()
+  }
+
+  test("connectedComponents reliable-checkpoint path matches the local-checkpoint result") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    // Chain + the shared-larger-neighbor counter-example in one graph.
+    val ids = (0L until 16L).toDF("doc_id")
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++ Seq((11L, 13L), (12L, 13L)))
+      .toDF("a", "b")
+    val closed = graft.operators.Dedup
+      .connectedComponents(ids, edges, "doc_id", reliable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(closed(i) == 0L))
+    Seq(11L, 12L, 13L).foreach(i => assert(closed(i) == 11L))
+    Seq(10L, 14L, 15L).foreach(i => assert(closed(i) == i))
+    graft.Caches.clear()
+  }
 }

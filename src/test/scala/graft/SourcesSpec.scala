@@ -105,6 +105,37 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back == Seq((1L, 10L), (1L, 11L), (2L, 10L)))
   }
 
+  test("writeJdbcUpsert: a stranded stage table from a crashed run never blocks a rerun") {
+    import spark.implicits._
+    val url = derbyUrl("stranded")
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    Sources.writeJdbcUpsert(v1, url, "strand_t", Seq("id"))
+    // Simulate the debris of a crashed earlier loader: both the legacy
+    // fixed-name stage and a unique-suffix stage left mid-flight.
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("""CREATE TABLE strand_t__stage ("id" BIGINT, "name" VARCHAR(10))""")
+      st.executeUpdate("""CREATE TABLE strand_t__stage_deadbeef ("id" BIGINT, "name" VARCHAR(10))""")
+      st.executeUpdate("""INSERT INTO strand_t__stage_deadbeef VALUES (99, 'ghost')""")
+      st.close()
+    } finally conn.close()
+    // The rerun must converge on the target and never read the debris.
+    val v2 = Seq((2L, "b2"), (3L, "c")).toDF("id", "name")
+    Sources.writeJdbcUpsert(v2, url, "strand_t", Seq("id"))
+    val back = readTable(url, "strand_t")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(back == Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("writeJdbcUpsert rejects unsafe table identifiers before any SQL runs") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "name")
+    intercept[IllegalArgumentException] {
+      Sources.writeJdbcUpsert(df, derbyUrl("unused"), "bad name; DROP", Seq("id"))
+    }
+  }
+
   test("readJdbc partitions the scan into parallel range reads") {
     import spark.implicits._
     val url = derbyUrl("readpart")
