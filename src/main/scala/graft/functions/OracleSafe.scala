@@ -38,6 +38,14 @@ object OracleSafe {
     * computed with integer arithmetic so every engine agrees bit-for-bit:
     * cents = SUM(x as DECIMAL)*100;  avg = (2*cents + n) div (2*n) / 100.
     *
+    * PRECONDITION: the column's SUM must be non-negative. Spark's `div`
+    * (IntegralDivide) truncates toward ZERO while the rounding identity
+    * (and DuckDB's `//`) assumes floor toward negative infinity, so for
+    * a negative sum the HALF_UP result can be off by 0.01 and diverge
+    * from the oracle. Every current caller aggregates prices/quantities
+    * (non-negative by construction); a signed column needs a
+    * floor-based variant, not this one.
+    *
     * The quotient is an INTEGRAL division over DECIMAL(38,0) operands —
     * never a floating `/`: a double quotient is exact only below 2^53,
     * and at 100 TB a money sum crosses 2^53 cents (~$90T? no — ~9e15

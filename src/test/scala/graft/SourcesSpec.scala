@@ -136,6 +136,58 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  // --- paginated extract (PagedExtract) ---
+
+  /** 5-page fixture: page p has 3 records with ids 10p..10p+2. */
+  private val fixturePages = 5
+  private def fixturePage(p: Int): Option[Seq[String]] =
+    if (p > fixturePages) None
+    else Some((0 until 3).map(i => s"""{"movie_id":${p * 10 + i},"title":"m${p * 10 + i}"}"""))
+
+  private val pageSchema = StructType(Seq(
+    StructField("movie_id", LongType), StructField("title", StringType)))
+
+  test("PagedExtract resumes after a failed run: no re-fetch, every page landed exactly once") {
+    val dir = tmp("paged")
+    // Run 1: pages 1-2 land, page 3 is permanently down -> abort.
+    val run1Fetched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val boom = intercept[RuntimeException] {
+      graft.sources.PagedExtract.extract(
+        p => { run1Fetched += p
+               if (p == 3) throw new java.io.IOException("api down") else fixturePage(p) },
+        dir, maxRetries = 2, sleep = _ => ())
+    }
+    assert(boom.getMessage.contains("page 3"))
+    assert(run1Fetched.count(_ == 3) == 3, "1 attempt + 2 retries expected")
+    // Run 2: API recovered. Pages 1-2 must NOT be re-fetched; 3-5 land.
+    val run2Fetched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val landed = graft.sources.PagedExtract.extract(
+      p => { run2Fetched += p; fixturePage(p) }, dir, sleep = _ => ())
+    assert(landed == 3)
+    assert(run2Fetched.toSeq == Seq(3, 4, 5, 6), s"re-fetched a landed page: $run2Fetched")
+    // Exactly-once landing: 15 distinct records, one per fixture row.
+    val back = graft.sources.PagedExtract.readLanded(spark, dir, pageSchema)
+    assert(back.count() == 15 && back.distinct().count() == 15)
+    // A third run is a no-op end-probe.
+    val run3Fetched = scala.collection.mutable.ArrayBuffer.empty[Int]
+    assert(graft.sources.PagedExtract.extract(
+      p => { run3Fetched += p; fixturePage(p) }, dir, sleep = _ => ()) == 0)
+    assert(run3Fetched.toSeq == Seq(6))
+  }
+
+  test("PagedExtract retries transient failures with exponential backoff") {
+    val dir = tmp("paged_retry")
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var failures = 2
+    val landed = graft.sources.PagedExtract.extract(
+      p => if (p == 2 && { val f = failures > 0; failures -= 1; f })
+             throw new java.io.IOException("flaky")
+           else fixturePage(p),
+      dir, maxRetries = 3, backoffMs = 100, sleep = sleeps += _)
+    assert(landed == fixturePages)
+    assert(sleeps.toSeq == Seq(100L, 200L), s"backoff schedule: $sleeps")
+  }
+
   test("readJdbc partitions the scan into parallel range reads") {
     import spark.implicits._
     val url = derbyUrl("readpart")
