@@ -55,6 +55,10 @@ object SparkEntry {
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
+    "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    // Training-data assembly (LLM-data pipeline)
+    "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
+    "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     // Text analysis (LLM-data pipeline)
@@ -375,6 +379,26 @@ object SparkEntry {
                 CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
          FROM t ORDER BY doc_id""",
+    "sample_split_hash" ->
+      """SELECT doc_id,
+                CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+                CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+                     THEN 'train' ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+           FROM t)
+         SELECT doc_id, shard, n_tokens,
+                CAST((tok_end - n_tokens) // 512 AS BIGINT) AS first_chunk,
+                CAST(CASE WHEN n_tokens = 0 THEN (tok_end - n_tokens) // 512
+                          ELSE (tok_end - 1) // 512 END AS BIGINT) AS last_chunk
+         FROM c ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint

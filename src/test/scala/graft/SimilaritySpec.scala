@@ -46,4 +46,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val hit = bf.intersect(lsh).count()
     assert(nBf > 0 && hit.toDouble / nBf >= 0.8, s"recall ${hit.toDouble / nBf}")
   }
+
+  test("IVF recalls >= 75% of exact top-10 at the default nProbeCells/nCells") {
+    // The synthetic embeddings are near-uniform — the adversarial case
+    // for partition ANN, where recall ≈ probed fraction (8/16 here
+    // measures 0.80 exactly). The bound leaves headroom for KMeans
+    // implementation drift, not for a semantics regression (the
+    // all-cells test below pins exactness).
+    val bf = Similarity.annBruteforceTopK(spark, sf).select("probe_id", "neighbor_id")
+    val ivf = Similarity.annIvfTopK(spark, sf).select("probe_id", "neighbor_id")
+    val nBf = bf.count()
+    val hit = bf.intersect(ivf).count()
+    assert(nBf > 0 && hit.toDouble / nBf >= 0.75, s"recall ${hit.toDouble / nBf}")
+    graft.Caches.clear()
+  }
+
+  test("IVF probing every cell degenerates to exactly the brute-force result") {
+    val bf = Similarity.annBruteforceTopK(spark, sf)
+    val all = Similarity.annIvfTopK(spark, sf, nCells = 8, nProbeCells = 8)
+    assert(bf.exceptAll(all).count() == 0 && all.exceptAll(bf).count() == 0)
+    graft.Caches.clear()
+  }
 }

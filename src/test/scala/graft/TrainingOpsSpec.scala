@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TrainingOps
+
+/** Training-data assembly semantics: hash-split determinism and an
+  * exact independent reconstruction of the sequence-packing layout.
+  */
+class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
+
+  test("sample_split_hash is deterministic, bucketed in [0,100), split consistent") {
+    val a = TrainingOps.sampleSplitHash(spark, sf).collect()
+    val b = TrainingOps.sampleSplitHash(spark, sf).collect()
+    assert(a.sameElements(b), "same corpus must produce the identical split")
+    a.foreach { r =>
+      val bucket = r.getLong(1)
+      assert(bucket >= 0 && bucket < 100)
+      assert(r.getString(2) == (if (bucket < 80) "train" else "test"))
+    }
+    // Both sides populated at any realistic corpus size (500 docs).
+    val splits = a.map(_.getString(2)).toSet
+    assert(splits == Set("train", "test"))
+    // The split is a function of the KEY alone: trainPct moves the
+    // boundary, never reshuffles assignments.
+    val strict = TrainingOps.sampleSplitHash(spark, sf, trainPct = 50)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    a.foreach { r =>
+      if (strict(r.getLong(0)) == "train") assert(r.getString(2) == "train",
+        "a doc in the 50% train set must also be in the 80% train set")
+    }
+  }
+
+  test("pack_sequences matches an independent sequential reconstruction") {
+    val ctxLen = 512
+    val nShards = 8
+    val out = TrainingOps.packSequences(spark, sf, ctxLen, nShards)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // Reconstruct the layout with a plain Scala fold over per-shard
+    // doc_id order, from the operator's own token counts (the counts
+    // themselves are oracle-checked via text_token_count's bpe_tokens).
+    val docs = out.toSeq.map { case (id, (shard, n, _, _)) => (id, shard, n) }
+    docs.groupBy(_._2).foreach { case (_, inShard) =>
+      var cum = 0L
+      inShard.sortBy(_._1).foreach { case (id, _, n) =>
+        val start = cum
+        cum += n
+        val expFirst = start / ctxLen
+        val expLast = if (n == 0) expFirst else (cum - 1) / ctxLen
+        val (_, _, first, last) = out(id)
+        assert(first == expFirst && last == expLast,
+          s"doc $id: got ($first,$last), expected ($expFirst,$expLast)")
+      }
+    }
+    // Shard assignment is doc_id mod nShards.
+    docs.foreach { case (id, shard, _) => assert(shard == id % nShards) }
+  }
+}
