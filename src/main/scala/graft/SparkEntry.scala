@@ -61,11 +61,13 @@ object SparkEntry {
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
+    "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
     "text_token_count"   -> (TextOps.textTokenCount _),
     "text_fingerprint"   -> (TextOps.textFingerprint _),
+    "top_ngrams"         -> ((s, d) => TextOps.topNgrams(s, d)),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -379,6 +381,31 @@ object SparkEntry {
                 CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
          FROM t ORDER BY doc_id""",
+    "mm_frame_sample" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  ['I','A','V'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+                  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + (doc_id * 31) % 9000 END AS n_frames
+           FROM documents),
+         v AS (SELECT doc_id, n_frames FROM m WHERE kind = 'V')
+         SELECT doc_id, n_frames,
+                unnest(list_sort(list_distinct(list_transform(range(0, 8),
+                       i -> CAST(floor(i * n_frames / 8) AS BIGINT))))) AS frame_idx
+         FROM v ORDER BY doc_id, frame_idx""",
+    "top_ngrams" ->
+      """WITH t AS (
+           SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (
+           SELECT CASE WHEN len(toks) >= 2
+                       THEN list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))
+                       ELSE [array_to_string(toks, ' ')] END AS ngrams
+           FROM t)
+         SELECT ngram, COUNT(*) AS doc_freq
+         FROM (SELECT unnest(ngrams) AS ngram FROM g)
+         GROUP BY ngram
+         ORDER BY doc_freq DESC, ngram
+         LIMIT 100""",
     "sample_split_hash" ->
       """SELECT doc_id,
                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,

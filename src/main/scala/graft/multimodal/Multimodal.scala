@@ -79,6 +79,31 @@ object Multimodal {
   def mmExtractMeta(s: SparkSession, dir: String): DataFrame =
     extractMeta(synthesizePayloads(s, dir))
 
+  /** SURVEY §2 `mm_frame_sample`: uniform frame sampling for the video
+    * rows — the standard video-training prep step (a frame decoder
+    * consumes (payload, frame_idx) pairs; this computes WHICH frames).
+    * For each video, k uniformly-spaced indices idx_i = (i·n_frames)
+    * div k, deduplicated and sorted (short clips with n_frames < k
+    * yield each frame once, never an out-of-range index). Pure
+    * row-local metadata arithmetic on the parsed header — blob bodies
+    * are untouched, nothing shuffles; the explode multiplies rows ≤ k×
+    * BEFORE the decoder, which is the point: sampling 8 of ~4500
+    * frames drops 99.8% of decode work at the plan level.
+    */
+  def mmFrameSample(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    require(k > 0, "k must be positive")
+    val meta = extractMeta(synthesizePayloads(s, dir))
+    meta.filter(col("media_kind") === "V")
+      .select(col("doc_id"), col("n_frames"),
+        // floor(i·n/k) over doubles is exact here: i·n_frames is
+        // bounded by k × frame-count-per-video (video length, not
+        // corpus size) — far below 2^53 for any real clip.
+        explode(array_sort(array_distinct(transform(
+          sequence(lit(0L), lit(k - 1L)),
+          i => floor(i * col("n_frames") / lit(k)))))).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Decoded-content row produced by the batch decoder. */
   case class DecodedMeta(doc_id: Long, n_bytes: Long, content_feature: Long)
 

@@ -94,6 +94,27 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide n-gram document frequency, top `k` — the boilerplate
+    * detector of a training-data pipeline (an n-gram appearing in a
+    * large fraction of documents is template/navigation text, a
+    * primary pretraining contaminant). Distinct n-grams per document
+    * ([[Dedup.wordNgrams]] — the dedup family's shingle definition,
+    * so "n-gram" means the same thing engine-wide), explode, ONE
+    * partial-aggregated count shuffle, top-k via TakeOrderedAndProject
+    * (no global sort materializes; ties broken on the n-gram for
+    * determinism). At 100 TB the agg keys are the distinct n-gram
+    * strings — bounded by vocabulary, not corpus size.
+    */
+  def topNgrams(s: SparkSession, dir: String, n: Int = 2, k: Int = 100): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(explode(Dedup.wordNgrams(col("toks"), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Canonical fingerprint key per document (sorted distinct tokens).
     * The 64-bit hash variant ([[graft.functions.TextFunctions.fingerprint64]])
     * is what a 100 TB dedup would shuffle; the string key is emitted

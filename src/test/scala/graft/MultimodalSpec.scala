@@ -30,6 +30,25 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(batch.exceptAll(expr).count() == 0 && expr.exceptAll(batch).count() == 0)
   }
 
+  test("frame sampling: video-only, in-range, sorted-distinct, short clips covered") {
+    val k = 8
+    val out = Multimodal.mmFrameSample(spark, sf, k).cache()
+    val meta = Multimodal.mmExtractMeta(spark, sf)
+      .select("doc_id", "media_kind", "n_frames")
+    // only videos, never an index outside [0, n_frames)
+    assert(out.join(meta, Seq("doc_id")).filter(col("media_kind") =!= "V").count() == 0)
+    assert(out.filter(col("frame_idx") < 0 || col("frame_idx") >= col("n_frames")).count() == 0)
+    // per video: <= k indices, exactly min(k, n_frames) of them, distinct
+    val per = out.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), countDistinct(col("frame_idx")).as("nd"),
+      first(col("n_frames")).as("nf"))
+    assert(per.filter(col("n") =!= col("nd")).count() == 0)
+    assert(per.filter(col("n") =!= least(lit(k.toLong), col("nf"))).count() == 0)
+    // a clip shorter than k samples every frame
+    assert(per.filter(col("nf") < k && col("n") =!= col("nf")).count() == 0)
+    out.unpersist()
+  }
+
   test("n_bytes = 21-byte header + UTF-8 body length") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), (lit(21) + length(encode(col("text"), "UTF-8"))).as("expect"))

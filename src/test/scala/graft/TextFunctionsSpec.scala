@@ -41,4 +41,19 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
       .select(ratioX100(col("a"), col("b"))).head().getLong(0)
     assert(r == 33L)
   }
+
+  test("topNgrams: document frequency of distinct-per-doc bigrams, deterministic top-k") {
+    val out = graft.operators.TextOps.topNgrams(spark, sf).collect()
+    assert(out.length == 100)
+    // counts non-increasing; ties broken ascending on the n-gram
+    out.sliding(2).foreach { case Array(a, b) =>
+      val (fa, fb) = (a.getLong(1), b.getLong(1))
+      assert(fa > fb || (fa == fb && a.getString(0) < b.getString(0)))
+    }
+    // doc frequency, not term frequency: no count can exceed the corpus size
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.forall(_.getLong(1) <= nDocs))
+    // every bigram is two tokens
+    assert(out.forall(_.getString(0).split(" ").length == 2))
+  }
 }
