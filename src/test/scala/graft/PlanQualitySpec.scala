@@ -113,6 +113,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(hashExchanges <= 1, s"expected <=1 hash shuffle, got $hashExchanges:\n$p")
   }
 
+  test("sample_split_hash is a pure projection — no exchange except the output sort") {
+    val p = plan(graft.operators.TrainingOps.sampleSplitHash(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"hash split must not shuffle data (only the ORDER BY range exchange):\n$p")
+  }
+
+  test("pack_sequences windows per shard — its shuffle is the shard hash partitioning") {
+    val p = plan(graft.operators.TrainingOps.packSequences(spark, sf))
+    assert(p.contains("Window"), s"no window in packing plan:\n$p")
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.nonEmpty && hashExchanges.forall(_.contains("shard")),
+      s"window must partition by shard (a global-order window would single-thread the corpus):\n$p")
+  }
+
+  test("top_ngrams aggregates partially and takes top-k without a global sort") {
+    val p = plan(graft.operators.TextOps.topNgrams(spark, sf))
+    assert(p.contains("partial_count"), s"no map-side combine:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed into the exchange:\n$p")
+  }
+
+  test("IVF ANN broadcasts centroids and probe cells — corpus embeddings never shuffle") {
+    val p = plan(graft.operators.Similarity.annIvfTopK(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"probe-cells join not broadcast:\n$p")
+    val shuffledEmbedding = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!shuffledEmbedding, s"corpus embeddings in a shuffle:\n$p")
+    graft.Caches.clear()
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
