@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for graft — the one place that knows which confs
+  * the library REQUIRES, so users don't reverse-engineer them from
+  * the mains:
+  *
+  *  - `spark.sql.extensions = graft.plans.GraftExtensions` injects the
+  *    custom codegen'd functions (graft_cosine, graft_minhash, …) at
+  *    session build. Operators also self-register on first use, so a
+  *    foreign session still works — the extension just makes the
+  *    functions visible to plain `spark.sql` users immediately.
+  *  - `spark.sql.legacy.parquet.nanosAsLong = true` is REQUIRED to
+  *    read TIMESTAMP(NANOS) parquet (the events table): Spark's
+  *    reader rejects the type outright otherwise, and `Tables.events`
+  *    refuses to guess session-wide semantics at plan-build time
+  *    (see its scaladoc).
+  *  - UTC session timezone: timestamp→date/epoch conversions must not
+  *    depend on the host machine's zone.
+  *
+  * [[configure]] layers these onto ANY builder (cluster deployments
+  * bring their own master/resources); [[local]] is the local-mode
+  * shortcut the mains and tests use, with `spark.sql.shuffle.partitions`
+  * sized to the core count rather than the 200 default (at cluster
+  * scale that knob is sized to data volume / ~200 MB per partition
+  * instead — SURVEY §4).
+  */
+object GraftSession {
+
+  /** Apply graft's required confs to an existing builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Local-mode session: `cores` threads, shuffle partitions = cores,
+    * UI off (the mains' configuration, shared so it cannot drift).
+    */
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+}
