@@ -24,6 +24,8 @@ object SparkEntry {
     "cap_topn_per_group"  -> ((s, d) => EtlOps.capTopNPerGroup(s, d)),
     "upsert_merge"        -> (EtlOps.upsertMerge _),
     "junction_build"      -> (EtlOps.junctionBuild _),
+    "cdc_apply"           -> (EtlOps.cdcApply _),
+    "agg_incremental"     -> (EtlOps.aggIncremental _),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -56,9 +58,13 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
+    "sample_stratified" -> ((s, d) => TrainingOps.sampleStratified(s, d)),
+    // Data layout
+    "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
@@ -68,6 +74,7 @@ object SparkEntry {
     "text_token_count"   -> (TextOps.textTokenCount _),
     "text_fingerprint"   -> (TextOps.textFingerprint _),
     "top_ngrams"         -> ((s, d) => TextOps.topNgrams(s, d)),
+    "text_pii_redact"    -> (TextOps.textPiiRedact _),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -116,6 +123,34 @@ object SparkEntry {
                 COUNT(*) AS n_lines
          FROM lineitem GROUP BY l_orderkey, l_partkey
          ORDER BY l_orderkey, l_partkey""",
+    "cdc_apply" ->
+      """WITH base AS (
+           SELECT c_custkey AS user_id, c_mktsegment AS segment
+           FROM customer WHERE c_custkey >= 8),
+         latest AS (
+           SELECT user_id, event_id,
+                  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op, value
+           FROM events
+           QUALIFY row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) = 1),
+         m AS (
+           SELECT COALESCE(b.user_id, l.user_id) AS user_id, b.segment,
+                  l.event_id, l.op, l.value
+           FROM base b FULL OUTER JOIN latest l ON b.user_id = l.user_id)
+         SELECT user_id, segment, event_id AS last_event_id, value AS last_value,
+                CASE WHEN op IS NULL THEN 'base'
+                     WHEN segment IS NULL THEN 'inserted'
+                     ELSE 'updated' END AS row_source
+         FROM m WHERE op IS NULL OR op <> 'D'
+         ORDER BY user_id""",
+    "agg_incremental" ->
+      """SELECT l_returnflag,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                MIN(l_extendedprice) AS min_price,
+                MAX(l_extendedprice) AS max_price,
+                COUNT(DISTINCT year(l_shipdate)*100 + month(l_shipdate)) AS n_partials
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "v_top_actors" ->
       """SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l.l_orderkey) AS movie_count
          FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
@@ -406,6 +441,36 @@ object SparkEntry {
          GROUP BY ngram
          ORDER BY doc_freq DESC, ngram
          LIMIT 100""",
+    "sample_stratified" ->
+      """SELECT doc_id, lang, sample_rank, strat_size FROM (
+           SELECT doc_id, lang,
+                  CAST(row_number() OVER (PARTITION BY lang
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank,
+                  COUNT(*) OVER (PARTITION BY lang) AS strat_size
+           FROM documents)
+         WHERE sample_rank * 100 <= strat_size * 10 + 99
+         ORDER BY doc_id""",
+    "text_pii_redact" ->
+      """WITH t AS (
+           SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS r0 FROM documents),
+         a AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(r0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+                  regexp_replace(r0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '<email>', 'g') AS r1
+           FROM t),
+         b AS (
+           SELECT doc_id, n_emails,
+                  CAST(len(regexp_extract_all(r1, '\+?[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+                  regexp_replace(r1, '\+?[0-9][0-9() -]{6,}[0-9]', '<phone>', 'g') AS r2
+           FROM a),
+         c AS (
+           SELECT doc_id, n_emails, n_phones,
+                  CAST(len(regexp_extract_all(r2, '[0-9]{5,}')) AS BIGINT) AS n_nums,
+                  regexp_replace(r2, '[0-9]{5,}', '<num>', 'g') AS redacted
+           FROM b)
+         SELECT doc_id, n_emails, n_phones, n_nums, redacted FROM c ORDER BY doc_id""",
+    "zorder_key" -> zorderOracle,
+    "knn_graph" -> knnGraphOracle,
     "sample_split_hash" ->
       """SELECT doc_id,
                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
@@ -503,6 +568,41 @@ object SparkEntry {
     * engines (verified at sf0.001 and sf0.01). Fixed to the testdata's
     * 64-dim embeddings; the oracle is per-corpus by nature.
     */
+  /** Bit-arithmetic mirror of [[graft.functions.InterleaveBits]]: the
+    * z-value is a disjoint-bit sum, so 21 explicit shift-mask terms per
+    * dimension reproduce the codegen'd loop exactly in any engine with
+    * BIGINT `>> & <<`.
+    */
+  private lazy val zorderOracle: String = {
+    val bits = 21
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"(((event_id >> $i) & 1) << ${2 * i})",
+      s"(((user_id >> $i) & 1) << ${2 * i + 1})"))
+    s"""SELECT event_id, user_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
+        FROM events ORDER BY event_id"""
+  }
+
+  /** All-pairs variant of [[annBruteforceOracle]] (same expanded-sum
+    * float-exactness trick, every vector a probe) for the kNN graph.
+    * O(n²) with 3×64-term expressions — oracle-side only, at sf0.01.
+    */
+  private lazy val knnGraphOracle: String = {
+    val dim = 64
+    val dot = (1 to dim).map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(b.embedding[$i] AS DOUBLE)").mkString(" + ")
+    val nx  = (1 to dim).map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(a.embedding[$i] AS DOUBLE)").mkString(" + ")
+    val ny  = (1 to dim).map(i => s"CAST(b.embedding[$i] AS DOUBLE)*CAST(b.embedding[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH scored AS (
+          SELECT a.vec_id, b.vec_id AS neighbor_id,
+                 CASE WHEN sqrt($nx)*sqrt($ny) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(($dot) / (sqrt($nx)*sqrt($ny)) * 1000000.0) AS BIGINT) END AS cosine_x1e6
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT vec_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= 5
+        ORDER BY vec_id, rank"""
+  }
+
   private lazy val annBruteforceOracle: String = {
     val dim = 64
     val dot = (1 to dim).map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")

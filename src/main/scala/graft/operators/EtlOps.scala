@@ -136,4 +136,90 @@ object EtlOps {
            count(lit(1)).as("n_lines"))
       .orderBy("l_orderkey", "l_partkey")
   }
+
+  /** Apply a change-data-capture log onto a base snapshot: per key the
+    * LATEST log entry wins (ordered by event time, id tie-break);
+    * a latest-entry delete ('D') drops the row — tombstone semantics —
+    * while any other op upserts it. The log side collapses with ONE
+    * window shuffle on the key (row_number, the same latest-wins spine
+    * as [[dedupLatestByKey]]); the collapsed log — one row per TOUCHED
+    * key, not the full log — then full-outer-joins the base on the
+    * already-partitioned key. This is the Delta/Hudi MERGE shape: at
+    * 100 TB the expensive side is the log window, and it shuffles
+    * (key, ts, id, value) only, never the base table's payload.
+    *
+    * Generic core; [[cdcApply]] is the registered demonstration.
+    */
+  def applyChanges(base: DataFrame, log: DataFrame, key: String,
+                   versionCol: String, tieBreak: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(key)
+      .orderBy(col(versionCol).desc, col(tieBreak).desc)
+    val latest = log.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", versionCol)
+    base.join(latest, Seq(key), "full")
+      .filter(col(opCol).isNull || col(opCol) =!= "D")
+  }
+
+  /** [[applyChanges]] demonstration on the testdata: the base snapshot
+    * is customers with key ≥ 8 (so the log carries genuinely novel
+    * keys below 8 — all three merge paths run at every scale factor;
+    * the events user domain starts at 0), the log is the events table
+    * with `error` events as deletes and everything else as upserts.
+    * Output tags each surviving row `base` (untouched), `updated`
+    * (key in both) or `inserted` (log-only key).
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") >= 8)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val log = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+              when(col("event_type") === "error", "D").otherwise("U").as("op"),
+              col("value"))
+    applyChanges(base, log, "user_id", "ts_ns", "event_id", "op")
+      .select(
+        col("user_id"), col("segment"),
+        col("event_id").as("last_event_id"),
+        col("value").as("last_value"),
+        when(col("op").isNull, "base")
+          .when(col("segment").isNull, "inserted")
+          .otherwise("updated").as("row_source"))
+      .orderBy("user_id")
+  }
+
+  /** Incremental aggregation via mergeable partial states: stage 1
+    * folds the fact table into per-(group, shipment-month) states —
+    * count / decimal sum / min / max, all ALGEBRAIC, so states merge
+    * by plain re-aggregation — and stage 2 merges states into group
+    * totals. Numerically identical to a direct full-table aggregate
+    * (EtlOpsSpec asserts bit-equality; decimal sums make the claim
+    * partition- and merge-order-independent).
+    *
+    * The point at 100 TB: stage-1 states persist per ingest batch
+    * (month here), so a new batch costs one partial pass over ITS
+    * rows plus a merge over tiny state tables — never a rescan of
+    * history. The same two-level shape is what Spark's own partial
+    * aggregation does inside one query; this operator lifts it across
+    * ingest boundaries. Output carries `n_partials` (states merged per
+    * group) so the incremental structure is visible to the oracle.
+    */
+  def aggIncremental(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val partials = li
+      .withColumn("month_key",
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+      .groupBy("l_returnflag", "month_key")
+      .agg(count(lit(1)).as("p_rows"),
+           sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("p_qty"),
+           min("l_extendedprice").as("p_min"),
+           max("l_extendedprice").as("p_max"))
+    partials.groupBy("l_returnflag")
+      .agg(sum("p_rows").as("n_rows"),
+           sum("p_qty").cast("double").as("sum_qty"),
+           min("p_min").as("min_price"),
+           max("p_max").as("max_price"),
+           count(lit(1)).as("n_partials"))
+      .orderBy("l_returnflag")
+  }
 }

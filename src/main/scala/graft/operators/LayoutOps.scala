@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.GraftFunctions
+
+/** Data-layout operators (SURVEY.md §2) — how rows are ARRANGED into
+  * files, the write-side half of the scan-pruning story. The
+  * reference's load stage appends rows in arrival order
+  * (/root/reference/02_etl.py:84-105); at 100 TB arrival order is the
+  * worst layout there is: every query reads every file. Multi-
+  * dimensional clustering is what makes parquet min/max footer stats
+  * actually skip data for more than one predicate column.
+  */
+object LayoutOps {
+
+  /** z-order (Morton) key over two long columns — the codegen'd
+    * [[graft.functions.InterleaveBits]] expression. See
+    * [[clusterByZorder]] for the layout this key drives.
+    */
+  def zorderCol(s: SparkSession, x: Column, y: Column, bits: Int): Column = {
+    GraftFunctions.ensureRegistered(s)
+    call_function("graft_zorder2", x, y, lit(bits))
+  }
+
+  /** z-key projection over the events table — (event_id, user_id)
+    * interleaved. 21 bits/dimension covers both id domains with
+    * headroom at every test scale factor and multiplies out to a
+    * 42-bit key; out-of-range ids FAIL rather than silently fold
+    * (see [[graft.functions.InterleaveBits.rangeError]]). Row-local
+    * projection: the scan prunes to exactly the two id columns.
+    */
+  def zorderKey(s: SparkSession, dir: String, bits: Int = 21): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_id"), col("user_id"),
+        zorderCol(s, col("event_id"), col("user_id"), bits).as("zval"))
+      .orderBy("event_id")
+  }
+
+  /** Cluster a frame for writing: range-partition on the z-key of
+    * (`x`, `y`) and sort within partitions, so each output file covers
+    * a small rectangle of the 2-D key space and min/max footer stats
+    * prune scans filtered on EITHER column (plain sort-by-x only ever
+    * prunes x-predicates). One range-exchange — the same shuffle a
+    * single-column sorted write pays.
+    */
+  def clusterByZorder(s: SparkSession, df: DataFrame, x: Column, y: Column,
+                      bits: Int = 21, numFiles: Int = 32): DataFrame =
+    df.withColumn("__z", zorderCol(s, x, y, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+}

@@ -153,6 +153,40 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Exact k-nearest-neighbor GRAPH: every corpus vector gets its k
+    * nearest others by cosine — the all-pairs generalization of
+    * [[annBruteforceTopK]] (whose probes are a 2% sample). The kNN
+    * graph is the backbone structure for semantic-dedup clustering,
+    * graph-based label propagation, and diversity sampling over a
+    * training corpus.
+    *
+    * Shape: one side of the self-comparison is broadcast, the scored
+    * (id, neighbor, score) triples flow through a partial-top-k window
+    * (WindowGroupLimit map-side prune — at most k·partitions rows per
+    * vector reach the exchange). Exact all-pairs is O(n²) BY CONTRACT —
+    * right as the oracle-checked baseline and for corpus shards up to
+    * ~10⁵ vectors (the broadcast side: n·dim floats). At 100 TB the
+    * same output shape comes from the candidate generators this file
+    * already has: IVF cells ([[annIvfTopK]] — score within cells only)
+    * or banded SRP-LSH ([[annLshTopK]]) with per-vector probing, each
+    * trading the n² term for a recall dial.
+    */
+  def knnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+    val other = broadcast(
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    emb.join(other, col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+              scoreX1e6(col("embedding"), col("n_emb")).as("cosine_x1e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cosine_x1e6")
+      .orderBy("vec_id", "rank")
+  }
+
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(s)

@@ -120,6 +120,44 @@ object TextOps {
     * is what a 100 TB dedup would shuffle; the string key is emitted
     * here because it is engine-neutral and oracle-checkable.
     */
+  /** PII patterns over normalized (lowercased) text, applied in a fixed
+    * sequence so counts never overlap: emails first, then phone-shaped
+    * digit runs, then any remaining ≥5-digit run. Kept inside the
+    * RE2 ∩ java.util.regex common subset (no backrefs, no lookaround)
+    * so the DuckDB oracle's regexp engine agrees byte-for-byte.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+" -> "<email>",
+    "\\+?[0-9][0-9() -]{6,}[0-9]"              -> "<phone>",
+    "[0-9]{5,}"                                -> "<num>")
+
+  /** PII redaction pass — the scrub step every pretraining pipeline
+    * runs before text leaves the ingest zone. Counts each pattern
+    * (on the text as it looks when that pattern's turn comes — the
+    * sequence is the contract) and emits the fully redacted text.
+    * Row-local single scan like every TextOps operator; at 100 TB
+    * this is a map stage fused into whatever projection follows.
+    */
+  def textPiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val stages = piiPatterns.zipWithIndex.foldLeft(
+      Tables.documents(s, dir).select(col("doc_id"), normText(col("text")).as("red0"))
+    ) { case (df, ((pat, repl), i)) =>
+      // Each stage counts on, then rewrites, the PREVIOUS stage's
+      // attribute — projected stepwise so the regex scans run once
+      // per stage, not once per downstream reference.
+      df.withColumn(s"n$i",
+          size(regexp_extract_all(col(s"red$i"), lit(pat), lit(0))).cast("long"))
+        .withColumn(s"red${i + 1}", regexp_replace(col(s"red$i"), pat, repl))
+    }
+    stages.select(
+        col("doc_id"),
+        col("n0").as("n_emails"),
+        col("n1").as("n_phones"),
+        col("n2").as("n_nums"),
+        col(s"red${piiPatterns.size}").as("redacted"))
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(

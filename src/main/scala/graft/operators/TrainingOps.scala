@@ -82,4 +82,35 @@ object TrainingOps {
           .otherwise(expr(s"(tok_end - 1) div $ctxLen")).as("last_chunk"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic stratified sampling: within each stratum (`lang`),
+    * rows rank by md5(doc_id) — a uniform, engine-agreed pseudo-random
+    * order — and the top ceil(pct% · stratum size) survive, so every
+    * stratum is represented at the SAME rate regardless of how skewed
+    * the stratum sizes are (uniform sampling starves small strata —
+    * exactly the languages a pretraining mix most wants to keep).
+    *
+    * Same reproducibility rationale as [[sampleSplitHash]] (pure
+    * function of the key, stable across runs/engines/partitionings),
+    * but with an exact per-stratum COUNT guarantee, which costs ONE
+    * window shuffle on the stratum key — that is the price of "exactly
+    * ceil(pct·n)" over "pct in expectation". The quota arithmetic is
+    * integral ((n·pct + 99) div 100): a double `ceil(0.01·pct·n)`
+    * computes 0.1·750 = 75.000000000000014 and quietly over-admits.
+    * At 100 TB with few strata, swap the row_number window for the
+    * zero-shuffle hash-threshold form (keep iff bucket < pct — the
+    * [[sampleSplitHash]] trick) when "pct in expectation" suffices.
+    */
+  def sampleStratified(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct $pct outside [0,100]")
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .withColumn("strat_size", count(lit(1)).over(wAll))
+      .filter(col("sample_rank") * 100 <= col("strat_size") * pct + 99)
+      .orderBy("doc_id")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, MinHashBands, MinHashSig, SimHash64, SrpSignature}
+import graft.functions.{CosineSim, InterleaveBits, MinHashBands, MinHashSig, SimHash64, SrpSignature}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -51,7 +51,10 @@ object GraftFunctions {
         intArg(args, 1, "graft_minhash_bands"), intArg(args, 2, "graft_minhash_bands"))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimHash64(args(0))))
+      (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_zorder2"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "graft_zorder2"),
+      (args: Seq[Expression]) => InterleaveBits(args(0), args(1), intArg(args, 2, "graft_zorder2"))))
 
   /** Idempotently register on an existing session. */
   def ensureRegistered(s: SparkSession): Unit = {

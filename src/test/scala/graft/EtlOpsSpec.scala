@@ -48,6 +48,68 @@ class EtlOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == out.distinct().count())
   }
 
+  test("applyChanges: latest-wins upsert, tombstone delete, insert of novel keys") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "payload")
+    // key 1: update then delete (latest D wins -> dropped)
+    // key 2: delete then update (latest U wins -> kept, updated)
+    // key 4: novel, latest U  -> inserted
+    // key 5: novel, latest D  -> tombstone of an unseen key, never emitted
+    val log = Seq(
+      (1L, 10L, 100L, "U", 1.0), (1L, 20L, 101L, "D", 2.0),
+      (2L, 10L, 102L, "D", 3.0), (2L, 20L, 103L, "U", 4.0),
+      (4L, 10L, 104L, "U", 5.0),
+      (5L, 10L, 105L, "D", 6.0)).toDF("k", "v", "id", "op", "value")
+    val out = EtlOps.applyChanges(base, log, "k", "v", "id", "op")
+      .select(col("k"), col("payload"), col("op"), col("value"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), Option(r.getString(2)), Option(r.get(3)))).toMap
+    assert(out.keySet == Set(2L, 3L, 4L))
+    assert(out(2L) == (("b", Some("U"), Some(4.0)))) // latest wins, base payload kept
+    assert(out(3L) == (("c", None, None)))           // untouched base row
+    assert(out(4L)._1 == null && out(4L)._3 == Some(5.0)) // inserted: no base payload
+  }
+
+  test("cdc_apply exercises all three merge paths and never emits a deleted key") {
+    val out = EtlOps.cdcApply(spark, sf).cache()
+    val sources = out.select("row_source").distinct().collect().map(_.getString(0)).toSet
+    assert(sources == Set("base", "updated", "inserted"))
+    // deleted = users whose LATEST event is an error; none may survive
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    val deleted = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("event_type") === "error").select("user_id")
+    assert(out.join(deleted, "user_id").count() == 0)
+    // every surviving touched key carries its latest event id
+    val latestKept = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("event_type") =!= "error")
+      .select(col("user_id"), col("event_id").as("exp_event_id"))
+    val mism = out.filter(col("last_event_id").isNotNull)
+      .join(latestKept, "user_id")
+      .filter(col("last_event_id") =!= col("exp_event_id"))
+    assert(mism.count() == 0)
+    out.unpersist()
+  }
+
+  test("agg_incremental merge of partial states equals the direct full aggregate bit-for-bit") {
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+             .cast("double").as("sum_qty"),
+           min("l_extendedprice").as("min_price"),
+           max("l_extendedprice").as("max_price"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val inc = EtlOps.aggIncremental(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(inc.keySet == direct.keySet)
+    inc.foreach { case (flag, (n, q, mn, mx, nPartials)) =>
+      val (dn, dq, dmn, dmx) = direct(flag)
+      assert(n == dn && q == dq && mn == dmn && mx == dmx, s"flag $flag diverges")
+      assert(nPartials >= 1)
+    }
+  }
+
   test("dup_report only reports keys with >1 occurrence") {
     val out = EtlOps.dupReport(spark, sf)
     assert(out.filter(col("occurrences") <= 1).count() == 0)

@@ -145,6 +145,49 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("zorder_key scan prunes to exactly the two id columns") {
+    val p = plan(graft.operators.LayoutOps.zorderKey(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+      .split("ReadSchema: ").last
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id")
+      && !readSchema.contains("props") && !readSchema.contains("event_type")
+      && !readSchema.contains("value"), s"schema not pruned: $readSchema")
+  }
+
+  test("knn_graph broadcasts the neighbor side and prunes top-k map-side") {
+    val p = plan(graft.operators.Similarity.knnGraph(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"neighbor side not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no map-side top-k prune:\n$p")
+    // only scored triples shuffle into the ranking window, never vectors
+    val shuffledEmbedding = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("emb"))
+    assert(!shuffledEmbedding, s"embeddings in a shuffle:\n$p")
+  }
+
+  test("cdc_apply: window+full-merge shape, pushdown on base, pruned log scan") {
+    val p = plan(EtlOps.cdcApply(spark, sf))
+    assert(p.contains("Window") && p.contains("FullOuter"), s"not a window+full-merge plan:\n$p")
+    // snapshot predicate reaches the base scan
+    assert(p.contains("GreaterThanOrEqual(c_custkey,8)"),
+      s"base cutoff not pushed to the customer scan:\n$p")
+    // log scan pruned to the CDC columns — payload strings never read
+    val eventsSchema = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("events.parquet")).toSeq
+    assert(eventsSchema.nonEmpty && eventsSchema.forall(!_.contains("props")),
+      s"log scan not pruned:\n$p")
+    // the window operator itself runs on log columns only
+    val windowLines = p.linesIterator.filter(_.trim.startsWith("+- Window")).toSeq ++
+      p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.forall(!_.contains("c_mktsegment")),
+      s"base payload routed through the log window:\n$p")
+  }
+
+  test("agg_incremental keeps partial aggregation at both levels") {
+    val p = plan(EtlOps.aggIncremental(spark, sf))
+    assert(p.contains("partial_"), s"no map-side combine in state build:\n$p")
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))

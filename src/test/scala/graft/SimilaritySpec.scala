@@ -67,4 +67,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(bf.exceptAll(all).count() == 0 && all.exceptAll(bf).count() == 0)
     graft.Caches.clear()
   }
+
+  test("knn_graph restricted to the probe subset equals brute-force ANN exactly") {
+    val bf = Similarity.annBruteforceTopK(spark, sf, k = 10)
+    val knn = Similarity.knnGraph(spark, sf, k = 10)
+      .filter(col("vec_id") % 100 < 2)
+      .select(col("vec_id").as("probe_id"), col("rank"),
+              col("neighbor_id"), col("cosine_x1e6"))
+    assert(bf.exceptAll(knn).count() == 0 && knn.exceptAll(bf).count() == 0)
+  }
+
+  test("knn_graph: every vector present with k contiguous ranks") {
+    val out = Similarity.knnGraph(spark, sf, k = 5).cache()
+    val n = Tables.embeddings(spark, sf).count()
+    val per = out.groupBy("vec_id").agg(count(lit(1)).as("c"), max("rank").as("mr"))
+    assert(per.count() == n)
+    assert(per.filter(col("c") =!= 5 || col("mr") =!= 5).count() == 0)
+    out.unpersist()
+  }
 }

@@ -42,6 +42,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(r == 33L)
   }
 
+  test("piiPatterns redact emails, phones, digit runs in sequence on crafted text") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // Apply the operator's exact stage sequence to crafted strings.
+    val stages = TextOps.piiPatterns.zipWithIndex.foldLeft(
+      Seq(
+        "mail me at Bob.Smith+x@Example.co.uk or call +44 20 7946 0958 ref 1234567",
+        "no pii here, just 42 and 007",
+        "two mails a@b.io c@d.org and digits 55555").toDF("text")
+        .select(graft.functions.TextFunctions.normText(col("text")).as("red0"))
+    ) { case (df, ((pat, repl), i)) =>
+      df.withColumn(s"n$i", size(regexp_extract_all(col(s"red$i"), lit(pat), lit(0))).cast("long"))
+        .withColumn(s"red${i + 1}", regexp_replace(col(s"red$i"), pat, repl))
+    }
+    val rows = stages.select("n0", "n1", "n2", "red3").collect()
+    assert(rows(0).getLong(0) == 1 && rows(0).getLong(1) == 1 && rows(0).getLong(2) == 1)
+    assert(rows(0).getString(3) == "mail me at <email> or call <phone> ref <num>")
+    assert(rows(1).getLong(0) == 0 && rows(1).getLong(1) == 0 && rows(1).getLong(2) == 0)
+    assert(rows(1).getString(3) == "no pii here, just 42 and 007")
+    assert(rows(2).getLong(0) == 2 && rows(2).getLong(2) == 1)
+    assert(rows(2).getString(3) == "two mails <email> <email> and digits <num>")
+  }
+
   test("topNgrams: document frequency of distinct-per-doc bigrams, deterministic top-k") {
     val out = graft.operators.TextOps.topNgrams(spark, sf).collect()
     assert(out.length == 100)

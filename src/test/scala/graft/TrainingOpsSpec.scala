@@ -57,4 +57,25 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     // Shard assignment is doc_id mod nShards.
     docs.foreach { case (id, shard, _) => assert(shard == id % nShards) }
   }
+
+  test("sample_stratified takes exactly ceil(pct% of n) per stratum, deterministically") {
+    import org.apache.spark.sql.functions._
+    val pct = 10
+    val out = TrainingOps.sampleStratified(spark, sf, pct).cache()
+    val stratSizes = Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum represented with the exact integral-ceil quota
+    assert(sampled.keySet == stratSizes.keySet)
+    stratSizes.foreach { case (lang, n) =>
+      assert(sampled(lang) == (n * pct + 99) / 100,
+        s"stratum $lang: got ${sampled(lang)} of $n")
+    }
+    // pure function of the key: a second run picks the identical rows
+    val again = TrainingOps.sampleStratified(spark, sf, pct)
+    assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
+    out.unpersist()
+  }
 }
