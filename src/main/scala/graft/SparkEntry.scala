@@ -39,6 +39,7 @@ object SparkEntry {
     "pivot_event_types"     -> (Analytics.pivotEventTypes _),
     "window_running"        -> (Analytics.windowRunning _),
     "sessionize_events"     -> (Analytics.sessionizeEvents _),
+    "cohort_retention"      -> (Analytics.cohortRetention _),
     "percentile_value"      -> (Analytics.percentileValue _),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
@@ -75,6 +76,7 @@ object SparkEntry {
     "text_fingerprint"   -> (TextOps.textFingerprint _),
     "top_ngrams"         -> ((s, d) => TextOps.topNgrams(s, d)),
     "text_pii_redact"    -> (TextOps.textPiiRedact _),
+    "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -471,6 +473,42 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_phones, n_nums, redacted FROM c ORDER BY doc_id""",
     "zorder_key" -> zorderOracle,
     "knn_graph" -> knnGraphOracle,
+    "cohort_retention" ->
+      """WITH c AS (
+           SELECT user_id,
+                  CAST(FLOOR(datediff('day', DATE '1970-01-01', CAST(MIN(ts) AS DATE))/7.0) AS BIGINT) AS cohort_w
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         active AS (
+           SELECT user_id,
+                  CAST(FLOOR(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))/7.0) AS BIGINT) AS act_w
+           FROM events),
+         d AS (
+           SELECT DISTINCT c.cohort_w, active.act_w - c.cohort_w AS weeks_since, c.user_id
+           FROM c JOIN active USING (user_id)
+           WHERE active.act_w >= c.cohort_w)
+         SELECT cohort_w, weeks_since, COUNT(*) AS n_active_users
+         FROM d GROUP BY cohort_w, weeks_since
+         ORDER BY cohort_w, weeks_since""",
+    "text_gopher_filter" ->
+      """WITH t AS (
+           SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+         c AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+         m AS (
+           SELECT doc_id,
+                  CAST(len(toks) AS BIGINT) AS n_words,
+                  CAST(length(norm) - (len(toks)-1) AS BIGINT) AS n_word_chars,
+                  CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words
+           FROM c),
+         r AS (
+           SELECT doc_id, n_words,
+                  CAST(FLOOR(100.0*n_word_chars/n_words) AS BIGINT) AS mean_word_len_x100,
+                  CAST(FLOOR(100.0*n_alpha_words/n_words) AS BIGINT) AS alpha_words_x100
+           FROM m)
+         SELECT doc_id, n_words, mean_word_len_x100, alpha_words_x100,
+                (n_words BETWEEN 5 AND 100000)
+                  AND (mean_word_len_x100 BETWEEN 300 AND 1000)
+                  AND (alpha_words_x100 >= 70) AS keep
+         FROM r ORDER BY doc_id""",
     "sample_split_hash" ->
       """SELECT doc_id,
                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -125,6 +125,41 @@ object Analytics {
         max(col("ts_s")).as("session_end_s"),
         sum2(col("value")).as("session_value"))
       .orderBy("user_id", "session_seq")
+  }
+
+  /** Cohort retention matrix — the canonical product-analytics rollup
+    * (signup-week cohorts × weeks since signup × distinct active
+    * users; weekly because that is calendar-arithmetic-free —
+    * epoch-days div 7 — and the test window spans one month). Three
+    * stages, each one key-partitioned shuffle:
+    * (1) cohort assignment = min signup timestamp per user — a plain
+    * partial-aggregated groupBy, (2) activity join on user_id — the
+    * cohort table is keyed and sized by USERS (not events), and at
+    * 100 TB both sides hash-partition on user_id (no broadcast: the
+    * user dimension grows with the data), (3) distinct
+    * (cohort, offset, user) then count — Spark plans the distinct as a
+    * partial-deduplicating aggregate, so the user-explosion never
+    * crosses the wire un-combined. Events before the user's signup
+    * week (offset < 0) are excluded by contract.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // epoch-days/7 floored: non-negative small ints, exact in double on
+    // every engine (the DuckDB mirror is FLOOR(datediff/7.0))
+    def weekKey(c: Column) = floor(datediff(c, to_date(lit("1970-01-01"))) / 7.0)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(min(col("ts_ns")).as("signup_ns"))
+      .select(col("user_id"),
+              weekKey(to_date(expr("timestamp_micros(signup_ns div 1000)"))).cast("long").as("cohort_w"))
+    val active = ev.select(col("user_id"), weekKey(to_date(col("ts"))).cast("long").as("act_w"))
+    cohorts.join(active, "user_id")
+      .filter(col("act_w") >= col("cohort_w"))
+      .select(col("cohort_w"), (col("act_w") - col("cohort_w")).as("weeks_since"), col("user_id"))
+      .distinct()
+      .groupBy("cohort_w", "weeks_since")
+      .agg(count(lit(1)).as("n_active_users"))
+      .orderBy("cohort_w", "weeks_since")
   }
 
   /** Exact interpolated percentiles per group — exact by spec for

@@ -158,6 +158,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style document quality rules (length, mean word length,
+    * alphabetic-word ratio) with integer ×100 statistics and a
+    * composite `keep` verdict — the rule-based pre-filter stage of a
+    * pretraining pipeline ([[textQualityScore]] is the scored variant;
+    * this is the hard gate). Row-local single scan; the thresholds are
+    * the contract, so they ship as defaults, not magic numbers.
+    */
+  def textGopherFilter(s: SparkSession, dir: String,
+                       minWords: Long = 5, maxWords: Long = 100000,
+                       minMeanLenX100: Long = 300, maxMeanLenX100: Long = 1000,
+                       minAlphaX100: Long = 70): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("toks"))
+    d.select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        // single-space normalized text: word chars = len - (n-1) separators
+        (length(col("norm")) - (size(col("toks")) - 1)).cast("long").as("n_word_chars"),
+        size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("long").as("n_alpha_words"))
+      .withColumn("mean_word_len_x100", ratioX100(col("n_word_chars"), col("n_words")))
+      .withColumn("alpha_words_x100", ratioX100(col("n_alpha_words"), col("n_words")))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len_x100").between(minMeanLenX100, maxMeanLenX100) &&
+        col("alpha_words_x100") >= minAlphaX100)
+      .select("doc_id", "n_words", "mean_word_len_x100", "alpha_words_x100", "keep")
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(

@@ -34,6 +34,35 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     assert(bad.count() == 0)
   }
 
+  test("z-order key is monotonic per dimension and round-trips its operands") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val coord: Gen[Long] = Gen.chooseNum(0L, (1L << 21) - 1)
+    val rows = cases(Gen.zip(coord, coord, coord), n = 64)
+    val bits = 21
+    def z(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      call_function("graft_zorder2", x, y, lit(bits))
+    // fixing one dimension, z preserves the other's order (each x-bit
+    // occupies a higher z position than all lower x-bits AND lower
+    // y-bits can ever outweigh within the interleave) — the property
+    // that makes z-range partitions contiguous per dimension
+    val bad = rows.map { case (x1, x2, y) => (math.min(x1, x2), math.max(x1, x2), y) }
+      .toDF("x1", "x2", "y")
+      .filter(col("x1") < col("x2"))
+      .filter(!(z(col("x1"), col("y")) < z(col("x2"), col("y"))) ||
+              !(z(col("y"), col("x1")) < z(col("y"), col("x2"))))
+    assert(bad.count() == 0)
+    // bit-exact round trip: de-interleaving recovers both operands
+    val extracted = rows.toDF("x", "y", "ignore")
+      .select(col("x"), col("y"), z(col("x"), col("y")).as("zv"))
+      .withColumn("rx", (0 until bits).map(i =>
+        shiftright(col("zv"), 2 * i).bitwiseAND(lit(1L)) * lit(1L << i)).reduce(_ + _))
+      .withColumn("ry", (0 until bits).map(i =>
+        shiftright(col("zv"), 2 * i + 1).bitwiseAND(lit(1L)) * lit(1L << i)).reduce(_ + _))
+      .filter(col("rx") =!= col("x") || col("ry") =!= col("y"))
+    assert(extracted.count() == 0)
+  }
+
   test("jaccardX1000 is symmetric and exactly 1000 on equal sets") {
     import spark.implicits._
     val rows = cases(Gen.zip(tokenList, tokenList))
