@@ -53,6 +53,38 @@ object Sources {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Compact a fragmented parquet dataset into ~`targetFileBytes`
+    * files — the maintenance pass every streaming/incremental sink
+    * needs: a checkpointed micro-batch sink or a per-batch upsert
+    * leaves thousands of KB-sized files, and at 100 TB the metadata
+    * and open-file overhead of a small-file swamp dominates scan time
+    * long before the bytes do.
+    *
+    * The output file count derives from the dataset's ACTUAL on-disk
+    * bytes (from the file listing Spark already made — no extra pass),
+    * and the rewrite is one `repartition(n)` round-robin exchange —
+    * the minimum-cost full rewrite. Pass `sortCol` to make it a
+    * `repartitionByRange` + in-partition sort instead, re-establishing
+    * min/max-pruning order while compacting (combine with
+    * [[graft.operators.LayoutOps.clusterByZorder]]'s z-key for 2-D
+    * locality: compaction and clustering are the same shuffle).
+    */
+  def compactParquet(s: SparkSession, inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024,
+                     sortCol: Option[String] = None): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val df = s.read.parquet(inPath)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (((totalBytes + BigInt(targetFileBytes) - 1) / BigInt(targetFileBytes))
+      .max(BigInt(1))).toInt
+    val shaped = sortCol match {
+      case Some(c) => df.repartitionByRange(nFiles, df.col(c)).sortWithinPartitions(c)
+      case None    => df.repartition(nFiles)
+    }
+    shaped.write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
   def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).option("header", "true").csv(path)
 

@@ -25,6 +25,45 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"))
   }
 
+  test("compactParquet collapses a small-file swamp to the byte-derived file count") {
+    val fragged = tmp("frag")
+    val compacted = tmp("compact")
+    val ev = Tables.events(spark, sf)
+    // simulate a micro-batch sink: 64 fragments for a tiny table
+    ev.repartition(64).write.mode("overwrite").parquet(fragged)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragged) == 64)
+    val totalBytes = new java.io.File(fragged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // target = half the data => expect exactly 2 output files
+    val n = Sources.compactParquet(spark, fragged, compacted, totalBytes / 2 + 1)
+    assert(n == parquetFiles(compacted))
+    assert(n >= 1 && n <= 3, s"expected ~2 files, got $n")
+    // rewrite is lossless
+    val back = Sources.readParquet(spark, compacted)
+    assert(back.count() == ev.count())
+    assert(back.exceptAll(spark.read.parquet(fragged)).count() == 0)
+    // sorted variant re-establishes per-file ordering for min/max pruning
+    val sortedOut = tmp("compact_sorted")
+    Sources.compactParquet(spark, fragged, sortedOut, totalBytes / 2 + 1,
+      sortCol = Some("event_id"))
+    val files = new java.io.File(sortedOut).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f)
+      val r = d.agg(org.apache.spark.sql.functions.min("event_id"),
+                    org.apache.spark.sql.functions.max("event_id")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // file ranges must be disjoint (range partitioning), each internally valid
+    ranges.foreach { case (lo, hi) => assert(lo <= hi) }
+    assert(ranges.sortBy(_._1).sliding(2).forall {
+      case Array((_, hi1), (lo2, _)) => hi1 < lo2
+      case _ => true
+    })
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // disable auto-broadcast so the join would otherwise be a
     // shuffled sort-merge join — bucketing must remove the exchanges
