@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -375,6 +376,28 @@ object SparkEntry {
                 smaller_rep IS NOT NULL AS is_dup
          FROM (SELECT vec_id FROM embeddings) e LEFT JOIN reps USING (vec_id)
          ORDER BY vec_id""",
+    // Same hash-group-equals-string-group argument as hashedShingles:
+    // Spark groups xxhash64(window), the oracle groups the window
+    // string — identical groups up to a ~2^-64-per-pair collision.
+    "dedup_substring" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         w AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 8
+                  THEN list_distinct(list_transform(range(1, len(toks)-6), i -> array_to_string(toks[i:i+7], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS wins
+           FROM t),
+         e AS (SELECT doc_id, unnest(wins) AS win FROM w),
+         d AS (SELECT win, COUNT(*) AS n_docs FROM e GROUP BY win),
+         p AS (
+           SELECT e.doc_id, SUM(CASE WHEN d.n_docs > 1 THEN 1 ELSE 0 END) AS shared
+           FROM e JOIN d USING (win) GROUP BY e.doc_id)
+         SELECT w.doc_id, CAST(len(wins) AS BIGINT) AS n_windows,
+                CAST(COALESCE(p.shared, 0) AS BIGINT) AS n_shared_windows,
+                COALESCE(p.shared, 0) > 0 AS has_shared
+         FROM w LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
     "text_lang_id" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

@@ -435,6 +435,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Windowed exact-substring dedup: flag documents that share a
+    * VERBATIM run of `windowTokens` consecutive tokens with any other
+    * document — the distributed approximation of suffix-array
+    * exact-substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better"-style): any shared substring of ≥
+    * 2·windowTokens-1 tokens necessarily contains a shared aligned
+    * window, so long verbatim passages (licenses, templates, quoted
+    * articles) are caught even when whole-document similarity is low —
+    * the case the MinHash family is blind to by design.
+    *
+    * Shape at 100 TB: windows are hashed row-local (8 bytes each —
+    * strings never shuffle; same collision argument as
+    * [[hashedShingles]]); ONE count shuffle keyed by window hash
+    * (partial-aggregated, keys bounded by the distinct-window
+    * vocabulary), one join back to count each doc's shared windows.
+    * Short documents fall back to a single whole-document window
+    * (degrading to exact dedup, never silently skipped).
+    */
+  def dedupSubstring(s: SparkSession, dir: String, windowTokens: Int = 8): DataFrame = {
+    val hashed = graft.Caches.cached(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), wordNgrams(col("toks"), windowTokens).as("wins"))
+        .select(col("doc_id"), transform(col("wins"), x => xxhash64(x)).as("whs")))
+    val exploded = hashed.select(col("doc_id"), explode(col("whs")).as("wh"))
+    // windows are distinct per doc, so plain COUNT(*) = distinct docs
+    val winDf = exploded.groupBy("wh").agg(count(lit(1)).as("n_docs"))
+    val perDoc = exploded.join(winDf, "wh")
+      .groupBy("doc_id")
+      .agg(sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("shared"))
+    hashed.select(col("doc_id"), size(col("whs")).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+              coalesce(col("shared"), lit(0L)).as("n_shared_windows"),
+              (coalesce(col("shared"), lit(0L)) > 0).as("has_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: banded random-hyperplane LSH (8 bands ×
     * 6 bits — a cos ≥ 0.9 pair shares a given 6-bit band w.p.
     * (1-θ/π)^6 ≈ 0.39, so ANY-band collision catches it w.p.

@@ -58,6 +58,23 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("dedup_substring: exact copies always share windows; counts bounded by n_windows") {
+    val out = graft.operators.Dedup.dedupSubstring(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    assert(out.filter(col("n_shared_windows") > col("n_windows")).count() == 0)
+    // any doc with an exact duplicate shares ALL its windows
+    val exactGroups = graft.operators.Dedup.dedupExactHash(spark, sf)
+      .filter(col("n_copies") > 1)
+    if (exactGroups.count() > 0) {
+      val dupDocs = exactGroups.select(col("keep_doc_id").as("doc_id"))
+      val bad = out.join(dupDocs, "doc_id")
+        .filter(!col("has_shared") || col("n_shared_windows") =!= col("n_windows"))
+      assert(bad.count() == 0)
+    }
+    graft.Caches.clear()
+    out.unpersist()
+  }
+
   test("dedup_embedding_cosine verdicts cover every vector") {
     val out = Dedup.dedupEmbeddingCosine(spark, sf)
     assert(out.count() == Tables.embeddings(spark, sf).count())
