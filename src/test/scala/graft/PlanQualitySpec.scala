@@ -188,6 +188,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_"), s"no map-side combine in state build:\n$p")
   }
 
+  test("dedup_substring shuffles hashed windows only — window strings stay executor-local") {
+    val p = plan(graft.operators.Dedup.dedupSubstring(spark, sf))
+    assert(p.contains("partial_"), s"window count not map-side combined:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("wins") && !l.contains("toks")),
+      s"window/token strings cross an exchange:\n$p")
+    graft.Caches.clear()
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
