@@ -26,6 +26,7 @@ object SparkEntry {
     "junction_build"      -> (EtlOps.junctionBuild _),
     "cdc_apply"           -> (EtlOps.cdcApply _),
     "agg_incremental"     -> (EtlOps.aggIncremental _),
+    "scd2_build"          -> (EtlOps.scd2Build _),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -40,6 +41,7 @@ object SparkEntry {
     "window_running"        -> (Analytics.windowRunning _),
     "sessionize_events"     -> (Analytics.sessionizeEvents _),
     "cohort_retention"      -> (Analytics.cohortRetention _),
+    "rolling_active_users"  -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
@@ -146,6 +148,26 @@ object SparkEntry {
                      ELSE 'updated' END AS row_source
          FROM m WHERE op IS NULL OR op <> 'D'
          ORDER BY user_id""",
+    "scd2_build" ->
+      """SELECT user_id,
+                CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_seq,
+                event_id, event_type,
+                epoch_ns(ts)//1000000000 AS valid_from_s,
+                LEAD(epoch_ns(ts)//1000000000) OVER w AS valid_to_s,
+                LEAD(ts) OVER w IS NULL AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version_seq""",
+    "rolling_active_users" ->
+      """WITH du AS (
+           SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, user_id
+           FROM events),
+         days AS (SELECT DISTINCT day AS win_day FROM du),
+         w AS (
+           SELECT DISTINCT d.win_day, du.user_id
+           FROM days d JOIN du ON du.day BETWEEN d.win_day - 6 AND d.win_day)
+         SELECT win_day, COUNT(*) AS active_users
+         FROM w GROUP BY win_day ORDER BY win_day""",
     "agg_incremental" ->
       """SELECT l_returnflag,
                 COUNT(*) AS n_rows,

@@ -162,6 +162,37 @@ object Analytics {
       .orderBy("cohort_w", "weeks_since")
   }
 
+  /** Rolling `windowDays`-day distinct active users per activity day —
+    * the DAU/WAU dashboard primitive. Exact distinct-over-sliding-
+    * window is the trap: a naive self-range-join shuffles the event
+    * table against itself. Here the corpus first collapses to the
+    * DISTINCT (day, user) table (one partial-agg shuffle, bounded by
+    * users×days, ≪ events), each pair then explodes into the ≤
+    * `windowDays` window-end days it contributes to, and one more
+    * distinct+count lands the answer — the explode factor is the
+    * window length, applied AFTER the heavy dedup, and no row ever
+    * carries more than (day, user_id). Reported only for days with
+    * observed activity (semi-join against the day set).
+    */
+  def rollingActiveUsers(s: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayUser = Tables.events(s, dir)
+      .select(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                .cast("long").as("day"),
+              col("user_id"))
+      .distinct()
+    val days = dayUser.select(col("day").as("win_day")).distinct()
+    dayUser
+      .select(explode(sequence(col("day"), col("day") + lit(windowDays - 1)))
+                .as("win_day"),
+              col("user_id"))
+      .distinct()
+      .join(days, Seq("win_day"), "left_semi")
+      .groupBy("win_day")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("win_day")
+  }
+
   /** Exact interpolated percentiles per group — exact by spec for
     * oracle parity (bounded group count here). At 100 TB the same plan
     * shape swaps `percentile` for `approx_percentile(value, p, acc)`

@@ -188,6 +188,28 @@ object EtlOps {
       .orderBy("user_id")
   }
 
+  /** Type-2 slowly-changing-dimension build from a change log: every
+    * change becomes a version row with [valid_from, valid_to) bounds
+    * and an is_current flag — the warehouse-history layout the
+    * reference's DO-UPDATE loaders overwrite away. One window shuffle
+    * on the key (row_number + lead share the same sort); at 100 TB
+    * this is the standard "historize the CDC feed" pass and pairs
+    * with [[applyChanges]] (which produces the CURRENT snapshot from
+    * the same log).
+    */
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts_ns"), epochS(col("ts")).as("valid_from_s"))
+      .withColumn("version_seq", row_number().over(w).cast("long"))
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
+      .withColumn("is_current", col("valid_to_s").isNull)
+      .select("user_id", "version_seq", "event_id", "event_type",
+              "valid_from_s", "valid_to_s", "is_current")
+      .orderBy("user_id", "version_seq")
+  }
+
   /** Incremental aggregation via mergeable partial states: stage 1
     * folds the fact table into per-(group, shipment-month) states —
     * count / decimal sum / min / max, all ALGEBRAIC, so states merge

@@ -75,6 +75,19 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("rolling actives: window of 1 equals daily distinct; 7-day never below daily") {
+    val daily = Analytics.rollingActiveUsers(spark, sf, windowDays = 1)
+    val direct = Tables.events(spark, sf)
+      .select(datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                .cast("long").as("win_day"), col("user_id"))
+      .distinct().groupBy("win_day").agg(count(lit(1)).as("active_users"))
+    assert(daily.exceptAll(direct).count() == 0 && direct.exceptAll(daily).count() == 0)
+    val weekly = Analytics.rollingActiveUsers(spark, sf, windowDays = 7)
+    val below = weekly.withColumnRenamed("active_users", "wau")
+      .join(direct, "win_day").filter(col("wau") < col("active_users"))
+    assert(below.count() == 0)
+  }
+
   test("gopher filter agrees with hand stats on crafted docs") {
     import spark.implicits._
     // crafted corpora through the same column pipeline via a temp view

@@ -91,6 +91,24 @@ class EtlOpsSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("scd2_build: exactly one current version per user, ranges chain without gaps") {
+    val out = EtlOps.scd2Build(spark, sf).cache()
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(out.filter(col("is_current")).count() == users)
+    // within a user, versions are contiguous and valid_to == next valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version_seq")
+    val chained = out
+      .withColumn("next_from", lead(col("valid_from_s"), 1).over(w))
+      .withColumn("next_seq", lead(col("version_seq"), 1).over(w))
+    assert(chained.filter(col("next_from").isNotNull &&
+      (col("valid_to_s") =!= col("next_from") ||
+       col("next_seq") =!= col("version_seq") + 1)).count() == 0)
+    // non-current rows all have an upper bound
+    assert(out.filter(!col("is_current") && col("valid_to_s").isNull).count() == 0)
+    out.unpersist()
+  }
+
   test("agg_incremental merge of partial states equals the direct full aggregate bit-for-bit") {
     val direct = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag")
