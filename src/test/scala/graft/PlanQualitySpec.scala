@@ -197,6 +197,28 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("scd2_build runs row_number and lead in ONE window over one key exchange") {
+    val p = plan(EtlOps.scd2Build(spark, sf))
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1 && hashExchanges.head.contains("user_id"),
+      s"expected exactly one user_id exchange (shared window sort):\n$p")
+    // both window functions in a single Window operator
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 1 ||
+      p.split("Window").length <= 3, s"window functions split across operators:\n$p")
+  }
+
+  test("rolling_active_users dedups (day,user) BEFORE the window explode") {
+    val p = plan(Analytics.rollingActiveUsers(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"range-join formulation crept in:\n$p")
+    // the Generate (explode) must consume an aggregate output, i.e. the
+    // distinct (day,user) table, not the raw scan
+    val gen = p.linesIterator.find(_.contains("Generate"))
+    assert(gen.isDefined, s"no explode in plan:\n$p")
+    assert(p.contains("partial_"), s"distinct not partial-aggregated:\n$p")
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
