@@ -222,6 +222,159 @@ case class MinHashBands(child: Expression, nPerms: Int, nBands: Int,
     copy(child = newChild)
 }
 
+/** One-permutation-hashing MinHash + LSH banding in one pass — the
+  * O(shingles + perms) alternative to [[MinHashBands]]'s classic
+  * O(shingles × perms) construction (Li/Owen/Zhang's one permutation
+  * hashing, with circular densification for empty bins à la
+  * Shrivastava & Li): each shingle's 64-bit hash picks ONE of `nPerms`
+  * bins (instead of updating all of them) and the bin keeps the min;
+  * empty bins borrow the nearest filled bin's value salted by the
+  * borrow distance, so two documents agree on a borrowed bin only
+  * when they borrowed the same value from the same relative distance.
+  * Per-bin collision probability is ≈ Jaccard, like classic MinHash
+  * (asserted empirically in TextFunctionsSpec).
+  *
+  * When it matters — and when it does NOT: the O(S+P) signature only
+  * pays off when documents carry MANY more shingles than there are
+  * bins (S ≫ P). In the opposite regime (S ≲ P) a large fraction of
+  * bins is empty (≈ e^(-S/P)) and densification fills them with
+  * COPIES of neighboring bins — bins stop being independent, band
+  * agreement between unrelated documents rises, and the candidate
+  * volume explodes. Measured on the test corpus (~190 bigrams/doc vs
+  * 258 bins): identical verified output, but 2.4 s → 8-10 s end to
+  * end at sf0.1 — the candidate blowup swamps the signature saving.
+  * The default pipelines therefore keep the classic construction;
+  * switch (`useOph` on [[graft.operators.Dedup.dedupNgramJaccard]])
+  * only when per-document shingle counts comfortably exceed nPerms
+  * (long documents / character shingles).
+  *
+  * Same input contract as [[MinHashBands]]: array<string> or
+  * pre-hashed array<long>. Output: array<long> of `nBands` band
+  * hashes. An all-null/empty input yields a deterministic sentinel
+  * band array (empty docs collide only with empty docs).
+  */
+case class OphMinHashBands(child: Expression, nPerms: Int, nBands: Int,
+                           seed: Long = 42L)
+    extends UnaryExpression {
+  require(nPerms >= 1 && nPerms <= 4096, s"nPerms must be in [1,4096], got $nPerms")
+  require(nBands >= 1 && nPerms % nBands == 0,
+    s"nPerms ($nPerms) must be divisible by nBands ($nBands)")
+  private val rowsPerBand = nPerms / nBands
+  // odd golden-ratio constant: distance salt for densified bins
+  private val DistSalt = 0x9E3779B97F4A7C15L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) | ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_oph expects array<string> or array<long>, got ${other.simpleString}")
+    }
+  private def prehashed: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true; case _ => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_oph"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val bins = Array.fill(nPerms)(Long.MaxValue)
+    val isLong = prehashed
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h0 =
+          if (isLong) arr.getLong(i)
+          else {
+            val s = arr.getUTF8String(i)
+            XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+          }
+        val u = XXH64.hashLong(h0, seed)
+        val bin = java.lang.Math.floorMod(u, nPerms.toLong).toInt
+        if (u < bins(bin)) bins(bin) = u
+      }
+      i += 1
+    }
+    var start = 0
+    while (start < nPerms && bins(start) == Long.MaxValue) start += 1
+    if (start < nPerms) {
+      // one circular sweep from a filled bin: every empty bin borrows
+      // its nearest filled predecessor's value, salted by distance
+      var cur = 0L
+      var dist = 0
+      var t = 0
+      while (t < nPerms) {
+        val j = (start + t) % nPerms
+        if (bins(j) != Long.MaxValue) { cur = bins(j); dist = 0 }
+        else { dist += 1; bins(j) = cur + DistSalt * dist }
+        t += 1
+      }
+    }
+    val bands = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = seed
+      var r = 0
+      while (r < rowsPerBand) { h = XXH64.hashLong(bins(b * rowsPerBand + r), h); r += 1 }
+      bands(b) = h
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val bins = ctx.freshName("bins"); val i = ctx.freshName("i")
+      val n = ctx.freshName("n"); val s = ctx.freshName("s")
+      val h = ctx.freshName("h"); val u = ctx.freshName("u")
+      val bin = ctx.freshName("bin"); val start = ctx.freshName("start")
+      val cur = ctx.freshName("cur"); val dist = ctx.freshName("dist")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j")
+      val bands = ctx.freshName("bands"); val b = ctx.freshName("b")
+      val r = ctx.freshName("r"); val bh = ctx.freshName("bh")
+      val hashElem =
+        if (prehashed) s"long $h = $arr.getLong($i);"
+        else s"""${classOf[UTF8String].getName} $s = $arr.getUTF8String($i);
+          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${seed}L);"""
+      s"""
+        long[] $bins = new long[$nPerms];
+        java.util.Arrays.fill($bins, Long.MAX_VALUE);
+        int $n = $arr.numElements();
+        for (int $i = 0; $i < $n; $i++) {
+          if ($arr.isNullAt($i)) continue;
+          $hashElem
+          long $u = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($h, ${seed}L);
+          int $bin = (int) java.lang.Math.floorMod($u, ${nPerms}L);
+          if ($u < $bins[$bin]) $bins[$bin] = $u;
+        }
+        int $start = 0;
+        while ($start < $nPerms && $bins[$start] == Long.MAX_VALUE) $start++;
+        if ($start < $nPerms) {
+          long $cur = 0L; int $dist = 0;
+          for (int $t = 0; $t < $nPerms; $t++) {
+            int $j = ($start + $t) % $nPerms;
+            if ($bins[$j] != Long.MAX_VALUE) { $cur = $bins[$j]; $dist = 0; }
+            else { $dist++; $bins[$j] = $cur + ${DistSalt}L * $dist; }
+          }
+        }
+        long[] $bands = new long[$nBands];
+        for (int $b = 0; $b < $nBands; $b++) {
+          long $bh = ${seed}L;
+          for (int $r = 0; $r < $rowsPerBand; $r++) {
+            $bh = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+              $bins[$b * $rowsPerBand + $r], $bh);
+          }
+          $bands[$b] = $bh;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bands);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OphMinHashBands =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over an array<string> token column: one xxhash64 per
   * token, 64 signed bit-position accumulators, all in one codegen'd
   * loop (the HOF formulation runs 64 interpreted `aggregate` passes).

@@ -304,7 +304,8 @@ object Dedup {
     */
   private def minhashVerifiedPairs(s: SparkSession, dir: String,
                                    nPerms: Int, nBands: Int,
-                                   shingleN: Int, tauX1000: Long): (DataFrame, DataFrame) = {
+                                   shingleN: Int, tauX1000: Long,
+                                   useOph: Boolean = false): (DataFrame, DataFrame) = {
     require(nPerms % nBands == 0,
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
         "division would silently drop the trailing permutations from the banding")
@@ -312,8 +313,14 @@ object Dedup {
     val hashed = hashedShingles(s, dir, shingleN)
     // Fused one-pass banded MinHash over the pre-hashed shingles
     // (signature mins computed ONCE per row, bands in the same loop).
+    // useOph swaps in the O(shingles + perms) one-permutation-hashing
+    // construction ([[graft.functions.OphMinHashBands]]) — same
+    // banding statistics up to densification noise; candidate sets
+    // may differ but the exact post-verification output does not
+    // (DedupSpec asserts classic == OPH end to end on the corpus).
+    val bandFn = if (useOph) "graft_minhash_oph" else "graft_minhash_bands"
     val bands = hashed.select(col("doc_id"),
-      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
+      posexplode(call_function(bandFn, col("hs"), lit(nPerms), lit(nBands)))
         .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
     val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))
@@ -397,15 +404,18 @@ object Dedup {
     */
   def dedupNgramJaccard(s: SparkSession, dir: String,
                         nPerms: Int = 258, nBands: Int = 86,
-                        tauX1000: Long = 500): DataFrame = {
+                        tauX1000: Long = 500, useOph: Boolean = false): DataFrame = {
     require(nPerms % nBands == 0,
       s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
         "division would silently drop the trailing permutations from the banding")
     GraftFunctions.ensureRegistered(s)
     val hashed = hashedShingles(s, dir, 2)
-    // Fused one-pass banded MinHash over the pre-hashed shingles.
+    // Fused one-pass banded MinHash over the pre-hashed shingles; at
+    // 258 perms this row-local scan is the operator's dominant cost,
+    // exactly the regime the OPH variant caps (see minhashVerifiedPairs).
+    val bandFn = if (useOph) "graft_minhash_oph" else "graft_minhash_bands"
     val bands = hashed.select(col("doc_id"),
-      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
+      posexplode(call_function(bandFn, col("hs"), lit(nPerms), lit(nBands)))
         .as(Seq("band_idx", "band_hash")))
     val cand = candidatePairs(bands, "doc_id")
     val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, InterleaveBits, MinHashBands, MinHashSig, SimHash64, SrpSignature}
+import graft.functions.{CosineSim, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, SimHash64, SrpSignature}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -52,6 +52,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    (FunctionIdentifier("graft_minhash_oph"),
+      new ExpressionInfo(classOf[OphMinHashBands].getName, "graft_minhash_oph"),
+      (args: Seq[Expression]) => OphMinHashBands(args(0),
+        intArg(args, 1, "graft_minhash_oph"), intArg(args, 2, "graft_minhash_oph"))),
     (FunctionIdentifier("graft_zorder2"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "graft_zorder2"),
       (args: Seq[Expression]) => InterleaveBits(args(0), args(1), intArg(args, 2, "graft_zorder2"))))

@@ -26,7 +26,7 @@ class CodegenOnlySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("all five custom expressions compile and evaluate under CODEGEN_ONLY") {
+  test("all custom expressions compile and evaluate under CODEGEN_ONLY") {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
     codegenOnly {
@@ -44,6 +44,15 @@ class CodegenOnlySpec extends AnyFunSuite with SparkFixture {
       val cos = Seq((Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
         .select(call_function("graft_cosine", col("a"), col("b"))).head().getDouble(0)
       assert(math.abs(cos - 1.0) < 1e-12)
+      assert(Seq(Seq(1L, 2L)).toDF("hs")
+        .select(call_function("graft_minhash_oph", col("hs"), lit(8), lit(4)))
+        .head().getSeq[Long](0).length == 4)
+      assert(Seq(Seq("a", "b")).toDF("sh")
+        .select(call_function("graft_minhash_oph", col("sh"), lit(8), lit(4)))
+        .head().getSeq[Long](0).length == 4)
+      val z = Seq((5L, 3L)).toDF("x", "y")
+        .select(call_function("graft_zorder2", col("x"), col("y"), lit(21))).head().getLong(0)
+      assert(z == 27L)
     }
   }
 

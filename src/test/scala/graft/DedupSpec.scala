@@ -58,6 +58,13 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("dedup_ngram_jaccard: OPH banding yields the identical verified output") {
+    val classic = graft.operators.Dedup.dedupNgramJaccard(spark, sf)
+    val oph = graft.operators.Dedup.dedupNgramJaccard(spark, sf, useOph = true)
+    assert(classic.exceptAll(oph).count() == 0 && oph.exceptAll(classic).count() == 0)
+    graft.Caches.clear()
+  }
+
   test("dedup_substring: exact copies always share windows; counts bounded by n_windows") {
     val out = graft.operators.Dedup.dedupSubstring(spark, sf).cache()
     assert(out.count() == Tables.documents(spark, sf).count())

@@ -42,6 +42,40 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(r == 33L)
   }
 
+  test("OPH minhash: deterministic, order-invariant, per-bin collision rate tracks Jaccard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val nPerms = 256
+    // nBands == nPerms -> each band hash encodes exactly one bin, so
+    // band agreement rate == per-bin collision rate == the estimator
+    def sig(c: org.apache.spark.sql.Column) =
+      call_function("graft_minhash_oph", c, lit(nPerms), lit(nPerms))
+    // hashed-shingle sets with controlled overlap: |A∩B|=200, |A∪B|=400 -> J=0.5
+    val a = (0L until 300L).map(i => i * 0x9E3779B97F4A7C15L + 7L)
+    val b = (100L until 400L).map(i => i * 0x9E3779B97F4A7C15L + 7L)
+    val rows = Seq((a, b, a.reverse)).toDF("a", "b", "ar")
+      .select(sig(col("a")).as("sa"), sig(col("b")).as("sb"), sig(col("ar")).as("sar"))
+      .head()
+    val (sa, sb, sar) = (rows.getSeq[Long](0), rows.getSeq[Long](1), rows.getSeq[Long](2))
+    assert(sa == sar, "signature must be element-order-invariant")
+    val agree = sa.zip(sb).count { case (x, y) => x == y }.toDouble / nPerms
+    val jTrue = 200.0 / 400.0
+    assert(math.abs(agree - jTrue) < 0.12,
+      s"OPH estimate $agree too far from true Jaccard $jTrue")
+    // disjoint sets collide on ~0 bins
+    val c = (1000L until 1300L).map(i => i * 0x9E3779B97F4A7C15L + 7L)
+    val disj = Seq((a, c)).toDF("a", "c")
+      .select(sig(col("a")).as("sa"), sig(col("c")).as("sc")).head()
+    val agree0 = disj.getSeq[Long](0).zip(disj.getSeq[Long](1))
+      .count { case (x, y) => x == y }.toDouble / nPerms
+    assert(agree0 < 0.05, s"disjoint sets agree on $agree0 of bins")
+    // empty input: deterministic sentinel, equal only to another empty
+    val empty = Seq((Seq.empty[Long], Seq.empty[Long])).toDF("e1", "e2")
+      .select(sig(col("e1")).as("s1"), sig(col("e2")).as("s2")).head()
+    assert(empty.getSeq[Long](0) == empty.getSeq[Long](1))
+  }
+
   test("piiPatterns redact emails, phones, digit runs in sequence on crafted text") {
     import spark.implicits._
     import graft.operators.TextOps
