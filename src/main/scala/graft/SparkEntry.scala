@@ -42,6 +42,7 @@ object SparkEntry {
     "sessionize_events"     -> (Analytics.sessionizeEvents _),
     "cohort_retention"      -> (Analytics.cohortRetention _),
     "rolling_active_users"  -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
+    "anomaly_zscore"        -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
@@ -158,6 +159,25 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version_seq""",
+    // mean/std/z are double expressions over EXACT decimal sums, with
+    // the operation order written identically on both engines, so
+    // floor(100*z) is bit-identical (same trick as the ANN oracle).
+    "anomaly_zscore" ->
+      """WITH st AS (
+           SELECT event_type,
+                  CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                  CAST(SUM(CAST(value * value AS DECIMAL(27,4))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type),
+         m AS (
+           SELECT event_type, s1 / n AS mean,
+                  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+           FROM st)
+         SELECT e.event_id, e.event_type,
+                CAST(FLOOR(100.0 * (e.value - m.mean) / m.std) AS BIGINT) AS z_x100,
+                abs(CAST(FLOOR(100.0 * (e.value - m.mean) / m.std) AS BIGINT)) >= 300 AS is_outlier
+         FROM events e JOIN m USING (event_type)
+         ORDER BY e.event_id""",
     "rolling_active_users" ->
       """WITH du AS (
            SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, user_id

@@ -193,6 +193,33 @@ object Analytics {
       .orderBy("win_day")
   }
 
+  /** Per-group z-score anomaly flags — the outlier-filter stage every
+    * ingest pipeline runs before values feed training or dashboards.
+    * Group moments come from EXACT decimal sums (Σv, Σv² — the same
+    * engine-neutral-aggregation rule as every oracle query here:
+    * partial-aggregated, partition-order-independent); mean/std/z are
+    * then derived in double with ONE fixed operation order mirrored
+    * textually by the oracle, so floor(100·z) is bit-identical across
+    * engines. The 5-row stats table broadcasts back onto the stream —
+    * two scans, one tiny shuffle, no window.
+    */
+  def anomalyZscore(s: SparkSession, dir: String, zX100Cut: Long = 300): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val stats = ev.groupBy("event_type").agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("value").cast(DecimalType(18, 2))).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast(DecimalType(27, 4))).cast("double").as("s2"))
+      .select(col("event_type"), col("n"),
+              (col("s1") / col("n")).as("mean"),
+              sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("std"))
+    ev.join(Hints.maybeBroadcast(stats), "event_type")
+      .select(
+        col("event_id"), col("event_type"),
+        floor(lit(100.0) * (col("value") - col("mean")) / col("std")).cast("long").as("z_x100"))
+      .withColumn("is_outlier", abs(col("z_x100")) >= zX100Cut)
+      .orderBy("event_id")
+  }
+
   /** Exact interpolated percentiles per group — exact by spec for
     * oracle parity (bounded group count here). At 100 TB the same plan
     * shape swaps `percentile` for `approx_percentile(value, p, acc)`

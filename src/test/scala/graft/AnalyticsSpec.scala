@@ -88,6 +88,18 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(below.count() == 0)
   }
 
+  test("anomaly z-scores are centered and outliers are rare") {
+    val out = Analytics.anomalyZscore(spark, sf).cache()
+    assert(out.count() == Tables.events(spark, sf).count())
+    // standardization sanity: per-type mean of z_x100 ~ 0
+    val centers = out.groupBy("event_type").agg(avg("z_x100").as("c")).collect()
+    centers.foreach(r => assert(math.abs(r.getDouble(1)) < 20, s"off-center: $r"))
+    // |z| >= 3 must be a small tail
+    val frac = out.filter(col("is_outlier")).count().toDouble / out.count()
+    assert(frac < 0.05, s"outlier fraction $frac")
+    out.unpersist()
+  }
+
   test("gopher filter agrees with hand stats on crafted docs") {
     import spark.implicits._
     // crafted corpora through the same column pipeline via a temp view
