@@ -171,13 +171,17 @@ object SparkEntry {
            FROM events GROUP BY event_type),
          m AS (
            SELECT event_type, s1 / n AS mean,
-                  sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
-           FROM st)
-         SELECT e.event_id, e.event_type,
-                CAST(FLOOR(100.0 * (e.value - m.mean) / m.std) AS BIGINT) AS z_x100,
-                abs(CAST(FLOOR(100.0 * (e.value - m.mean) / m.std) AS BIGINT)) >= 300 AS is_outlier
-         FROM events e JOIN m USING (event_type)
-         ORDER BY e.event_id""",
+                  CASE WHEN n > 1 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                       THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) ELSE 0 END AS std
+           FROM st),
+         z AS (
+           SELECT e.event_id, e.event_type,
+                  CASE WHEN m.std > 0
+                       THEN CAST(FLOOR(100.0 * (e.value - m.mean) / m.std) AS BIGINT)
+                       ELSE CAST(0 AS BIGINT) END AS z_x100
+           FROM events e JOIN m USING (event_type))
+         SELECT event_id, event_type, z_x100, abs(z_x100) >= 300 AS is_outlier
+         FROM z ORDER BY event_id""",
     "rolling_active_users" ->
       """WITH du AS (
            SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, user_id

@@ -203,21 +203,36 @@ object Analytics {
     * engines. The 5-row stats table broadcasts back onto the stream —
     * two scans, one tiny shuffle, no window.
     */
-  def anomalyZscore(s: SparkSession, dir: String, zX100Cut: Long = 300): DataFrame = {
-    val ev = Tables.events(s, dir)
-    val stats = ev.groupBy("event_type").agg(
-      count(lit(1)).cast("double").as("n"),
-      sum(col("value").cast(DecimalType(18, 2))).cast("double").as("s1"),
-      sum((col("value") * col("value")).cast(DecimalType(27, 4))).cast("double").as("s2"))
-      .select(col("event_type"), col("n"),
-              (col("s1") / col("n")).as("mean"),
-              sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("std"))
-    ev.join(Hints.maybeBroadcast(stats), "event_type")
-      .select(
-        col("event_id"), col("event_type"),
-        floor(lit(100.0) * (col("value") - col("mean")) / col("std")).cast("long").as("z_x100"))
-      .withColumn("is_outlier", abs(col("z_x100")) >= zX100Cut)
+  def anomalyZscore(s: SparkSession, dir: String, zX100Cut: Long = 300): DataFrame =
+    zscoreFlags(Tables.events(s, dir), "event_id", "event_type", "value", zX100Cut)
       .orderBy("event_id")
+
+  /** [[anomalyZscore]]'s core, factored for testability on crafted
+    * frames. Degenerate groups are defined, not undefined: a group
+    * whose variance term is ≤ 0 (constant values — including the
+    * tiny-NEGATIVE term double rounding can produce, where Spark's
+    * sqrt would yield NaN but the oracle engine ERRORS) or with a
+    * single row (n-1 = 0) gets std = 0, and std = 0 maps every member
+    * to z = 0 / not-outlier — no NULL verdicts, no NaN, and the
+    * guard structure is mirrored textually in the oracle SQL.
+    */
+  def zscoreFlags(df: DataFrame, idCol: String, groupCol: String, valueCol: String,
+                  zX100Cut: Long): DataFrame = {
+    val variance =
+      (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+    val stats = df.groupBy(groupCol).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("s1"),
+      sum((col(valueCol) * col(valueCol)).cast(DecimalType(27, 4))).cast("double").as("s2"))
+      .select(col(groupCol), (col("s1") / col("n")).as("mean"),
+              when(col("n") > 1 && variance > 0, sqrt(variance)).otherwise(0.0).as("std"))
+    df.join(Hints.maybeBroadcast(stats), groupCol)
+      .select(
+        col(idCol), col(groupCol),
+        when(col("std") > 0,
+          floor(lit(100.0) * (col(valueCol) - col("mean")) / col("std")).cast("long"))
+          .otherwise(0L).as("z_x100"))
+      .withColumn("is_outlier", abs(col("z_x100")) >= zX100Cut)
   }
 
   /** Exact interpolated percentiles per group — exact by spec for

@@ -75,8 +75,10 @@ object Sources {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val df = s.read.parquet(inPath)
     val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = (((totalBytes + BigInt(targetFileBytes) - 1) / BigInt(targetFileBytes))
-      .max(BigInt(1))).toInt
+    // clamp BEFORE toInt: a petabyte-scale ratio would wrap modulo 2^32
+    // into a zero/negative partition count otherwise
+    val nFiles = ((totalBytes + BigInt(targetFileBytes) - 1) / BigInt(targetFileBytes))
+      .max(BigInt(1)).min(BigInt(Int.MaxValue)).toInt
     val shaped = sortCol match {
       case Some(c) => df.repartitionByRange(nFiles, df.col(c)).sortWithinPartitions(c)
       case None    => df.repartition(nFiles)

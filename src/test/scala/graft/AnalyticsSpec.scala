@@ -88,6 +88,20 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(below.count() == 0)
   }
 
+  test("zscoreFlags: constant and single-row groups get z=0/not-outlier, never NULL/NaN") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "const", 100.0), (2L, "const", 100.0), (3L, "const", 100.0),
+      (4L, "single", 7.0),
+      (5L, "ok", 1.0), (6L, "ok", 2.0), (7L, "ok", 3.0)).toDF("id", "g", "v")
+    val out = Analytics.zscoreFlags(df, "id", "g", "v", 300).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 7, "no row may be dropped or nulled out")
+    Seq(1L, 2L, 3L, 4L).foreach(id => assert(out(id) == ((0L, false)), s"id $id"))
+    // the healthy group standardizes symmetrically around its middle row
+    assert(out(6L)._1 == 0L && out(5L)._1 == -out(7L)._1 && out(7L)._1 > 0)
+  }
+
   test("anomaly z-scores are centered and outliers are rare") {
     val out = Analytics.anomalyZscore(spark, sf).cache()
     assert(out.count() == Tables.events(spark, sf).count())
