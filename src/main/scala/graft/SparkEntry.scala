@@ -43,6 +43,7 @@ object SparkEntry {
     "cohort_retention"      -> (Analytics.cohortRetention _),
     "rolling_active_users"  -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
     "anomaly_zscore"        -> ((s, d) => Analytics.anomalyZscore(s, d)),
+    "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
@@ -159,6 +160,30 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version_seq""",
+    "funnel_steps" ->
+      """WITH s1 AS (
+           SELECT user_id, MIN(ts) AS t1
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, MIN(e.ts) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.ts > s1.t1
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, MIN(e.ts) AS t3
+           FROM events e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+           GROUP BY e.user_id)
+         SELECT s1.user_id,
+                epoch_ns(t1)//1000000000 AS t1_s,
+                epoch_ns(t2)//1000000000 AS t2_s,
+                epoch_ns(t3)//1000000000 AS t3_s,
+                CAST((CASE WHEN t1 IS NULL THEN 0 ELSE 1 END) +
+                     (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END) +
+                     (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS completed_steps
+         FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+                 LEFT JOIN s3 ON s1.user_id = s3.user_id
+         ORDER BY s1.user_id""",
     // mean/std/z are double expressions over EXACT decimal sums, with
     // the operation order written identically on both engines, so
     // floor(100*z) is bit-identical (same trick as the ANN oracle).

@@ -193,6 +193,46 @@ object Analytics {
       .orderBy("win_day")
   }
 
+  /** Ordered conversion funnel (signup → view → purchase): per user,
+    * the earliest time each step completes STRICTLY AFTER the previous
+    * step — the sequential-pattern primitive behind conversion
+    * dashboards. Each stage is one aggregate + one key-partitioned
+    * join against the (small) per-user frontier of the previous stage
+    * — never a window over the full event stream and never a
+    * cross-stage self-join of raw events; the event table is scanned
+    * once per step with the step's type filter pushed to the scan.
+    * Timestamps compare at full ns precision and report as epoch
+    * seconds.
+    */
+  def funnelSteps(s: SparkSession, dir: String,
+                  steps: Seq[String] = Seq("signup", "view", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = Tables.events(s, dir)
+    def stepMin(stepType: String, frontier: Option[DataFrame]): DataFrame = {
+      val typed = ev.filter(col("event_type") === stepType)
+        .select(col("user_id"), col("ts_ns"))
+      val bounded = frontier match {
+        case None => typed
+        case Some(f) =>
+          typed.join(f.select(col("user_id"), col("prev_ns")), "user_id")
+            .filter(col("ts_ns") > col("prev_ns"))
+      }
+      bounded.groupBy("user_id").agg(min(col("ts_ns")).as("prev_ns"))
+    }
+    val frontiers = steps.foldLeft(Vector.empty[DataFrame]) { (acc, st) =>
+      acc :+ stepMin(st, acc.lastOption)
+    }
+    val out = frontiers.zipWithIndex
+      .map { case (f, i) =>
+        f.select(col("user_id"), expr("prev_ns div 1000000000").as(s"t${i + 1}_s")) }
+      .reduceLeft((a, b) => a.join(b, Seq("user_id"), "left"))
+    out
+      .withColumn("completed_steps",
+        steps.indices.map(i => when(col(s"t${i + 1}_s").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _))
+      .orderBy("user_id")
+  }
+
   /** Per-group z-score anomaly flags — the outlier-filter stage every
     * ingest pipeline runs before values feed training or dashboards.
     * Group moments come from EXACT decimal sums (Σv, Σv² — the same

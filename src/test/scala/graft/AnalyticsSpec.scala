@@ -88,6 +88,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(below.count() == 0)
   }
 
+  test("funnel: step times strictly increase, completed_steps counts non-null prefix") {
+    val out = Analytics.funnelSteps(spark, sf).cache()
+    // strict ordering wherever a later step exists
+    assert(out.filter(col("t2_s").isNotNull && col("t2_s") < col("t1_s")).count() == 0)
+    assert(out.filter(col("t3_s").isNotNull && col("t3_s") < col("t2_s")).count() == 0)
+    // a later step is never present without the earlier one
+    assert(out.filter(col("t3_s").isNotNull && col("t2_s").isNull).count() == 0)
+    // completed_steps consistent with the null pattern
+    val bad = out.filter(
+      col("completed_steps") =!=
+        (when(col("t1_s").isNotNull, 1L).otherwise(0L) +
+         when(col("t2_s").isNotNull, 1L).otherwise(0L) +
+         when(col("t3_s").isNotNull, 1L).otherwise(0L)))
+    assert(bad.count() == 0)
+    // every user in the funnel signed up
+    assert(out.filter(col("t1_s").isNull).count() == 0)
+    out.unpersist()
+  }
+
   test("zscoreFlags: constant and single-row groups get z=0/not-outlier, never NULL/NaN") {
     import spark.implicits._
     val df = Seq(
