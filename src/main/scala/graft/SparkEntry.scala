@@ -74,6 +74,7 @@ object SparkEntry {
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
+    "mm_chunk_text"   -> ((s, d) => graft.multimodal.Multimodal.mmChunkText(s, d)),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
@@ -523,6 +524,24 @@ object SparkEntry {
                 unnest(list_sort(list_distinct(list_transform(range(0, 8),
                        i -> CAST(floor(i * n_frames / 8) AS BIGINT))))) AS frame_idx
          FROM v ORDER BY doc_id, frame_idx""",
+    // The synthesized payload body IS the document text (see
+    // mm_extract_meta), so the oracle chunks `text` directly. Character
+    // windows; both engines hash each chunk's UTF-8 bytes via md5.
+    "mm_chunk_text" ->
+      """WITH c AS (
+           SELECT doc_id, text AS body,
+                  GREATEST(1, (length(text) + 255) // 256) AS n_chunks
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(0, n_chunks),
+                    i -> {'chunk_idx': i, 'chunk': substr(body, CAST(i*256+1 AS INT), 256)})) AS u
+           FROM c)
+         SELECT doc_id,
+                CAST(u.chunk_idx AS BIGINT) AS chunk_idx,
+                CAST(length(u.chunk) AS BIGINT) AS n_chars,
+                CAST('0x' || substr(md5(u.chunk), 1, 12) AS BIGINT) AS chunk_key
+         FROM e ORDER BY doc_id, chunk_idx""",
     "top_ngrams" ->
       """WITH t AS (
            SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

@@ -104,6 +104,39 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** SURVEY §2 `mm_chunk_text`: fixed-window chunk manifest over each
+    * payload's decoded BODY (everything after the 21-byte header) —
+    * the chunking step a retrieval/embedding ingest runs so downstream
+    * stages address stable (doc, chunk) units instead of whole blobs.
+    * Character windows (not bytes) so multibyte text never splits
+    * mid-codepoint — the usual contract for text chunking; per chunk:
+    * ordinal, length, and an md5-derived content key (both engines
+    * hash the chunk's UTF-8 bytes, so the key is engine-neutral).
+    * Row-local explode ≤ ceil(len/window) per doc; header parsing and
+    * slicing stay inside codegen; blob bytes never shuffle — only the
+    * manifest rows do.
+    */
+  def mmChunkText(s: SparkSession, dir: String, window: Int = 256): DataFrame = {
+    require(window > 0, "window must be positive")
+    val body = decode(substring(col("payload"), 22, Int.MaxValue), "UTF-8")
+    synthesizePayloads(s, dir)
+      .select(col("doc_id"), body.as("body"))
+      .select(col("doc_id"), col("body"),
+        // n chunks = ceil(len/window), min 1 (empty body -> one empty chunk)
+        greatest(lit(1L),
+          expr(s"(char_length(body) + ${window - 1}) div $window")).as("n_chunks"))
+      .select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_chunks") - 1),
+          i => col("body").substr((i * window + 1).cast("int"), lit(window)))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        length(col("col")).cast("long").as("n_chars"),
+        conv(substring(md5(col("col")), 1, 12), 16, 10).cast("long").as("chunk_key"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Decoded-content row produced by the batch decoder. */
   case class DecodedMeta(doc_id: Long, n_bytes: Long, content_feature: Long)
 

@@ -49,6 +49,26 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("chunk manifest: chunks tile each body exactly, keys differ across distinct chunks") {
+    import org.apache.spark.sql.functions._
+    val out = graft.multimodal.Multimodal.mmChunkText(spark, sf).cache()
+    // chunk lengths per doc sum to the body length; all but the last are full
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("body_len"))
+    val sums = out.groupBy("doc_id").agg(
+      sum("n_chars").as("total"), max("chunk_idx").as("last_idx"),
+      count(lit(1)).as("n"))
+    val bad = sums.join(docs, "doc_id")
+      .filter(col("total") =!= col("body_len") || col("n") =!= col("last_idx") + 1)
+    assert(bad.count() == 0)
+    assert(out.filter(col("n_chars") > 256).count() == 0)
+    // non-final chunks are exactly the window width
+    val nonFinal = out.join(sums.select(col("doc_id"), col("last_idx")), "doc_id")
+      .filter(col("chunk_idx") < col("last_idx"))
+    assert(nonFinal.filter(col("n_chars") =!= 256).count() == 0)
+    out.unpersist()
+  }
+
   test("n_bytes = 21-byte header + UTF-8 body length") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), (lit(21) + length(encode(col("text"), "UTF-8"))).as("expect"))
