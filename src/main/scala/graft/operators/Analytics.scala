@@ -205,9 +205,16 @@ object Analytics {
     * seconds.
     */
   def funnelSteps(s: SparkSession, dir: String,
-                  steps: Seq[String] = Seq("signup", "view", "purchase")): DataFrame = {
+                  steps: Seq[String] = Seq("signup", "view", "purchase")): DataFrame =
+    funnelOver(Tables.events(s, dir), steps).orderBy("user_id")
+
+  /** [[funnelSteps]]'s core over any (user_id, ts_ns, event_type)
+    * frame — factored so partial-completion funnels are unit-testable
+    * on crafted logs (the fixture corpus completes every step for
+    * every user, which exercises none of the null handling).
+    */
+  def funnelOver(ev: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val ev = Tables.events(s, dir)
     def stepMin(stepType: String, frontier: Option[DataFrame]): DataFrame = {
       val typed = ev.filter(col("event_type") === stepType)
         .select(col("user_id"), col("ts_ns"))
@@ -226,11 +233,9 @@ object Analytics {
       .map { case (f, i) =>
         f.select(col("user_id"), expr("prev_ns div 1000000000").as(s"t${i + 1}_s")) }
       .reduceLeft((a, b) => a.join(b, Seq("user_id"), "left"))
-    out
-      .withColumn("completed_steps",
-        steps.indices.map(i => when(col(s"t${i + 1}_s").isNotNull, 1L).otherwise(0L))
-          .reduce(_ + _))
-      .orderBy("user_id")
+    out.withColumn("completed_steps",
+      steps.indices.map(i => when(col(s"t${i + 1}_s").isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _))
   }
 
   /** Per-group z-score anomaly flags — the outlier-filter stage every

@@ -88,6 +88,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(below.count() == 0)
   }
 
+  test("funnel on crafted log: partial completion, strictly-after bound, out-of-order steps") {
+    import spark.implicits._
+    val log = Seq(
+      // u1: full funnel in order
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "purchase"),
+      // u2: view BEFORE signup only -> funnel stops after signup
+      (2L, 20L, "view"), (2L, 30L, "signup"),
+      // u3: signup+view, purchase BEFORE view -> stops at 2 steps
+      (3L, 10L, "signup"), (3L, 30L, "view"), (3L, 20L, "purchase"),
+      // u4: never signed up -> absent from the funnel entirely
+      (4L, 10L, "view"), (4L, 20L, "purchase"),
+      // u5: simultaneous signup+view (ties are NOT strictly after)
+      (5L, 10L, "signup"), (5L, 10L, "view"))
+      .map { case (u, t, e) => (u, t * 1000000000L, e) }
+      .toDF("user_id", "ts_ns", "event_type")
+    val out = Analytics.funnelOver(log, Seq("signup", "view", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 5L), "only signed-up users appear")
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(out(2L) == ((Some(30L), None, None, 1L)), "pre-signup view must not count")
+    assert(out(3L) == ((Some(10L), Some(30L), None, 2L)), "pre-view purchase must not count")
+    assert(out(5L) == ((Some(10L), None, None, 1L)), "simultaneous is not strictly after")
+  }
+
   test("funnel: step times strictly increase, completed_steps counts non-null prefix") {
     val out = Analytics.funnelSteps(spark, sf).cache()
     // strict ordering wherever a later step exists

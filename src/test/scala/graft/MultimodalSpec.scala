@@ -62,6 +62,16 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .filter(col("total") =!= col("body_len") || col("n") =!= col("last_idx") + 1)
     assert(bad.count() == 0)
     assert(out.filter(col("n_chars") > 256).count() == 0)
+    // content keys must actually distinguish distinct chunk content:
+    // full-width chunks are (distinct-per-doc) text slices, so key
+    // cardinality must be in the same order as chunk count
+    val full = out.filter(col("n_chars") === 256)
+    val fullN = full.count()
+    if (fullN > 10) {
+      val distinctKeys = full.select("chunk_key").distinct().count()
+      assert(distinctKeys > fullN / 2,
+        s"only $distinctKeys distinct keys for $fullN full chunks — key derivation degenerate")
+    }
     // non-final chunks are exactly the window width
     val nonFinal = out.join(sums.select(col("doc_id"), col("last_idx")), "doc_id")
       .filter(col("chunk_idx") < col("last_idx"))
