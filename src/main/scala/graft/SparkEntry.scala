@@ -83,6 +83,7 @@ object SparkEntry {
     "top_ngrams"         -> ((s, d) => TextOps.topNgrams(s, d)),
     "text_pii_redact"    -> (TextOps.textPiiRedact _),
     "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
+    "doc_top_terms"      -> ((s, d) => TextOps.docTopTerms(s, d)),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -642,6 +643,20 @@ object SparkEntry {
                 CAST(CASE WHEN n_tokens = 0 THEN (tok_end - n_tokens) // 512
                           ELSE (tok_end - 1) // 512 END AS BIGINT) AS last_chunk
          FROM c ORDER BY doc_id""",
+    "doc_top_terms" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+         df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         r AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS BIGINT) AS term_rank
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, term_rank, term, tf, df
+         FROM r WHERE term_rank <= 3
+         ORDER BY doc_id, term_rank""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint

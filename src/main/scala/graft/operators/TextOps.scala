@@ -115,6 +115,30 @@ object TextOps {
       .limit(k)
   }
 
+  /** Distinctive terms per document: the top `k` terms ranked by
+    * term frequency within the doc, rarest-in-corpus first on ties
+    * (tf desc, document frequency asc, term asc) — TF-IDF's ranking
+    * without its logarithm, because ln() is libm-dependent and a
+    * 1-ulp difference across engines flips a floor; the all-integer
+    * rank order is engine-exact AND monotone in tf·idf for fixed tf.
+    * Two bounded shuffles: per-(doc, term) counts (partial-agg'd, key
+    * space = doc-term pairs) and per-term document frequency (key
+    * space = vocabulary); the df table joins back on the term key.
+    */
+  def docTopTerms(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, "term")
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= k)
+      .select("doc_id", "term_rank", "term", "tf", "df")
+      .orderBy("doc_id", "term_rank")
+  }
+
   /** Canonical fingerprint key per document (sorted distinct tokens).
     * The 64-bit hash variant ([[graft.functions.TextFunctions.fingerprint64]])
     * is what a 100 TB dedup would shuffle; the string key is emitted

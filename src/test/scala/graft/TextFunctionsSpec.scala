@@ -99,6 +99,25 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2).getString(3) == "two mails <email> <email> and digits <num>")
   }
 
+  test("docTopTerms: ranks by tf then rarity, k rows max per doc, df consistent") {
+    import graft.operators.TextOps
+    val out = TextOps.docTopTerms(spark, sf).cache()
+    assert(out.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    // rank order within a doc follows (tf desc, df asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("term_rank")
+    val bad = out
+      .withColumn("ptf", lag(col("tf"), 1).over(w))
+      .withColumn("pdf", lag(col("df"), 1).over(w))
+      .filter(col("ptf").isNotNull &&
+        (col("ptf") < col("tf") || (col("ptf") === col("tf") && col("pdf") > col("df"))))
+    assert(bad.count() == 0)
+    // every doc with at least one token appears
+    assert(out.select("doc_id").distinct().count() ==
+      Tables.documents(spark, sf).count())
+    out.unpersist()
+  }
+
   test("topNgrams: document frequency of distinct-per-doc bigrams, deterministic top-k") {
     val out = graft.operators.TextOps.topNgrams(spark, sf).collect()
     assert(out.length == 100)
