@@ -99,6 +99,32 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2).getString(3) == "two mails <email> <email> and digits <num>")
   }
 
+  test("OPH minhash interpreted evaluation matches the codegen path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val sets = (1 to 20).map(_ => Seq.fill(rnd.nextInt(40) + 1)(rnd.nextLong()))
+    // codegen path (whole-stage over a DataFrame)
+    val viaDf = sets.toDF("hs")
+      .select(call_function("graft_minhash_oph", col("hs"), lit(32), lit(8)).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    // interpreted path (direct eval on catalyst literals)
+    val viaEval = sets.map { hs =>
+      graft.functions.OphMinHashBands(
+        Literal.create(new GenericArrayData(hs.toArray), ArrayType(LongType, containsNull = false)),
+        32, 8)
+        .eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    }
+    // same inputs in the same order -> identical band arrays... but the
+    // DataFrame may reorder rows? A local relation of 20 rows in one
+    // partition preserves order; compare as multisets to be safe.
+    assert(viaDf.map(_.mkString(",")).sorted.toSeq == viaEval.map(_.mkString(",")).sorted)
+  }
+
   test("docTopTerms: ranks by tf then rarity, k rows max per doc, df consistent") {
     import graft.operators.TextOps
     val out = TextOps.docTopTerms(spark, sf).cache()
