@@ -69,6 +69,9 @@ object SparkEntry {
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
     "sample_stratified" -> ((s, d) => TrainingOps.sampleStratified(s, d)),
+    "mix_weighted"      -> ((s, d) => TrainingOps.mixWeighted(s, d)),
+    "decontaminate_ngram" -> ((s, d) => TrainingOps.decontaminate(s, d)),
+    "corpus_manifest"   -> (TrainingOps.corpusManifest _),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
@@ -84,6 +87,8 @@ object SparkEntry {
     "text_pii_redact"    -> (TextOps.textPiiRedact _),
     "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
     "doc_top_terms"      -> ((s, d) => TextOps.docTopTerms(s, d)),
+    "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
+    "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -657,6 +662,74 @@ object SparkEntry {
          SELECT doc_id, term_rank, term, tf, df
          FROM r WHERE term_rank <= 3
          ORDER BY doc_id, term_rank""",
+    "mix_weighted" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 125
+                              WHEN 'src2' THEN 50 ELSE 100 END AS w,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+           FROM documents)
+         SELECT doc_id, source, CAST(w AS BIGINT) AS weight_pct, bucket,
+                CAST(w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         FROM t ORDER BY doc_id""",
+    "decontaminate_ngram" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+             THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                       toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+             ELSE [array_to_string(toks, ' ')] END) AS ng
+           FROM t),
+         ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+         hit AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+                 FROM g JOIN ev USING (ng) WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+         SELECT t.doc_id, CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
+                COALESCE(hit.n_hits, 0) > 0 AS contaminated
+         FROM t LEFT JOIN hit USING (doc_id) WHERE t.doc_id % 97 <> 0 ORDER BY doc_id""",
+    "corpus_manifest" ->
+      """WITH d AS (
+           SELECT source, lang,
+                  CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS toks,
+                  CAST(length(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS BIGINT) AS chars,
+                  sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+           FROM documents)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(toks) AS BIGINT) AS n_tokens,
+                CAST(SUM(chars) AS BIGINT) AS n_chars,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
+         FROM d GROUP BY source ORDER BY source""",
+    "text_repetition_filter" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [array_to_string(toks, ' ')] END AS bigrams
+           FROM t),
+         e AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
+         c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM e GROUP BY doc_id, bg),
+         top AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM c GROUP BY doc_id)
+         SELECT b.doc_id,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(FLOOR(100.0 * len(list_distinct(toks)) / len(toks)) AS BIGINT) AS distinct_tok_x100,
+                CAST(FLOOR(100.0 * top.top_cnt / len(bigrams)) AS BIGINT) AS top_bigram_x100,
+                (FLOOR(100.0 * len(list_distinct(toks)) / len(toks)) >= 30)
+                  AND (FLOOR(100.0 * top.top_cnt / len(bigrams)) <= 20) AS keep
+         FROM b JOIN top USING (doc_id) ORDER BY doc_id""",
+    "dedup_incremental" ->
+      """WITH h AS (
+           SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+           FROM documents),
+         b AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 <> 0)
+         SELECT h.doc_id, h.content_hash, b.content_hash IS NULL AS is_new
+         FROM h LEFT JOIN b ON h.content_hash = b.content_hash
+         WHERE h.doc_id % 10 = 0 ORDER BY h.doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint

@@ -291,6 +291,41 @@ object Dedup {
       .orderBy("keep_doc_id")
   }
 
+  /** Incremental (delta-vs-base) exact dedup — the shape every
+    * CONTINUOUSLY-ingesting pipeline actually runs: a new batch is
+    * deduped against the accumulated corpus without rescanning it for
+    * pairs. The delta here is the deterministic `doc_id % deltaMod == 0`
+    * slice standing in for "today's crawl"; base is everything else.
+    * Emits one row per delta doc: its content hash and whether it is
+    * NEW (hash absent from base) — the filter a downstream appender
+    * applies before extending the corpus.
+    *
+    * Scale shape: both sides reduce to 32-byte sha2-256 hashes before
+    * any join (the [[dedupExactHash]] rule — text never shuffles); the
+    * base side pre-aggregates to DISTINCT hashes (map-side partial
+    * dedup), then ONE hash-keyed shuffle joins delta against base. No
+    * broadcast: the base corpus grows without bound, so this must stay
+    * a shuffled join — at 100 TB it is a sort-merge/shuffled-hash join
+    * on fixed-width keys, and bucketing the corpus's hash column
+    * ([[graft.sources.Sources]] bucketed write) removes even that
+    * exchange on the base side.
+    */
+  def dedupIncremental(s: SparkSession, dir: String, deltaMod: Int = 10): DataFrame = {
+    require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+    val base = hashed.filter(col("doc_id") % deltaMod =!= 0)
+      .select(col("content_hash")).distinct()
+      .withColumn("in_base", lit(true))
+    hashed.filter(col("doc_id") % deltaMod === 0)
+      .join(base, Seq("content_hash"), "left")
+      .select(
+        col("doc_id"),
+        col("content_hash"),
+        col("in_base").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash(64 perms) + LSH(16 bands × 4) over word-3-gram shingles,
     * candidates verified with exact shingle Jaccard ≥ 0.8. The
     * ~(1/16)^(1/4) ≈ 0.5 banding threshold over-generates candidates

@@ -212,6 +212,55 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style REPETITION signals — the second half of the quality
+    * gate [[textGopherFilter]] doesn't cover: a document dominated by
+    * one repeated phrase (navigation text, keyword stuffing, decoder
+    * loops) passes length/alpha rules while being worthless training
+    * data. Emits the distinct-token ratio and the share of the most
+    * frequent word bigram, both as ×100 integers, plus the composite
+    * `keep` verdict.
+    *
+    * Fully ROW-LOCAL, zero shuffle: the top-bigram count is a run-
+    * length maximum over the doc's SORTED bigram multiset, computed
+    * with the `aggregate` higher-order function — no explode, no
+    * per-(doc, ngram) aggregation (the obvious explode+groupBy shape
+    * shuffles one row per bigram occurrence, i.e. the whole corpus,
+    * to compute a per-doc statistic). At 100 TB this is a pure map
+    * stage like every other TextOps operator.
+    */
+  def textRepetitionFilter(s: SparkSession, dir: String,
+                           minDistinctX100: Long = 30,
+                           maxTopBigramX100: Long = 20): DataFrame = {
+    val bigrams = when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array(concat_ws(" ", col("toks"))))
+    // Longest run of equal adjacent elements in the sorted multiset ==
+    // the count of the most frequent bigram. State: (prev, run, best).
+    val topCount = aggregate(
+      col("bigrams"),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), array_sort(bigrams).as("bigrams"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        ratioX100(size(array_distinct(col("toks"))), size(col("toks")))
+          .as("distinct_tok_x100"),
+        ratioX100(topCount, size(col("bigrams"))).as("top_bigram_x100"))
+      .withColumn("keep",
+        col("distinct_tok_x100") >= minDistinctX100 &&
+        col("top_bigram_x100") <= maxTopBigramX100)
+      .orderBy("doc_id")
+  }
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(

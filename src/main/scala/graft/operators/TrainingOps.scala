@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -112,5 +112,118 @@ object TrainingOps {
       .withColumn("strat_size", count(lit(1)).over(wAll))
       .filter(col("sample_rank") * 100 <= col("strat_size") * pct + 99)
       .orderBy("doc_id")
+  }
+
+  /** Default mixture weights (percent) for [[mixWeighted]]: an
+    * up-sampled high-quality source (2.5 epochs), a half-rate source,
+    * a down-sampled low-quality source; everything else passes through
+    * at 1 epoch. The values are the demo contract — real pipelines
+    * pass their own map.
+    */
+  val defaultMixWeights: Seq[(String, Int)] =
+    Seq("src0" -> 250, "src1" -> 125, "src2" -> 50)
+
+  /** Deterministic weighted source mixing — the "mixture weights" step
+    * that turns a cleaned corpus into a training mix (some sources
+    * repeated >1 epoch, some sub-sampled). A weight of `w` percent
+    * means every doc ships `w div 100` whole copies plus one more iff
+    * its md5 bucket < `w mod 100` — so a source's total copy count is
+    * within 1 doc of `w%` of the source exactly, per-doc assignment is
+    * a pure function of the key (reproducible across runs, engines,
+    * partitionings, stable under backfill — the [[sampleSplitHash]]
+    * argument), and fractional epochs need no RNG state.
+    *
+    * Zero shuffle: a row-local projection over (doc_id, source). The
+    * manifest (doc_id, n_copies) is what a downstream packer consumes;
+    * exploding the copies is the consumer's choice, not forced here —
+    * at 100 TB you never materialize 2.5× the corpus just to count it.
+    */
+  def mixWeighted(s: SparkSession, dir: String,
+                  weights: Seq[(String, Int)] = defaultMixWeights,
+                  defaultPct: Int = 100): DataFrame = {
+    require(defaultPct >= 0 && (weights.isEmpty || weights.forall(_._2 >= 0)),
+      "mixture weights must be non-negative")
+    val weightCol = weights.foldLeft(null: Column) { case (acc, (src, w)) =>
+      if (acc == null) when(col("source") === src, w)
+      else acc.when(col("source") === src, w)
+    } match {
+      case null => lit(defaultPct)
+      case c    => c.otherwise(defaultPct)
+    }
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("source"),
+        weightCol.cast("long").as("weight_pct"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("n_copies",
+        expr("weight_pct div 100") +
+          when(col("bucket") < col("weight_pct") % 100, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Eval-set decontamination: flag every training document sharing a
+    * verbatim `n`-token n-gram with any held-out eval document — the
+    * benchmark-leakage scrub every pretraining pipeline runs before
+    * freezing a mix. Eval membership here is the deterministic
+    * `doc_id % evalMod == 0` slice (a stand-in for the real benchmark
+    * table); n-grams are [[Dedup.wordNgrams]], the engine-wide shingle
+    * definition, with its short-doc whole-text fallback.
+    *
+    * Scale shape: the eval side of the join is DISTINCT n-grams of the
+    * EVAL SET ONLY — benchmark suites are MBs while the corpus is TBs,
+    * so the eval n-gram set is size-guard-broadcast
+    * ([[Hints.maybeBroadcast]]) and the training side never shuffles:
+    * a broadcast semi-probe per shingle, then a per-doc count
+    * aggregate on doc_id keys. Docs with zero hits are preserved by a
+    * left join against the (doc_id)-pruned corpus scan.
+    */
+  def decontaminate(s: SparkSession, dir: String,
+                    evalMod: Int = 97, n: Int = 8): DataFrame = {
+    require(evalMod > 1, s"evalMod $evalMod must exceed 1")
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Dedup.wordNgrams(col("toks"), n)).as("ng"))
+    val evalGrams = Hints.maybeBroadcast(
+      grams.filter(col("doc_id") % evalMod === 0).select("ng").distinct())
+    val hits = grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(evalGrams, Seq("ng"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Per-source dataset card — the manifest row a training mix is
+    * audited by: document count, token/char volume, language spread,
+    * and exact-dup count within the source (docs minus distinct
+    * normalized-content hashes). One partial-aggregated shuffle whose
+    * key space is the SOURCE list (dozens, not corpus-sized); the two
+    * distinct aggregates piggyback on the same expand. Token counts
+    * reuse the BPE-ish regex of [[TextOps.textTokenCount]] and the
+    * content hash is [[Dedup.dedupExactHash]]'s sha2-256, so the card
+    * reports the same numbers the pipeline's other stages act on.
+    */
+  def corpusManifest(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(
+        col("source"), col("lang"),
+        bpeTokenCount(col("text")).as("toks"),
+        length(normText(col("text"))).cast("long").as("chars"),
+        sha2(normText(col("text")), 256).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
+      .orderBy("source")
   }
 }
