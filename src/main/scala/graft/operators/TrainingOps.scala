@@ -128,7 +128,8 @@ object TrainingOps {
     * repeated >1 epoch, some sub-sampled). A weight of `w` percent
     * means every doc ships `w div 100` whole copies plus one more iff
     * its md5 bucket < `w mod 100` — so a source's total copy count is
-    * within 1 doc of `w%` of the source exactly, per-doc assignment is
+    * `w%` of the source in expectation (binomially concentrated — the
+    * md5 buckets are uniform but independent), per-doc assignment is
     * a pure function of the key (reproducible across runs, engines,
     * partitionings, stable under backfill — the [[sampleSplitHash]]
     * argument), and fractional epochs need no RNG state.
