@@ -89,6 +89,9 @@ object SparkEntry {
     "doc_top_terms"      -> ((s, d) => TextOps.docTopTerms(s, d)),
     "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    // Extract stage (reference 02_etl.py:55-67 page loop): land a paged
+    // API to JSONL with retry/resume, then read the landing dir back.
+    "paged_extract"      -> ((s, d) => graft.sources.PagedExtract.demoExtract(s, d)),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -730,6 +733,10 @@ object SparkEntry {
          SELECT h.doc_id, h.content_hash, b.content_hash IS NULL AS is_new
          FROM h LEFT JOIN b ON h.content_hash = b.content_hash
          WHERE h.doc_id % 10 = 0 ORDER BY h.doc_id""",
+    "paged_extract" ->
+      """SELECT doc_id, source, lang,
+                CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 + 1 AS BIGINT) AS page
+         FROM documents ORDER BY doc_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint

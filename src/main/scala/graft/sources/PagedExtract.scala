@@ -105,4 +105,170 @@ object PagedExtract {
     */
   def readLanded(s: SparkSession, landingDir: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(Paths.get(landingDir).resolve("page_*.jsonl").toString)
+
+  // ----------------------------------------------------------------
+  // distributed variant — known page count
+  // ----------------------------------------------------------------
+
+  /** Client contract for [[land]]: a paged source whose page count is
+    * discoverable up front (the reference reads `total_pages` off its
+    * first response — 02_etl.py:58). `totalPages` runs on the driver;
+    * `fetch(page)` (1-based) runs ON EXECUTORS and may throw —
+    * [[land]] owns retry, backoff, and failure tolerance, so
+    * implementations stay a thin transport wrapper.
+    */
+  trait PageApi extends Serializable {
+    def totalPages(): Int
+    def fetch(page: Int): Seq[String]
+  }
+
+  /** Outcome of one [[land]] run: pages landed by THIS run, pages a
+    * previous run had already landed (skipped — the resume path), and
+    * pages that exhausted their retries, with the final error.
+    * Failures are REPORTED, not thrown — a nightly extract that loses
+    * 3 pages of 40 000 to a flaky upstream must land the 39 997 and
+    * pick up the gap next run (the reference makes the same call:
+    * 02_etl.py:210-215 logs and continues past per-movie failures).
+    * Contrast [[extract]], which must abort on a dead page because an
+    * open-ended crawl cannot distinguish "page 7 is down" from "the
+    * crawl is over" on resume.
+    */
+  final case class ExtractReport(landed: Seq[Int], skipped: Seq[Int],
+                                 failed: Seq[(Int, String)]) {
+    def ok: Boolean = failed.isEmpty
+  }
+
+  private val PageFileName = """page_(\d{5})\.jsonl""".r
+
+  /** Page numbers already committed under `landingDir`. */
+  def landedPages(s: SparkSession, landingDir: String): Set[Int] = {
+    val path = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else fs.listStatus(path).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case PageFileName(n) => Some(n.toInt)
+        case _               => None
+      }
+    }.toSet
+  }
+
+  /** Distributed landing for the known-page-count case: once
+    * `totalPages` is in hand, the remaining pages are independent
+    * fetch units, and serializing them through the driver ([[extract]])
+    * caps the extract at one connection. Here the driver ships PAGE
+    * NUMBERS (never data) over a `parallelize(remaining)`, and each
+    * executor task runs the same fetch→temp→atomic-rename commit
+    * against the shared landing dir (Hadoop FS — works on HDFS/object
+    * stores, where `rename` to an existing path returns false, so a
+    * speculative duplicate task loses the race and deletes its temp:
+    * still exactly-once per page).
+    *
+    * Retry is per page with exponential backoff (`backoffMs << i`);
+    * rate limiting is per TASK (`minFetchIntervalMs` between fetches),
+    * so upstream pressure is `parallelism / interval` — tune the two
+    * together against the API's quota, the horizontal version of the
+    * reference's `time.sleep(0.25)` loop. Resume is free: landed page
+    * files ARE the checkpoint, and a rerun fetches only the gap.
+    */
+  def land(s: SparkSession, api: PageApi, landingDir: String,
+           parallelism: Int = 8, maxRetries: Int = 3, backoffMs: Long = 5,
+           minFetchIntervalMs: Long = 0): ExtractReport = {
+    require(parallelism > 0 && maxRetries >= 0 && backoffMs >= 0 && minFetchIntervalMs >= 0,
+      "paged-extract knobs must be non-negative (parallelism positive)")
+    val total = api.totalPages()
+    val already = landedPages(s, landingDir)
+    val remaining = (1 to total).filterNot(already)
+    if (remaining.isEmpty) return ExtractReport(Nil, already.toSeq.sorted, Nil)
+
+    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
+      s.sparkContext.hadoopConfiguration)
+    val landedAcc = s.sparkContext.collectionAccumulator[Int]("landed")
+    val failedAcc = s.sparkContext.collectionAccumulator[(Int, String)]("failed")
+
+    s.sparkContext
+      .parallelize(remaining, math.min(parallelism, remaining.size))
+      .foreachPartition { pages: Iterator[Int] =>
+        import org.apache.hadoop.fs.{Path => HPath}
+        val dir = new HPath(landingDir)
+        val fs = dir.getFileSystem(hadoopConf.value)
+        fs.mkdirs(new HPath(dir, "_tmp"))
+        var lastFetch = 0L
+        pages.foreach { page =>
+          var attempt = 0
+          var done = false
+          var lastErr: Throwable = null
+          while (!done && attempt <= maxRetries) {
+            if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+            if (minFetchIntervalMs > 0) {
+              val wait = lastFetch + minFetchIntervalMs - System.currentTimeMillis()
+              if (wait > 0) Thread.sleep(wait)
+            }
+            try {
+              lastFetch = System.currentTimeMillis()
+              val records = api.fetch(page)
+              val tmp = new HPath(dir, s"_tmp/${java.util.UUID.randomUUID()}")
+              val out = fs.create(tmp, true)
+              try records.foreach { r => out.write(r.getBytes("UTF-8")); out.write('\n') }
+              finally out.close()
+              // The commit point: first rename wins, duplicates clean up.
+              if (!fs.rename(tmp, new HPath(dir, f"page_$page%05d.jsonl")))
+                fs.delete(tmp, false)
+              else landedAcc.add(page)
+              done = true
+            } catch {
+              case e: Exception => lastErr = e; attempt += 1
+            }
+          }
+          if (!done)
+            failedAcc.add((page, s"${lastErr.getClass.getSimpleName}: ${lastErr.getMessage}"))
+        }
+      }
+
+    ExtractReport(
+      landedAcc.value.asScala.toSeq.sorted,
+      already.toSeq.sorted,
+      failedAcc.value.asScala.toSeq.sortBy(_._1))
+  }
+
+  /** A [[PageApi]] serving a fixed row set in `pageSize` slices — the
+    * deterministic stand-in for a remote API. The rows live IN the api
+    * object (serialized to executors with it): the collect that builds
+    * it simulates the remote system, not the engine's data path.
+    */
+  final class FixedPageApi(rows: Array[(Long, String, String)], pageSize: Int)
+      extends PageApi {
+    require(pageSize > 0, "pageSize must be positive")
+    override def totalPages(): Int = (rows.length + pageSize - 1) / pageSize
+    override def fetch(page: Int): Seq[String] = {
+      def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+      rows.view.slice((page - 1) * pageSize, page * pageSize)
+        .map { case (id, src, lang) =>
+          s"""{"doc_id":$id,"source":"${esc(src)}","lang":"${esc(lang)}","page":$page}"""
+        }.toSeq
+    }
+  }
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  val demoSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("source", StringType),
+    StructField("lang", StringType), StructField("page", LongType)))
+
+  /** End-to-end demo for the driver contract: page the documents table
+    * through a [[FixedPageApi]] (`pageSize` docs per page, 1-based),
+    * [[land]] it distributed, read the landing dir back. The oracle
+    * recomputes each doc's page as its doc_id-ordered rank div
+    * `pageSize` — pure SQL, so the whole extract→land→read loop is
+    * hash-verified against DuckDB.
+    */
+  def demoExtract(s: SparkSession, dir: String, pageSize: Int = 100): DataFrame = {
+    val rows = graft.Tables.documents(s, dir).select("doc_id", "source", "lang")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val landing = Files.createTempDirectory("graft_extract").toString
+    val report = land(s, new FixedPageApi(rows, pageSize), landing)
+    require(report.ok, s"demo extract lost pages: ${report.failed}")
+    readLanded(s, landing, demoSchema).orderBy("doc_id")
+  }
 }

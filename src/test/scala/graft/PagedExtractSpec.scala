@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.PagedExtract
+
+/** The DISTRIBUTED paged-extract path ([[PagedExtract.land]] — known
+  * page count, executor fan-out). The serial open-ended crawl
+  * ([[PagedExtract.extract]]) is covered in SourcesSpec.
+  *
+  * Executor-side fetch bookkeeping: local-mode executors share the
+  * test JVM, so a static map observes per-page attempt counts across
+  * tasks — the only way to assert retry/resume behavior from outside.
+  */
+object FetchLog {
+  val attempts = new ConcurrentHashMap[(String, Int), AtomicInteger]()
+  def bump(run: String, page: Int): Int =
+    attempts.computeIfAbsent((run, page), _ => new AtomicInteger).incrementAndGet()
+  def count(run: String, page: Int): Int =
+    Option(attempts.get((run, page))).map(_.get).getOrElse(0)
+}
+
+/** 10 pages (1-based) × 3 records. Pages divisible by `flakyEvery`
+  * fail on their first attempt (transient); pages in `dead` fail every
+  * attempt (hard).
+  */
+class SyntheticApi(run: String, flakyEvery: Int = 0, dead: Set[Int] = Set.empty)
+    extends PagedExtract.PageApi {
+  override def totalPages(): Int = 10
+  override def fetch(page: Int): Seq[String] = {
+    val attempt = FetchLog.bump(run, page)
+    if (dead.contains(page)) throw new RuntimeException(s"page $page is gone")
+    if (flakyEvery > 0 && page % flakyEvery == 0 && attempt == 1)
+      throw new RuntimeException(s"transient on page $page")
+    (0 until 3).map(i => s"""{"id":${(page - 1) * 3 + i},"page":$page}""")
+  }
+}
+
+class PagedExtractSpec extends AnyFunSuite with SparkFixture {
+  import org.apache.spark.sql.types._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("page", LongType)))
+
+  private def newDir() = Files.createTempDirectory("graft_paged").toString
+
+  test("clean distributed extract lands every page exactly once and round-trips") {
+    val dir = newDir()
+    val report = PagedExtract.land(spark, new SyntheticApi("clean"), dir)
+    assert(report.ok && report.skipped.isEmpty)
+    assert(report.landed == (1 to 10))
+    (1 to 10).foreach(p => assert(FetchLog.count("clean", p) == 1))
+    val rows = PagedExtract.readLanded(spark, dir, schema).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.toSeq == (0L until 30L).map(id => (id, id / 3 + 1)))
+  }
+
+  test("transient failures are retried and still land") {
+    val dir = newDir()
+    val report = PagedExtract.land(spark, new SyntheticApi("flaky", flakyEvery = 3), dir)
+    assert(report.ok && report.landed == (1 to 10))
+    Seq(3, 6, 9).foreach(p =>
+      assert(FetchLog.count("flaky", p) == 2, s"page $p must have been retried once"))
+    Seq(1, 2, 4, 5, 7, 8, 10).foreach(p => assert(FetchLog.count("flaky", p) == 1))
+    assert(PagedExtract.readLanded(spark, dir, schema).count() == 30)
+  }
+
+  test("hard failures are tolerated, reported, and healed by a rerun that refetches ONLY the gap") {
+    val dir = newDir()
+    val broken = PagedExtract.land(spark, new SyntheticApi("dead", dead = Set(4, 7)), dir,
+      maxRetries = 1)
+    assert(!broken.ok)
+    assert(broken.failed.map(_._1) == Seq(4, 7))
+    assert(broken.landed == Seq(1, 2, 3, 5, 6, 8, 9, 10))
+    assert(FetchLog.count("dead", 4) == 2, "maxRetries=1 -> exactly 2 attempts")
+    // The 8 good pages are readable even while 4 and 7 are missing.
+    assert(PagedExtract.readLanded(spark, dir, schema).count() == 24)
+
+    // Upstream heals; the rerun must skip every landed page untouched.
+    val healed = PagedExtract.land(spark, new SyntheticApi("healed"), dir)
+    assert(healed.ok)
+    assert(healed.landed == Seq(4, 7) && healed.skipped == Seq(1, 2, 3, 5, 6, 8, 9, 10))
+    (1 to 10).filterNot(Set(4, 7)).foreach(p =>
+      assert(FetchLog.count("healed", p) == 0, s"landed page $p must not be refetched"))
+    assert(PagedExtract.readLanded(spark, dir, schema).count() == 30)
+
+    // Idempotent once complete: a third run fetches nothing at all.
+    val noop = PagedExtract.land(spark, new SyntheticApi("noop"), dir)
+    assert(noop.ok && noop.landed.isEmpty && noop.skipped == (1 to 10))
+    (1 to 10).foreach(p => assert(FetchLog.count("noop", p) == 0))
+  }
+
+  test("demoExtract pages the documents table in doc_id-rank order") {
+    val out = PagedExtract.demoExtract(spark, sf, pageSize = 64).collect()
+    val docs = Tables.documents(spark, sf).select("doc_id").orderBy("doc_id").collect()
+      .map(_.getLong(0))
+    assert(out.length == docs.length)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == docs(i))
+      assert(r.getLong(3) == i / 64 + 1, s"doc ${docs(i)} page")
+    }
+  }
+}
