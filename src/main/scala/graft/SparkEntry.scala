@@ -59,12 +59,14 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
+    "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -447,6 +449,22 @@ object SparkEntry {
     // 0.9 threshold (max ≈ 0.51), so DuckDB's float32
     // list_cosine_similarity cannot disagree with Spark's double
     // arithmetic on the ≥τ comparison.
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE
+         pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+         sym AS (
+           SELECT a, b FROM pairs
+           UNION ALL
+           SELECT b AS a, a AS b FROM pairs),
+         reach(vec_id, r) AS (
+           SELECT vec_id, vec_id AS r FROM embeddings
+           UNION
+           SELECT s.a AS vec_id, c.r FROM sym s JOIN reach c ON s.b = c.vec_id)
+         SELECT vec_id, MIN(r) AS rep_vec_id, MIN(r) <> vec_id AS is_dup
+         FROM reach GROUP BY vec_id ORDER BY vec_id""",
     "dedup_embedding_cosine" ->
       """WITH pairs AS (
            SELECT a.vec_id AS a, b.vec_id AS b

@@ -526,9 +526,17 @@ object Dedup {
     * candidate join; embeddings join back solely for the ≪n²
     * verified candidates.
     */
-  def dedupEmbeddingCosine(s: SparkSession, dir: String,
-                           nBands: Int = 8, bitsPerBand: Int = 6,
-                           tau: Double = 0.9): DataFrame = {
+  /** Shared SRP-LSH → exact-cosine-verify pipeline behind both
+    * embedding dedup surfaces: returns (all vec_ids, verified a<b
+    * pairs with cosine ≥ tau). [[dedupEmbeddingCosine]] reduces the
+    * pairs to min-partner verdicts; [[dedupSemanticClusters]] feeds
+    * the FULL edge set to [[connectedComponents]] (the same
+    * verdict-vs-closure split as the MinHash family's
+    * minhashVerifiedPairs).
+    */
+  private def embeddingVerifiedPairs(s: SparkSession, dir: String,
+                                     nBands: Int, bitsPerBand: Int,
+                                     tau: Double): (DataFrame, DataFrame) = {
     GraftFunctions.ensureRegistered(s)
     // The family's one-shared-scan rule (see hashedShingles) applied to
     // embeddings: the plan references this projection four times (band
@@ -551,7 +559,32 @@ object Dedup {
     val verified = cand.join(embA, "a").join(embB, "b")
       .filter(call_function("graft_cosine", col("emb_a"), col("emb_b")) >= tau)
       .select("a", "b")
-    verdicts(emb.select("vec_id"), "vec_id", verified)
+    (emb.select("vec_id"), verified)
+  }
+
+  def dedupEmbeddingCosine(s: SparkSession, dir: String,
+                           nBands: Int = 8, bitsPerBand: Int = 6,
+                           tau: Double = 0.9): DataFrame = {
+    val (ids, verified) = embeddingVerifiedPairs(s, dir, nBands, bitsPerBand, tau)
+    verdicts(ids, "vec_id", verified)
       .orderBy("vec_id")
+  }
+
+  /** SemDeDup-style semantic clustering: true connected components of
+    * the embedding near-dup graph (cosine ≥ tau edges, SRP-LSH
+    * candidate generation, exact verify) — the semantic twin of
+    * [[dedupClusters]], sharing [[connectedComponents]]. A cluster of
+    * paraphrases {A≈B, B≈C} collapses to one representative even when
+    * A and C themselves sit below the pair threshold — the property a
+    * min-partner verdict ([[dedupEmbeddingCosine]]) cannot provide.
+    * Same scale shape as the MinHash closure: only fixed-width
+    * signatures and (a, b) long pairs shuffle, iteration touches only
+    * vertices with edges.
+    */
+  def dedupSemanticClusters(s: SparkSession, dir: String,
+                            nBands: Int = 8, bitsPerBand: Int = 6,
+                            tau: Double = 0.9): DataFrame = {
+    val (ids, verified) = embeddingVerifiedPairs(s, dir, nBands, bitsPerBand, tau)
+    connectedComponents(ids, verified, "vec_id")
   }
 }

@@ -110,24 +110,30 @@ object Similarity {
     * corpora; production corpora with real cluster structure run far
     * tighter dials (nProbeCells ≪ nCells).
     */
-  def annIvfTopK(s: SparkSession, dir: String, k: Int = 10,
-                 nCells: Int = 16, nProbeCells: Int = 8): DataFrame = {
-    GraftFunctions.ensureRegistered(s)
-    val emb = graft.Caches.cached(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+  /** Shared IVF coarse quantizer: k-means (MLlib, fixed seed) cell
+    * assignment plus the centroid matrix. Centroids live on the driver
+    * by construction (nCells × dim — sample-trained model state, not
+    * data). Backs [[annIvfTopK]] and [[knnGraphIvf]].
+    */
+  private def ivfAssigned(emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Float]]) = {
     val withVec = emb.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(withVec)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    // Centroids live on the driver by construction (nCells × dim —
-    // sample-trained model state, not data); a 16-row frame, broadcast.
+    (model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell")),
+     model.clusterCenters.map(_.toArray.map(_.toFloat)))
+  }
+
+  def annIvfTopK(s: SparkSession, dir: String, k: Int = 10,
+                 nCells: Int = 16, nProbeCells: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = graft.Caches.cached(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val (assigned, centroids) = ivfAssigned(emb, nCells)
     val centers = s.createDataFrame(
-      model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
     val cellRank = Window.partitionBy("probe_id")
       .orderBy(col("cell_sim").desc, col("cell"))
@@ -181,6 +187,63 @@ object Similarity {
     emb.join(other, col("vec_id") =!= col("neighbor_id"))
       .select(col("vec_id"), col("neighbor_id"),
               scoreX1e6(col("embedding"), col("n_emb")).as("cosine_x1e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "rank", "neighbor_id", "cosine_x1e6")
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The kNN graph over IVF candidates — the 100 TB path [[knnGraph]]'s
+    * contract points at, made concrete. EVERY vector is a probe, so the
+    * broadcast-probe trick is unavailable; instead:
+    *
+    * 1. the coarse quantizer assigns each vector to its cell (row-local
+    *    map after a sample-trained k-means);
+    * 2. each vector picks its `nProbeCells` nearest cells ROW-LOCALLY —
+    *    the centroid matrix is a literal in the plan (driver-side model
+    *    state, nCells × dim), ranked with an `array_sort(transform(...))`
+    *    over it: no window, no shuffle for cell selection;
+    * 3. ONE shuffled join on the cell key pairs probes with cell
+    *    members; exact cosine scores within cells, partial-top-k
+    *    window per probe.
+    *
+    * Shuffle volume is n·(1 + nProbeCells) embedding rows vs the exact
+    * graph's n-row broadcast replicated to every task (which stops
+    * fitting in memory at ~10⁵ vectors); compute is the probed
+    * fraction (~nProbeCells/nCells) of n². Cells partition the corpus,
+    * so a (probe, neighbor) pair arises at most once — no distinct().
+    * At 100 TB `nCells` grows ~√n (cells stay executor-sized, the
+    * centroid literal stays KB-MB), and cell-size skew is the k-means
+    * balance — AQE's skew-join split handles a hot cell. Recall is the
+    * probed fraction on adversarially-uniform vectors, far higher on
+    * clustered corpora (SimilaritySpec measures both this dial and
+    * exact agreement when probing all cells).
+    */
+  def knnGraphIvf(s: SparkSession, dir: String, k: Int = 5,
+                  nCells: Int = 16, nProbeCells: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = graft.Caches.cached(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val (assigned0, centroids) = ivfAssigned(emb, nCells)
+    // Referenced twice (probe side, corpus side) — one shared scan.
+    val assigned = graft.Caches.cached(assigned0)
+    val centroidLit = typedLit(centroids.map(_.toSeq).toSeq)
+    // (-sim, cell) structs sort ascending == (sim desc, cell asc):
+    // deterministic cell ranking without a window.
+    val rankedCells = array_sort(transform(centroidLit, (c, i) =>
+      struct((-call_function("graft_cosine", col("embedding"), c)).as("neg_sim"),
+             i.as("cell"))))
+    val probeSide = assigned
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              explode(slice(rankedCells, 1, nProbeCells)).as("pc"))
+      .select(col("probe_id"), col("probe_emb"), col("pc.cell").as("cell"))
+    // post-rename: vec_id IS the probe, neighbor_id the cell member
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    assigned.join(probeSide, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").as("vec_id"), col("vec_id").as("neighbor_id"),
+              scoreX1e6(col("probe_emb"), col("embedding")).as("cosine_x1e6"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("vec_id", "rank", "neighbor_id", "cosine_x1e6")

@@ -87,6 +87,71 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(out.count() == Tables.embeddings(spark, sf).count())
   }
 
+  test("dedup_semantic_clusters matches an independent union-find over exact all-pairs cosine") {
+    // Plain-Scala oracle: cosine in the SAME accumulation order as
+    // graft_cosine (sequential double over floats), union-find over
+    // all ~n²/2 pairs at sf0.001, min id per component.
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        val xi = x(i).toDouble; val yi = y(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      val den = math.sqrt(nx) * math.sqrt(ny)
+      if (den == 0.0) 0.0 else dot / den
+    }
+    val idx = vecs.map(_._1).zipWithIndex.toMap
+    val parent = Array.tabulate(vecs.length)(identity)
+    def find(i: Int): Int = { var r = i; while (parent(r) != r) r = parent(r); r }
+    for (i <- vecs.indices; j <- (i + 1) until vecs.length)
+      if (cos(vecs(i)._2, vecs(j)._2) >= 0.9) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    val expected = vecs.map { case (id, _) =>
+      val rep = vecs(find(idx(id)))._1
+      id -> (rep, rep != id)
+    }.toMap
+    val got = Dedup.dedupSemanticClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got == expected)
+    // The synthetic embeddings have NO pairs at cosine >= 0.9 (max is
+    // ~0.48 at sf0.001), so this agreement is over all-singletons; the
+    // crafted-chain test below exercises the merge path.
+    graft.Caches.clear()
+  }
+
+  test("dedup_semantic_clusters merges a transitive chain a pair-verdict cannot") {
+    import spark.implicits._
+    // 2-D rotations embedded in dim 8: cos(16°)=0.961 links 1-2 and
+    // 2-3; cos(32°)=0.848 keeps 1-3 below tau — only transitive
+    // closure puts all three in one cluster. 40 is orthogonal noise.
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sem").toString
+    Seq(
+      (1L, v(0)), (2L, v(16)), (3L, v(32)),
+      (40L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    // Wide banding (16×2) so LSH candidate recall is ~1 even at
+    // cos 0.96; the exact-cosine verify removes any false candidates.
+    val out = Dedup.dedupSemanticClusters(spark, dir, nBands = 16, bitsPerBand = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      1L -> (1L, false), 2L -> (1L, true), 3L -> (1L, true), 40L -> (40L, false)))
+    // The pair verdict on the same corpus leaves 3 attached to 2, not 1
+    // (and 1 un-flagged) — the semantic-clusters contract is strictly
+    // stronger.
+    val pairs = Dedup.dedupEmbeddingCosine(spark, dir, nBands = 16, bitsPerBand = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs(3L) == 2L)
+    graft.Caches.clear()
+  }
+
   test("graft_minhash_bands: identical shingle sets collide on every band, order-invariant") {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)

@@ -77,6 +77,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(bf.exceptAll(knn).count() == 0 && knn.exceptAll(bf).count() == 0)
   }
 
+  test("knn_graph_ivf probing every cell degenerates to exactly the exact graph") {
+    val exact = Similarity.knnGraph(spark, sf, k = 5)
+    val all = Similarity.knnGraphIvf(spark, sf, k = 5, nCells = 8, nProbeCells = 8)
+    assert(exact.exceptAll(all).count() == 0 && all.exceptAll(exact).count() == 0)
+    graft.Caches.clear()
+  }
+
+  test("knn_graph_ivf recalls >= 70% of the exact graph at the default dial") {
+    // Same adversarially-uniform-corpus caveat as the IVF ANN test:
+    // recall ≈ probed fraction (8/16); the bound leaves KMeans-drift
+    // headroom, the all-cells test above pins exactness.
+    val exact = Similarity.knnGraph(spark, sf, k = 5).select("vec_id", "neighbor_id")
+    val ivf = Similarity.knnGraphIvf(spark, sf, k = 5).select("vec_id", "neighbor_id")
+    val nExact = exact.count()
+    val hit = exact.intersect(ivf).count()
+    assert(nExact > 0 && hit.toDouble / nExact >= 0.70, s"recall ${hit.toDouble / nExact}")
+    graft.Caches.clear()
+  }
+
   test("knn_graph: every vector present with k contiguous ranks") {
     val out = Similarity.knnGraph(spark, sf, k = 5).cache()
     val n = Tables.embeddings(spark, sf).count()
