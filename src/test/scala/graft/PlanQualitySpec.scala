@@ -219,6 +219,59 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_"), s"distinct not partial-aggregated:\n$p")
   }
 
+  test("text_repetition_filter and mix_weighted are pure projections — no exchange before the output sort") {
+    Seq(graft.operators.TextOps.textRepetitionFilter(spark, sf),
+        graft.operators.TrainingOps.mixWeighted(spark, sf)).foreach { df =>
+      val p = plan(df)
+      // exactly the rangepartitioning exchange of the final orderBy
+      assert("Exchange".r.findAllIn(p).size == 1 && p.contains("rangepartitioning"),
+        s"row-local operator grew a shuffle:\n$p")
+      assert(!p.contains("Generate"), s"explode crept into the row-local path:\n$p")
+    }
+  }
+
+  test("decontaminate_ngram broadcasts the eval n-gram set — the corpus side never shuffles its grams") {
+    val p = plan(graft.operators.TrainingOps.decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"eval side not a broadcast semi-probe:\n$p")
+    // the only hash exchanges are the per-doc hit count and the final
+    // doc_id left join — never a (doc, ngram)-sized shuffle
+    assert(!p.contains("SortMergeJoin LeftSemi") && !p.contains("ShuffledHashJoin LeftSemi"),
+      s"gram-level shuffle join:\n$p")
+  }
+
+  test("dedup_incremental never FORCES a broadcast of the unbounded base — with auto-broadcast off it degrades to a shuffled join") {
+    // At test scale Spark's stats-driven auto-broadcast legitimately
+    // fires (base is KBs); the invariant is that no broadcast() HINT
+    // overrides the size logic — when the planner can't broadcast
+    // (design scale ≈ threshold -1), the join must degrade gracefully.
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(graft.operators.Dedup.dedupIncremental(spark, sf))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"forced broadcast of the unbounded base — driver OOM at design scale:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"no shuffled join on content_hash:\n$p")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+    // base hashes pre-aggregated to distinct map-side before any exchange
+    val p2 = plan(graft.operators.Dedup.dedupIncremental(spark, sf))
+    assert(p2.contains("HashAggregate(keys=[content_hash"),
+      s"base distinct not hash-aggregated:\n$p2")
+  }
+
+  test("knn_graph_ivf picks probe cells row-locally: no window or join before the single cell-keyed join") {
+    val p = plan(graft.operators.Similarity.knnGraphIvf(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVF graph:\n$p")
+    // exactly one Window operator: the final per-probe top-k (cell
+    // selection is an array_sort over the centroid literal, not a
+    // window; WindowGroupLimit rows don't count)
+    assert("Window \\[".r.findAllIn(p).size == 1, s"cell ranking grew a window:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pruned map-side:\n$p")
+    graft.Caches.clear()
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
