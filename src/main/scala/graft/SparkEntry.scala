@@ -74,6 +74,7 @@ object SparkEntry {
     "mix_weighted"      -> ((s, d) => TrainingOps.mixWeighted(s, d)),
     "decontaminate_ngram" -> ((s, d) => TrainingOps.decontaminate(s, d)),
     "corpus_manifest"   -> (TrainingOps.corpusManifest _),
+    "pretrain_corpus"   -> ((s, d) => TrainingOps.pretrainCorpus(s, d)),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
@@ -723,6 +724,63 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
                 CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
          FROM d GROUP BY source ORDER BY source""",
+    "pretrain_corpus" ->
+      """WITH t AS (
+           SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+         c AS (SELECT doc_id, source, norm, string_split(norm, ' ') AS toks FROM t),
+         gopher AS (
+           SELECT doc_id,
+                  (CAST(len(toks) AS BIGINT) BETWEEN 5 AND 100000)
+                    AND (CAST(FLOOR(100.0*(length(norm) - (len(toks)-1))/len(toks)) AS BIGINT) BETWEEN 300 AND 1000)
+                    AND (CAST(FLOOR(100.0*len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))/len(toks)) AS BIGINT) >= 70)
+                    AS keep_gopher
+           FROM c),
+         b AS (
+           SELECT doc_id, toks,
+                  CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [array_to_string(toks, ' ')] END AS bigrams
+           FROM c),
+         e AS (SELECT doc_id, unnest(bigrams) AS bg FROM b),
+         cnt AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM e GROUP BY doc_id, bg),
+         topb AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM cnt GROUP BY doc_id),
+         rep AS (
+           SELECT b.doc_id,
+                  (FLOOR(100.0 * len(list_distinct(toks)) / len(toks)) >= 30)
+                    AND (FLOOR(100.0 * topb.top_cnt / len(bigrams)) <= 20) AS keep_rep
+           FROM b JOIN topb USING (doc_id)),
+         keepers AS (SELECT MIN(doc_id) AS doc_id FROM t GROUP BY norm),
+         g AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+             THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                       toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+             ELSE [array_to_string(toks, ' ')] END) AS ng
+           FROM c),
+         ev AS (SELECT DISTINCT ng FROM g WHERE doc_id % 97 = 0),
+         hit AS (SELECT g.doc_id FROM g JOIN ev USING (ng)
+                 WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id),
+         mixn AS (
+           SELECT doc_id, source,
+                  CAST(w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           FROM (SELECT doc_id, source,
+                        CASE source WHEN 'src0' THEN 250 WHEN 'src1' THEN 125
+                                    WHEN 'src2' THEN 50 ELSE 100 END AS w,
+                        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+                 FROM t) z)
+         SELECT c.doc_id, mixn.source,
+                CAST(len(c.toks) AS BIGINT) AS n_tokens,
+                mixn.n_copies
+         FROM c
+         JOIN gopher USING (doc_id)
+         JOIN rep USING (doc_id)
+         JOIN mixn USING (doc_id)
+         JOIN keepers USING (doc_id)
+         LEFT JOIN hit ON hit.doc_id = c.doc_id
+         WHERE c.doc_id % 97 <> 0 AND gopher.keep_gopher AND rep.keep_rep
+           AND hit.doc_id IS NULL AND mixn.n_copies >= 1
+         ORDER BY doc_id""",
     "text_repetition_filter" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

@@ -201,6 +201,44 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END pretraining-corpus pipeline: the engine's
+    * operators composed into the flow a real training-data build runs —
+    * quality gates (Gopher hard rules ∧ repetition signals), exact
+    * dedup (keep the min-id copy), eval-set decontamination (drops the
+    * eval slice itself and every contaminated doc), then mixture
+    * weighting; emits the final (doc_id, source, n_tokens, n_copies)
+    * manifest a sequence packer consumes.
+    *
+    * Built BY COMPOSITION of the individually-hash-verified operators —
+    * each stage's verdict frame joins on doc_id, so the pipeline
+    * inherits every stage's oracle and proves the operators compose.
+    * The joined frames are slim verdict rows (ids + booleans + counts,
+    * never text), each reaching its join through one doc_id hash
+    * exchange; a production build would additionally FUSE the
+    * row-local stages (gopher + repetition + token count share one
+    * scan-projection — see [[graft.operators.TextOps]]) — composition,
+    * not fusion, is what this surface exists to demonstrate.
+    */
+  def pretrainCorpus(s: SparkSession, dir: String): DataFrame = {
+    val gopher = TextOps.textGopherFilter(s, dir)
+      .select(col("doc_id"), col("keep").as("keep_gopher"))
+    val rep = TextOps.textRepetitionFilter(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("keep").as("keep_rep"))
+    val keepers = Dedup.dedupExactHash(s, dir)
+      .select(col("keep_doc_id").as("doc_id"))
+    val decon = decontaminate(s, dir)
+      .select(col("doc_id"), col("contaminated"))
+    val mix = mixWeighted(s, dir)
+      .select(col("doc_id"), col("source"), col("n_copies"))
+    mix.join(rep, "doc_id").join(gopher, "doc_id")
+      .join(decon, "doc_id") // inner: the eval slice leaves the corpus
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(col("keep_gopher") && col("keep_rep") &&
+              !col("contaminated") && col("n_copies") >= 1)
+      .select("doc_id", "source", "n_tokens", "n_copies")
+      .orderBy("doc_id")
+  }
+
   /** Per-source dataset card — the manifest row a training mix is
     * audited by: document count, token/char volume, language spread,
     * and exact-dup count within the source (docs minus distinct

@@ -171,6 +171,29 @@ class TrainingMixSpec extends AnyFunSuite with SparkFixture {
     assert(expected.nonEmpty && expected.values.forall(_._2))
   }
 
+  test("pretrain_corpus equals the conjunction of its stage verdicts") {
+    import graft.operators.TextOps
+    val gopher = TextOps.textGopherFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val rep = TextOps.textRepetitionFilter(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    val keepers = Dedup.dedupExactHash(spark, sf).collect().map(_.getLong(0)).toSet
+    val decon = TrainingOps.decontaminate(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val mix = TrainingOps.mixWeighted(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(4))).toMap
+    val expected = corpus.keySet.filter { id =>
+      decon.contains(id) && gopher(id) && rep(id)._2 && keepers(id) &&
+        !decon(id) && mix(id)._2 >= 1
+    }.toSeq.sorted.map(id => (id, mix(id)._1, rep(id)._1, mix(id)._2))
+    val got = TrainingOps.pretrainCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    // The pipeline must be a real funnel on this corpus: strictly
+    // smaller than the input, strictly larger than empty.
+    assert(got.nonEmpty && got.size < corpus.size)
+  }
+
   test("dedup_incremental on a crafted corpus: base dup suppressed, whitespace-variant suppressed, new doc admitted") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-incr").toString
