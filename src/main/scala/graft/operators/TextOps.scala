@@ -231,9 +231,18 @@ object TextOps {
   def textRepetitionFilter(s: SparkSession, dir: String,
                            minDistinctX100: Long = 30,
                            maxTopBigramX100: Long = 20): DataFrame = {
+    // zip_with over two slices, NOT transform(sequence)+element_at: a
+    // downstream filter on `keep` gets alias-substituted by predicate
+    // pushdown all the way to the scan, and element_at(toks, i) per
+    // element would re-inline the whole split() PER ELEMENT — measured
+    // 20x (1.45 s -> 28.9 s at sf0.1) when pretrain_corpus filters on
+    // this operator's verdict. zip_with references toks a CONSTANT
+    // number of times however deep the inlining goes.
     val bigrams = when(size(col("toks")) >= 2,
-        transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b)))
       .otherwise(array(concat_ws(" ", col("toks"))))
     // Longest run of equal adjacent elements in the sorted multiset ==
     // the count of the most frequent bigram. State: (prev, run, best).
