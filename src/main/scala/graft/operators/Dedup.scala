@@ -36,6 +36,16 @@ object Dedup {
     * than `n` tokens fall back to a single whole-document shingle
     * (sequence(1, k) would silently generate a DESCENDING range for
     * k < 1, so the short case must be explicit).
+    *
+    * PUSHDOWN-SAFETY CONTRACT: element_at(toks, i) per position makes
+    * this expression QUADRATIC in doc length if `toks` is ever
+    * alias-inlined by predicate pushdown (the measured 20×
+    * text_repetition_filter cliff — see its zip_with fix). Every
+    * consumer here feeds a Generate (explode) or Aggregate immediately,
+    * which blocks that pushdown, and the zip_with-fold alternative
+    * measures ~2× slower at n=8 (7 intermediate arrays per row) — so
+    * the fast form stays. Do NOT expose a filterable verdict column
+    * computed from this expression without re-checking the plan.
     */
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
