@@ -48,6 +48,7 @@ object SparkEntry {
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
+    "stream_enrich"         -> (Analytics.streamEnrich _),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -365,6 +366,10 @@ object SparkEntry {
                                             ORDER BY ts, event_id) AS rn
                FROM events)
          WHERE rn = 1 ORDER BY user_id, event_type""",
+    "stream_enrich" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
     "asof_join_events" ->
       """SELECT p.event_id AS purchase_event_id, p.user_id,
                 epoch_ns(p.ts)//1000000000 AS purchase_ts_s,

@@ -322,6 +322,19 @@ object Analytics {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Batch-equivalent of the stream-static enrichment
+    * (graft.streaming.EventStreams.enrich — identical join, bounded
+    * source): each event left-joins its user's customer segment
+    * through the size-guarded broadcast.
+    */
+  def streamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val c = Tables.customer(s, dir)
+    graft.streaming.EventStreams.enrich(e, c)
+      .select(col("event_id"), col("user_id"), col("segment"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** Batch-equivalent of streaming dropDuplicates: first occurrence per
     * (user_id, event_type) by event time.
     */

@@ -94,6 +94,26 @@ object EventStreams {
               col("p.value").as("purchase_value"))
   }
 
+  /** Stream-static ENRICHMENT: each event picks up its user's
+    * dimension attributes as it flows — the lookup-join every
+    * streaming pipeline runs in front of routing/aggregation. The
+    * static side is re-planned per micro-batch (Structured Streaming's
+    * stream-static contract, so a reloaded dim snapshot is picked up
+    * on the next batch) and goes through the same size-guarded
+    * broadcast as the batch dims ([[graft.operators.Hints]]): small
+    * dim → per-batch broadcast hash join, no state store, no
+    * watermark; a dim too big to broadcast degrades to a shuffled
+    * join rather than a driver OOM. LEFT join: an event with no dim
+    * row must flow (null attributes), never silently drop. Mirrors
+    * Analytics.streamEnrich (stream == batch proven in StreamingSpec).
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+             eventKey: String = "user_id", dimKey: String = "c_custkey"): DataFrame =
+    events.join(graft.operators.Hints.maybeBroadcast(dim),
+        events(eventKey) === dim(dimKey), "left")
+      .select(events("event_id"), events("ts"), events(eventKey),
+              dim("c_mktsegment").as("segment"), events("value"))
+
   /** Durable load stage for a streaming pipeline: append sink to
     * partitioned parquet with exactly-once progress via the checkpoint
     * (the streaming analogue of the reference's idempotent load —

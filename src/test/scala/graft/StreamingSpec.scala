@@ -57,6 +57,29 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-static enrich equals the batch join on the same rows, nulls preserved") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Tables.customer(spark, sf)
+    val q = EventStreams.enrich(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      // one event with no dim row: the left join must emit it with a
+      // null segment, not drop it
+      val orphan = Ev(999999L, 999999L, "view", new Timestamp(1704067200000L), 1.0)
+      input.addData(eventRows() :+ orphan)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_test")
+        .select(col("event_id"), col("user_id"), col("segment"), col("value"))
+      val batch = graft.operators.Analytics.streamEnrich(spark, sf)
+      assert(streamed.filter(col("event_id") =!= 999999L).exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(streamed).count() == 0)
+      val o = streamed.filter(col("event_id") === 999999L).collect()
+      assert(o.length == 1 && o.head.isNullAt(2), "orphan event must flow with null segment")
+    } finally q.stop()
+  }
+
   test("parquet sink with checkpoint lands the deduped stream durably") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
