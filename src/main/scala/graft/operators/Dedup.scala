@@ -322,8 +322,9 @@ object Dedup {
     */
   def dedupIncremental(s: SparkSession, dir: String, deltaMod: Int = 10): DataFrame = {
     require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
-    val hashed = Tables.documents(s, dir)
-      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+    // Shared by the base and delta sides — one scan+hash, not two.
+    val hashed = graft.Caches.cached(Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash")))
     val base = hashed.filter(col("doc_id") % deltaMod =!= 0)
       .select(col("content_hash")).distinct()
       .withColumn("in_base", lit(true))

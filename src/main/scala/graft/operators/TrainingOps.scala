@@ -142,7 +142,7 @@ object TrainingOps {
   def mixWeighted(s: SparkSession, dir: String,
                   weights: Seq[(String, Int)] = defaultMixWeights,
                   defaultPct: Int = 100): DataFrame = {
-    require(defaultPct >= 0 && (weights.isEmpty || weights.forall(_._2 >= 0)),
+    require(defaultPct >= 0 && weights.forall(_._2 >= 0),
       "mixture weights must be non-negative")
     val weightCol = weights.foldLeft(null: Column) { case (acc, (src, w)) =>
       if (acc == null) when(col("source") === src, w)
@@ -182,9 +182,14 @@ object TrainingOps {
   def decontaminate(s: SparkSession, dir: String,
                     evalMod: Int = 97, n: Int = 8): DataFrame = {
     require(evalMod > 1, s"evalMod $evalMod must exceed 1")
-    val grams = Tables.documents(s, dir)
+    // The n-gram build (scan + normalize + split + n-way concat) is the
+    // operator's dominant row-local cost and BOTH join sides consume it
+    // — the family's one-shared-scan rule (see Dedup.hashedShingles):
+    // cache the pre-explode array frame, explode per consumer.
+    val ngrams = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Dedup.wordNgrams(col("toks"), n)).as("ng"))
+      .select(col("doc_id"), Dedup.wordNgrams(col("toks"), n).as("ngs")))
+    val grams = ngrams.select(col("doc_id"), explode(col("ngs")).as("ng"))
     val evalGrams = Hints.maybeBroadcast(
       grams.filter(col("doc_id") % evalMod === 0).select("ng").distinct())
     val hits = grams.filter(col("doc_id") % evalMod =!= 0)

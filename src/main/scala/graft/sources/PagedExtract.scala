@@ -138,7 +138,10 @@ object PagedExtract {
     def ok: Boolean = failed.isEmpty
   }
 
-  private val PageFileName = """page_(\d{5})\.jsonl""".r
+  // %05d PADS to 5 digits but never truncates: past page 99999 the
+  // file name grows, so the matcher must accept 5-or-more digits or
+  // resume would refetch every page above it forever.
+  private val PageFileName = """page_(\d{5,})\.jsonl""".r
 
   /** Page numbers already committed under `landingDir`. */
   def landedPages(s: SparkSession, landingDir: String): Set[Int] = {
@@ -170,6 +173,14 @@ object PagedExtract {
     * together against the API's quota, the horizontal version of the
     * reference's `time.sleep(0.25)` loop. Resume is free: landed page
     * files ARE the checkpoint, and a rerun fetches only the gap.
+    *
+    * REPORTING is derived from the filesystem, not from task-side
+    * counters: Spark discards accumulator updates from failed or
+    * losing-speculative task attempts even when their renames already
+    * committed, so `landed` is the post-run directory listing minus
+    * `skipped`, and a failure entry is dropped if a retried attempt
+    * landed the page after all. The error-message accumulator is only
+    * ever trusted for pages that are verifiably NOT on disk.
     */
   def land(s: SparkSession, api: PageApi, landingDir: String,
            parallelism: Int = 8, maxRetries: Int = 3, backoffMs: Long = 5,
@@ -183,7 +194,6 @@ object PagedExtract {
 
     val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
       s.sparkContext.hadoopConfiguration)
-    val landedAcc = s.sparkContext.collectionAccumulator[Int]("landed")
     val failedAcc = s.sparkContext.collectionAccumulator[(Int, String)]("failed")
 
     s.sparkContext
@@ -211,13 +221,16 @@ object PagedExtract {
               val out = fs.create(tmp, true)
               try records.foreach { r => out.write(r.getBytes("UTF-8")); out.write('\n') }
               finally out.close()
-              // The commit point: first rename wins, duplicates clean up.
+              // The commit point: first rename wins; a losing duplicate
+              // (or an exception-path orphan) cleans up its temp.
               if (!fs.rename(tmp, new HPath(dir, f"page_$page%05d.jsonl")))
                 fs.delete(tmp, false)
-              else landedAcc.add(page)
               done = true
             } catch {
-              case e: Exception => lastErr = e; attempt += 1
+              // NonFatal excludes InterruptedException: a killed or
+              // cancelled task must STOP fetching, not treat the
+              // interrupt as one more transient upstream error.
+              case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1
             }
           }
           if (!done)
@@ -225,10 +238,22 @@ object PagedExtract {
         }
       }
 
-    ExtractReport(
-      landedAcc.value.asScala.toSeq.sorted,
-      already.toSeq.sorted,
-      failedAcc.value.asScala.toSeq.sortBy(_._1))
+    // Ground truth from the directory (see scaladoc): committed files
+    // survive attempt retries and speculation; accumulators don't.
+    val onDisk = landedPages(s, landingDir)
+    val landed = remaining.filter(onDisk).toSeq
+    val failed = failedAcc.value.asScala.toSeq
+      .filterNot { case (p, _) => onDisk(p) }.sortBy(_._1)
+    // A fully-successful run leaves the landing dir clean: reclaim the
+    // temp area (exception-path orphans from THIS run and debris from
+    // earlier flaky ones). A concurrent run's in-flight temp would just
+    // retry its page — rename-commit keeps correctness.
+    if (failed.isEmpty) {
+      val hdir = new org.apache.hadoop.fs.Path(landingDir)
+      hdir.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(hdir, "_tmp"), true)
+    }
+    ExtractReport(landed.sorted, already.toSeq.sorted, failed)
   }
 
   /** A [[PageApi]] serving a fixed row set in `pageSize` slices — the
@@ -241,7 +266,14 @@ object PagedExtract {
     require(pageSize > 0, "pageSize must be positive")
     override def totalPages(): Int = (rows.length + pageSize - 1) / pageSize
     override def fetch(page: Int): Seq[String] = {
-      def esc(v: String) = v.replace("\\", "\\\\").replace("\"", "\\\"")
+      // JSON string escape incl. control chars — a raw newline/tab in a
+      // value would split the JSONL record across physical lines.
+      def esc(v: String) = v.flatMap {
+        case '\\'           => "\\\\"
+        case '"'            => "\\\""
+        case c if c < ' '   => f"\\u${c.toInt}%04x"
+        case c              => c.toString
+      }
       rows.view.slice((page - 1) * pageSize, page * pageSize)
         .map { case (id, src, lang) =>
           s"""{"doc_id":$id,"source":"${esc(src)}","lang":"${esc(lang)}","page":$page}"""
@@ -267,6 +299,17 @@ object PagedExtract {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     val landing = Files.createTempDirectory("graft_extract").toString
+    // The landing dir must outlive the (lazy) read below, so tie its
+    // deletion to the operator-cache lifecycle: Bench/tests clear
+    // Caches after materializing each query, which is exactly when the
+    // files are no longer needed — repeated harness runs don't
+    // accumulate JSONL copies of the corpus under the temp root.
+    graft.Caches.onClear { () =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(landing))
+    }
     val report = land(s, new FixedPageApi(rows, pageSize), landing)
     require(report.ok, s"demo extract lost pages: ${report.failed}")
     readLanded(s, landing, demoSchema).orderBy("doc_id")

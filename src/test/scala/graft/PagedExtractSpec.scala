@@ -93,6 +93,21 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
     (1 to 10).foreach(p => assert(FetchLog.count("noop", p) == 0))
   }
 
+  test("landedPages accepts page numbers past 99999 (padding grows, matcher must too)") {
+    val dir = newDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "page_00007.jsonl"), "{}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "page_123456.jsonl"), "{}\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "not_a_page.jsonl"), "{}\n")
+    assert(PagedExtract.landedPages(spark, dir) == Set(7, 123456))
+  }
+
+  test("a fully-successful run reclaims the _tmp work area") {
+    val dir = newDir()
+    assert(PagedExtract.land(spark, new SyntheticApi("tmpclean"), dir).ok)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_tmp")),
+      "_tmp must be deleted once every page landed")
+  }
+
   test("demoExtract pages the documents table in doc_id-rank order") {
     val out = PagedExtract.demoExtract(spark, sf, pageSize = 64).collect()
     val docs = Tables.documents(spark, sf).select("doc_id").orderBy("doc_id").collect()
