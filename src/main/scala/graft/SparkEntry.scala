@@ -68,6 +68,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
+    "embedding_quantize"  -> (Similarity.embeddingQuantize _),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -455,6 +456,23 @@ object SparkEntry {
     // 0.9 threshold (max ≈ 0.51), so DuckDB's float32
     // list_cosine_similarity cannot disagree with Spark's double
     // arithmetic on the ≥τ comparison.
+    "embedding_quantize" ->
+      """WITH t AS (
+           SELECT vec_id, embedding,
+                  CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE) AS s
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, s,
+                  CASE WHEN s > 0
+                       THEN list_transform(embedding, v -> CAST(FLOOR(127.0 * CAST(v AS DOUBLE) / s) AS BIGINT))
+                       ELSE list_transform(embedding, v -> CAST(0 AS BIGINT)) END AS q
+           FROM t)
+         SELECT vec_id,
+                CAST(FLOOR(s * 1000000000) AS BIGINT) AS scale_x1e9,
+                CAST(list_sum(list_transform(range(1, len(q)+1), i -> i * q[i])) AS BIGINT) AS q_checksum,
+                CAST(list_min(q) AS BIGINT) AS q_min,
+                CAST(list_max(q) AS BIGINT) AS q_max
+         FROM q ORDER BY vec_id""",
     "dedup_semantic_clusters" ->
       """WITH RECURSIVE
          pairs AS (

@@ -250,6 +250,43 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Per-vector symmetric int8 quantization — the 4× storage/bandwidth
+    * cut an embedding corpus takes before it ships to ANN serving:
+    * q_i = floor(127·x_i / max|x|), scale kept per vector. Row-local,
+    * zero shuffle.
+    *
+    * Cross-engine determinism (the full-hash oracle): every arithmetic
+    * step is float→double widening (exact), one multiply, one divide,
+    * floor — identical IEEE sequence in Spark and DuckDB, no libm. The
+    * quantized array is pinned by scalar columns (position-weighted
+    * checksum + min/max) rather than shipping an int8 list through the
+    * dtype-sensitive compare. The expensive subexpressions (the
+    * max-abs scale, the quantized array) are projected to attributes
+    * in separate selects — referencing the scale inside the per-element
+    * lambda directly would re-run array_max PER ELEMENT (the
+    * expression-duplication hazard, O(d²)).
+    */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val withScale = emb.select(col("vec_id"), col("embedding"),
+      array_max(transform(col("embedding"), v => abs(v))).cast("double").as("scale"))
+    val quantized = withScale.select(col("vec_id"), col("scale"),
+      when(col("scale") > 0,
+        transform(col("embedding"),
+          v => floor(lit(127.0) * v.cast("double") / col("scale")).cast("long")))
+        .otherwise(transform(col("embedding"), _ => lit(0L))).as("q"))
+    quantized.select(
+        col("vec_id"),
+        floor(col("scale") * 1e9).cast("long").as("scale_x1e9"),
+        aggregate(
+          zip_with(col("q"), sequence(lit(1), size(col("q"))),
+            (qi, i) => qi * i.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("q_checksum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(s)

@@ -96,6 +96,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("embedding_quantize matches a plain-Scala int8 quantizer and bounds reconstruction error") {
+    val out = Similarity.embeddingQuantize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(out.size == vecs.length)
+    vecs.foreach { case (id, x) =>
+      val s = x.map(v => math.abs(v)).max.toDouble
+      val q = if (s > 0) x.map(v => math.floor(127.0 * v / s).toLong) else x.map(_ => 0L)
+      val checksum = q.zipWithIndex.map { case (qi, i) => qi * (i + 1) }.sum
+      assert(out(id) == (math.floor(s * 1e9).toLong, checksum, q.min, q.max), s"vec $id")
+      // int8 range and dequantization error bound: |x - q*s/127| <= s/127
+      assert(q.forall(v => v >= -127 && v <= 127))
+      if (s > 0) x.zip(q).foreach { case (xi, qi) =>
+        assert(math.abs(xi - qi * s / 127.0) <= s / 127.0 + 1e-9, s"vec $id element error")
+      }
+    }
+    // the max-magnitude element quantizes to exactly ±127
+    vecs.foreach { case (id, x) =>
+      if (x.exists(_ != 0f)) assert(out(id)._4 == 127 || out(id)._3 == -127, s"vec $id boundary")
+    }
+  }
+
   test("knn_graph: every vector present with k contiguous ranks") {
     val out = Similarity.knnGraph(spark, sf, k = 5).cache()
     val n = Tables.embeddings(spark, sf).count()
