@@ -94,6 +94,7 @@ object SparkEntry {
     "doc_top_terms"      -> ((s, d) => TextOps.docTopTerms(s, d)),
     "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_keep_best"    -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     // Extract stage (reference 02_etl.py:55-67 page loop): land a paged
     // API to JSONL with retry/resume, then read the landing dir back.
     "paged_extract"      -> ((s, d) => graft.sources.PagedExtract.demoExtract(s, d)),
@@ -877,6 +878,48 @@ object SparkEntry {
     // label-propagation mechanics (unlike a one-hop pointer chase,
     // this merges docs linked only through a shared larger neighbor:
     // edges (1,3),(2,3) put 1, 2 and 3 in one component).
+    "dedup_keep_best" ->
+      """WITH RECURSIVE
+         t AS (
+           SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+         tk AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM tk),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800),
+         sym AS (
+           SELECT a, b FROM pairs
+           UNION ALL
+           SELECT b AS a, a AS b FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT doc_id, doc_id AS r FROM documents
+           UNION
+           SELECT s.a AS doc_id, c.r FROM sym s JOIN reach c ON s.b = c.doc_id),
+         comp AS (SELECT doc_id, MIN(r) AS rep_doc_id FROM reach GROUP BY doc_id),
+         qc AS (
+           SELECT doc_id,
+                  CAST(length(norm) AS BIGINT) AS n_chars,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop,
+                  CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+           FROM tk),
+         q AS (
+           SELECT doc_id,
+                  CAST(LEAST(100, CAST(FLOOR((FLOOR(100.0*n_stop/n_tokens) + FLOOR(100.0*n_alpha/n_chars))/2.0) AS BIGINT)) AS BIGINT) AS quality_score
+           FROM qc)
+         SELECT comp.doc_id,
+                FIRST_VALUE(comp.doc_id) OVER (PARTITION BY comp.rep_doc_id
+                                               ORDER BY q.quality_score DESC, comp.doc_id) AS best_doc_id,
+                FIRST_VALUE(comp.doc_id) OVER (PARTITION BY comp.rep_doc_id
+                                               ORDER BY q.quality_score DESC, comp.doc_id) = comp.doc_id AS is_kept
+         FROM comp JOIN q USING (doc_id)
+         ORDER BY doc_id""",
     "dedup_clusters" ->
       """WITH RECURSIVE
          t AS (

@@ -301,6 +301,32 @@ object Dedup {
       .orderBy("keep_doc_id")
   }
 
+  /** Keep-BEST dedup resolution: within each near-dup cluster
+    * ([[dedupClusters]] — true CC over the verified MinHash edges),
+    * keep the HIGHEST-QUALITY member ([[TextOps.textQualityScore]]),
+    * not the smallest id — the policy real corpus builds run: when a
+    * page was crawled five times, ship the cleanest copy. Tie-break is
+    * the smaller doc_id for determinism.
+    *
+    * One extra shuffle over [[dedupClusters]]: the component-keyed
+    * window that picks each cluster's argmax — component ids are the
+    * key space, quality rows are (id, long) pairs. The quality join is
+    * doc_id-keyed against frames that already carry that partitioning.
+    */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(s, dir)
+    val quality = TextOps.textQualityScore(s, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("rep_doc_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, "doc_id")
+      .select(col("doc_id"),
+              first_value(col("doc_id")).over(w).as("best_doc_id"))
+      .withColumn("is_kept", col("doc_id") === col("best_doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental (delta-vs-base) exact dedup — the shape every
     * CONTINUOUSLY-ingesting pipeline actually runs: a new batch is
     * deduped against the accumulated corpus without rescanning it for

@@ -152,6 +152,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("dedup_keep_best keeps the argmax-quality member per cluster, not the min id") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_best").toString
+    val base = "the quick brown fox jumps over a lazy dog and then runs back to " +
+      "the old barn where a second dog is waiting for the first one to return home"
+    Seq(
+      (1L, base + " 999 777 444 222"), // near-dup of 2, junk digits lower its quality
+      (2L, base),                      // cleanest copy, LARGER... wait id 2 > 1: argmax must beat min-id
+      (7L, "completely different text about astronomy and the motion of planets")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupKeepBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // 1 and 2 cluster (shared 3-gram shingles >= 0.8 Jaccard); the
+    // min-label rep is 1 but the cleaner copy is 2 — keep-best must
+    // pick 2 where dedupClusters' rep would say 1.
+    assert(out(1L) == (2L, false), s"junky copy must lose to the cleaner one: $out")
+    assert(out(2L) == (2L, true))
+    assert(out(7L) == (7L, true), "singletons keep themselves")
+    graft.Caches.clear()
+  }
+
+  test("dedup_keep_best on the corpus: one winner per cluster, winner maximizes (quality, -doc_id)") {
+    import graft.operators.TextOps
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = TextOps.textQualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val expected = clusters.groupBy(_._2).flatMap { case (_, members) =>
+      val best = members.keys.minBy(id => (-quality(id), id))
+      members.keys.map(id => id -> ((best, id == best)))
+    }
+    val got = Dedup.dedupKeepBest(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == expected)
+    graft.Caches.clear()
+  }
+
   test("graft_minhash_bands: identical shingle sets collide on every band, order-invariant") {
     import spark.implicits._
     graft.plans.GraftFunctions.ensureRegistered(spark)
