@@ -25,6 +25,39 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"))
   }
 
+  test("overwritePartitions replaces only the batch's partitions; plain Overwrite truncates") {
+    import spark.implicits._
+    val dir = tmp("dynpart")
+    val day1 = Seq((1L, "d1", 10.0), (2L, "d1", 20.0)).toDF("id", "day", "v")
+    val day2 = Seq((3L, "d2", 30.0)).toDF("id", "day", "v")
+    Sources.writePartitionedParquet(day1.union(day2), dir, Seq("day"))
+    // rerun of day2's batch with corrected values
+    val day2fix = Seq((3L, "d2", 99.0), (4L, "d2", 40.0)).toDF("id", "day", "v")
+    Sources.overwritePartitions(day2fix, dir, Seq("day"))
+    val back = Sources.readParquet(spark, dir)
+      .select("id", "day", "v").as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 99.0), (4L, "d2", 40.0)),
+      "day1 must survive, day2 must be exactly the rerun batch")
+    // reruns are idempotent
+    Sources.overwritePartitions(day2fix, dir, Seq("day"))
+    assert(Sources.readParquet(spark, dir).count() == 4)
+    // the session conf is restored
+    assert(spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      .equalsIgnoreCase("static"))
+  }
+
+  test("ORC round-trips with partition pruning like the parquet twin") {
+    val dir = tmp("orc")
+    val nation = Tables.nation(spark, sf)
+    Sources.writeOrc(nation, dir, Seq("n_regionkey"))
+    val back = Sources.readOrc(spark, dir)
+    assert(back.count() == nation.count())
+    val pruned = back.filter(col("n_regionkey") === 0)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == nation.filter(col("n_regionkey") === 0).count())
+    assert(plan.contains("PartitionFilters") && plan.contains("n_regionkey"))
+  }
+
   test("compactParquet collapses a small-file swamp to the byte-derived file count") {
     val fragged = tmp("frag")
     val compacted = tmp("compact")
