@@ -27,6 +27,10 @@ object SparkEntry {
     "cdc_apply"           -> (EtlOps.cdcApply _),
     "agg_incremental"     -> (EtlOps.aggIncremental _),
     "scd2_build"          -> (EtlOps.scd2Build _),
+    // Data quality / table lifecycle
+    "table_diff"      -> ((s, d) => QualityOps.tableDiff(s, d)),
+    "fk_orphans"      -> (QualityOps.fkOrphans _),
+    "profile_columns" -> (QualityOps.profileColumns _),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -45,6 +49,7 @@ object SparkEntry {
     "anomaly_zscore"        -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
+    "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
@@ -62,6 +67,7 @@ object SparkEntry {
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
+    "dedup_containment"      -> ((s, d) => Dedup.dedupContainment(s, d)),
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -76,6 +82,7 @@ object SparkEntry {
     "mix_weighted"      -> ((s, d) => TrainingOps.mixWeighted(s, d)),
     "decontaminate_ngram" -> ((s, d) => TrainingOps.decontaminate(s, d)),
     "corpus_manifest"   -> (TrainingOps.corpusManifest _),
+    "seq_len_histogram" -> (TrainingOps.seqLenHistogram _),
     "pretrain_corpus"   -> ((s, d) => TrainingOps.pretrainCorpus(s, d)),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
@@ -241,6 +248,138 @@ object SparkEntry {
                 MAX(l_extendedprice) AS max_price,
                 COUNT(DISTINCT year(l_shipdate)*100 + month(l_shipdate)) AS n_partials
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "table_diff" ->
+      """WITH o_snap AS (
+           SELECT user_id, event_id AS old_event_id, value AS old_value
+           FROM events WHERE epoch_ns(ts) < 1706616000000000000 AND user_id % 11 <> 3
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+         n_snap AS (
+           SELECT user_id, event_id AS new_event_id, value AS new_value
+           FROM events WHERE user_id % 13 <> 5
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+         SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                CASE WHEN o.user_id IS NULL THEN 'added'
+                     WHEN n.user_id IS NULL THEN 'removed'
+                     WHEN o.old_event_id IS NOT DISTINCT FROM n.new_event_id
+                          AND o.old_value IS NOT DISTINCT FROM n.new_value THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                old_event_id, new_event_id, old_value, new_value
+         FROM o_snap o FULL OUTER JOIN n_snap n ON o.user_id = n.user_id
+         ORDER BY user_id""",
+    "fk_orphans" ->
+      """SELECT * FROM (
+           SELECT 'events.user_id->customer' AS relation, COUNT(*) AS n_rows,
+                  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+                  COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN e.user_id END) AS n_orphan_keys
+           FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+           UNION ALL
+           SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+                  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END)
+           FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+           UNION ALL
+           SELECT 'lineitem.l_partkey->part', COUNT(*),
+                  CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL THEN l.l_partkey END)
+           FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+           UNION ALL
+           SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+                  CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  COUNT(DISTINCT CASE WHEN s.s_suppkey IS NULL THEN l.l_suppkey END)
+           FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           UNION ALL
+           SELECT 'orders.o_custkey->customer', COUNT(*),
+                  CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                  COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
+           FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+         ) ORDER BY relation""",
+    "profile_columns" ->
+      """WITH e AS (
+           SELECT event_id, user_id, event_type, value,
+                  epoch_ns(ts)//1000000000 AS ts_s
+           FROM events)
+         SELECT * FROM (
+           SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+                  COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+                  COUNT(DISTINCT event_id) AS n_distinct,
+                  CAST(MIN(event_id) AS VARCHAR) AS min_s,
+                  CAST(MAX(event_id) AS VARCHAR) AS max_s
+           FROM e
+           UNION ALL
+           SELECT 'event_type', COUNT(*),
+                  COUNT(CASE WHEN event_type IS NULL THEN 1 END),
+                  COUNT(DISTINCT event_type), MIN(event_type), MAX(event_type)
+           FROM e
+           UNION ALL
+           SELECT 'ts_s', COUNT(*),
+                  COUNT(CASE WHEN ts_s IS NULL THEN 1 END),
+                  COUNT(DISTINCT ts_s),
+                  CAST(MIN(ts_s) AS VARCHAR), CAST(MAX(ts_s) AS VARCHAR)
+           FROM e
+           UNION ALL
+           SELECT 'user_id', COUNT(*),
+                  COUNT(CASE WHEN user_id IS NULL THEN 1 END),
+                  COUNT(DISTINCT user_id),
+                  CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+           FROM e
+           UNION ALL
+           SELECT 'value_x100', COUNT(*),
+                  COUNT(CASE WHEN value IS NULL THEN 1 END),
+                  COUNT(DISTINCT value),
+                  CAST(CAST(FLOOR(100.0*MIN(value)) AS BIGINT) AS VARCHAR),
+                  CAST(CAST(FLOOR(100.0*MAX(value)) AS BIGINT) AS VARCHAR)
+           FROM e
+         ) ORDER BY col_name""",
+    "quantile_bins" ->
+      """WITH b AS (
+           SELECT event_type, event_id, value,
+                  ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+           FROM events)
+         SELECT event_type, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_rows,
+                CAST(FLOOR(100.0*MIN(value)) AS BIGINT) AS min_val_x100,
+                CAST(FLOOR(100.0*MAX(value)) AS BIGINT) AS max_val_x100
+         FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
+    "seq_len_histogram" ->
+      """WITH t AS (
+           SELECT source,
+                  CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT source, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS len_bucket,
+                COUNT(*) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+                MIN(n_tokens) AS min_tokens,
+                MAX(n_tokens) AS max_tokens
+         FROM t GROUP BY source, len_bucket ORDER BY source, len_bucket""",
+    "dedup_containment" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         scored AS (
+           SELECT a.doc_id AS a, b.doc_id AS b,
+                  len(list_intersect(a.sh, b.sh)) AS inter,
+                  len(a.sh) AS na, len(b.sh) AS nb,
+                  CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) AS j
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         v AS (SELECT * FROM scored WHERE j >= 500),
+         two_way AS (
+           SELECT a AS doc_id, b AS partner, CAST(FLOOR(1000.0*inter/na) AS BIGINT) AS cont FROM v
+           UNION ALL
+           SELECT b AS doc_id, a AS partner, CAST(FLOOR(1000.0*inter/nb) AS BIGINT) AS cont FROM v),
+         best AS (
+           SELECT doc_id, partner AS container_id, cont
+           FROM two_way
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY cont DESC, partner ASC) = 1)
+         SELECT d.doc_id, container_id,
+                COALESCE(cont, 0) AS containment_x1000,
+                COALESCE(cont, 0) >= 900 AS is_contained
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN best USING (doc_id)
+         ORDER BY doc_id""",
     "v_top_actors" ->
       """SELECT s.s_suppkey, s.s_name, COUNT(DISTINCT l.l_orderkey) AS movie_count
          FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey

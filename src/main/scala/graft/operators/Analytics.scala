@@ -296,6 +296,37 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Exact equi-depth binning (quartiles by default): each event lands
+    * in one of `k` equal-count bins of `value` within its event_type —
+    * the discretization step behind score calibration and monotone
+    * feature binning. `ntile` over the total order (value, event_id) is
+    * engine-portable: the SQL-standard fill (first n mod k bins take
+    * one extra row) plus the deterministic tie-break makes bin
+    * assignment a pure function of the data. Emitted per (group, bin):
+    * count and the bin's [min, max] value range as floor(100·x) ints.
+    *
+    * Scale note: ntile needs each GROUP sorted in one partition — fine
+    * while groups are many or bounded (here: event types), but this is
+    * the global-sort funnel for few-huge-group data. The 100 TB swap is
+    * the same as [[percentileValue]]'s: approx_percentile cut points
+    * (t-digest, partial-aggregated) joined back and bucketed row-local
+    * — equal-count only approximately, but shuffle-free. Exactness here
+    * is oracle-mandated.
+    */
+  def quantileBins(s: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    require(k > 0, s"bin count $k must be positive")
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("bin", ntile(k).over(w).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        floor(lit(100.0) * min("value")).cast("long").as("min_val_x100"),
+        floor(lit(100.0) * max("value")).cast("long").as("max_val_x100"))
+      .orderBy("event_type", "bin")
+  }
+
   /** HLL approximate distinct — the 100 TB way to count users. No
     * oracle (approximate by construction); driver does rows-only.
     */

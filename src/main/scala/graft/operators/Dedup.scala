@@ -517,6 +517,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Asymmetric CONTAINMENT scoring within near-dup candidates: for
+    * every doc, the best partner measured by containment
+    * c(a→b) = |A∩B| / |A| — "how much of a is inside b" — the signal
+    * that catches a short document quoted verbatim inside a longer one,
+    * where symmetric Jaccard (diluted by the longer doc's extra
+    * shingles) scores low. Bigram shingles, exact containment
+    * post-verification, same fused-band candidate generation as
+    * [[dedupNgramJaccard]].
+    *
+    * CANDIDATE CONTRACT: pairs are drawn from MinHash-LSH banding,
+    * which indexes symmetric Jaccard — so the operator scores
+    * containment AMONG pairs with J ≥ tauJX1000/1000 (recall
+    * ≥ 1-1e-5 at the 86×3 banding), and that J-floor is part of the
+    * operator's definition (it is what makes the output a pure
+    * function of the corpus, exactly checkable by the all-pairs
+    * oracle). Fully-asymmetric search (tiny A inside huge B at
+    * J ≈ |A|/|B| → 0) needs a prefix-filter/containment-LSH index —
+    * out of scope here; at 100 TB the standing alternative is
+    * [[dedupSubstring]], whose shared-window signal is already
+    * length-ratio-independent.
+    */
+  def dedupContainment(s: SparkSession, dir: String,
+                       nPerms: Int = 258, nBands: Int = 86,
+                       tauJX1000: Long = 500, tauContX1000: Long = 900): DataFrame = {
+    require(nPerms % nBands == 0,
+      s"nPerms ($nPerms) must be divisible by nBands ($nBands) — integer " +
+        "division would silently drop the trailing permutations from the banding")
+    GraftFunctions.ensureRegistered(s)
+    val hashed = hashedShingles(s, dir, 2)
+    val bands = hashed.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = candidatePairs(bands, "doc_id")
+    val shA = hashed.select(col("doc_id").as("a"), col("hs").as("sh_a"))
+    val shB = hashed.select(col("doc_id").as("b"), col("hs").as("sh_b"))
+    // Score once per pair; per-direction containment divides the SAME
+    // intersection by each side's own shingle count. The J-floor filter
+    // keeps the per-doc aggregation off the sub-threshold candidate mass
+    // (and matches the oracle's all-pairs J ≥ τ scope).
+    val scored = cand.join(shA, "a").join(shB, "b")
+      .select(col("a"), col("b"),
+              size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+              size(col("sh_a")).cast("long").as("na"),
+              size(col("sh_b")).cast("long").as("nb"),
+              jaccardX1000(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= tauJX1000)
+    val both = scored.select(explode(array(
+        struct(col("a").as("doc_id"), col("b").as("partner"),
+               floor(lit(1000.0) * col("inter") / col("na")).cast("long").as("cont")),
+        struct(col("b").as("doc_id"), col("a").as("partner"),
+               floor(lit(1000.0) * col("inter") / col("nb")).cast("long").as("cont")))).as("e"))
+      .select(col("e.doc_id"), col("e.partner"), col("e.cont"))
+    val best = both.groupBy("doc_id")
+      .agg(max(struct(col("cont"), (col("partner") * -1).as("neg_partner"))).as("top"))
+      .select(col("doc_id"),
+              (col("top.neg_partner") * -1).as("container_id"),
+              col("top.cont").as("containment_x1000"))
+    hashed.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("container_id"),
+        coalesce(col("containment_x1000"), lit(0L)).as("containment_x1000"),
+        (coalesce(col("containment_x1000"), lit(0L)) >= tauContX1000).as("is_contained"))
+      .orderBy("doc_id")
+  }
+
   /** Windowed exact-substring dedup: flag documents that share a
     * VERBATIM run of `windowTokens` consecutive tokens with any other
     * document — the distributed approximation of suffix-array

@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality / table-lifecycle audits — the checks a warehouse runs
+  * around the reference's load stage (/root/reference/02_etl.py:84-105
+  * writes into an FK-constrained schema, sql/01_schema.sql:9-59; a
+  * Spark lakehouse has no DB to enforce those constraints, so the
+  * audits become queries).
+  *
+  * All three operators follow the same scale shape: the big table is
+  * reduced to per-key or global AGGREGATES first (partial, map-side
+  * combined), and only slim aggregate frames join or union afterwards —
+  * nothing here ever shuffles a payload column of the fact table.
+  */
+object QualityOps {
+
+  /** Generic snapshot diff by key: classify every key across two
+    * snapshots of the same table as `added` (new only), `removed` (old
+    * only), `changed` (both, payload differs) or `unchanged`. The
+    * payload comparison is null-safe per column (`<=>`), row-local on
+    * top of ONE full-outer join on the key — both snapshots arrive
+    * already partitioned by the key when they come out of a latest-wins
+    * window, so at 100 TB the join reuses that exchange; nothing
+    * shuffles twice. This is the audit twin of [[EtlOps.applyChanges]]:
+    * CDC applies a delta, diff EXPLAINS one.
+    */
+  def snapshotDiff(old: DataFrame, cur: DataFrame, key: String,
+                   payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "snapshotDiff needs at least one payload column")
+    val o = old.select(col(key) +: payload.map(c => col(c).as(s"old_$c")): _*)
+    val n = cur.select(col(key) +: payload.map(c => col(c).as(s"new_$c")): _*)
+    val samePayload = payload.map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduce(_ && _)
+    // Presence is tracked with explicit flags, not payload-null checks:
+    // a legitimately-null payload column must not masquerade as absence.
+    o.withColumn("__in_old", lit(true))
+      .join(n.withColumn("__in_new", lit(true)), Seq(key), "full")
+      .withColumn("status",
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(samePayload, "unchanged")
+          .otherwise("changed"))
+      .drop("__in_old", "__in_new")
+  }
+
+  /** [[snapshotDiff]] demonstration on the testdata: the "old" snapshot
+    * is each user's latest event as of `cutNs` (yesterday's
+    * latest-state table), the "new" snapshot is the same collapse over
+    * the full stream (today's). Because every test-data user is active
+    * all month, presence changes are simulated with deterministic key
+    * slices — users with `user_id % 11 == 3` are absent from the old
+    * snapshot (signed up since → `added`), users with
+    * `user_id % 13 == 5` are absent from the new one (deleted since →
+    * `removed`); everyone else is `changed` or `unchanged` by whether
+    * they have events after the cut. Cuts compare `ts_ns` (the exact
+    * stored value): a µs-truncated comparison could classify an event
+    * landing within 1 µs after the boundary differently than the
+    * ns-exact oracle.
+    */
+  def tableDiff(s: SparkSession, dir: String,
+                cutNs: Long = 1706616000000000000L /* 2024-01-30 12:00 UTC */): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def latest(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("user_id", "event_id", "value")
+    }
+    val old = latest(ev.filter(col("ts_ns") < cutNs && col("user_id") % 11 =!= 3))
+    val cur = latest(ev.filter(col("user_id") % 13 =!= 5))
+    snapshotDiff(old, cur, "user_id", Seq("event_id", "value"))
+      .select(col("user_id"), col("status"),
+              col("old_event_id"), col("new_event_id"),
+              col("old_value"), col("new_value"))
+      .orderBy("user_id")
+  }
+
+  /** One foreign-key relation's orphan audit: rows of `child` whose
+    * `fk` has no match in `parent.pk`. The child collapses to
+    * (key, count) FIRST — a partial-aggregated shuffle on the key, the
+    * only pass the fact table pays — then the per-key frame left-joins
+    * the parent's key set ([[Hints.maybeBroadcast]]: dims broadcast
+    * while they fit, AQE decides beyond that) and one conditional
+    * aggregate emits the relation's single audit row. Null FKs can
+    * never match and therefore count as orphans, same as the SQL
+    * LEFT-JOIN-IS-NULL form.
+    */
+  def orphanAudit(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+                  relation: String): DataFrame = {
+    val keyed = child.groupBy(col(fk).as("__k")).agg(count(lit(1)).as("__cnt"))
+    val keys = Hints.maybeBroadcast(
+      parent.select(col(pk).as("__k")).distinct().withColumn("__hit", lit(true)))
+    keyed.join(keys, Seq("__k"), "left")
+      .agg(
+        coalesce(sum("__cnt"), lit(0L)).as("n_rows"),
+        coalesce(sum(when(col("__hit").isNull, col("__cnt")).otherwise(0L)), lit(0L)).as("n_orphans"),
+        // Distinct NON-null orphan keys (a null FK is counted in
+        // n_orphans but is not a key — COUNT(DISTINCT CASE ...) drops
+        // it too, so both engines agree).
+        count(when(col("__hit").isNull && col("__k").isNotNull, lit(1))).as("n_orphan_keys"))
+      .select(lit(relation).as("relation"), col("n_rows"), col("n_orphans"),
+              col("n_orphan_keys"))
+  }
+
+  /** Referential-integrity audit of the star schema — every FK relation
+    * the reference's PostgreSQL DDL enforces with constraints
+    * (sql/01_schema.sql REFERENCES clauses), re-checked as a query.
+    * One row per relation; `events.user_id -> customer` is the
+    * deliberately-dirty one (the event stream references users the dim
+    * hasn't loaded yet — the classic late-arriving-dimension gap).
+    */
+  def fkOrphans(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val audits = Seq(
+      orphanAudit(li, "l_orderkey", Tables.orders(s, dir), "o_orderkey",
+        "lineitem.l_orderkey->orders"),
+      orphanAudit(li, "l_partkey", Tables.part(s, dir), "p_partkey",
+        "lineitem.l_partkey->part"),
+      orphanAudit(li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey",
+        "lineitem.l_suppkey->supplier"),
+      orphanAudit(Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey",
+        "orders.o_custkey->customer"),
+      orphanAudit(Tables.events(s, dir), "user_id", Tables.customer(s, dir), "c_custkey",
+        "events.user_id->customer"))
+    audits.reduce(_ unionByName _).orderBy("relation")
+  }
+
+  /** Column profile of the events table — the per-column dataset card
+    * (row/null/distinct counts, canonical min/max) a quality gate
+    * diffs between loads. ONE aggregate pass over the table computes
+    * every column's stats (Spark plans the multi-distinct via a single
+    * expand — still one scan, partial-aggregated); the per-column
+    * layout is a row-local posexplode of the 1-row aggregate.
+    *
+    * min/max are emitted as canonical STRINGS so heterogeneous column
+    * types fit one schema: integers and epoch-seconds print as-is,
+    * doubles as floor(100·x) (engine-exact integer — no float-format
+    * drift), strings verbatim. Exact COUNT(DISTINCT) is the
+    * oracle-mandated choice; the 100 TB swap is approx_count_distinct
+    * (HLL, mergeable) in the same single-pass plan.
+    */
+  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
+    val agged = ev.agg(
+      count(lit(1)).as("n"),
+      // event_id
+      count(when(col("event_id").isNull, 1)).as("eid_null"),
+      countDistinct(col("event_id")).as("eid_dist"),
+      min("event_id").as("eid_min"), max("event_id").as("eid_max"),
+      // user_id
+      count(when(col("user_id").isNull, 1)).as("uid_null"),
+      countDistinct(col("user_id")).as("uid_dist"),
+      min("user_id").as("uid_min"), max("user_id").as("uid_max"),
+      // event_type
+      count(when(col("event_type").isNull, 1)).as("ety_null"),
+      countDistinct(col("event_type")).as("ety_dist"),
+      min("event_type").as("ety_min"), max("event_type").as("ety_max"),
+      // value (double → floor(100x) canonical form)
+      count(when(col("value").isNull, 1)).as("val_null"),
+      countDistinct(col("value")).as("val_dist"),
+      floor(lit(100.0) * min("value")).cast("long").as("val_min"),
+      floor(lit(100.0) * max("value")).cast("long").as("val_max"),
+      // ts (epoch seconds)
+      count(when(col("ts_s").isNull, 1)).as("ts_null"),
+      countDistinct(col("ts_s")).as("ts_dist"),
+      min("ts_s").as("ts_min"), max("ts_s").as("ts_max"))
+    agged.select(explode(array(
+        struct(lit("event_id").as("col_name"), col("n"), col("eid_null").as("n_null"),
+               col("eid_dist").as("n_distinct"),
+               col("eid_min").cast("string").as("min_s"), col("eid_max").cast("string").as("max_s")),
+        struct(lit("event_type").as("col_name"), col("n"), col("ety_null").as("n_null"),
+               col("ety_dist").as("n_distinct"),
+               col("ety_min").as("min_s"), col("ety_max").as("max_s")),
+        struct(lit("ts_s").as("col_name"), col("n"), col("ts_null").as("n_null"),
+               col("ts_dist").as("n_distinct"),
+               col("ts_min").cast("string").as("min_s"), col("ts_max").cast("string").as("max_s")),
+        struct(lit("user_id").as("col_name"), col("n"), col("uid_null").as("n_null"),
+               col("uid_dist").as("n_distinct"),
+               col("uid_min").cast("string").as("min_s"), col("uid_max").cast("string").as("max_s")),
+        struct(lit("value_x100").as("col_name"), col("n"), col("val_null").as("n_null"),
+               col("val_dist").as("n_distinct"),
+               col("val_min").cast("string").as("min_s"), col("val_max").cast("string").as("max_s"))
+      )).as("p"))
+      .select(col("p.col_name"), col("p.n").as("n_rows"), col("p.n_null"),
+              col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+      .orderBy("col_name")
+  }
+}

@@ -244,6 +244,31 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source sequence-length histogram: documents bucketed by
+    * floor(log2(n_tokens)) — the shape diagnostic behind every packing
+    * and curriculum decision (how much of a source is sub-context-
+    * window crumbs vs truncation-length monsters). The bucket is
+    * computed WITHOUT libm — length(bin(n)) - 1 is exact integer
+    * arithmetic that every engine agrees on, where a float log2 would
+    * sit one ulp from a bucket boundary at exact powers of two
+    * (n_tokens = 0 lands in bucket 0 alongside n = 1: `bin(0)` is
+    * "0" in both engines). Token counts reuse the BPE-ish regex of
+    * [[TextOps.textTokenCount]]. One partial-aggregated shuffle whose
+    * key space is sources × ~40 buckets — nothing at any corpus size.
+    */
+  def seqLenHistogram(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("source"), bpeTokenCount(col("text")).as("n_tokens"))
+      .withColumn("len_bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .groupBy("source", "len_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("source", "len_bucket")
+  }
+
   /** Per-source dataset card — the manifest row a training mix is
     * audited by: document count, token/char volume, language spread,
     * and exact-dup count within the source (docs minus distinct
