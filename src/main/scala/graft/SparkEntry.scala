@@ -51,6 +51,11 @@ object SparkEntry {
     "percentile_value"      -> (Analytics.percentileValue _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
+    "merge_intervals"       -> (Analytics.mergeIntervals _),
+    "gap_fill_days"         -> (Analytics.gapFillDays _),
+    "event_transitions"     -> (Analytics.eventTransitions _),
+    "skew_report"           -> ((s, d) => Analytics.skewReport(s, d)),
+    "hll_states"            -> (Analytics.hllStates _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
     "stream_enrich"         -> (Analytics.streamEnrich _),
@@ -100,6 +105,7 @@ object SparkEntry {
     "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
     "doc_top_terms"      -> ((s, d) => TextOps.docTopTerms(s, d)),
     "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
+    "vocab_encode"       -> ((s, d) => TextOps.vocabEncode(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_keep_best"    -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     // Extract stage (reference 02_etl.py:55-67 page loop): land a paged
@@ -240,6 +246,91 @@ object SparkEntry {
            FROM days d JOIN du ON du.day BETWEEN d.win_day - 6 AND d.win_day)
          SELECT win_day, COUNT(*) AS active_users
          FROM w GROUP BY win_day ORDER BY win_day""",
+    "merge_intervals" ->
+      """WITH ls AS (
+           SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+           FROM lineitem GROUP BY l_orderkey),
+         iv AS (
+           SELECT o.o_custkey,
+                  datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS start_day,
+                  greatest(
+                    datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)),
+                    datediff('day', DATE '1970-01-01', ls.last_ship)) AS end_day
+           FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+         f AS (
+           SELECT o_custkey, start_day, end_day,
+                  CASE WHEN max(end_day) OVER (
+                         PARTITION BY o_custkey ORDER BY start_day, end_day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                       OR start_day > max(end_day) OVER (
+                         PARTITION BY o_custkey ORDER BY start_day, end_day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       THEN 1 ELSE 0 END AS is_new
+           FROM iv),
+         e AS (
+           SELECT o_custkey, start_day, end_day,
+                  SUM(is_new) OVER (
+                    PARTITION BY o_custkey ORDER BY start_day, end_day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+           FROM f)
+         SELECT o_custkey, episode,
+                MIN(start_day) AS episode_start_day,
+                MAX(end_day) AS episode_end_day,
+                COUNT(*) AS n_intervals
+         FROM e GROUP BY o_custkey, episode ORDER BY o_custkey, episode""",
+    "gap_fill_days" ->
+      """WITH daily AS (
+           SELECT user_id,
+                  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+         spine AS (
+           SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM spans)
+         SELECT s.user_id, s.day,
+                COALESCE(d.n_events, 0) AS n_events,
+                COALESCE(d.day_value, 0.0) AS day_value
+         FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+         ORDER BY s.user_id, s.day""",
+    "event_transitions" ->
+      """WITH seq AS (
+           SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         c AS (
+           SELECT prev_type, event_type, COUNT(*) AS n_transitions
+           FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, event_type, n_transitions,
+                CAST(FLOOR(10000.0 * n_transitions /
+                     SUM(n_transitions) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_x10000
+         FROM c ORDER BY prev_type, event_type""",
+    "skew_report" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+         t AS (SELECT SUM(n_rows) AS total_rows FROM k)
+         SELECT k.user_id, k.n_rows,
+                CAST(FLOOR(10000.0 * k.n_rows / t.total_rows) AS BIGINT) AS share_x10000
+         FROM k CROSS JOIN t
+         ORDER BY k.n_rows DESC, k.user_id LIMIT 20""",
+    "vocab_encode" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         e AS (
+           SELECT doc_id,
+                  unnest(toks) AS token,
+                  unnest(generate_series(0, len(toks) - 1)) AS pos
+           FROM t),
+         v AS (
+           SELECT token, COUNT(*) AS tf FROM e GROUP BY token
+           ORDER BY tf DESC, token LIMIT 256),
+         vid AS (
+           SELECT token, row_number() OVER (ORDER BY tf DESC, token) AS token_id FROM v)
+         SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos,
+                CAST(COALESCE(vid.token_id, 0) AS BIGINT) AS token_id
+         FROM e LEFT JOIN vid USING (token) ORDER BY doc_id, pos""",
     "agg_incremental" ->
       """SELECT l_returnflag,
                 COUNT(*) AS n_rows,

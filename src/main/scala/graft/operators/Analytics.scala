@@ -327,6 +327,160 @@ object Analytics {
       .orderBy("event_type", "bin")
   }
 
+  /** Interval coalescing (merge overlapping intervals per key) — the
+    * classic episode builder behind SLA windows, machine-uptime
+    * stitching and inventory-hold reports. Intervals here are order
+    * fulfillment spans: [o_orderdate, last l_shipdate of the order],
+    * merged per customer into contiguous procurement episodes
+    * (intervals that overlap or touch on a day fuse).
+    *
+    * Shape: last-ship is ONE partial-aggregated shuffle on orderkey;
+    * the orders⋈last_ship join is key-partitioned on orderkey (both
+    * sides grow — nothing broadcasts); the merge itself is the
+    * running-max-end trick — sort each customer's intervals by start,
+    * a row opens a new episode iff its start exceeds the max end seen
+    * so far, episode id = running sum of those flags. One window
+    * shuffle on custkey; the episode rollup reuses that partitioning
+    * (grouping keys are a superset). No self-join, no explosion — the
+    * naive interval-overlap self-join is O(n²) per key and never
+    * appears.
+    */
+  def mergeIntervals(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val o  = Tables.orders(s, dir)
+    val lastShip = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val iv = o.join(lastShip, o("o_orderkey") === lastShip("l_orderkey"))
+      .select(
+        col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("start_day"),
+        // fulfillment can't end before it starts; clamp so the merge
+        // invariant (end >= start) holds whatever the generator did
+        greatest(
+          datediff(to_date(col("o_orderdate")), epoch).cast("long"),
+          datediff(col("last_ship"), epoch).cast("long")).as("end_day"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("start_day"), col("end_day"))
+    val prevMax = max(col("end_day")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    iv.withColumn("is_new", when(prevMax.isNull || col("start_day") > prevMax, 1).otherwise(0))
+      .withColumn("episode",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("o_custkey"), col("episode"))
+      .agg(
+        min("start_day").as("episode_start_day"),
+        max("end_day").as("episode_end_day"),
+        count(lit(1)).as("n_intervals"))
+      .orderBy("o_custkey", "episode")
+  }
+
+  /** Zero-filled daily series per user (gap fill): every day between a
+    * user's first and last activity gets a row, absent days as
+    * (0, 0.0) — the densification step dashboards and forecasting
+    * models need before windowed math. The dense day spine is
+    * generated ROW-LOCALLY per user (`sequence` + explode over the
+    * user's own [min, max] span — never a calendar-dim cross join),
+    * so the explode factor is each user's span, not a global range.
+    * The daily rollup is cached: spans derive from it and the fill
+    * left-joins back to it, and without the cache Spark would re-run
+    * the events scan + aggregation for each reference. Both joins are
+    * key-partitioned on user_id; nothing broadcasts (users grow with
+    * the data).
+    */
+  def gapFillDays(s: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Caches.cached(
+      Tables.events(s, dir)
+        .select(col("user_id"),
+                datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                  .cast("long").as("day"),
+                col("value"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("day_value")))
+    val spans = daily.groupBy("user_id").agg(min("day").as("d0"), max("day").as("d1"))
+    spans.select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+              coalesce(col("n_events"), lit(0L)).as("n_events"),
+              coalesce(col("day_value"), lit(0.0)).as("day_value"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's time-ordered stream, count (previous type → type)
+    * adjacencies, with the per-source transition probability as
+    * floor(10000·n/total) — the path-analysis primitive behind "what
+    * do users do after X". One window shuffle on user_id (lag over
+    * the per-user sort), then a partial-aggregated groupBy on the
+    * pair key whose result is bounded by |types|² — the probability
+    * window runs over that tiny table, not the stream. The division
+    * is evaluated in double in one fixed order (10000·n then ÷),
+    * exact below 2^53, so the floor is engine-identical.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    counts
+      .withColumn("p_x10000",
+        floor(lit(10000.0) * col("n_transitions")
+              / sum(col("n_transitions")).over(Window.partitionBy("prev_type")))
+          .cast("long"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Heavy-hitter skew report: the `topK` hottest keys with their row
+    * counts and share of the table (floor(10000·n/total)) — the
+    * diagnostic run before choosing salting factors or AQE skew
+    * thresholds (the `salted_join_skew` operator's sizing input).
+    * Per-key counts are one partial-aggregated shuffle (bounded by
+    * |keys|, ≪ rows, and cached because the global total re-reads
+    * it); the total is a 1-row aggregate broadcast back — a
+    * constant-size broadcast, legitimate at any scale, unlike a
+    * growing-dimension one. Top-k lands as TakeOrderedAndProject:
+    * partial top-k per partition, never a global sort.
+    */
+  def skewReport(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val perKey = graft.Caches.cached(
+      Tables.events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n_rows")))
+    val total = perKey.agg(sum("n_rows").as("total_rows"))
+    perKey.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_rows"),
+              floor(lit(10000.0) * col("n_rows") / col("total_rows"))
+                .cast("long").as("share_x10000"))
+      .orderBy(col("n_rows").desc, col("user_id"))
+      .limit(topK)
+  }
+
+  /** Mergeable HLL sketch states — the incremental form of
+    * [[approxDistinctUsers]]: distinct users are sketched PER DAY
+    * (`hll_sketch_agg`, a partial-aggregated DataSketches state), the
+    * daily states union per type (`hll_union_agg`), and only then
+    * does the estimate read out. At 100 TB this is the
+    * reaggregatable-rollup contract: day sketches persist once and
+    * any horizon (week/month/all-time) is a cheap union of states —
+    * the raw stream is never rescanned, which no exact distinct can
+    * offer. Approximate by construction → rows-only for the driver;
+    * AnalyticsSpec pins the estimates against exact distincts and
+    * proves merge-order invariance.
+    */
+  def hllStates(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .select(col("event_type"),
+              datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                .cast("long").as("day"),
+              col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id)").as("day_sketch"))
+      .groupBy("event_type")
+      .agg(
+        expr("hll_sketch_estimate(hll_union_agg(day_sketch))").as("merged_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
   /** HLL approximate distinct — the 100 TB way to count users. No
     * oracle (approximate by construction); driver does rows-only.
     */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -276,5 +277,40 @@ object TextOps {
         col("doc_id"),
         fingerprintKey(col("text")).as("fingerprint"))
       .orderBy("doc_id")
+  }
+
+  /** Vocabulary build + token-id encoding — the tokenize-to-ids step
+    * between a cleaned corpus and a trainer: the top-`vocabSize`
+    * tokens by corpus frequency (ties broken lexically) become ids
+    * 1..V by rank, every document re-emits as (doc_id, pos, token_id)
+    * with out-of-vocabulary tokens mapped to 0.
+    *
+    * Scale shape: the exploded token stream is cached — vocabulary
+    * counting and encoding both consume it, and re-exploding the
+    * corpus is the dominant cost. Token counting is one
+    * partial-aggregated shuffle bounded by |token types| (zipfian,
+    * ≪ occurrences); the V cut is TakeOrderedAndProject (map-side
+    * top-V, never a global sort of the type space); id assignment is
+    * a window over the V surviving rows only. Encoding joins the
+    * V-row vocab through the size guard — a true bounded dimension
+    * (V is a constant), the case broadcast exists for. The corpus
+    * explodes exactly once and shuffles only for the vocab join.
+    */
+  def vocabEncode(s: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val exploded = graft.Caches.cached(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token"))))
+    val byFreq = Seq(col("tf").desc, col("token").asc)
+    val vocab = exploded.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(byFreq: _*).limit(vocabSize)
+      // rank→id over the V cut rows only (single tiny partition by design)
+      .withColumn("token_id", row_number().over(Window.orderBy(byFreq: _*)))
+      .select("token", "token_id")
+    exploded.join(Hints.maybeBroadcast(vocab), Seq("token"), "left")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+              coalesce(col("token_id").cast("long"), lit(0L)).as("token_id"))
+      .orderBy("doc_id", "pos")
   }
 }

@@ -187,4 +187,112 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(TextOps.textTokenCount(spark, sf)
       .filter(col("bpe_tokens") < col("ws_tokens")).count() == 0)
   }
+
+  test("merge_intervals: episodes disjoint, ordered, and account for every interval") {
+    val out = Analytics.mergeIntervals(spark, sf).cache()
+    // within an episode the bounds are sane
+    assert(out.filter(col("episode_start_day") > col("episode_end_day")).count() == 0)
+    // consecutive episodes of a customer are strictly separated (a gap
+    // of at least one day — touching intervals would have merged)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("episode")
+    val overlaps = out
+      .withColumn("prev_end", lag(col("episode_end_day"), 1).over(w))
+      .filter(col("prev_end").isNotNull && col("episode_start_day") <= col("prev_end"))
+    assert(overlaps.count() == 0)
+    // every order-with-lineitems interval lands in exactly one episode
+    val nIntervals = Tables.orders(spark, sf).select(col("o_orderkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey"))
+      .count()
+    val counted = out.agg(sum("n_intervals")).head().getLong(0)
+    assert(counted == nIntervals, s"episodes cover $counted of $nIntervals intervals")
+    out.unpersist()
+  }
+
+  test("gap_fill_days: dense span per user, totals preserved, fills are zero") {
+    val out = Analytics.gapFillDays(spark, sf).cache()
+    // per user: contiguous day range with no holes or duplicates
+    val spanCheck = out.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"),
+           count(lit(1)).as("n"), countDistinct(col("day")).as("nd"))
+      .filter(col("n") =!= col("d1") - col("d0") + 1 || col("n") =!= col("nd"))
+    assert(spanCheck.count() == 0)
+    // event totals survive densification
+    val total = out.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    // filled days carry exactly (0, 0.0)
+    assert(out.filter(col("n_events") === 0 && col("day_value") =!= 0.0).count() == 0)
+    out.unpersist()
+    Caches.clear()
+  }
+
+  test("event_transitions: counts cover every adjacency, probabilities normalize") {
+    val out = Analytics.eventTransitions(spark, sf).cache()
+    // each user with n events contributes exactly n-1 transitions
+    val perUser = Tables.events(spark, sf).groupBy("user_id").agg(count(lit(1)).as("n"))
+    val expected = perUser.agg(sum(col("n") - lit(1))).head().getLong(0)
+    assert(out.agg(sum("n_transitions")).head().getLong(0) == expected)
+    // probabilities are floor-normalized: each row in [0, 10000], each
+    // prev_type's total within |rows| of 10000 (floor loses < 1 per row)
+    assert(out.filter(col("p_x10000") < 0 || col("p_x10000") > 10000).count() == 0)
+    val sums = out.groupBy("prev_type")
+      .agg(sum("p_x10000").as("p"), count(lit(1)).as("k"))
+      .filter(col("p") > 10000 || col("p") <= lit(10000) - col("k"))
+    assert(sums.count() == 0)
+    out.unpersist()
+  }
+
+  test("skew_report: shares bounded, ordering matches the true hottest key") {
+    val out = Analytics.skewReport(spark, sf).cache()
+    assert(out.count() <= 20)
+    assert(out.filter(col("share_x10000") < 0 || col("share_x10000") > 10000).count() == 0)
+    val topReported = out.orderBy(col("n_rows").desc, col("user_id")).head()
+    val trueTop = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).head()
+    assert(topReported.getAs[Long]("user_id") == trueTop.getAs[Long]("user_id"))
+    assert(topReported.getAs[Long]("n_rows") == trueTop.getAs[Long]("n"))
+    out.unpersist()
+    Caches.clear()
+  }
+
+  test("hll_states: merged daily sketches track exact distincts and are deterministic") {
+    val out = Analytics.hllStates(spark, sf).cache()
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    // DataSketches HLL at default lgK is well under 10% off at these
+    // cardinalities; this catches wiring bugs (wrong column, wrong merge)
+    val off = out.join(exact, "event_type")
+      .filter(abs(col("merged_users") - col("exact_users"))
+              > col("exact_users") * 0.1)
+    assert(off.count() == 0)
+    // sketch build + union is deterministic: a recompute agrees exactly
+    val again = Analytics.hllStates(spark, sf)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
+
+  test("vocab_encode: ids rank by frequency, encoding round-trips in-vocab tokens") {
+    val out = TextOps.vocabEncode(spark, sf).cache()
+    // one output row per token occurrence
+    val occurrences = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()
+    assert(out.count() == occurrences)
+    assert(out.filter(col("token_id") < 0 || col("token_id") > 256).count() == 0)
+    // id 1 is the corpus-wide most frequent token (lexical tie-break)
+    val exploded = Tables.documents(spark, sf)
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions.tokens(col("text")))
+        .as(Seq("pos", "token")))
+    val top = exploded.groupBy("token").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).head().getAs[String]("token")
+    val id1Positions = out.filter(col("token_id") === 1)
+      .select(col("doc_id"), col("pos"))
+    val topPositions = exploded.filter(col("token") === top)
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    assert(id1Positions.except(topPositions).isEmpty
+      && topPositions.except(id1Positions).isEmpty)
+    out.unpersist()
+    Caches.clear()
+  }
 }
