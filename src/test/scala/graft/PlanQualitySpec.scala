@@ -272,6 +272,88 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("merge_intervals windows and rolls up on ONE custkey exchange") {
+    val p = plan(Analytics.mergeIntervals(spark, sf))
+    // the episode groupBy's keys are a superset of the window's
+    // partition key, so the aggregation must reuse the window exchange
+    val custExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("o_custkey")).toSeq
+    assert(custExchanges.size == 1,
+      s"expected one custkey exchange shared by window+rollup, got ${custExchanges.size}:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval merge degenerated to a pair join:\n$p")
+  }
+
+  test("gap_fill_days reuses the cached daily rollup for spans and fill") {
+    val p = plan(Analytics.gapFillDays(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"daily rollup not cached — events would rescan per reference:\n$p")
+    assert(p.contains("Generate"), s"day spine explode missing:\n$p")
+    graft.Caches.clear()
+  }
+
+  test("event_transitions aggregates pairs partially after one user window") {
+    val p = plan(Analytics.eventTransitions(spark, sf))
+    assert(p.contains("partial_"), s"pair counts not map-side combined:\n$p")
+    val userExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("user_id")).toSeq
+    assert(userExchanges.size == 1, s"lag window should cost one user_id exchange:\n$p")
+  }
+
+  test("skew_report takes top-k map-side and broadcasts only the 1-row total") {
+    val p = plan(Analytics.skewReport(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row total not broadcast:\n$p")
+    graft.Caches.clear()
+  }
+
+  test("hll_states sketches partial-aggregate at both levels") {
+    val p = plan(Analytics.hllStates(spark, sf))
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_"),
+      s"day sketches not map-side combined:\n$p")
+    assert(p.contains("hll_union_agg"), s"merge level missing:\n$p")
+  }
+
+  test("vocab_encode explodes once (cached), cuts V map-side, broadcasts the vocab") {
+    val p = plan(graft.operators.TextOps.vocabEncode(spark, sf))
+    assert(p.contains("InMemoryTableScan"),
+      s"exploded token stream not cached — corpus would re-explode:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut fell back to a global sort of the type space:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"constant-size vocab not broadcast:\n$p")
+    graft.Caches.clear()
+  }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join when enabled") {
+    // The 100 TB shuffle-join safety net: when a selective dim CANNOT
+    // broadcast (the forced-large regime of the size-guard test),
+    // Spark can still semi-filter the big side's shuffle with an
+    // injected bloom filter built from the dim keys. Local thresholds
+    // are tuned so the injection fires on test-size data; at scale the
+    // defaults (10 MB creation side) gate it the same way.
+    import graft.operators.Hints
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set(Hints.ThresholdKey, "1")
+    try {
+      val p = plan(Analytics.q3TopUnshipped(spark, sf))
+      assert(p.contains("might_contain"),
+        s"no bloom runtime filter injected on the shuffle join:\n$p")
+    } finally {
+      conf.unset(Hints.ThresholdKey)
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
