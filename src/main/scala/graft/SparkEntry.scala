@@ -50,6 +50,7 @@ object SparkEntry {
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
+    "quantile_bins_approx"  -> ((s, d) => Analytics.quantileBinsApprox(s, d)),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "merge_intervals"       -> (Analytics.mergeIntervals _),
     "gap_fill_days"         -> (Analytics.gapFillDays _),

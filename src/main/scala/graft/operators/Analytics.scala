@@ -327,6 +327,40 @@ object Analytics {
       .orderBy("event_type", "bin")
   }
 
+  /** The 100 TB form of [[quantileBins]], made concrete rather than a
+    * doc note: per-group cut points from `approx_percentile` (t-digest
+    * style Greenwald-Khanna state, partial-aggregated, bounded memory
+    * per group) broadcast back through the size guard, each row then
+    * bucketed ROW-LOCALLY by counting cuts below its value (a
+    * bounded-array HOF — no window, no per-group global sort). Where
+    * [[quantileBins]]'s ntile funnels every group through one sorted
+    * partition, this plan is two scans + one tiny-key-space shuffle
+    * regardless of group sizes. Equal-count only approximately
+    * (rank error ≤ n/accuracy, plus boundary ties all land in the
+    * lower bin) → rows-only for the driver; AnalyticsSpec pins the
+    * per-bin counts against the exact operator's.
+    */
+  def quantileBinsApprox(s: SparkSession, dir: String, k: Int = 4,
+                         accuracy: Int = 10000): DataFrame = {
+    require(k > 0, s"bin count $k must be positive")
+    require(accuracy > 0, s"accuracy $accuracy must be positive")
+    val ps = (1 until k).map(i => i.toDouble / k).mkString(", ")
+    val cuts = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, array($ps), $accuracy)").as("cuts"))
+    Tables.events(s, dir)
+      .join(Hints.maybeBroadcast(cuts), "event_type")
+      .select(col("event_type"),
+              (lit(1) + expr("size(filter(cuts, c -> value > c))")).cast("long").as("bin"),
+              col("value"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        floor(lit(100.0) * min("value")).cast("long").as("min_val_x100"),
+        floor(lit(100.0) * max("value")).cast("long").as("max_val_x100"))
+      .orderBy("event_type", "bin")
+  }
+
   /** Interval coalescing (merge overlapping intervals per key) — the
     * classic episode builder behind SLA windows, machine-uptime
     * stitching and inventory-hold reports. Intervals here are order

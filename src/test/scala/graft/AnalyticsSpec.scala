@@ -273,6 +273,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("quantile_bins_approx tracks the exact bins and keeps ranges ordered") {
+    val approx = Analytics.quantileBinsApprox(spark, sf).cache()
+    val exact = Analytics.quantileBins(spark, sf)
+      .select(col("event_type"), col("bin"), col("n_rows").as("n_exact"))
+    // at accuracy 10000 on thousands of rows the rank error is ≤ a few
+    // rows per cut; allow 5% of the group plus a tie allowance
+    val groupSizes = exact.groupBy("event_type").agg(sum("n_exact").as("n_group"))
+    val off = approx.join(exact, Seq("event_type", "bin"), "full")
+      .join(groupSizes, "event_type")
+      .filter(abs(coalesce(col("n_rows"), lit(0L)) - coalesce(col("n_exact"), lit(0L)))
+              > col("n_group") * 0.05 + lit(2))
+    assert(off.count() == 0)
+    // bins are labeled 1..k and value ranges do not cross
+    assert(approx.filter(col("bin") < 1 || col("bin") > 4).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    val crossed = approx
+      .withColumn("prev_max", lag(col("max_val_x100"), 1).over(w))
+      .filter(col("prev_max").isNotNull && col("min_val_x100") < col("prev_max") - 1)
+    assert(crossed.count() == 0)
+    approx.unpersist()
+  }
+
   test("vocab_encode: ids rank by frequency, encoding round-trips in-vocab tokens") {
     val out = TextOps.vocabEncode(spark, sf).cache()
     // one output row per token occurrence
