@@ -57,6 +57,10 @@ object SparkEntry {
     "event_transitions"     -> (Analytics.eventTransitions _),
     "skew_report"           -> ((s, d) => Analytics.skewReport(s, d)),
     "hll_states"            -> (Analytics.hllStates _),
+    "bitmap_distinct"       -> (Analytics.bitmapDistinct _),
+    "backlog_over_time"     -> (Analytics.backlogOverTime _),
+    "cube_flag_status"      -> (Analytics.cubeFlagStatus _),
+    "seasonality_profile"   -> (Analytics.seasonalityProfile _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
     "stream_enrich"         -> (Analytics.streamEnrich _),
@@ -96,6 +100,7 @@ object SparkEntry {
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
     "mm_chunk_text"   -> ((s, d) => graft.multimodal.Multimodal.mmChunkText(s, d)),
+    "mm_chunk_roundtrip" -> ((s, d) => graft.multimodal.Multimodal.mmChunkRoundtrip(s, d)),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
@@ -314,6 +319,54 @@ object SparkEntry {
                 CAST(FLOOR(10000.0 * k.n_rows / t.total_rows) AS BIGINT) AS share_x10000
          FROM k CROSS JOIN t
          ORDER BY k.n_rows DESC, k.user_id LIMIT 20""",
+    "backlog_over_time" ->
+      """WITH ls AS (
+           SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship
+           FROM lineitem GROUP BY l_orderkey),
+         iv AS (
+           SELECT datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS open_day,
+                  greatest(
+                    datediff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)),
+                    datediff('day', DATE '1970-01-01', ls.last_ship)) + 1 AS close_day
+           FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+         d AS (
+           SELECT open_day AS day, 1 AS delta FROM iv
+           UNION ALL
+           SELECT close_day AS day, -1 AS delta FROM iv),
+         b AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change FROM d GROUP BY day)
+         SELECT day, net_change,
+                CAST(SUM(net_change) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_orders
+         FROM b ORDER BY day""",
+    "cube_flag_status" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                COALESCE(l_linestatus, 'ALL') AS linestatus,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                COUNT(*) AS n_rows,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY gid, returnflag, linestatus""",
+    "seasonality_profile" ->
+      """WITH c AS (
+           SELECT (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS dow,
+                  hour(ts) AS hour_of_day,
+                  COUNT(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT SUM(n_events) AS total_events FROM c)
+         SELECT CAST(c.dow AS BIGINT) AS dow, CAST(c.hour_of_day AS BIGINT) AS hour_of_day,
+                c.n_events,
+                CAST(FLOOR(10000.0 * c.n_events / t.total_events) AS BIGINT) AS share_x10000
+         FROM c CROSS JOIN t ORDER BY dow, hour_of_day""",
+    "bitmap_distinct" ->
+      """SELECT event_type,
+                COUNT(DISTINCT user_id) AS n_distinct_users,
+                COUNT(DISTINCT user_id // 64) AS n_words
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "mm_chunk_roundtrip" ->
+      """SELECT doc_id,
+                GREATEST(1, (length(text) + 255) // 256) AS n_chunks,
+                md5(text) AS body_md5
+         FROM documents ORDER BY doc_id""",
     "vocab_encode" ->
       """WITH t AS (
            SELECT doc_id,

@@ -137,6 +137,55 @@ object Multimodal {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** SURVEY §2 `mm_chunk_roundtrip`: the INVERSE of [[mmChunkText]],
+    * proving chunking is lossless — each document's fixed-window
+    * chunks are scattered by the shuffle, regrouped by doc, sorted by
+    * ordinal and re-joined, and the output carries md5(reassembled
+    * body). The oracle computes md5 straight from the source text, so
+    * a hash match certifies byte-exact reconstruction through the full
+    * chunk→shuffle→reassemble path (the property every retrieval
+    * ingest silently relies on, and the step that breaks first with
+    * byte-windowed chunking of multibyte text).
+    *
+    * Scale shape: ordered reassembly is `array_sort(collect_list(
+    * struct(ordinal, chunk)))` — collect_list is partial-aggregated
+    * and per-key state is bounded by the DOCUMENT'S OWN SIZE, the
+    * irreducible state of any reassembler; the sort is row-local over
+    * that doc's chunks. Nothing global: no window over the corpus, one
+    * shuffle on doc_id.
+    */
+  def mmChunkRoundtrip(s: SparkSession, dir: String, window: Int = 256): DataFrame =
+    chunkRoundtripOver(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), window)
+      .orderBy("doc_id")
+
+  /** [[mmChunkRoundtrip]]'s core over any (doc_id, text) frame —
+    * factored so MultimodalSpec can drive crafted multibyte / empty /
+    * exact-multiple bodies through it.
+    */
+  def chunkRoundtripOver(docs: DataFrame, window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val chunks = docs
+      .select(col("doc_id"), col("text").as("body"),
+        greatest(lit(1L),
+          expr(s"(char_length(text) + ${window - 1}) div $window")).as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0L), col("n_chunks") - 1),
+          i => col("body").substr((i * window + 1).cast("int"), lit(window)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"), col("col").as("chunk"))
+    chunks.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        md5(encode(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+              x => x.getField("chunk")),
+            ""),
+          "UTF-8")).as("body_md5"))
+  }
+
   /** Decoded-content row produced by the batch decoder. */
   case class DecodedMeta(doc_id: Long, n_bytes: Long, content_feature: Long)
 

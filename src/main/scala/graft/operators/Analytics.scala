@@ -407,6 +407,83 @@ object Analytics {
       .orderBy("o_custkey", "episode")
   }
 
+  /** Open-order backlog over time (event-sourcing cumsum): how many
+    * orders were simultaneously in flight on each change day — the
+    * inventory/backlog/occupancy primitive. The scale-correct shape is
+    * ±1 DELTAS, never an interval×calendar join: each fulfillment span
+    * emits (+1 at open, −1 the day after close), deltas partial-
+    * aggregate to the BOUNDED day key space first, and only then does
+    * a running sum order the days — the global sort ranks |days| rows
+    * (thousands), not |orders| (billions). Same fulfillment intervals
+    * as [[mergeIntervals]]; `open_orders` is the running balance as of
+    * each day with activity.
+    */
+  def backlogOverTime(s: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val lastShip = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val iv = Tables.orders(s, dir)
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("open_day"),
+        (greatest(
+          datediff(to_date(col("o_orderdate")), epoch).cast("long"),
+          datediff(col("last_ship"), epoch).cast("long")) + 1L).as("close_day"))
+    val deltas = iv.select(col("open_day").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("close_day").as("day"), lit(-1L).as("delta")))
+    val byDay = deltas.groupBy("day").agg(sum("delta").as("net_change"))
+    byDay
+      .withColumn("open_orders",
+        sum(col("net_change")).over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("day")
+  }
+
+  /** CUBE grouping sets with `grouping_id` — [[rollupFlagStatus]]'s
+    * sibling covering ALL 2^n subtotal combinations (rollup emits only
+    * the hierarchy's prefixes), with the bitmask exposing which
+    * dimensions each row aggregates away. Still one shuffle: Spark
+    * plans grouping sets as a single Expand + partial-aggregated
+    * hash aggregate.
+    */
+  def cubeFlagStatus(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+           count(lit(1)).as("n_rows"), sum2(col("l_extendedprice")).as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n_rows"), col("sum_price"))
+      .orderBy("gid", "returnflag", "linestatus")
+  }
+
+  /** Day-of-week × hour activity matrix with share-of-total — the
+    * seasonality heatmap behind capacity planning. Weekday comes from
+    * ENGINE-NEUTRAL integer arithmetic ((epoch_days + 3) mod 7, 0 =
+    * Monday — 1970-01-01 was a Thursday) rather than each engine's
+    * dayofweek(), whose 0/1-base and week start differ. One
+    * partial-aggregated shuffle over the 7×24-bounded key space; the
+    * 1-row total broadcasts back (constant size).
+    */
+  def seasonalityProfile(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.Caches.cached(
+      Tables.events(s, dir)
+        .select(
+          pmod(datediff(to_date(col("ts")), to_date(lit("1970-01-01"))) + 3, lit(7))
+            .cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hour_of_day"))
+        .groupBy("dow", "hour_of_day")
+        .agg(count(lit(1)).as("n_events")))
+    val total = cells.agg(sum("n_events").as("total_events"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour_of_day"), col("n_events"),
+              floor(lit(10000.0) * col("n_events") / col("total_events"))
+                .cast("long").as("share_x10000"))
+      .orderBy("dow", "hour_of_day")
+  }
+
   /** Zero-filled daily series per user (gap fill): every day between a
     * user's first and last activity gets a row, absent days as
     * (0, 0.0) — the densification step dashboards and forecasting
@@ -512,6 +589,30 @@ object Analytics {
       .agg(
         expr("hll_sketch_estimate(hll_union_agg(day_sketch))").as("merged_users"),
         count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  /** EXACT mergeable distinct counts via 64-bit word bitmaps — the
+    * middle ground between `COUNT(DISTINCT)` (exact, but its partial
+    * state is the value set itself) and HLL (constant state, ~2%
+    * error): user ids pack into words of 64 presence bits
+    * (word = id div 64, bit = id mod 64), `bit_or` merges words
+    * map-side, and popcounts sum to the exact distinct. Both levels
+    * partial-aggregate; state is 8 bytes per 64 ids SEEN — like the
+    * HLL-states rollup, day/source partials of these words merge by
+    * plain `bit_or` without rescanning the stream, but the answer is
+    * exact. Assumes reasonably dense ids (state scales with id RANGE
+    * /64, the classic roaring-bitmap refinement territory when ids
+    * are sparse). Fully oracle-checkable, unlike any sketch.
+    */
+  def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr("user_id div 64").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))").as("word"))
+      .groupBy("event_type")
+      .agg(
+        sum(expr("bit_count(word)")).cast("long").as("n_distinct_users"),
+        count(lit(1)).as("n_words"))
       .orderBy("event_type")
   }
 

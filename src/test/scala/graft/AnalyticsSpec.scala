@@ -296,6 +296,54 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     approx.unpersist()
   }
 
+  test("backlog_over_time: balance stays non-negative and closes to zero") {
+    val out = Analytics.backlogOverTime(spark, sf).cache()
+    assert(out.filter(col("open_orders") < 0).count() == 0)
+    // every order eventually closes, so the final running balance is 0
+    val last = out.orderBy(col("day").desc).head()
+    assert(last.getAs[Long]("open_orders") == 0L)
+    // peak backlog can never exceed the number of orders with lineitems
+    val nOrders = Tables.orders(spark, sf).select("o_orderkey")
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey")).distinct(),
+            col("o_orderkey") === col("l_orderkey")).count()
+    assert(out.agg(max("open_orders")).head().getLong(0) <= nOrders)
+    out.unpersist()
+  }
+
+  test("cube_flag_status: grand total and per-level row counts are consistent") {
+    val out = Analytics.cubeFlagStatus(spark, sf).cache()
+    val li = Tables.lineitem(spark, sf).count()
+    val grand = out.filter(col("gid") === 3)
+    assert(grand.count() == 1 && grand.head().getAs[Long]("n_rows") == li)
+    // each grouping level partitions the table
+    Seq(0, 1, 2).foreach { g =>
+      assert(out.filter(col("gid") === g).agg(sum("n_rows")).head().getLong(0) == li,
+        s"gid=$g level does not cover the table")
+    }
+    out.unpersist()
+  }
+
+  test("seasonality_profile: bounded cells, totals and shares consistent") {
+    val out = Analytics.seasonalityProfile(spark, sf).cache()
+    assert(out.filter(col("dow") < 0 || col("dow") > 6
+      || col("hour_of_day") < 0 || col("hour_of_day") > 23).count() == 0)
+    assert(out.agg(sum("n_events")).head().getLong(0) ==
+      Tables.events(spark, sf).count())
+    assert(out.filter(col("share_x10000") < 0 || col("share_x10000") > 10000).count() == 0)
+    out.unpersist()
+    Caches.clear()
+  }
+
+  test("bitmap_distinct is exact and its words merge like partial states") {
+    val out = Analytics.bitmapDistinct(spark, sf)
+    val exact = Tables.events(spark, sf).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    assert(out.join(exact, "event_type")
+      .filter(col("n_distinct_users") =!= col("exact_users")).count() == 0)
+    // word count never exceeds distinct users (≥1 user per set bit word)
+    assert(out.filter(col("n_words") > col("n_distinct_users")).count() == 0)
+  }
+
   test("vocab_encode: ids rank by frequency, encoding round-trips in-vocab tokens") {
     val out = TextOps.vocabEncode(spark, sf).cache()
     // one output row per token occurrence

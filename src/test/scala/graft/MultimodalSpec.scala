@@ -85,4 +85,29 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val out = Multimodal.mmExtractMeta(spark, sf).select("doc_id", "n_bytes")
     assert(out.join(docs, "doc_id").filter(col("n_bytes") =!= col("expect")).count() == 0)
   }
+
+  test("chunk roundtrip reassembles crafted bodies byte-exactly at window 4") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                       // empty → one empty chunk
+      (2L, "abcd"),                   // exactly one window
+      (3L, "abcdefgh"),               // exact multiple
+      (4L, "abcdefghi"),              // multiple + remainder
+      (5L, "héllo wörld 🌍🌍 ütf"),   // multibyte: char windows must not split
+      (6L, "x"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.chunkRoundtripOver(docs, window = 4)
+    val expect = docs.select(col("doc_id"),
+      greatest(lit(1L), expr("(char_length(text) + 3) div 4")).as("want_chunks"),
+      md5(encode(col("text"), "UTF-8")).as("want_md5"))
+    val bad = out.join(expect, "doc_id")
+      .filter(col("n_chunks") =!= col("want_chunks") || col("body_md5") =!= col("want_md5"))
+    assert(bad.count() == 0)
+    // and over the real corpus: every reassembly hash matches the source
+    val corpus = Multimodal.mmChunkRoundtrip(spark, sf)
+    val src = Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("want_md5"))
+    assert(corpus.join(src, "doc_id")
+      .filter(col("body_md5") =!= col("want_md5")).count() == 0)
+  }
 }
