@@ -379,32 +379,46 @@ object Analytics {
     * naive interval-overlap self-join is O(n²) per key and never
     * appears.
     */
-  def mergeIntervals(s: SparkSession, dir: String): DataFrame = {
+  def mergeIntervals(s: SparkSession, dir: String): DataFrame =
+    mergeIntervalsOver(fulfillmentSpans(s, dir), "o_custkey")
+      .orderBy("o_custkey", "episode")
+
+  /** The (key, start_day, end_day) fulfillment spans both
+    * [[mergeIntervals]] and [[backlogOverTime]] consume: order date →
+    * last shipment, day-granular, clamped so end ≥ start holds
+    * whatever the generator did (fulfillment can't end before it
+    * starts).
+    */
+  def fulfillmentSpans(s: SparkSession, dir: String): DataFrame = {
     val epoch = to_date(lit("1970-01-01"))
-    val o  = Tables.orders(s, dir)
     val lastShip = Tables.lineitem(s, dir)
       .groupBy("l_orderkey")
       .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
-    val iv = o.join(lastShip, o("o_orderkey") === lastShip("l_orderkey"))
+    Tables.orders(s, dir)
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
       .select(
         col("o_custkey"),
         datediff(to_date(col("o_orderdate")), epoch).cast("long").as("start_day"),
-        // fulfillment can't end before it starts; clamp so the merge
-        // invariant (end >= start) holds whatever the generator did
         greatest(
           datediff(to_date(col("o_orderdate")), epoch).cast("long"),
           datediff(col("last_ship"), epoch).cast("long")).as("end_day"))
-    val w = Window.partitionBy("o_custkey").orderBy(col("start_day"), col("end_day"))
+  }
+
+  /** [[mergeIntervals]]'s core over any (keyCol, start_day, end_day)
+    * frame — factored so PropertySpec can drive seeded random interval
+    * sets through it against a brute-force union reference.
+    */
+  def mergeIntervalsOver(iv: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col("start_day"), col("end_day"))
     val prevMax = max(col("end_day")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     iv.withColumn("is_new", when(prevMax.isNull || col("start_day") > prevMax, 1).otherwise(0))
       .withColumn("episode",
         sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("o_custkey"), col("episode"))
+      .groupBy(col(keyCol), col("episode"))
       .agg(
         min("start_day").as("episode_start_day"),
         max("end_day").as("episode_end_day"),
         count(lit(1)).as("n_intervals"))
-      .orderBy("o_custkey", "episode")
   }
 
   /** Open-order backlog over time (event-sourcing cumsum): how many
@@ -418,26 +432,21 @@ object Analytics {
     * as [[mergeIntervals]]; `open_orders` is the running balance as of
     * each day with activity.
     */
-  def backlogOverTime(s: SparkSession, dir: String): DataFrame = {
-    val epoch = to_date(lit("1970-01-01"))
-    val lastShip = Tables.lineitem(s, dir)
-      .groupBy("l_orderkey")
-      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
-    val iv = Tables.orders(s, dir)
-      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
-      .select(
-        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("open_day"),
-        (greatest(
-          datediff(to_date(col("o_orderdate")), epoch).cast("long"),
-          datediff(col("last_ship"), epoch).cast("long")) + 1L).as("close_day"))
-    val deltas = iv.select(col("open_day").as("day"), lit(1L).as("delta"))
-      .unionAll(iv.select(col("close_day").as("day"), lit(-1L).as("delta")))
+  def backlogOverTime(s: SparkSession, dir: String): DataFrame =
+    backlogOver(fulfillmentSpans(s, dir)).orderBy("day")
+
+  /** [[backlogOverTime]]'s core over any (start_day, end_day) interval
+    * frame (inclusive bounds) — factored for the PropertySpec
+    * coverage-count cross-check.
+    */
+  def backlogOver(iv: DataFrame): DataFrame = {
+    val deltas = iv.select(col("start_day").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select((col("end_day") + 1L).as("day"), lit(-1L).as("delta")))
     val byDay = deltas.groupBy("day").agg(sum("delta").as("net_change"))
     byDay
       .withColumn("open_orders",
         sum(col("net_change")).over(
           Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)))
-      .orderBy("day")
   }
 
   /** CUBE grouping sets with `grouping_id` — [[rollupFlagStatus]]'s

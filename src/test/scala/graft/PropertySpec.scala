@@ -83,4 +83,47 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       .filter(exists(zip_with(col("sa"), col("ssup"), (x, y) => y > x), identity))
     assert(bad.count() == 0)
   }
+
+  private val intervalSets: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 100L), Gen.chooseNum(0L, 20L)))
+      .map(_.map { case (s, len) => (s, s + len) })
+
+  /** Brute-force interval union: sort, sweep, merge touching/overlapping. */
+  private def bruteMerge(iv: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+    iv.sorted.foldLeft(Vector.empty[(Long, Long, Long)]) {
+      case (acc, (s0, e0)) =>
+        acc.lastOption match {
+          case Some((ps, pe, pn)) if s0 <= pe =>
+            acc.init :+ ((ps, math.max(pe, e0), pn + 1))
+          case _ => acc :+ ((s0, e0, 1L))
+        }
+    }
+
+  test("mergeIntervalsOver equals the brute-force sweep on seeded random intervals") {
+    import spark.implicits._
+    val byKey = cases(intervalSets, n = 8).zipWithIndex
+      .map { case (iv, k) => (k.toLong, iv) }
+    val df = byKey.flatMap { case (k, iv) => iv.map { case (s, e) => (k, s, e) } }
+      .toDF("key", "start_day", "end_day")
+    val got = operators.Analytics.mergeIntervalsOver(df, "key")
+      .select("key", "episode_start_day", "episode_end_day", "n_intervals")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    val want = byKey.map { case (k, iv) => k -> bruteMerge(iv) }.toMap
+    assert(got == want)
+  }
+
+  test("backlogOver open_orders equals the brute coverage count at every change day") {
+    import spark.implicits._
+    val iv = cases(intervalSets, n = 1).head
+    val df = iv.map { case (s, e) => (s, e) }.toDF("start_day", "end_day")
+    val got = operators.Analytics.backlogOver(df)
+      .select("day", "open_orders").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (day, open) =>
+      val expect = iv.count { case (s, e) => s <= day && day <= e }
+      assert(open == expect, s"day $day: open=$open, brute=$expect")
+    }
+  }
 }
