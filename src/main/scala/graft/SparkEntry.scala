@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.dedupContainment(s, d)),
+    "dedup_edit_distance"    -> ((s, d) => Dedup.dedupEditDistance(s, d)),
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
@@ -734,6 +735,37 @@ object SparkEntry {
            QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY j DESC, partner ASC) = 1)
          SELECT d.doc_id, best_match_id,
                 COALESCE(best_jaccard_x1000, 0) AS best_jaccard_x1000,
+                best_match_id IS NOT NULL AS is_dup
+         FROM (SELECT doc_id FROM documents) d LEFT JOIN best USING (doc_id)
+         ORDER BY doc_id""",
+    "dedup_edit_distance" ->
+      """WITH t AS (
+           SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+         tok AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+                  THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM tok),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 500),
+         lv AS (
+           SELECT p.a, p.b, CAST(levenshtein(ta.norm, tb.norm) AS BIGINT) AS lev
+           FROM pairs p JOIN t ta ON ta.doc_id = p.a JOIN t tb ON tb.doc_id = p.b),
+         two_way AS (
+           SELECT a AS doc_id, b AS partner, lev FROM lv
+           UNION ALL
+           SELECT b AS doc_id, a AS partner, lev FROM lv),
+         best AS (
+           SELECT doc_id, partner AS best_match_id, lev AS best_lev
+           FROM two_way
+           QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY lev ASC, partner ASC) = 1)
+         SELECT d.doc_id, best_match_id,
+                COALESCE(best_lev, -1) AS best_lev,
                 best_match_id IS NOT NULL AS is_dup
          FROM (SELECT doc_id FROM documents) d LEFT JOIN best USING (doc_id)
          ORDER BY doc_id""",

@@ -583,6 +583,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Character-level fuzzy dedup: each document's best partner by
+    * LEVENSHTEIN distance over the normalized text — the edit-based
+    * view of similarity (typo/OCR/near-verbatim variants) that
+    * set-based Jaccard can't rank: two docs with the same shingle SET
+    * but different orderings tie on Jaccard and separate on edit
+    * distance.
+    *
+    * CANDIDATE CONTRACT (same as [[dedupContainment]]): pairs are the
+    * MinHash-LSH verified set at bigram Jaccard ≥ τ, so the output is
+    * a pure function of the corpus (any-band collision ≥ 1-1e-4 at
+    * the threshold) and the oracle reproduces it from exact all-pairs
+    * SQL. Levenshtein is O(|a|·|b|) PER PAIR — affordable precisely
+    * because it runs on the verified candidates (≪ n²), never
+    * all-pairs; both text sides join to the slim pair frame by key.
+    * Docs without a verified partner report (-1, not-dup).
+    */
+  def dedupEditDistance(s: SparkSession, dir: String,
+                        nPerms: Int = 258, nBands: Int = 86,
+                        tauX1000: Long = 500): DataFrame = {
+    val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, 2, tauX1000)
+    val norm = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+    val scored = verified
+      .join(norm.select(col("doc_id").as("a"), col("norm").as("na")), "a")
+      .join(norm.select(col("doc_id").as("b"), col("norm").as("nb")), "b")
+      .select(col("a"), col("b"),
+              levenshtein(col("na"), col("nb")).cast("long").as("lev"))
+    // both directions via the 2-row explode (see dedupNgramJaccard for
+    // why a union of two selects would re-execute the scoring subtree)
+    val both = scored.select(explode(array(
+        struct(col("a").as("doc_id"), col("b").as("partner"), col("lev")),
+        struct(col("b").as("doc_id"), col("a").as("partner"), col("lev")))).as("e"))
+      .select(col("e.doc_id"), col("e.partner"), col("e.lev").as("lev"))
+    val best = both.groupBy("doc_id")
+      .agg(min(struct(col("lev"), col("partner"))).as("top"))
+      .select(col("doc_id"), col("top.partner").as("best_match_id"),
+              col("top.lev").as("best_lev"))
+    ids.join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("best_match_id"),
+        coalesce(col("best_lev"), lit(-1L)).as("best_lev"),
+        col("best_match_id").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Windowed exact-substring dedup: flag documents that share a
     * VERBATIM run of `windowTokens` consecutive tokens with any other
     * document — the distributed approximation of suffix-array

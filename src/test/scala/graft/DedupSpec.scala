@@ -300,4 +300,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     Seq(10L, 14L, 15L).foreach(i => assert(closed(i) == i))
     graft.Caches.clear()
   }
+
+  test("dedup_edit_distance: same dup set as the jaccard verdict, sane distances") {
+    import org.apache.spark.sql.functions._
+    val lev = Dedup.dedupEditDistance(spark, sf).cache()
+    val jac = Dedup.dedupNgramJaccard(spark, sf)
+    // identical candidate contract + threshold → identical dup SETS
+    // (only the ranking metric differs)
+    val a = lev.filter(col("is_dup")).select("doc_id")
+    val b = jac.filter(col("is_dup")).select("doc_id")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // dup docs carry a real distance, non-dups exactly the -1 sentinel
+    assert(lev.filter(col("is_dup") && col("best_lev") < 0).count() == 0)
+    assert(lev.filter(!col("is_dup") && col("best_lev") =!= -1L).count() == 0)
+    lev.unpersist()
+    graft.Caches.clear()
+  }
 }
