@@ -613,6 +613,12 @@ object Analytics {
     * exact. Assumes reasonably dense ids (state scales with id RANGE
     * /64, the classic roaring-bitmap refinement territory when ids
     * are sparse). Fully oracle-checkable, unlike any sketch.
+    *
+    * PRECONDITION: ids must be non-negative. Spark's integral `div`
+    * truncates toward zero while the oracle's `//` floors, so a
+    * negative id would land in a different word per engine (-1 div 64
+    * = 0 vs -1). events.user_id is non-negative by construction; a
+    * signed key needs an explicit floor-div word index.
     */
   def bitmapDistinct(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)
