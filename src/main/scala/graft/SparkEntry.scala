@@ -64,6 +64,7 @@ object SparkEntry {
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
     "stream_enrich"         -> (Analytics.streamEnrich _),
+    "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -320,6 +321,20 @@ object SparkEntry {
                 CAST(FLOOR(10000.0 * k.n_rows / t.total_rows) AS BIGINT) AS share_x10000
          FROM k CROSS JOIN t
          ORDER BY k.n_rows DESC, k.user_id LIMIT 20""",
+    "stream_interval_join" ->
+      """WITH sg AS (
+           SELECT user_id, event_id AS signup_event_id, epoch_ns(ts) AS s_ns
+           FROM events WHERE event_type = 'signup'),
+         pu AS (
+           SELECT user_id, event_id AS purchase_event_id, epoch_ns(ts) AS p_ns, value
+           FROM events WHERE event_type = 'purchase')
+         SELECT sg.user_id, signup_event_id, purchase_event_id,
+                s_ns // 1000000000 AS signup_s,
+                p_ns // 1000000000 AS purchase_s,
+                value AS purchase_value
+         FROM sg JOIN pu ON sg.user_id = pu.user_id
+          AND p_ns > s_ns AND p_ns <= s_ns + 3600000000000
+         ORDER BY sg.user_id, signup_event_id, purchase_event_id""",
     "backlog_over_time" ->
       """WITH ls AS (
            SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship

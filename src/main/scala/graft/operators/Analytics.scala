@@ -670,6 +670,34 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Batch-equivalent of the stream-stream event-time interval join
+    * (graft.streaming.EventStreams.intervalJoin — purchases matched to
+    * each signup within (0, horizon]): equi-join on the user key with
+    * the time bound as a post-filter, at full ns precision (the
+    * streaming twin compares at Spark's µs timestamp grain). One
+    * key-partitioned shuffle per side; the per-user pair expansion is
+    * the interval join's intrinsic output, bounded by each user's own
+    * signup×purchase counts — never a time-range cross join across
+    * users.
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String, horizonSec: Long = 3600): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_event_id"),
+              col("ts_ns").as("s_ns"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_event_id"),
+              col("ts_ns").as("p_ns"), col("value"))
+    sg.join(pu, Seq("user_id"))
+      .filter(col("p_ns") > col("s_ns")
+        && col("p_ns") <= col("s_ns") + lit(horizonSec * 1000000000L))
+      .select(col("user_id"), col("signup_event_id"), col("purchase_event_id"),
+              expr("s_ns div 1000000000").as("signup_s"),
+              expr("p_ns div 1000000000").as("purchase_s"),
+              col("value").as("purchase_value"))
+      .orderBy("user_id", "signup_event_id", "purchase_event_id")
+  }
+
   /** Batch-equivalent of streaming dropDuplicates: first occurrence per
     * (user_id, event_type) by event time.
     */
