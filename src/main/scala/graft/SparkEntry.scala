@@ -65,6 +65,7 @@ object SparkEntry {
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
     "stream_enrich"         -> (Analytics.streamEnrich _),
     "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
+    "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -321,6 +322,7 @@ object SparkEntry {
                 CAST(FLOOR(10000.0 * k.n_rows / t.total_rows) AS BIGINT) AS share_x10000
          FROM k CROSS JOIN t
          ORDER BY k.n_rows DESC, k.user_id LIMIT 20""",
+    "graph_pagerank" -> GraphOps.pageRankOracleSql(10),
     "stream_interval_join" ->
       """WITH sg AS (
            SELECT user_id, event_id AS signup_event_id, epoch_ns(ts) AS s_ns

@@ -334,6 +334,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("graph_pagerank: mass bounded, floor respected, isolated nodes stay at base") {
+    import graft.operators.GraphOps
+    val out = GraphOps.pageRank(spark, sf, iters = 3).cache()
+    val nCust = Tables.customer(spark, sf).count()
+    val nSupp = Tables.supplier(spark, sf).count()
+    assert(out.count() == nCust + nSupp)
+    // every rank >= the damping base; total mass never exceeds the init
+    // (integral truncation only bleeds mass, never creates it)
+    assert(out.filter(col("rank") < 150000000000L).count() == 0)
+    val mass = out.agg(sum("rank")).head().getLong(0)
+    assert(mass <= (nCust + nSupp) * 1000000000000L)
+    // customers with no lineitem-bearing orders are isolated -> exactly base
+    val connected = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("node")).distinct()
+    val isolated = out.join(connected, Seq("node"), "left_anti")
+      .filter(col("node") % 2 === 0)
+    assert(isolated.filter(col("rank") =!= 150000000000L).count() == 0)
+    out.unpersist()
+    Caches.clear()
+  }
+
   test("bitmap_distinct is exact and its words merge like partial states") {
     val out = Analytics.bitmapDistinct(spark, sf)
     val exact = Tables.events(spark, sf).groupBy("event_type")
