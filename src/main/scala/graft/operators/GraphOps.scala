@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over the star schema's implicit graphs.
+  * Companion family to the connected-components iterator in
+  * [[Dedup.connectedComponents]] — same per-round discipline (eager
+  * checkpoint to truncate lineage, previous round unpersisted once its
+  * successor exists, final round handed to the Caches lifecycle).
+  *
+  * Generalizes the reference's junction-table analytics
+  * (/root/reference/sql/03_views.sql:4-33 ranks entities by junction
+  * degree) from one-hop degree counting to whole-graph propagation.
+  */
+object GraphOps {
+
+  /** PageRank over the undirected customer↔supplier order graph
+    * (an edge per distinct (customer, supplier) trading pair; node
+    * ids disjointly encoded as 2·custkey / 2·suppkey+1) — "who is
+    * central to the trading network", where the reference's
+    * `v_top_actors` degree rank answers only "who has the most
+    * direct links".
+    *
+    * ALL ARITHMETIC IS INTEGRAL, deliberately: ranks are 1e12-scaled
+    * BIGINTs, per-edge contributions are `rank div outdeg`, and the
+    * damping update is `base + (85·Σcontrib) div 100`. Floating-point
+    * PageRank sums contributions in partition order — a different
+    * plan, partition count, or engine changes the low bits and no
+    * hash-compare survives; integer sums are associative-commutative
+    * EXACTLY, so the result is a pure function of (graph, iters) and
+    * the DuckDB oracle reproduces it with the same unrolled updates.
+    * Truncation bleeds a little mass per round (≤ outdeg-1 per node
+    * plus the div-100 remainder) — acceptable: PageRank is consumed
+    * as a RANKING, and the bleed is deterministic.
+    *
+    * Scale shape: per iteration ONE key-partitioned join (edges ⋈
+    * ranks on src — the edge table with outdeg attached is cached;
+    * nothing broadcasts, both sides grow) + one partial-aggregated
+    * groupBy(dst) + the left join back to the node universe. Rank
+    * state is two longs per node; each round ends in an eager
+    * checkpoint so the analyzer re-walks a constant-depth plan
+    * (`reliable` swaps in fault-tolerant `checkpoint()` for real
+    * clusters, exactly as in connectedComponents).
+    *
+    * BIGINT headroom: 85·(total mass) must fit a long, so with the
+    * 1e12 init the graph can hold ~10^5 nodes; beyond that, scale
+    * `initRank` down (the ranking is scale-invariant).
+    */
+  def pageRank(s: SparkSession, dir: String, iters: Int = 10,
+               reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val initRank = 1000000000000L
+    val base = initRank * 15L / 100L // (1-d)·init, d = 0.85
+
+    val nodes = graft.Caches.cached(
+      Tables.customer(s, dir).select((col("c_custkey") * 2).as("node"))
+        .unionAll(Tables.supplier(s, dir).select((col("s_suppkey") * 2 + 1).as("node"))))
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = graft.Caches.cached(edges.join(deg, "src"))
+
+    def checkpointed(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    def unpersistRound(df: DataFrame): Unit = df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
+    var ranks = checkpointed(nodes.select(col("node"), lit(initRank).as("rank")))
+    (1 to iters).foreach { _ =>
+      val contribs = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("contrib_sum"))
+      val next = checkpointed(
+        nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+          .select(col("node"),
+                  expr(s"$base + (85 * coalesce(contrib_sum, 0)) div 100").as("rank")))
+      unpersistRound(ranks)
+      ranks = next
+    }
+    val lastRound = ranks
+    graft.Caches.onClear(() => unpersistRound(lastRound))
+    ranks.orderBy("node")
+  }
+
+  /** The unrolled DuckDB oracle for [[pageRank]] — the same integral
+    * update chain written as `iters` chained CTEs (aggregates over a
+    * recursive reference are not portable SQL, so the iteration count
+    * is unrolled instead; precedent: the generated z-order SQL).
+    */
+  def pageRankOracleSql(iters: Int): String = {
+    val head =
+      """WITH nodes AS (
+           SELECT 2*c_custkey AS node FROM customer
+           UNION ALL SELECT 2*s_suppkey+1 AS node FROM supplier),
+         p0 AS (
+           SELECT DISTINCT 2*o.o_custkey AS a, 2*l.l_suppkey+1 AS b
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         edges AS (SELECT a AS src, b AS dst FROM p0
+                   UNION ALL SELECT b AS src, a AS dst FROM p0),
+         deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         pr0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes)"""
+    val blocks = (1 to iters).map { i =>
+      s""",
+         c$i AS (
+           SELECT e.dst AS node, CAST(SUM(p.rank // d.outdeg) AS BIGINT) AS contrib
+           FROM edges e JOIN deg d ON d.src = e.src
+                        JOIN pr${i - 1} p ON p.node = e.src
+           GROUP BY e.dst),
+         pr$i AS (
+           SELECT n.node,
+                  CAST(150000000000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS rank
+           FROM nodes n LEFT JOIN c$i c ON c.node = n.node)"""
+    }.mkString
+    s"$head$blocks\n         SELECT node, rank FROM pr$iters ORDER BY node"
+  }
+}
