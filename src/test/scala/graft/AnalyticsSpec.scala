@@ -356,6 +356,21 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("graph_pagerank is bit-identical under different shuffle partitioning") {
+    import graft.operators.GraphOps
+    // the integral-arithmetic claim, tested: partition count changes
+    // summation order, which must not change a single rank
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    val a = GraphOps.pageRank(spark, sf, iters = 3).collect().toSeq
+    try {
+      conf.set("spark.sql.shuffle.partitions", "7")
+      val b = GraphOps.pageRank(spark, sf, iters = 3).collect().toSeq
+      assert(a == b)
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+    Caches.clear()
+  }
+
   test("bitmap_distinct is exact and its words merge like partial states") {
     val out = Analytics.bitmapDistinct(spark, sf)
     val exact = Tables.events(spark, sf).groupBy("event_type")
