@@ -17,6 +17,31 @@ object Caches {
   private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
+  /** Round materialization for iterative operators (connected
+    * components, PageRank): eager local checkpoint by default —
+    * truncates lineage so the analyzer re-walks a constant-depth plan
+    * per round — or reliable `checkpoint()` when `reliable` (requires
+    * the session's checkpoint dir; survives executor loss on a real
+    * cluster, where local checkpoint blocks die with their executor).
+    */
+  def roundCheckpoint(df: DataFrame, reliable: Boolean): DataFrame =
+    if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
+  /** Free a checkpointed round's materialized blocks (call once its
+    * successor exists; the final round should instead be registered
+    * via [[onClear]]). The checkpointed frame's plan is exactly a
+    * LogicalRDD over the persisted RDD; a reliable-checkpoint RDD
+    * holds no block-manager blocks, so unpersist is a harmless no-op
+    * there. If a future Spark stops exposing the bare LogicalRDD this
+    * silently becomes a no-op — acceptable (blocks then live until
+    * [[clear]]), but keep the match in ONE place so a fix reaches
+    * every iterator.
+    */
+  def unpersistRound(df: DataFrame): Unit = df.queryExecution.logical match {
+    case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    case _ => ()
+  }
+
   /** Cache `df` and register it for the next [[clear]]. */
   def cached(df: DataFrame): DataFrame = synchronized {
     df.cache()

@@ -278,9 +278,9 @@ object SparkEntry {
            FROM iv),
          e AS (
            SELECT o_custkey, start_day, end_day,
-                  SUM(is_new) OVER (
+                  CAST(SUM(is_new) OVER (
                     PARTITION BY o_custkey ORDER BY start_day, end_day
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS episode
            FROM f)
          SELECT o_custkey, episode,
                 MIN(start_day) AS episode_start_day,
@@ -366,7 +366,7 @@ object SparkEntry {
          ORDER BY gid, returnflag, linestatus""",
     "seasonality_profile" ->
       """WITH c AS (
-           SELECT (datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS dow,
+           SELECT (((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7) + 7) % 7 AS dow,
                   hour(ts) AS hour_of_day,
                   COUNT(*) AS n_events
            FROM events GROUP BY 1, 2),

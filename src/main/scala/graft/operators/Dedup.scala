@@ -222,16 +222,12 @@ object Dedup {
     if (sym.isEmpty)
       return ids.select(col(id), col(id).as(repCol), lit(false).as("is_dup")).orderBy(id)
 
+    // Round lifecycle shared with GraphOps.pageRank — see
+    // Caches.roundCheckpoint / Caches.unpersistRound.
     def checkpointed(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    // Free a round's materialized blocks once its successor exists. The
-    // checkpointed frame's plan is exactly a LogicalRDD over the
-    // persisted RDD; a reliable-checkpoint RDD holds no block-manager
-    // blocks, so unpersist is a harmless no-op there.
-    def unpersistRound(df: DataFrame): Unit = df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+      graft.Caches.roundCheckpoint(df, reliable)
+    def unpersistRound(df: DataFrame): Unit =
+      graft.Caches.unpersistRound(df)
 
     // Round 0 fuses the first neighbor-min into label init: the touched
     // vertex set is sym's group-by spine anyway, so labeling each vertex
@@ -603,8 +599,11 @@ object Dedup {
                         nPerms: Int = 258, nBands: Int = 86,
                         tauX1000: Long = 500): DataFrame = {
     val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, 2, tauX1000)
-    val norm = Tables.documents(s, dir)
-      .select(col("doc_id"), normText(col("text")).as("norm"))
+    // referenced for BOTH pair sides — cached, or the documents scan +
+    // regex normalization runs twice (the hashedShingles rule)
+    val norm = graft.Caches.cached(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), normText(col("text")).as("norm")))
     val scored = verified
       .join(norm.select(col("doc_id").as("a"), col("norm").as("na")), "a")
       .join(norm.select(col("doc_id").as("b"), col("norm").as("nb")), "b")

@@ -66,29 +66,24 @@ object GraphOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edgesDeg = graft.Caches.cached(edges.join(deg, "src"))
 
-    def checkpointed(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    def unpersistRound(df: DataFrame): Unit = df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
-
-    var ranks = checkpointed(nodes.select(col("node"), lit(initRank).as("rank")))
+    var ranks = graft.Caches.roundCheckpoint(
+      nodes.select(col("node"), lit(initRank).as("rank")), reliable)
     (1 to iters).foreach { _ =>
       val contribs = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("contrib_sum"))
-      val next = checkpointed(
+      val next = graft.Caches.roundCheckpoint(
         nodes.join(contribs, nodes("node") === contribs("dst"), "left")
           .select(col("node"),
-                  expr(s"$base + (85 * coalesce(contrib_sum, 0)) div 100").as("rank")))
-      unpersistRound(ranks)
+                  expr(s"$base + (85 * coalesce(contrib_sum, 0)) div 100").as("rank")),
+        reliable)
+      graft.Caches.unpersistRound(ranks)
       ranks = next
     }
     val lastRound = ranks
-    graft.Caches.onClear(() => unpersistRound(lastRound))
+    graft.Caches.onClear(() => graft.Caches.unpersistRound(lastRound))
     ranks.orderBy("node")
   }
 
