@@ -58,6 +58,7 @@ object SparkEntry {
     "skew_report"           -> ((s, d) => Analytics.skewReport(s, d)),
     "hll_states"            -> (Analytics.hllStates _),
     "bitmap_distinct"       -> (Analytics.bitmapDistinct _),
+    "bitmap_overlap"        -> (Analytics.bitmapOverlap _),
     "backlog_over_time"     -> (Analytics.backlogOverTime _),
     "cube_flag_status"      -> (Analytics.cubeFlagStatus _),
     "seasonality_profile"   -> (Analytics.seasonalityProfile _),
@@ -380,6 +381,18 @@ object SparkEntry {
                 COUNT(DISTINCT user_id) AS n_distinct_users,
                 COUNT(DISTINCT user_id // 64) AS n_words
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "bitmap_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS common_users
+           FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2),
+         t AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1)
+         SELECT type_a, type_b, common_users,
+                CAST(FLOOR(10000.0 * common_users / (ta.n + tb.n - common_users)) AS BIGINT) AS jaccard_x10000
+         FROM p JOIN t ta ON ta.event_type = type_a
+                JOIN t tb ON tb.event_type = type_b
+         ORDER BY type_a, type_b""",
     "mm_chunk_roundtrip" ->
       """SELECT doc_id,
                 GREATEST(1, (length(text) + 255) // 256) AS n_chunks,

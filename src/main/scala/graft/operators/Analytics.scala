@@ -631,6 +631,42 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Audience overlap between event types, EXACTLY, via the
+    * [[bitmapDistinct]] machinery: |A∩B| is the popcount of the
+    * bitwise AND of the two types' presence-bit words, |A∪B| derives
+    * as n_a + n_b − common, and the pair's Jaccard follows — the
+    * "how many users did BOTH" analysis that HLL sketches can only
+    * approximate via inclusion-exclusion (with compounding error) and
+    * exact COUNT(DISTINCT) can only answer by re-shuffling the raw
+    * stream per pair. Here the stream is scanned ONCE into the cached
+    * word table; the pair join is word-aligned (key = word_idx,
+    * bounded by id-range/64), per-type totals are a types-bounded
+    * frame joined back through the size guard. Same dense-id /
+    * non-negative-id preconditions as [[bitmapDistinct]].
+    */
+  def bitmapOverlap(s: SparkSession, dir: String): DataFrame = {
+    val words = graft.Caches.cached(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("user_id div 64").as("word_idx"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT)))").as("word")))
+    val totals = words.groupBy("event_type")
+      .agg(sum(expr("bit_count(word)")).cast("long").as("n"))
+    val a = words.select(col("event_type").as("type_a"), col("word_idx"), col("word").as("wa"))
+    val b = words.select(col("event_type").as("type_b"), col("word_idx"), col("word").as("wb"))
+    a.join(b, Seq("word_idx"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(expr("bit_count(wa & wb)")).cast("long").as("common_users"))
+      .filter(col("common_users") > 0)
+      .join(Hints.maybeBroadcast(totals.select(col("event_type").as("type_a"), col("n").as("n_a"))), Seq("type_a"))
+      .join(Hints.maybeBroadcast(totals.select(col("event_type").as("type_b"), col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("common_users"),
+              floor(lit(10000.0) * col("common_users")
+                    / (col("n_a") + col("n_b") - col("common_users")))
+                .cast("long").as("jaccard_x10000"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** HLL approximate distinct — the 100 TB way to count users. No
     * oracle (approximate by construction); driver does rows-only.
     */

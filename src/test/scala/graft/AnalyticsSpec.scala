@@ -381,6 +381,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("n_words") > col("n_distinct_users")).count() == 0)
   }
 
+  test("bitmap_overlap matches exact pairwise intersection counts") {
+    val out = Analytics.bitmapOverlap(spark, sf).cache()
+    val du = Tables.events(spark, sf).select("event_type", "user_id").distinct().cache()
+    val exact = du.select(col("event_type").as("type_a"), col("user_id"))
+      .join(du.select(col("event_type").as("type_b"), col("user_id")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("want"))
+    assert(out.join(exact, Seq("type_a", "type_b"), "full")
+      .filter(col("common_users").isNull || col("want").isNull
+        || col("common_users") =!= col("want")).count() == 0)
+    // overlap can never exceed either side's distinct count
+    val totals = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val bad = out
+      .join(totals.select(col("event_type").as("type_a"), col("n").as("na")), "type_a")
+      .join(totals.select(col("event_type").as("type_b"), col("n").as("nb")), "type_b")
+      .filter(col("common_users") > least(col("na"), col("nb"))
+        || col("jaccard_x10000") > 10000)
+    assert(bad.count() == 0)
+    du.unpersist(); out.unpersist()
+    Caches.clear()
+  }
+
   test("vocab_encode: ids rank by frequency, encoding round-trips in-vocab tokens") {
     val out = TextOps.vocabEncode(spark, sf).cache()
     // one output row per token occurrence
