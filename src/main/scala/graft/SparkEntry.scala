@@ -71,6 +71,8 @@ object SparkEntry {
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
     "salted_join_skew"   -> ((s, d) => Joins.saltedJoinSkew(s, d)),
+    "temporal_join_scd2" -> (Joins.temporalJoinScd2 _),
+    "q4_priority_exists" -> (Analytics.q4PriorityExists _),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -1216,6 +1218,35 @@ object SparkEntry {
                 CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    // Interval-join road to the same answer the engine reaches via
+    // union+window carry — agreement proves the SCD2 intervals
+    // partition each key's timeline (zero-length same-instant
+    // intervals match nothing on both roads).
+    "temporal_join_scd2" ->
+      """WITH v AS (
+           SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id) AS BIGINT) AS version_seq,
+                  LEAD(epoch_ns(ts)) OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id) AS valid_to_ns
+           FROM events WHERE event_type <> 'purchase'),
+         p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id AS purchase_event_id, p.user_id,
+                p.ts_ns // 1000 AS purchase_ts_us,
+                v.event_id AS state_event_id, v.event_type AS state_type,
+                v.version_seq, v.ts_ns // 1000 AS valid_from_us
+         FROM p LEFT JOIN v ON v.user_id = p.user_id
+                           AND v.ts_ns <= p.ts_ns
+                           AND (v.valid_to_ns IS NULL OR p.ts_ns < v.valid_to_ns)
+         ORDER BY purchase_event_id""",
+    "q4_priority_exists" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_orders
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_returnflag = 'R')
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
     // GENUINE undirected reachability over the verified near-dup pair
     // set: reach(x, r) holds every r reachable from x through the

@@ -56,6 +56,30 @@ object Analytics {
       .limit(10)
   }
 
+  /** TPC-H Q4 shape: EXISTS decorrelated to a LEFT-SEMI join — count
+    * orders by priority that have at least one returned line. The semi
+    * join is the point: it probes lineitem as a FILTER, shuffling only
+    * `l_orderkey` (8 bytes/row after the pushed `l_returnflag='R'`
+    * scan filter), never duplicates an order however many lines match,
+    * and needs no distinct — the three failure modes of the naive
+    * inner-join + dedup formulation. At 100 TB both sides shuffle on
+    * the join key (no broadcast: lineitem's key set grows with the
+    * fact table); the aggregate over the surviving orders is partial.
+    * Complements [[QualityOps.fkOrphans]]'s anti-join (NOT EXISTS) —
+    * together they are both halves of the (de)correlated-subquery
+    * surface.
+    */
+  def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    Tables.orders(s, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Projection + predicate that must reach the parquet scan
     * (PushedFilters / 3-column ReadSchema in the plan).
     */

@@ -89,4 +89,74 @@ object Joins {
       .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("sum_value"))
       .orderBy("c_mktsegment")
   }
+
+  /** Point-in-time join onto an SCD2 dimension — the CONSUMER side of
+    * [[EtlOps.scd2Build]]'s historization: every purchase picks up the
+    * user's state-version row (latest non-purchase event) whose
+    * [valid_from, valid_to) interval contains the purchase timestamp,
+    * or nulls when the purchase predates any state (LEFT semantics).
+    * This is the warehouse "as-was" query — report each fact against
+    * the dimension attributes that were true WHEN IT HAPPENED, not the
+    * ones true today (the distinction the reference's DO-UPDATE
+    * loaders erase, 02_etl.py:84-105).
+    *
+    * Implementation deliberately does NOT join on the interval: like
+    * [[asofJoinEvents]], version-start rows and fact rows are unioned
+    * and sorted once per key, and last(ignoreNulls) carries the
+    * in-effect version onto each fact — ONE sort-shuffle, zero row
+    * expansion, at any version cardinality. The oracle independently
+    * takes the interval-join road (valid_from ≤ ts < valid_to over the
+    * windowed version table), so the hash-compare doubles as a proof
+    * that the SCD2 intervals really partition each key's timeline:
+    * both formulations agree on every fact, including same-instant
+    * version ties, where the zero-length [x, x) interval matches
+    * nothing and the carried last() resolves to the highest
+    * version_seq — the same row.
+    *
+    * Comparisons and ordering run on full ns precision (`ts_ns`);
+    * reported timestamps are µs (`div 1000`) because the oracle's
+    * parquet reader truncates TIMESTAMP(NANOS) to µs at scan time —
+    * the same precision contract as [[EtlOps.scd2Build]], and
+    * lossless for the comparison because no two same-user events
+    * share a microsecond in this data.
+    */
+  def temporalJoinScd2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val vw = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val versions = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("version_seq", row_number().over(vw).cast("long"))
+      .select(col("user_id"), col("ts_ns"), lit(0).as("side"),
+              col("version_seq"),
+              col("event_id").as("state_event_id"),
+              col("event_type").as("state_type"),
+              lit(null).cast("long").as("purchase_event_id"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), lit(1).as("side"),
+              lit(null).cast("long").as("version_seq"),
+              lit(null).cast("long").as("state_event_id"),
+              lit(null).cast("string").as("state_type"),
+              col("event_id").as("purchase_event_id"))
+    // At an exact ts_ns tie the version (side 0) sorts before the fact,
+    // so a purchase at a version's start instant sees it ("valid from").
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("side"),
+               coalesce(col("version_seq"), lit(0L)),
+               coalesce(col("purchase_event_id"), lit(0L)))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    versions.unionAll(facts)
+      .withColumn("v_seq", last(col("version_seq"), ignoreNulls = true).over(w))
+      .withColumn("v_event_id", last(col("state_event_id"), ignoreNulls = true).over(w))
+      .withColumn("v_type", last(col("state_type"), ignoreNulls = true).over(w))
+      .withColumn("v_from_ns",
+        last(when(col("side") === 0, col("ts_ns")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("purchase_event_id"), col("user_id"),
+              expr("ts_ns div 1000").as("purchase_ts_us"),
+              col("v_event_id").as("state_event_id"),
+              col("v_type").as("state_type"),
+              col("v_seq").as("version_seq"),
+              expr("v_from_ns div 1000").as("valid_from_us"))
+      .orderBy("purchase_event_id")
+  }
 }

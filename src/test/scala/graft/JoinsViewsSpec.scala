@@ -46,4 +46,50 @@ class JoinsViewsSpec extends AnyFunSuite with SparkFixture {
     val counts = out.map(_.getAs[Long]("movie_count"))
     assert(counts.sameElements(counts.sortBy(-_)))
   }
+
+  test("temporal scd2 join: union+window carry equals the interval join") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Joins.temporalJoinScd2(spark, sf)
+    // Independent road in-engine: windowed version table, explicit
+    // [valid_from, valid_to) interval join — the oracle's formulation.
+    val ev = Tables.events(spark, sf)
+    val vw = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val v = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("v_user"), col("ts_ns").as("v_ns"),
+              col("event_id").as("state_event_id"), col("event_type").as("state_type"))
+      .withColumn("version_seq", row_number().over(
+        Window.partitionBy("v_user").orderBy(col("v_ns"), col("state_event_id"))).cast("long"))
+      .withColumn("valid_to_ns", lead(col("v_ns"), 1).over(
+        Window.partitionBy("v_user").orderBy(col("v_ns"), col("state_event_id"))))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"), col("ts_ns"))
+    val viaInterval = p.join(v,
+        col("v_user") === col("user_id") && col("v_ns") <= col("ts_ns") &&
+          (col("valid_to_ns").isNull || col("ts_ns") < col("valid_to_ns")), "left")
+      .select(col("purchase_event_id"), col("user_id"),
+              expr("ts_ns div 1000").as("purchase_ts_us"),
+              col("state_event_id"), col("state_type"), col("version_seq"),
+              expr("v_ns div 1000").as("valid_from_us"))
+    assert(out.exceptAll(viaInterval).count() == 0 &&
+           viaInterval.exceptAll(out).count() == 0)
+    // Every purchase appears exactly once (intervals partition the
+    // timeline — no fact duplicated, none lost).
+    assert(out.count() == p.count())
+    assert(out.groupBy("purchase_event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("q4 exists: semi join equals inner-join+distinct, never inflates") {
+    val out = graft.operators.Analytics.q4PriorityExists(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+    val viaDistinct = o.join(li.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+    assert(out.exceptAll(viaDistinct).count() == 0 &&
+           viaDistinct.exceptAll(out).count() == 0)
+    // total survivors = distinct orders with a returned line
+    val total = out.agg(sum("n_orders")).head.getLong(0)
+    val expect = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(total == expect)
+  }
 }

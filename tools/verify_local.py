@@ -13,8 +13,11 @@ OUT = "/tmp/graft_verify"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def run_verify():
+    only = ""
+    if "--only" in sys.argv:
+        only = " " + sys.argv[sys.argv.index("--only") + 1]
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}{only}'],
         capture_output=True, text=True, cwd="/root/repo", timeout=1200)
     if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-4000:]); sys.exit(1)
