@@ -67,6 +67,7 @@ object SparkEntry {
     "stream_enrich"         -> (Analytics.streamEnrich _),
     "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
     "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
+    "graph_triangles"       -> (GraphOps.graphTriangles _),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -326,6 +327,21 @@ object SparkEntry {
          FROM k CROSS JOIN t
          ORDER BY k.n_rows DESC, k.user_id LIMIT 20""",
     "graph_pagerank" -> GraphOps.pageRankOracleSql(10),
+    // Naive all-triangles road (x<y<z three-way join) vs the engine's
+    // degree-ordered orientation — same triangle set, counted per node.
+    "graph_triangles" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+               FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                  AND x.l_partkey < y.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+               FROM e e1 JOIN e e2 ON e2.a = e1.b
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+               UNION ALL SELECT z FROM t)
+         SELECT node AS part_key, COUNT(*) AS n_triangles
+         FROM n GROUP BY node ORDER BY part_key""",
     "stream_interval_join" ->
       """WITH sg AS (
            SELECT user_id, event_id AS signup_event_id, epoch_ns(ts) AS s_ns

@@ -371,6 +371,37 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("triangle counts: K4, path, star, and the naive-join road agree") {
+    import graft.operators.GraphOps
+    import spark.implicits._
+    // K4: every node closes 3 triangles; a path and a star close none.
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)).toDF("a", "b")
+    val k4Out = GraphOps.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k4Out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    assert(GraphOps.triangleCounts(path).count() == 0)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    assert(GraphOps.triangleCounts(star).count() == 0)
+    Caches.clear()
+    // Orientation road == naive x<y<z three-way join on the real graph.
+    val out = GraphOps.graphTriangles(spark, sf)
+    val pl = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").distinct()
+    val e = pl.as("x").join(pl.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2).select("a", "b").cache()
+    val t = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val naive = t.select(explode(array(col("x"), col("y"), col("z"))).as("part_key"))
+      .groupBy("part_key").agg(count(lit(1)).as("n_triangles"))
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+    e.unpersist()
+    Caches.clear()
+  }
+
   test("bitmap_distinct is exact and its words merge like partial states") {
     val out = Analytics.bitmapDistinct(spark, sf)
     val exact = Tables.events(spark, sf).groupBy("event_type")
