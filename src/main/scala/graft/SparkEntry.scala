@@ -66,6 +66,7 @@ object SparkEntry {
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
     "stream_enrich"         -> (Analytics.streamEnrich _),
     "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
+    "stream_session_window" -> (Analytics.streamSessionWindows _),
     "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     "graph_triangles"       -> (GraphOps.graphTriangles _),
     // Join operators
@@ -356,6 +357,32 @@ object SparkEntry {
          FROM sg JOIN pu ON sg.user_id = pu.user_id
           AND p_ns > s_ns AND p_ns <= s_ns + 3600000000000
          ORDER BY sg.user_id, signup_event_id, purchase_event_id""",
+    // session_window semantics: gap decisions at µs precision, NEW
+    // session iff diff >= gap (window end is exclusive); end = last
+    // event + gap. Reported bounds floor to seconds.
+    "stream_session_window" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, epoch_ns(ts)//1000 AS ts_us
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) IS NULL
+                          OR ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                            ORDER BY ts_us, event_id) >= 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+           FROM e),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           FROM f)
+         SELECT user_id,
+                MIN(ts_us)//1000000 AS session_start_s,
+                (MAX(ts_us) + 1800000000)//1000000 AS session_end_s,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM s GROUP BY user_id, seq
+         ORDER BY user_id, session_start_s""",
     "backlog_over_time" ->
       """WITH ls AS (
            SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS last_ship

@@ -717,6 +717,27 @@ object Analytics {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Batch twin of the native session_window aggregation
+    * (graft.streaming.EventStreams.sessionWindowCounts — same plan on
+    * the bounded source minus the watermark node): one session-merging
+    * aggregate per user, session end = last event + 30 min gap,
+    * end-exclusive (events exactly a gap apart split). Complements
+    * [[sessionizeEvents]], which keeps PER-EVENT rows via the manual
+    * lag+cumsum spine — this form is the per-SESSION rollup, and at
+    * 100 TB it is one partial-merging shuffle on the user key with
+    * constant state per open session.
+    */
+  def streamSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("session_value"))
+      .select(col("user_id"),
+              epochS(col("session_window.start")).as("session_start_s"),
+              epochS(col("session_window.end")).as("session_end_s"),
+              col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start_s")
+  }
+
   /** Batch-equivalent of the stream-static enrichment
     * (graft.streaming.EventStreams.enrich — identical join, bounded
     * source): each event left-joins its user's customer segment

@@ -50,6 +50,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Gap-based sessions via the NATIVE `session_window` aggregation —
+    * the built-in counterpart of [[sessionize]]'s custom
+    * flatMapGroupsWithState: the state store holds one mergeable
+    * [start, end) span per open session and extends/merges it as
+    * events arrive; the 2h watermark closes and EVICTS sessions whose
+    * end has passed, which is what bounds state on an infinite
+    * stream. Window end = last event + gap, so two events exactly
+    * `gap` apart start separate sessions ([t, t+gap) is end-exclusive).
+    * Use this form when per-session output is start/end/aggregates;
+    * drop to [[sessionize]] only when the per-event custom state
+    * (running payloads, early emission) genuinely can't be expressed
+    * as an aggregate. Mirrors Analytics.streamSessionWindows.
+    */
+  def sessionWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("session_value"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"), col("session_value"))
+
   /** Streaming first-occurrence dedup per (user_id, event_type) —
     * `dropDuplicatesWithinWatermark` keyed state: a key's state row is
     * stamped with its event time and EVICTED once the watermark passes

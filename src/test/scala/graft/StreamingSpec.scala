@@ -38,6 +38,35 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("native session_window over MemoryStream equals the batch twin") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("sw_test").outputMode("complete").start()
+    try {
+      input.addData(eventRows())
+      q.processAllAvailable()
+      val streamed = spark.table("sw_test")
+        .select(col("user_id"),
+                unix_timestamp(col("session_start")).as("session_start_s"),
+                unix_timestamp(col("session_end")).as("session_end_s"),
+                col("n_events"), col("session_value"))
+      val batch = graft.operators.Analytics.streamSessionWindows(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      // sessions of one user never overlap: start >= previous end
+      val rows = batch.filter(col("user_id") === batch.select(min("user_id")).head.getLong(0))
+        .orderBy("session_start_s").collect()
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("session_start_s") >= a.getAs[Long]("session_end_s") - 1,
+            "adjacent sessions may touch only at the (floored) gap boundary")
+        case _ =>
+      }
+    } finally q.stop()
+  }
+
   test("dedupIds keeps exactly one row per (user, type) within the watermark") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
