@@ -102,6 +102,7 @@ object SparkEntry {
     "corpus_manifest"   -> (TrainingOps.corpusManifest _),
     "seq_len_histogram" -> (TrainingOps.seqLenHistogram _),
     "pretrain_corpus"   -> ((s, d) => TrainingOps.pretrainCorpus(s, d)),
+    "bpe_train"         -> ((s, d) => TrainingOps.bpeTrain(s, d)),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)

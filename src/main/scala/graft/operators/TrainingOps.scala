@@ -269,6 +269,87 @@ object TrainingOps {
       .orderBy("source", "len_bucket")
   }
 
+  /** Distributed BPE tokenizer training: `nMerges` rounds of
+    * highest-count adjacent-pair merging, the classic byte-pair-
+    * encoding trainer (Sennrich et al. 2016) re-expressed for a
+    * corpus that does not fit one machine.
+    *
+    * The scale move happens BEFORE the loop: the corpus collapses
+    * ONCE to the distinct-word table with counts — one
+    * vocabulary-bounded shuffle — and every training round runs over
+    * that table only, never rescanning documents. A round is then:
+    * (1) adjacent symbol pairs per word via `zip_with` over two
+    * slices (row-local, weighted by the word's corpus count, overlaps
+    * counted at every position), (2) one partial-aggregated groupBy
+    * over the pair key space (bounded by vocab², in practice tiny),
+    * (3) the argmax pair — ONE row — synced to the driver (the same
+    * driver-sync-per-round contract as [[Dedup.connectedComponents]]'
+    * convergence flag), (4) a row-local greedy left-to-right fold
+    * (`aggregate` HOF) rewriting each word's symbol array. Ties break
+    * by (count desc, left, right), so the merge list is a pure
+    * function of the corpus — reproducible across runs, engines and
+    * partitionings; each round ends in an eager checkpoint so the
+    * analyzer never re-walks `nMerges` nested lambda plans.
+    *
+    * Max pair count is non-increasing across rounds (a merge only
+    * removes occurrences of other pairs, and pairs it creates occur
+    * at most as often as the pair merged) — asserted in the spec,
+    * along with exact agreement against an in-memory reference BPE.
+    *
+    * Output: the ordered merge table (rank, left, right, count at
+    * selection time) — the artifact a tokenizer ships. No oracle:
+    * SQL cannot iterate data-dependent string rewrites; correctness
+    * rides the reference-implementation spec instead.
+    */
+  def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    import s.implicits._
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val words0 = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(expr("filter(split(word, ''), ch -> ch <> '')").as("syms"), col("cnt"))
+    var words = graft.Caches.roundCheckpoint(words0, reliable = false)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val top = words.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (l, r) => struct(l.as("l"), r.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(desc("pc"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank.toLong, l, r, pc))
+        val merged = l + r
+        // Greedy left-to-right non-overlapping rewrite: append, unless
+        // the running tail is exactly (l) and the element is (r) — then
+        // the tail becomes the merged symbol. "aaa" + (a,a) -> [aa, a].
+        val next = graft.Caches.roundCheckpoint(
+          words.select(
+            aggregate(col("syms"), array().cast("array<string>"),
+              (acc, x) => when(
+                  size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                .otherwise(concat(acc, array(x)))).as("syms"),
+            col("cnt")), reliable = false)
+        graft.Caches.unpersistRound(words)
+        words = next
+        rank += 1
+      }
+    }
+    val lastRound = words
+    graft.Caches.onClear(() => graft.Caches.unpersistRound(lastRound))
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
+      .orderBy("merge_rank")
+  }
+
   /** Per-source dataset card — the manifest row a training mix is
     * audited by: document count, token/char volume, language spread,
     * and exact-dup count within the source (docs minus distinct

@@ -78,4 +78,71 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.select("doc_id").except(again.select("doc_id")).count() == 0)
     out.unpersist()
   }
+
+  /** Plain single-node BPE — the independent reference for bpe_train:
+    * same pair counting (overlaps at every adjacent position, weighted
+    * by word count), same (count desc, left, right) tie-break, same
+    * greedy left-to-right merge.
+    */
+  private def refBpe(wordCounts: Map[String, Long], n: Int): Seq[(Long, String, String, Long)] = {
+    var words = wordCounts.toSeq.map { case (w, c) =>
+      (w.split("").filter(_.nonEmpty).toVector, c)
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var rank = 1L
+    var continue = true
+    while (rank <= n && continue) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), pc) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, l, r, pc))
+        words = words.map { case (syms, c) =>
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc(acc.size - 1) = l + r
+            else acc += x
+          }
+          (acc.toVector, c)
+        }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpe_train equals the single-node reference BPE; max count never increases") {
+    import graft.functions.TextFunctions
+    val got = TrainingOps.bpeTrain(spark, sf, nMerges = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val wordCounts = Tables.documents(spark, sf)
+      .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refBpe(wordCounts, 10)
+    assert(got == expect, s"engine merges $got != reference $expect")
+    // a merge only removes other pairs' occurrences; pairs it creates
+    // occur at most as often as the merged pair did
+    val counts = got.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"max pair count increased across rounds: $counts")
+    Caches.clear()
+  }
+
+  test("bpe_train greedy fold handles overlapping runs (aaa + (a,a) -> [aa, a])") {
+    import spark.implicits._
+    // synthetic corpus where the top pair overlaps itself: "aaa" x3
+    // round 1 must pick (a,a) with count 6 (two positions per word)
+    // and rewrite each word to [aa, a] (greedy non-overlap), so round
+    // 2 sees (aa, a) with count 3.
+    val ref = refBpe(Map("aaa" -> 3L), 2)
+    assert(ref == Seq((1L, "a", "a", 6L), (2L, "aa", "a", 3L)))
+  }
 }
