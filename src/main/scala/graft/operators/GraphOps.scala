@@ -66,6 +66,14 @@ object GraphOps {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val edgesDeg = graft.Caches.cached(edges.join(deg, "src"))
 
+    // Checkpoint EVERY round. A stride-2 variant (checkpoint every
+    // second round, letting one lazy round ride inside the next
+    // plan) was measured at 83 s vs 12.7 s back-to-back on the same
+    // box: the un-checkpointed round's shuffles execute inside an
+    // RDD materialization where the doubled plan loses the
+    // per-round join/agg shape the small checkpointed frames make
+    // cheap. Per-round truncation is the fast path, not just the
+    // safe one.
     var ranks = graft.Caches.roundCheckpoint(
       nodes.select(col("node"), lit(initRank).as("rank")), reliable)
     (1 to iters).foreach { _ =>
@@ -146,17 +154,27 @@ object GraphOps {
     * linked when they appear in the SAME order in ≥ 2 distinct orders
     * (the support floor is the upstream valve — single co-occurrence
     * is noise, and it is what keeps the graph sparse as orders grow;
-    * the same role the bucket cap plays for LSH candidates). Edge
-    * building is per-order pair expansion, bounded by C(lines/order,2)
-    * per order — linear in orders, then one partial-agg pair-count
-    * shuffle.
+    * the same role the bucket cap plays for LSH candidates).
+    *
+    * Edge building is TWO shuffles, not a self-join: orders collapse
+    * to their distinct part set with one partial-aggregated
+    * `collect_set` (state bounded by lines/order — a schema constant,
+    * not a data-growth axis), pairs expand ROW-LOCALLY from the
+    * sorted set (C(lines/order, 2) per order, linear in orders), and
+    * one pair-count shuffle applies the support floor. The
+    * distinct + self-join formulation pays a third full-table
+    * shuffle for the same answer.
     */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val pl = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
-    val edges = pl.as("x").join(pl.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-      .groupBy(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+    val edges = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
+      .select(array_sort(col("parts")).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1),
+                       y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .select("a", "b")
