@@ -93,6 +93,7 @@ object SparkEntry {
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
+    "embedding_centroids" -> (Similarity.embeddingCentroids _),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -866,6 +867,20 @@ object SparkEntry {
                 CAST(list_min(q) AS BIGINT) AS q_min,
                 CAST(list_max(q) AS BIGINT) AS q_max
          FROM q ORDER BY vec_id""",
+    // Positions road (cross join against 1..64) vs the engine's
+    // custom long[dim] aggregate state; centroid_micro mirrors
+    // Spark's toward-zero `div` explicitly (// floors, sums can be
+    // negative).
+    "embedding_centroids" ->
+      """WITH p AS (SELECT unnest(range(1, 65)) AS pos),
+         s AS (SELECT label, p.pos AS pos,
+                 COUNT(*) AS n_vectors,
+                 CAST(SUM(CAST(FLOOR(1000000 * CAST(embedding[p.pos] AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_micro
+               FROM embeddings CROSS JOIN p GROUP BY label, p.pos)
+         SELECT label, CAST(pos AS BIGINT) AS pos, n_vectors, sum_micro,
+                CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vectors
+                     ELSE -((-sum_micro) // n_vectors) END AS BIGINT) AS centroid_micro
+         FROM s ORDER BY label, pos""",
     "dedup_semantic_clusters" ->
       """WITH RECURSIVE
          pairs AS (

@@ -287,6 +287,34 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-label embedding centroids via the custom
+    * [[graft.functions.VecSumMicro]] AGGREGATE: one groupBy whose
+    * per-group state is a single long[dim] of exact micro-unit sums —
+    * partial-aggregated, so the exchange carries one fixed-width
+    * state per (partition, label) instead of every vector (the
+    * explode + groupBy(label, pos) road shuffles n·dim rows). This is
+    * the k-means-update / SemDeDup-representative primitive.
+    *
+    * Output explodes the summed vector to (label, pos) rows AFTER
+    * aggregation — |labels|·dim rows, nothing at any corpus size.
+    * `centroid_micro` is the TRUNCATED (toward zero, Spark `div`)
+    * per-component mean in micro-units; sums can be negative, so the
+    * oracle mirrors truncation explicitly (DuckDB `//` floors).
+    * Dimension is locked by the first vector; mixed widths fail.
+    */
+  def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    Tables.embeddings(s, dir)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+           call_function("graft_vec_sum_micro", col("embedding")).as("sums"))
+      .select(col("label"), col("n_vectors"), posexplode(col("sums")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+              col("n_vectors"), col("col").as("sum_micro"),
+              expr("col div n_vectors").as("centroid_micro"))
+      .orderBy("label", "pos")
+  }
+
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(s)

@@ -73,6 +73,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("WindowGroupLimit"), s"window limit not inserted:\n$p")
   }
 
+  test("custom vec-sum aggregate partial-aggregates before the exchange") {
+    val p = plan(graft.operators.Similarity.embeddingCentroids(spark, sf))
+    // TypedImperativeAggregate rides ObjectHashAggregate with a
+    // partial mode below the shuffle — one long[dim] state per
+    // (partition, label) crosses the wire, not the vectors
+    assert(p.contains("ObjectHashAggregate"), s"no object hash aggregate:\n$p")
+    assert(p.contains("partial_graft_vec_sum_micro"), s"aggregate not partial:\n$p")
+  }
+
   test("LSH dedup plans never degenerate to an all-pairs join") {
     Seq(graft.operators.Dedup.dedupMinhashLsh(spark, sf),
         graft.operators.Dedup.dedupSimhash(spark, sf),

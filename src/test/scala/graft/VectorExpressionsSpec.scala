@@ -64,6 +64,41 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vec_sum_micro aggregate equals the explode road, at any partitioning") {
+    import graft.operators.Similarity
+    val out = Similarity.embeddingCentroids(spark, sf)
+    // independent road: explode to (label, pos, component), sum scaled ints
+    val viaExplode = Tables.embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).cast("long").as("pos"),
+        floor(col("col").cast("double") * lit(1e6)).cast("long").as("micro"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vectors"), sum("micro").as("sum_micro"))
+      .select(col("label"), col("pos"), col("n_vectors"), col("sum_micro"),
+        expr("sum_micro div n_vectors").as("centroid_micro"))
+    assert(out.exceptAll(viaExplode).count() == 0 &&
+           viaExplode.exceptAll(out).count() == 0)
+    // exactness claim: repartitioning changes which partials merge,
+    // the long sums must not move
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.shuffle.partitions", "5")
+      assert(Similarity.embeddingCentroids(spark, sf).collect().toSeq ==
+             out.collect().toSeq)
+    } finally conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("vec_sum_micro locks the dimension — mixed widths fail loudly") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val mixed = Seq((1L, Seq(1f, 2f)), (1L, Seq(1f, 2f, 3f))).toDF("k", "v")
+    val e = intercept[Exception] {
+      mixed.groupBy("k").agg(call_function("graft_vec_sum_micro", col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("interpreted eval agrees with codegen on the corpus") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
