@@ -94,6 +94,7 @@ object SparkEntry {
     "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
     "embedding_centroids" -> (Similarity.embeddingCentroids _),
+    "kmeans_step"         -> ((s, d) => Similarity.kmeansStep(s, d)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -1307,6 +1308,7 @@ object SparkEntry {
                          AND l.l_returnflag = 'R')
          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
+    "kmeans_step" -> kmeansStepOracle,
     // GENUINE undirected reachability over the verified near-dup pair
     // set: reach(x, r) holds every r reachable from x through the
     // SYMMETRIZED edge list, so MIN(r) per doc is the true connected
@@ -1425,6 +1427,35 @@ object SparkEntry {
           FROM scored)
         SELECT vec_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= 5
         ORDER BY vec_id, rank"""
+  }
+
+  /** One Lloyd step with the same expanded-sum double-exactness trick
+    * as [[annBruteforceOracle]]: the 64-term squared-L2 sum evaluates
+    * left-associated in IEEE double — the engine's fold order — so
+    * the argmin assignment is bit-identical; the centroid update
+    * mirrors the integral micro-sum road of embedding_centroids,
+    * with Spark's toward-zero `div` made explicit.
+    */
+  private lazy val kmeansStepOracle: String = {
+    val dim = 64
+    def t(i: Int) =
+      s"(CAST(e.embedding[$i] AS DOUBLE) - CAST(s.embedding[$i] AS DOUBLE))"
+    val d2 = (1 to dim).map(i => s"${t(i)}*${t(i)}").mkString(" + ")
+    s"""WITH s AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+       d AS (SELECT e.vec_id, s.cid, ($d2) AS d2 FROM embeddings e CROSS JOIN s),
+       a AS (SELECT vec_id, cid FROM (
+               SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+               FROM d)
+             WHERE rn = 1),
+       p AS (SELECT unnest(range(1, ${dim + 1})) AS pos),
+       m AS (SELECT a.cid AS cluster_id, p.pos AS pos, COUNT(*) AS n_vectors,
+               CAST(SUM(CAST(FLOOR(1000000 * CAST(e.embedding[p.pos] AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_micro
+             FROM a JOIN embeddings e ON e.vec_id = a.vec_id CROSS JOIN p
+             GROUP BY a.cid, p.pos)
+       SELECT cluster_id, CAST(pos AS BIGINT) AS pos, n_vectors, sum_micro,
+              CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vectors
+                   ELSE -((-sum_micro) // n_vectors) END AS BIGINT) AS centroid_micro
+       FROM m ORDER BY cluster_id, pos"""
   }
 
   private lazy val annBruteforceOracle: String = {

@@ -315,6 +315,62 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** ONE exact k-means iteration (Lloyd step) — assignment + centroid
+    * update — over the embedding corpus, seeded deterministically by
+    * the k lowest vec_ids. The MLlib path ([[annIvfTopK]]'s coarse
+    * quantizer) is float-iterative and can only be recall-tested;
+    * this operator is the same computation made ORACLE-CHECKABLE: the
+    * squared-L2 sums evaluate left-associated in IEEE double (the
+    * same operation order as the oracle's expanded per-dimension SQL,
+    * so the argmin is bit-identical), ties break by centroid id, and
+    * the update side reuses [[graft.functions.VecSumMicro]]'s exact
+    * integral micro-sums.
+    *
+    * Scale shape: the k seed vectors are a constant-size quantizer
+    * collected once to the driver (k·dim doubles — the same plan-
+    * literal move as the IVF cell matrix), so assignment is ROW-LOCAL
+    * against a literal array — zero shuffle; the update is one
+    * partial-aggregated groupBy with a long[dim] state per cluster.
+    * A full Lloyd loop is this operator iterated with the output
+    * centroids fed back as seeds (the driver-sync-per-round contract
+    * of the CC/PageRank/BPE family). Clusters left empty by the
+    * assignment drop out (the caller reseeds — standard Lloyd).
+    *
+    * The per-seed fold is a HOF (k·dim lambda evals per row); the
+    * codegen upgrade path when assignment dominates at real scale is
+    * a fused L2 expression, exactly as [[graft.functions.CosineSim]]
+    * did for cosine.
+    */
+  def kmeansStep(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val emb = Tables.embeddings(s, dir)
+    val seeds = emb.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    require(seeds.nonEmpty, "no seed vectors with vec_id < k")
+    val seedCol = array(seeds.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.map(lit(_)): _*).as("c"))
+    }: _*)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+        array_min(transform(seedCol, sd => struct(
+          aggregate(
+            zip_with(col("embedding"), sd.getField("c"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, t) => acc + t).as("d2"),
+          sd.getField("cid").as("cid")))).as("best"))
+      .select(col("vec_id"), col("embedding"), col("best.cid").as("cluster_id"))
+    assigned.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vectors"),
+           call_function("graft_vec_sum_micro", col("embedding")).as("sums"))
+      .select(col("cluster_id"), col("n_vectors"), posexplode(col("sums")))
+      .select(col("cluster_id"), (col("pos") + 1).cast("long").as("pos"),
+              col("n_vectors"), col("col").as("sum_micro"),
+              expr("col div n_vectors").as("centroid_micro"))
+      .orderBy("cluster_id", "pos")
+  }
+
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(s)

@@ -119,6 +119,37 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kmeans_step equals a cross-join+window argmin road; every vector assigned") {
+    val out = Similarity.kmeansStep(spark, sf, k = 8)
+    val emb = Tables.embeddings(spark, sf)
+    // independent assignment road: explicit cross join against the
+    // seed frame, same fold order for d2, window argmin
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("c"))
+    val d = emb.crossJoin(seeds)
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        aggregate(
+          zip_with(col("embedding"), col("c"),
+            (x, cc) => (x.cast("double") - cc.cast("double")) * (x.cast("double") - cc.cast("double"))),
+          lit(0.0), (acc, t) => acc + t).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val assigned = d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val viaCross = assigned.groupBy(col("cid").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+           call_function("graft_vec_sum_micro", col("embedding")).as("sums"))
+      .select(col("cluster_id"), col("n_vectors"), posexplode(col("sums")))
+      .select(col("cluster_id"), (col("pos") + 1).cast("long").as("pos"),
+              col("n_vectors"), col("col").as("sum_micro"),
+              expr("col div n_vectors").as("centroid_micro"))
+    assert(out.exceptAll(viaCross).count() == 0 &&
+           viaCross.exceptAll(out).count() == 0)
+    // every vector lands in exactly one cluster
+    val total = out.filter(col("pos") === 1).agg(sum("n_vectors")).head.getLong(0)
+    assert(total == emb.count())
+  }
+
   test("knn_graph: every vector present with k contiguous ranks") {
     val out = Similarity.knnGraph(spark, sf, k = 5).cache()
     val n = Tables.embeddings(spark, sf).count()
