@@ -43,6 +43,7 @@ object SparkEntry {
     "rollup_flag_status"    -> (Analytics.rollupFlagStatus _),
     "pivot_event_types"     -> (Analytics.pivotEventTypes _),
     "window_running"        -> (Analytics.windowRunning _),
+    "window_time_range"     -> (Analytics.windowTimeRange _),
     "sessionize_events"     -> (Analytics.sessionizeEvents _),
     "cohort_retention"      -> (Analytics.cohortRetention _),
     "rolling_active_users"  -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
@@ -695,6 +696,17 @@ object SparkEntry {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
          FROM events ORDER BY user_id, seq""",
+    "window_time_range" ->
+      """WITH e AS (
+           SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS ts_us
+           FROM events)
+         SELECT event_id, user_id, ts_us//1000000 AS ts_s,
+                CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                     OVER (PARTITION BY user_id ORDER BY ts_us
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h_value,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trailing_1h_events
+         FROM e ORDER BY event_id""",
     "sessionize_events" ->
       """WITH e AS (
            SELECT user_id, event_id, value, epoch_ns(ts)//1000000000 AS ts_s, ts

@@ -130,6 +130,38 @@ object Analytics {
       .orderBy("user_id", "seq")
   }
 
+  /** Trailing time-horizon aggregate via a RANGE window frame: per
+    * event, the exact-decimal sum and count of the same user's events
+    * in the trailing hour INCLUDING this one — the "activity in the
+    * last N minutes" feature every fraud/abuse scorer derives. RANGE
+    * frames bound by the ORDER-BY VALUE (here epoch ns), not by row
+    * offsets: same-instant rows share one frame and the window
+    * widens/narrows with event density, which a ROWS frame cannot
+    * express. Still ONE sort-shuffle on the user key — the frame walk
+    * is two pointers over the sorted run, never a self-join; the
+    * range-join formulation of the same feature shuffles candidate
+    * PAIRS and explodes with density. Exact decimal inside the frame
+    * sum, so the double result is partition-order-proof. Frame
+    * arithmetic at µs (the oracle reader's native precision): a pair
+    * sitting within 1 µs of exactly one hour apart must land on the
+    * same side of the boundary in both engines.
+    */
+  def windowTimeRange(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+              expr("ts_ns div 1000").as("ts_us"))
+      .select(
+        col("event_id"), col("user_id"),
+        expr("ts_us div 1000000").as("ts_s"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast(DoubleType).as("trailing_1h_value"),
+        count(lit(1)).over(w).as("trailing_1h_events"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag → new-session
     * flag → running count = session id → per-session rollup. Two window
     * passes over one (user_id, ts) sort — a single exchange.

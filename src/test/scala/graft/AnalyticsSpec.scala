@@ -371,6 +371,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("window_time_range equals the interval self-join road; frame never empty") {
+    val out = Analytics.windowTimeRange(spark, sf)
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("value"),
+              expr("ts_ns div 1000").as("ts_us"))
+    // independent road: explicit (user, pair) interval join — the
+    // formulation the RANGE frame replaces
+    val viaJoin = e.as("a").join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts_us") <= col("a.ts_us") &&
+          col("b.ts_us") >= col("a.ts_us") - lit(3600L * 1000000L))
+      .groupBy(col("a.event_id").as("event_id"), col("a.user_id").as("user_id"),
+               expr("a.ts_us div 1000000").as("ts_s"))
+      .agg(sum(col("b.value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+             .cast("double").as("trailing_1h_value"),
+           count(lit(1)).as("trailing_1h_events"))
+    assert(out.exceptAll(viaJoin).count() == 0 && viaJoin.exceptAll(out).count() == 0)
+    // the frame includes the current row, so the count is >= 1
+    assert(out.filter(col("trailing_1h_events") < 1).count() == 0)
+  }
+
   test("triangle counts: K4, path, star, and the naive-join road agree") {
     import graft.operators.GraphOps
     import spark.implicits._
