@@ -153,6 +153,32 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .start()
 
+  /** Stream → warehouse Load stage: every micro-batch runs through
+    * [[graft.sources.Sources.writeJdbcUpsert]]'s set-based MERGE via
+    * `foreachBatch` — the streaming form of the reference's
+    * `ON CONFLICT DO UPDATE` loaders (02_etl.py:84-105), keyed on
+    * `keyCols` so a key re-emitted across batches UPDATES its row.
+    *
+    * Delivery is effectively-once BY IDEMPOTENCE, not transactionally:
+    * the checkpoint makes progress exactly-once, but a crash between a
+    * batch's MERGE and its checkpoint commit REPLAYS the batch — and
+    * replaying an upsert of the same rows converges to the same table
+    * (the property SourcesSpec proves for reruns). That composition —
+    * retry-able sink + idempotent set-based write — is the standard
+    * production contract for streaming into a keyed store; only a sink
+    * that records batchId transactionally with the data does better.
+    */
+  def toJdbcUpsertSink(df: DataFrame, url: String, table: String,
+                       keyCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sources.writeJdbcUpsert(batch, url, table, keyCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .start()
+
   /** Gap-based sessionization (30-min inactivity) with CUSTOM state:
     * one `SessionState` per user in the state store, extended on each
     * event, closed + emitted either by an in-batch gap or by an

@@ -126,6 +126,32 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(landed.count() == batch.count())
   }
 
+  test("foreachBatch JDBC upsert sink converges to the latest row per key across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val db = java.nio.file.Files.createTempDirectory("graft_jdbc_sink").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_jdbc_cp").toString
+    val url = s"jdbc:derby:$db/db;create=true"
+    val input = MemoryStream[Ev]
+    val sel = input.toDF().select(col("user_id"), col("event_type"), col("value"))
+    val q = EventStreams.toJdbcUpsertSink(sel, url, "stream_users", Seq("user_id"), cp)
+    try {
+      input.addData(Seq(
+        Ev(1L, 10L, "signup", new Timestamp(1704067200000L), 1.0),
+        Ev(2L, 11L, "view", new Timestamp(1704067201000L), 2.0)))
+      q.processAllAvailable()
+      // key 10 re-emitted in a later batch — must UPDATE, not duplicate
+      input.addData(Seq(
+        Ev(3L, 10L, "purchase", new Timestamp(1704067202000L), 9.0),
+        Ev(4L, 12L, "view", new Timestamp(1704067203000L), 3.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.jdbc(url, "stream_users", new java.util.Properties())
+      .orderBy("user_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((10L, "purchase", 9.0), (11L, "view", 2.0), (12L, "view", 3.0)))
+  }
+
   test("dedup state is evicted once the watermark passes — a later duplicate re-emits") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
