@@ -31,6 +31,7 @@ object SparkEntry {
     "table_diff"      -> ((s, d) => QualityOps.tableDiff(s, d)),
     "fk_orphans"      -> (QualityOps.fkOrphans _),
     "profile_columns" -> (QualityOps.profileColumns _),
+    "dq_expectations" -> (QualityOps.dqExpectations _),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -518,6 +519,26 @@ object SparkEntry {
                   COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          ) ORDER BY relation""",
+    "dq_expectations" ->
+      """WITH a AS (
+           SELECT COUNT(*) AS n_rows,
+                  CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v_unique,
+                  CAST(COUNT(*) FILTER (user_id IS NULL) AS BIGINT) AS v_uid_null,
+                  CAST(COUNT(*) FILTER (ts IS NULL) AS BIGINT) AS v_ts_null,
+                  CAST(COUNT(*) FILTER (event_type IS NULL OR event_type NOT IN
+                    ('click','error','purchase','signup','view')) AS BIGINT) AS v_domain,
+                  CAST(COUNT(*) FILTER (value IS NULL OR value < 0.0) AS BIGINT) AS v_neg,
+                  CAST(COUNT(*) FILTER (value > 100.0) AS BIGINT) AS v_le100
+           FROM events)
+         SELECT r.rule, a.n_rows, r.v AS n_violations, r.v = 0 AS pass
+         FROM a CROSS JOIN LATERAL (VALUES
+           ('event_id_unique', a.v_unique),
+           ('event_type_in_domain', a.v_domain),
+           ('ts_not_null', a.v_ts_null),
+           ('user_id_not_null', a.v_uid_null),
+           ('value_le_100', a.v_le100),
+           ('value_non_negative', a.v_neg)) AS r(rule, v)
+         ORDER BY r.rule""",
     "profile_columns" ->
       """WITH e AS (
            SELECT event_id, user_id, event_type, value,

@@ -191,4 +191,47 @@ object QualityOps {
               col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
       .orderBy("col_name")
   }
+
+  /** Declarative expectation suite over the ingest table — the
+    * dbt-test / Great-Expectations gate as ONE aggregate pass: every
+    * row-local rule is a conditional count inside a single global
+    * aggregate (uniqueness rides the same pass as
+    * `count - countDistinct`), and the per-rule report rows are a
+    * row-local explode of the 1-row result. At 100 TB this is one
+    * scan + one partial-aggregated 1-row exchange — adding a rule
+    * adds a column to the aggregate, never a pass over the data.
+    *
+    * The suite deliberately includes a FAILING business rule
+    * (`value_le_100`; the generator emits values to ~490): a DQ
+    * operator demo where everything passes would never exercise the
+    * violation path a reviewer actually cares about. `pass` is a
+    * per-rule verdict, not a gate — the caller decides which rules
+    * block a load (the reference pipeline's NOT NULL / PK constraints
+    * are the blocking subset here: rules 1-3).
+    */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val domain = Seq("click", "error", "purchase", "signup", "view")
+    val agged = ev.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("v_unique"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_uid_null"),
+      sum(when(col("ts_ns").isNull, 1L).otherwise(0L)).as("v_ts_null"),
+      sum(when(col("event_type").isNull ||
+               !col("event_type").isin(domain: _*), 1L).otherwise(0L)).as("v_domain"),
+      sum(when(col("value").isNull || col("value") < 0.0, 1L).otherwise(0L)).as("v_neg"),
+      sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("v_le100"))
+    agged.select(explode(array(
+        struct(lit("event_id_unique").as("rule"), col("v_unique").as("v")),
+        struct(lit("event_type_in_domain").as("rule"), col("v_domain").as("v")),
+        struct(lit("ts_not_null").as("rule"), col("v_ts_null").as("v")),
+        struct(lit("user_id_not_null").as("rule"), col("v_uid_null").as("v")),
+        struct(lit("value_le_100").as("rule"), col("v_le100").as("v")),
+        struct(lit("value_non_negative").as("rule"), col("v_neg").as("v"))
+      )).as("r"), col("n_rows"))
+      .select(col("r.rule").as("rule"), col("n_rows"),
+              col("r.v").as("n_violations"),
+              (col("r.v") === 0L).as("pass"))
+      .orderBy("rule")
+  }
 }

@@ -147,4 +147,20 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
       assert(cont.values.exists(r => r.getLong(2) == 1000L && r.getBoolean(3)))
     }
   }
+
+  test("dq_expectations: blocking rules pass, the business bound reports exact violations") {
+    val out = QualityOps.dqExpectations(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val ev = Tables.events(spark, sf)
+    // the reference-schema constraints (PK, NOT NULL, domain) hold
+    Seq("event_id_unique", "user_id_not_null", "ts_not_null",
+        "event_type_in_domain", "value_non_negative").foreach { rule =>
+      assert(out(rule) == ((0L, true)), s"$rule: ${out(rule)}")
+    }
+    // the warn-level bound fails with the independently-counted number
+    val expected = ev.filter(col("value") > 100.0).count()
+    assert(expected > 0 && out("value_le_100") == ((expected, false)))
+    // rule count and n_rows are stable
+    assert(out.size == 6)
+  }
 }
