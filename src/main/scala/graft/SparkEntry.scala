@@ -126,6 +126,7 @@ object SparkEntry {
     "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
     "vocab_encode"       -> ((s, d) => TextOps.vocabEncode(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_incremental_minhash" -> ((s, d) => Dedup.dedupIncrementalMinhash(s, d)),
     "dedup_keep_best"    -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     // Extract stage (reference 02_etl.py:55-67 page loop): land a paged
     // API to JSONL with retry/resume, then read the landing dir back.
@@ -821,6 +822,33 @@ object SparkEntry {
                 smaller_rep IS NOT NULL AS is_dup
          FROM (SELECT doc_id FROM documents) d LEFT JOIN reps USING (doc_id)
          ORDER BY doc_id""",
+    // Exact all-pairs delta x base at tau=0.8 — same any-band recall
+    // >= 1-1e-4 argument as dedup_minhash_lsh; best partner by
+    // (jaccard desc, base_id), LEFT-joined so clean delta docs report
+    // is_near_dup = false with null partner.
+    "dedup_incremental_minhash" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         scored AS (
+           SELECT d.doc_id AS doc_id, b.doc_id AS base_id,
+                  CAST(FLOOR(1000.0 * len(list_intersect(d.sh, b.sh)) / len(list_distinct(d.sh || b.sh))) AS BIGINT) AS jac
+           FROM sh d JOIN sh b ON d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         best AS (
+           SELECT doc_id, base_id, jac,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, base_id) AS rn
+           FROM scored WHERE jac >= 800)
+         SELECT dd.doc_id, b.base_id IS NOT NULL AS is_near_dup,
+                b.base_id AS best_base_id, b.jac AS best_jaccard_x1000
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         ORDER BY dd.doc_id""",
     "dedup_ngram_jaccard" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

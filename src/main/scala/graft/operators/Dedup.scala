@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
@@ -356,6 +357,67 @@ object Dedup {
         col("doc_id"),
         col("content_hash"),
         col("in_base").isNull.as("is_new"))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental NEAR-dup: today's delta batch probed against the
+    * accumulated corpus's MinHash band index — the continuously-
+    * ingesting counterpart of [[dedupMinhashLsh]], exactly as
+    * [[dedupIncremental]] is for exact hashes. The base side's banded
+    * signature table is the PERSISTED INDEX a production pipeline
+    * keeps (here derived from the shared cached shingle scan); a new
+    * batch costs: band its own signatures, ONE equi-join on the
+    * (band_idx, band_hash) key against the index, exact Jaccard
+    * verification on the surviving candidates — base text never
+    * rescanned, base×base pairs never reconsidered, and the join is
+    * keyed both sides (the delta grows with batch size, so neither
+    * side broadcasts by construction).
+    *
+    * The stopword-band valve moves to the INDEX side: a band key
+    * shared by more than `maxBucket` base docs carries no dedup
+    * signal and is dropped before the probe join — the same cap
+    * [[candidatePairs]] applies within-corpus, applied where the
+    * bucket lives.
+    *
+    * Output: one row per DELTA doc — is it a near-dup of the base,
+    * and its best base partner by (Jaccard desc, base_id). Oracle is
+    * the exact all-pairs delta×base SQL at τ = 0.8 (same any-band
+    * recall ≥ 1-1e-4 argument as the all-pairs operator).
+    */
+  def dedupIncrementalMinhash(s: SparkSession, dir: String, deltaMod: Int = 10,
+                              nPerms: Int = 64, nBands: Int = 16,
+                              shingleN: Int = 3, tauX1000: Long = 800,
+                              maxBucket: Int = 1024): DataFrame = {
+    require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
+    require(nPerms % nBands == 0, s"nPerms ($nPerms) not divisible by nBands ($nBands)")
+    GraftFunctions.ensureRegistered(s)
+    val hashed = hashedShingles(s, dir, shingleN)
+    val bands = hashed.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
+        .as(Seq("band_idx", "band_hash")))
+    val baseBands = bands.filter(col("doc_id") % deltaMod =!= 0)
+      .select(col("doc_id").as("base_id"), col("band_idx"), col("band_hash"))
+    val deltaBands = bands.filter(col("doc_id") % deltaMod === 0)
+    val hotKeys = baseBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band_idx", "band_hash")
+    val prunedBase = baseBands.join(hotKeys, Seq("band_idx", "band_hash"), "left_anti")
+    val cand = deltaBands.join(prunedBase, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("base_id")).distinct()
+    val shD = hashed.select(col("doc_id"), col("hs").as("sh_d"))
+    val shB = hashed.select(col("doc_id").as("base_id"), col("hs").as("sh_b"))
+    val scored = cand.join(shD, "doc_id").join(shB, "base_id")
+      .select(col("doc_id"), col("base_id"),
+              jaccardX1000(col("sh_d"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= tauX1000)
+    val w = Window.partitionBy("doc_id").orderBy(col("jac").desc, col("base_id"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("base_id").as("best_base_id"),
+              col("jac").as("best_jaccard_x1000"))
+    hashed.select("doc_id").filter(col("doc_id") % deltaMod === 0)
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_base_id").isNotNull.as("is_near_dup"),
+              col("best_base_id"), col("best_jaccard_x1000"))
       .orderBy("doc_id")
   }
 

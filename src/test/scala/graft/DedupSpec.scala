@@ -316,4 +316,35 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     lev.unpersist()
     graft.Caches.clear()
   }
+
+  test("dedup_incremental_minhash equals the brute-force delta x base scoring") {
+    val out = Dedup.dedupIncrementalMinhash(spark, sf).cache()
+    // brute force in-engine: every delta doc scored against every base
+    // doc on the same hashed shingles, no LSH, no bucket cap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.wordNgrams(col("toks"), 3).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs")).cache()
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("hs").as("sh_d"))
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id").as("base_id"), col("hs").as("sh_b"))
+    val scored = delta.crossJoin(base)
+      .select(col("doc_id"), col("base_id"),
+        floor(lit(1000.0) * size(array_intersect(col("sh_d"), col("sh_b")))
+          / size(array_union(col("sh_d"), col("sh_b")))).cast("long").as("jac"))
+      .filter(col("jac") >= 800)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("jac").desc, col("base_id"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val brute = delta.select("doc_id").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("base_id").isNotNull.as("is_near_dup"),
+              col("base_id").as("best_base_id"), col("jac").as("best_jaccard_x1000"))
+    assert(out.exceptAll(brute).count() == 0 && brute.exceptAll(out).count() == 0)
+    // partners always come from the base partition, never the delta
+    assert(out.filter(col("best_base_id").isNotNull &&
+                      col("best_base_id") % 10 === 0).count() == 0)
+    out.unpersist(); docs.unpersist()
+    graft.Caches.clear()
+  }
 }
