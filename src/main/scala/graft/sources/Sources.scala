@@ -30,6 +30,27 @@ object Sources {
   def readParquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Read a parquet dataset written across SCHEMA VERSIONS: batches
+    * that added columns over time union into one frame
+    * (`mergeSchema` — fields reconciled by name, rows from files
+    * missing a column read it as null). This is how an incremental
+    * sink evolves without rewriting history; the nulls are the honest
+    * representation of "this column did not exist yet", and callers
+    * choose defaults per column (`coalesce`) rather than this reader
+    * inventing them. Cost note for 100 TB: schema merging reads every
+    * file's footer at planning time — fine for a day's batch
+    * directories, but a pipeline with a metastore should pin the
+    * merged schema there and pass it explicitly instead of paying the
+    * footer sweep per query (this helper is the sweep-free path once
+    * `known` is supplied).
+    */
+  def readParquetEvolved(s: SparkSession, path: String,
+                         known: Option[StructType] = None): DataFrame =
+    known match {
+      case Some(schema) => s.read.schema(schema).parquet(path)
+      case None         => s.read.option("mergeSchema", "true").parquet(path)
+    }
+
   /** Idempotent partition BACKFILL: overwrite ONLY the partitions
     * present in this batch, leave every other partition untouched —
     * `partitionOverwriteMode=dynamic` scoped to this one write (the

@@ -280,4 +280,24 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val back = Sources.readJsonl(spark, dir, schema)
     assert(back.exceptAll(supplier).count() == 0 && supplier.exceptAll(back).count() == 0)
   }
+
+  test("readParquetEvolved unions schema versions; old rows read new columns as null") {
+    import spark.implicits._
+    val dir = tmp("evolve")
+    // v1 batch: (id, a); v2 batch added column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = Sources.readParquetEvolved(spark, dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "b", "id"))
+    val rows = merged.orderBy("id")
+      .select(col("id"), col("a"), col("b")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.take(2).forall(_.isNullAt(2)), "pre-evolution rows must read b as null")
+    assert(rows(2).getLong(2) == 30L)
+    // pinned-schema path (the metastore road) sees the same data
+    val pinned = Sources.readParquetEvolved(spark, dir, Some(merged.schema))
+    assert(pinned.exceptAll(merged).count() == 0 && merged.exceptAll(pinned).count() == 0)
+  }
 }
