@@ -71,6 +71,7 @@ object SparkEntry {
     "stream_session_window" -> (Analytics.streamSessionWindows _),
     "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     "graph_triangles"       -> (GraphOps.graphTriangles _),
+    "graph_similar_parts"   -> ((s, d) => GraphOps.graphSimilarParts(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -334,6 +335,32 @@ object SparkEntry {
          FROM k CROSS JOIN t
          ORDER BY k.n_rows DESC, k.user_id LIMIT 20""",
     "graph_pagerank" -> GraphOps.pageRankOracleSql(10),
+    // Set-free neighborhood Jaccard: |∩| from the wedge count, |∪| by
+    // inclusion-exclusion over degrees — mirrored directly in SQL.
+    "graph_similar_parts" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+                FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+         deg AS (SELECT a AS n, COUNT(*) AS deg FROM sym GROUP BY a),
+         common AS (SELECT e1.b AS x, e2.b AS y, COUNT(*) AS n_common
+                    FROM sym e1 JOIN sym e2 ON e1.a = e2.a AND e1.b < e2.b
+                    GROUP BY 1, 2),
+         scored AS (SELECT x, y, n_common,
+                      CAST(FLOOR(1000.0 * n_common / (dx.deg + dy.deg - n_common)) AS BIGINT) AS jaccard_x1000
+                    FROM common JOIN deg dx ON dx.n = common.x
+                                JOIN deg dy ON dy.n = common.y),
+         bidir AS (SELECT x AS part_key, y AS similar_part, n_common, jaccard_x1000 FROM scored
+                   UNION ALL
+                   SELECT y AS part_key, x AS similar_part, n_common, jaccard_x1000 FROM scored),
+         ranked AS (SELECT *, row_number() OVER (PARTITION BY part_key
+                      ORDER BY jaccard_x1000 DESC, similar_part) AS rank
+                    FROM bidir)
+         SELECT part_key, CAST(rank AS BIGINT) AS rank, similar_part,
+                n_common, jaccard_x1000
+         FROM ranked WHERE rank <= 5 ORDER BY part_key, rank""",
     // Naive all-triangles road (x<y<z three-way join) vs the engine's
     // degree-ordered orientation — same triangle set, counted per node.
     "graph_triangles" ->

@@ -423,6 +423,47 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("graph_similar_parts equals the materialized-neighbor-set road") {
+    import graft.operators.GraphOps
+    val out = GraphOps.graphSimilarParts(spark, sf)
+    // independent road: actually materialize each node's neighbor SET
+    // and score true array Jaccard over every candidate pair
+    val edges = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
+      .select(array_sort(col("parts")).as("ps")).filter(size(col("ps")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+             transform(slice(ps, i + 2, size(ps) - i - 1),
+                       y -> struct(x AS a, y AS b))))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("s")).filter(col("s") >= 2).select("a", "b")
+    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    val nbrs = sym.groupBy(col("a").as("n")).agg(collect_set(col("b")).as("nb")).cache()
+    val pairs = nbrs.select(col("n").as("x"), col("nb").as("nx"))
+      .crossJoin(nbrs.select(col("n").as("y"), col("nb").as("ny")))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y"),
+        size(array_intersect(col("nx"), col("ny"))).cast("long").as("n_common"),
+        floor(lit(1000.0) * size(array_intersect(col("nx"), col("ny")))
+          / size(array_union(col("nx"), col("ny")))).cast("long").as("jaccard_x1000"))
+      .filter(col("n_common") > 0)
+    val bidir = pairs.select(explode(array(
+        struct(col("x").as("part_key"), col("y").as("similar_part"),
+               col("n_common"), col("jaccard_x1000")),
+        struct(col("y").as("part_key"), col("x").as("similar_part"),
+               col("n_common"), col("jaccard_x1000")))).as("r"))
+      .select("r.part_key", "r.similar_part", "r.n_common", "r.jaccard_x1000")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part_key").orderBy(col("jaccard_x1000").desc, col("similar_part"))
+    val viaSets = bidir.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("part_key", "rank", "similar_part", "n_common", "jaccard_x1000")
+    assert(out.exceptAll(viaSets).count() == 0 && viaSets.exceptAll(out).count() == 0)
+    assert(out.filter(col("jaccard_x1000") > 1000 || col("jaccard_x1000") < 1).count() == 0)
+    nbrs.unpersist()
+    Caches.clear()
+  }
+
   test("bitmap_distinct is exact and its words merge like partial states") {
     val out = Analytics.bitmapDistinct(spark, sf)
     val exact = Tables.events(spark, sf).groupBy("event_type")
