@@ -38,7 +38,11 @@ object Bench {
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // Default raised 2 → 3: the shared host injects random ~30 s steal
+    // stalls invisible to guest loadavg, and a single stall survives a
+    // min-of-2 (measured: three unchanged queries recorded 26-37 s on
+    // different min-of-2 runs, 1-4 s on min-of-3).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val flaky   = scala.collection.mutable.LinkedHashMap.empty[String, String]
