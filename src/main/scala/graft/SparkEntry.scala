@@ -69,6 +69,7 @@ object SparkEntry {
     "stream_enrich"         -> (Analytics.streamEnrich _),
     "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
     "stream_session_window" -> (Analytics.streamSessionWindows _),
+    "stream_sliding_counts" -> (Analytics.streamSlidingCounts _),
     "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     "graph_triangles"       -> (GraphOps.graphTriangles _),
     "graph_similar_parts"   -> ((s, d) => GraphOps.graphSimilarParts(s, d)),
@@ -390,6 +391,20 @@ object SparkEntry {
          FROM sg JOIN pu ON sg.user_id = pu.user_id
           AND p_ns > s_ns AND p_ns <= s_ns + 3600000000000
          ORDER BY sg.user_id, signup_event_id, purchase_event_id""",
+    // Every event belongs to exactly width/slide = 4 epoch-aligned
+    // windows: start = slide-floor(ts) - j·slide for j = 0..3 (the
+    // j=3 window still satisfies ts - start < width, so no filter).
+    "stream_sliding_counts" ->
+      """WITH e AS (
+           SELECT event_type, value, epoch_ns(ts)//1000 AS ts_us FROM events),
+         w AS (
+           SELECT event_type, value,
+                  (ts_us // 900000000) * 900000000 - j * 900000000 AS ws_us
+           FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+         SELECT ws_us // 1000000 AS window_start_s, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // session_window semantics: gap decisions at µs precision, NEW
     // session iff diff >= gap (window end is exclusive); end = last
     // event + gap. Reported bounds floor to seconds.

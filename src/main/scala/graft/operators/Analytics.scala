@@ -749,6 +749,27 @@ object Analytics {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Sliding-window counts (1-hour windows every 15 minutes): each
+    * event belongs to exactly width/slide = 4 overlapping windows, so
+    * the aggregate's input replicates 4× BEFORE the shuffle — that
+    * multiplier is the sliding window's intrinsic cost and the reason
+    * production dashboards prefer tumbling + rollup when freshness
+    * allows; when they don't, this is the shape, and the partial
+    * aggregation still combines map-side so only (window, type)
+    * partials cross the wire. Windows are epoch-aligned, matching the
+    * oracle's slide-floor arithmetic exactly. Streaming twin:
+    * [[graft.streaming.EventStreams.slidingCounts]].
+    */
+  def streamSlidingCounts(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("sum_value"))
+      .select(
+        epochS(col("window.start")).as("window_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("window_start_s", "event_type")
+  }
+
   /** Batch twin of the native session_window aggregation
     * (graft.streaming.EventStreams.sessionWindowCounts — same plan on
     * the bounded source minus the watermark node): one session-merging

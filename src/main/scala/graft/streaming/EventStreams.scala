@@ -50,6 +50,21 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes, 2h watermark: the state
+    * store holds width/slide = 4 open windows per (window, type) key
+    * group and the watermark closes them in slide-sized steps —
+    * overlapping freshness the tumbling form can't give, for 4× the
+    * state and pre-shuffle row replication. Mirrors
+    * Analytics.streamSlidingCounts.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
   /** Gap-based sessions via the NATIVE `session_window` aggregation —
     * the built-in counterpart of [[sessionize]]'s custom
     * flatMapGroupsWithState: the state store holds one mergeable

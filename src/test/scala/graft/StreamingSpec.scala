@@ -38,6 +38,27 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("sliding windows over MemoryStream equal the batch twin; 4 windows per event") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slide_test").outputMode("complete").start()
+    try {
+      input.addData(eventRows())
+      q.processAllAvailable()
+      val streamed = spark.table("slide_test")
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+                col("event_type"), col("n_events"), col("sum_value"))
+      val batch = graft.operators.Analytics.streamSlidingCounts(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      // width/slide = 4: total window membership is exactly 4x the rows
+      val total = batch.agg(sum("n_events")).head.getLong(0)
+      assert(total == Tables.events(spark, sf).count() * 4)
+    } finally q.stop()
+  }
+
   test("native session_window over MemoryStream equals the batch twin") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
