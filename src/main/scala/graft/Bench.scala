@@ -8,6 +8,13 @@ package graft
   * as a timing. A query that fails some passes but times at least one
   * is reported under "flaky" instead, so a valid min never coexists
   * with a failure count.
+  *
+  * BENCH_LOCAL.json is rewritten after EVERY query (atomic
+  * temp+rename), carrying "partial":true until the run completes: a
+  * harness timeout that kills the JVM mid-run still leaves a
+  * parseable file with every timing measured so far (round 7's
+  * driver bench hit its budget and left NOTHING — rc=124, zero
+  * timings — which is the failure mode this removes).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -38,14 +45,44 @@ object Bench {
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg
-    // Default raised 2 → 3: the shared host injects random ~30 s steal
-    // stalls invisible to guest loadavg, and a single stall survives a
-    // min-of-2 (measured: three unchanged queries recorded 26-37 s on
-    // different min-of-2 runs, 1-4 s on min-of-3).
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Default 2 passes: min-of-3 filters shared-host steal stalls
+    // better (measured: three unchanged queries recorded 26-37 s on
+    // min-of-2 runs, 1-4 s on min-of-3), but the DRIVER's round budget
+    // covers verify + 103 queries × 2, not × 3 — round 7's bench timed
+    // out at rc=124 with zero timings. Recorded builder runs export
+    // SPARK_GRAFT_BENCH_PASSES=3; the driver's default stays cheap.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val flaky   = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    // Build the full JSON line from current state. "action" documents
+    // WHAT is timed: rounds 1-2 timed count(), which let Catalyst prune
+    // joins/sorts; round 3+ times full materialization (noop write), so
+    // totals are not comparable across that boundary. loadavg stamps let
+    // a reader reject a contended run outright (loadavg >> allotted cpus
+    // means the numbers measure the machine, not the plan).
+    def jsonLine(partial: Boolean): String = {
+      val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+      val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+      val fs = flaky.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+      val total = timings.values.filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+    }
+    // Atomic temp+rename so a kill mid-write can't leave a truncated
+    // (unparseable) file — the reader always sees the previous snapshot
+    // or the new one, never a torn line.
+    def flush(partial: Boolean): Unit = {
+      val dir = java.nio.file.Paths.get(".").toAbsolutePath
+      val tmp = java.nio.file.Files.createTempFile(dir, "BENCH_LOCAL", ".tmp")
+      java.nio.file.Files.writeString(tmp, jsonLine(partial))
+      java.nio.file.Files.move(tmp, dir.resolve("BENCH_LOCAL.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
     // Per-query BEST-OF-N (min): a shared machine can slow any single
     // pass 2-3× (measured: identical binaries swung 0.4×-2.5× per query
     // between driver rounds), and the min of independent passes is the
@@ -76,25 +113,11 @@ object Bench {
       timings(name) = if (passTimes.isEmpty) -1.0 else passTimes.min
       if (passTimes.isEmpty) passErrors.headOption.foreach(errors(name) = _)
       else passErrors.headOption.foreach(flaky(name) = _)
+      flush(partial = true)
     }
     Caches.clear()
-    val loadEnd = loadavg
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
-    val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val fs = flaky.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
-    val total = timings.values.filter(_ >= 0).sum
-    // "action" documents WHAT is timed: rounds 1-2 timed count(), which
-    // let Catalyst prune joins/sorts; round 3+ times full materialization
-    // (noop write), so totals are not comparable across that boundary.
-    // loadavg stamps let a reader reject a contended run outright
-    // (loadavg >> allotted cpus means the numbers measure the machine).
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","loadavg_start":$loadStart,"loadavg_end":$loadEnd,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line)
+    val line = jsonLine(partial = false)
+    flush(partial = false)
     spark.stop()
     // Printed after spark.stop() so it is the last stdout line.
     println(line)
