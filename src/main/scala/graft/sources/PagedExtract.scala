@@ -256,28 +256,27 @@ object PagedExtract {
     ExtractReport(landed.sorted, already.toSeq.sorted, failed)
   }
 
-  /** A [[PageApi]] serving a fixed row set in `pageSize` slices — the
-    * deterministic stand-in for a remote API. The rows live IN the api
-    * object (serialized to executors with it): the collect that builds
-    * it simulates the remote system, not the engine's data path.
+  /** A [[PageApi]] serving pages from a `pg=N/` directory tree of
+    * JSONL part files — the deterministic stand-in for a remote API,
+    * backed by storage the way a real paged service is. Holds only the
+    * store path (serialized to executors as a string): each `fetch`
+    * reads ONE page directory, so memory is O(pageSize) on whichever
+    * side calls it and nothing holds the corpus.
+    *
+    * Plain java.io on purpose: the store is the SIMULATED REMOTE
+    * SYSTEM, local by construction ([[buildPageStore]] writes it to a
+    * driver-local temp dir); the engine's own data path goes through
+    * Hadoop FS in [[land]]/[[readLanded]].
     */
-  final class FixedPageApi(rows: Array[(Long, String, String)], pageSize: Int)
-      extends PageApi {
-    require(pageSize > 0, "pageSize must be positive")
-    override def totalPages(): Int = (rows.length + pageSize - 1) / pageSize
+  final class FilePageApi(storeDir: String, nPages: Int) extends PageApi {
+    override def totalPages(): Int = nPages
     override def fetch(page: Int): Seq[String] = {
-      // JSON string escape incl. control chars — a raw newline/tab in a
-      // value would split the JSONL record across physical lines.
-      def esc(v: String) = v.flatMap {
-        case '\\'           => "\\\\"
-        case '"'            => "\\\""
-        case c if c < ' '   => f"\\u${c.toInt}%04x"
-        case c              => c.toString
-      }
-      rows.view.slice((page - 1) * pageSize, page * pageSize)
-        .map { case (id, src, lang) =>
-          s"""{"doc_id":$id,"source":"${esc(src)}","lang":"${esc(lang)}","page":$page}"""
-        }.toSeq
+      val d = new java.io.File(storeDir, s"pg=$page")
+      val parts = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .sortBy(_.getName)
+      require(parts.nonEmpty, s"page store has no files for page $page under $storeDir")
+      parts.toSeq.flatMap(f => Files.readAllLines(f.toPath).asScala)
     }
   }
 
@@ -287,19 +286,50 @@ object PagedExtract {
     StructField("doc_id", LongType), StructField("source", StringType),
     StructField("lang", StringType), StructField("page", LongType)))
 
+  /** Build the simulated remote store for [[demoExtract]]: the
+    * documents table written as one JSONL directory per page
+    * (`pg=N/`), page = doc_id-ordered rank div `pageSize`, computed
+    * DISTRIBUTED end to end. Returns the page count.
+    *
+    * The global ordinal deliberately avoids `row_number() OVER
+    * (ORDER BY doc_id)` — an empty-partitionBy window funnels the
+    * whole table through one task. Range-repartition + in-partition
+    * sort yields a globally doc_id-sorted RDD, and `zipWithIndex`
+    * assigns offsets with one extra tiny count job: the scalable form
+    * of a global rank (RDD use is the documented per-partition
+    * imperative exception). No stage holds more than a partition.
+    */
+  private[graft] def buildPageStore(s: SparkSession, dir: String, pageSize: Int,
+                                    storeDir: String): Int = {
+    require(pageSize > 0, "pageSize must be positive")
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "source", "lang")
+    val n = docs.count()
+    val ranked = docs.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
+      .as[(Long, String, String)].rdd.zipWithIndex()
+      .map { case ((id, src, lang), i) => (id, src, lang, i / pageSize + 1) }
+      .toDF("doc_id", "source", "lang", "page")
+    // `pg` duplicates `page` as the partition column: partitionBy strips
+    // its column from the written records, and the landed rows must
+    // still carry `page` for the rank oracle to check.
+    ranked.withColumn("pg", col("page"))
+      .write.mode("overwrite").partitionBy("pg").json(storeDir)
+    ((n + pageSize - 1) / pageSize).toInt
+  }
+
   /** End-to-end demo for the driver contract: page the documents table
-    * through a [[FixedPageApi]] (`pageSize` docs per page, 1-based),
+    * into a [[FilePageApi]] store (`pageSize` docs per page, 1-based),
     * [[land]] it distributed, read the landing dir back. The oracle
     * recomputes each doc's page as its doc_id-ordered rank div
     * `pageSize` — pure SQL, so the whole extract→land→read loop is
-    * hash-verified against DuckDB.
+    * hash-verified against DuckDB. Driver memory stays O(1): the store
+    * build is a distributed write and every fetch touches one page.
     */
   def demoExtract(s: SparkSession, dir: String, pageSize: Int = 100): DataFrame = {
-    val rows = graft.Tables.documents(s, dir).select("doc_id", "source", "lang")
-      .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val store = Files.createTempDirectory("graft_store").toString
     val landing = Files.createTempDirectory("graft_extract").toString
-    // The landing dir must outlive the (lazy) read below, so tie its
+    // Both dirs must outlive the (lazy) read below, so tie their
     // deletion to the operator-cache lifecycle: Bench/tests clear
     // Caches after materializing each query, which is exactly when the
     // files are no longer needed — repeated harness runs don't
@@ -308,9 +338,10 @@ object PagedExtract {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
       }
-      rm(new java.io.File(landing))
+      rm(new java.io.File(store)); rm(new java.io.File(landing))
     }
-    val report = land(s, new FixedPageApi(rows, pageSize), landing)
+    val nPages = buildPageStore(s, dir, pageSize, store)
+    val report = land(s, new FilePageApi(store, nPages), landing)
     require(report.ok, s"demo extract lost pages: ${report.failed}")
     readLanded(s, landing, demoSchema).orderBy("doc_id")
   }
