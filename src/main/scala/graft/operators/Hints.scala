@@ -34,7 +34,7 @@ object Hints {
     */
   val ThresholdKey = "spark.graft.broadcastDimThreshold"
 
-  private def parseBytes(v: String): Long = {
+  private[operators] def parseBytes(v: String): Long = {
     val t = v.trim
     try t.toLong
     catch { case _: NumberFormatException =>

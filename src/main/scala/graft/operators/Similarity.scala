@@ -29,6 +29,15 @@ import graft.plans.GraftFunctions
   */
 object Similarity {
 
+  /** Session conf key capping [[knnGraph]]'s corpus broadcast (bytes
+    * or a "512m"-style size string). Default 1 GiB: comfortably above
+    * any corpus the exact-all-pairs contract is meant for (~10⁵
+    * vectors × KB each) and comfortably below where a broadcast kills
+    * the driver — past it, [[knnGraphIvf]] is the path.
+    */
+  val KnnBroadcastLimitKey = "spark.graft.knnBroadcastLimit"
+  val KnnBroadcastLimitDefault = "1g"
+
   /** Deterministic probe subset — stands in for a query batch. */
   private def probes(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 100 < 2)
@@ -180,8 +189,23 @@ object Similarity {
   def knnGraph(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
-    val other = broadcast(
-      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    // The O(n²)-by-contract guard made LOUD: nothing else stops a user
+    // pointing this at 10⁸ vectors, and the corpus broadcast collapses
+    // (driver collect + per-executor copy) long before the n² compute
+    // does. The optimizer's own size estimate for the corpus subplan
+    // (parquet footer sizes, same machinery as Hints.maybeBroadcast)
+    // is checked against a hard limit — crossing it is a REQUEST to
+    // use the candidate-pruned path, not something to degrade around.
+    val limit = Hints.parseBytes(
+      s.conf.get(Similarity.KnnBroadcastLimitKey, Similarity.KnnBroadcastLimitDefault))
+    val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est <= limit,
+      s"knn_graph broadcasts the ENTIRE embedding corpus (plan-estimated $est bytes > " +
+      s"limit $limit from ${Similarity.KnnBroadcastLimitKey}): exact all-pairs is " +
+      "O(n²) by contract and corpus-broadcast-bound — use knnGraphIvf " +
+      "(knn_graph_ivf), which prunes candidates by IVF cell and never broadcasts the corpus")
+    val other = broadcast(corpus)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
     emb.join(other, col("vec_id") =!= col("neighbor_id"))

@@ -158,4 +158,15 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(per.filter(col("c") =!= 5 || col("mr") =!= 5).count() == 0)
     out.unpersist()
   }
+
+  test("knn_graph refuses a corpus whose plan-estimated size exceeds the broadcast limit") {
+    spark.conf.set(Similarity.KnnBroadcastLimitKey, "1") // 1 byte: any corpus trips it
+    try {
+      val e = intercept[IllegalArgumentException] { Similarity.knnGraph(spark, sf, k = 5) }
+      assert(e.getMessage.contains("knn_graph_ivf"),
+        "the guard must direct users to the candidate-pruned scale path")
+    } finally spark.conf.unset(Similarity.KnnBroadcastLimitKey)
+    // and back under the default limit the operator still builds
+    assert(Similarity.knnGraph(spark, sf, k = 5).limit(1).count() == 1)
+  }
 }
