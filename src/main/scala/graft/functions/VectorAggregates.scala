@@ -32,7 +32,8 @@ import org.apache.spark.sql.types._
   *
   * The buffer dimension locks to the first vector seen; a
   * mixed-width column fails loudly (a silent truncation would skew
-  * every centroid).
+  * every centroid), as do null and non-finite elements (which would
+  * otherwise contribute 0 or a saturated long).
   *
   * Extends the engine's custom-Catalyst surface from scalar
   * expressions ([[CosineSim]], [[MinHashSig]], …) to an
@@ -73,7 +74,16 @@ case class VecSumMicro(child: Expression,
         }
       var i = 0
       while (i < n) {
-        buf(i) += math.floor(1e6 * arr.getFloat(i)).toLong
+        // Same fail-loudly contract as the dim lock: a null element
+        // would read as 0.0f through ArrayData, and floor(NaN).toLong
+        // is 0 / floor(±Inf).toLong saturates — each silently skews
+        // the centroid instead of surfacing the bad vector.
+        require(!arr.isNullAt(i),
+          s"graft_vec_sum_micro: null element at position $i of a $n-dim vector")
+        val x = arr.getFloat(i)
+        require(java.lang.Float.isFinite(x),
+          s"graft_vec_sum_micro: non-finite element $x at position $i")
+        buf(i) += math.floor(1e6 * x).toLong
         i += 1
       }
       buf

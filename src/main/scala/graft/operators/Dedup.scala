@@ -381,8 +381,18 @@ object Dedup {
     *
     * Output: one row per DELTA doc — is it a near-dup of the base,
     * and its best base partner by (Jaccard desc, base_id). Oracle is
-    * the exact all-pairs delta×base SQL at τ = 0.8 (same any-band
-    * recall ≥ 1-1e-4 argument as the all-pairs operator).
+    * the exact all-pairs delta×base SQL at τ = 0.8, which has TWO
+    * miss modes to stay aware of: (a) the probabilistic any-band
+    * recall bound (≥ 1-1e-4 at the shipped parameters — same argument
+    * as the all-pairs operator), and (b) the `maxBucket` hot-band
+    * valve, a DETERMINISTIC prune: a true ≥τ pair whose every shared
+    * band is hotter than `maxBucket` is dropped by the engine but
+    * found by the oracle. On the verify corpus the hottest band
+    * bucket is far below the default 1024, so the valve is provably
+    * inert there; a corpus with degenerate band keys (boilerplate
+    * shingles) would need maxBucket raised — or the miss accepted and
+    * the oracle check relaxed — and that is a legitimate-looking
+    * oracle failure, not an engine bug.
     */
   def dedupIncrementalMinhash(s: SparkSession, dir: String, deltaMod: Int = 10,
                               nPerms: Int = 64, nBands: Int = 16,

@@ -151,11 +151,14 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
-  /** [[triangleCounts]] on the part co-purchase graph: parts are
-    * linked when they appear in the SAME order in ≥ 2 distinct orders
-    * (the support floor is the upstream valve — single co-occurrence
-    * is noise, and it is what keeps the graph sparse as orders grow;
-    * the same role the bucket cap plays for LSH candidates).
+  /** Part co-purchase edge list, the shared substrate of
+    * [[graphTriangles]] and [[graphSimilarParts]]: parts are linked
+    * when they appear in the SAME order in ≥ `minSupport` distinct
+    * orders (the support floor is the upstream valve — single
+    * co-occurrence is noise, and it is what keeps the graph sparse as
+    * orders grow; the same role the bucket cap plays for LSH
+    * candidates). One definition, so the support floor and pair
+    * expansion cannot drift between the graph operators.
     *
     * Edge building is TWO shuffles, not a self-join: orders collapse
     * to their distinct part set with one partial-aggregated
@@ -164,10 +167,11 @@ object GraphOps {
     * sorted set (C(lines/order, 2) per order, linear in orders), and
     * one pair-count shuffle applies the support floor. The
     * distinct + self-join formulation pays a third full-table
-    * shuffle for the same answer.
+    * shuffle for the same answer. Output: (a, b) with a < b.
     */
-  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.lineitem(s, dir)
+  private[operators] def copurchaseEdges(s: SparkSession, dir: String,
+                                         minSupport: Int = 2): DataFrame =
+    Tables.lineitem(s, dir)
       .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
       .select(array_sort(col("parts")).as("ps"))
       .filter(size(col("ps")) >= 2)
@@ -177,12 +181,15 @@ object GraphOps {
                        y -> struct(x AS a, y AS b))))""")).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+      .filter(col("support") >= minSupport)
       .select("a", "b")
-    triangleCounts(edges)
+
+  /** [[triangleCounts]] on the part co-purchase graph
+    * ([[copurchaseEdges]]). */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(copurchaseEdges(s, dir))
       .select(col("node").as("part_key"), col("n_triangles"))
       .orderBy("part_key")
-  }
 
   /** "Customers who bought X also bought Y": top-k similar parts per
     * part by neighborhood Jaccard over the co-purchase graph —
@@ -205,18 +212,7 @@ object GraphOps {
     * alternative is n² by definition.
     */
   def graphSimilarParts(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
-    val edges = Tables.lineitem(s, dir)
-      .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
-      .select(array_sort(col("parts")).as("ps"))
-      .filter(size(col("ps")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ps, (x, i) ->
-             transform(slice(ps, i + 2, size(ps) - i - 1),
-                       y -> struct(x AS a, y AS b))))""")).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
-      .select("a", "b")
+    val edges = copurchaseEdges(s, dir)
     val sym = graft.Caches.cached(
       edges.unionAll(edges.select(col("b").as("a"), col("a").as("b"))))
     val deg = graft.Caches.cached(

@@ -99,6 +99,23 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage != null)
   }
 
+  test("vec_sum_micro rejects null and non-finite elements instead of reading them as 0") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(call_function("graft_vec_sum_micro", col("v"))).collect()
+    val withNull = Seq((1L, Seq(Some(1f), None)), (1L, Seq(Some(2f), Some(3f))))
+      .toDF("k", "v")
+    assert(intercept[Exception](agg(withNull)).getMessage.contains("null element"))
+    val withNaN = Seq((1L, Seq(1f, Float.NaN))).toDF("k", "v")
+    assert(intercept[Exception](agg(withNaN)).getMessage.contains("non-finite"))
+    val withInf = Seq((1L, Seq(Float.PositiveInfinity, 1f))).toDF("k", "v")
+    assert(intercept[Exception](agg(withInf)).getMessage.contains("non-finite"))
+    // a NULL VECTOR (whole row) still skips cleanly — only elements fail
+    val nullRow = Seq((1L, Some(Seq(1f, 2f))), (1L, None)).toDF("k", "v")
+    assert(agg(nullRow).head.getSeq[Long](1) == Seq(1000000L, 2000000L))
+  }
+
   test("interpreted eval agrees with codegen on the corpus") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._

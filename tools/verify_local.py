@@ -15,7 +15,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def run_verify():
     only = ""
     if "--only" in sys.argv:
-        only = " " + sys.argv[sys.argv.index("--only") + 1]
+        i = sys.argv.index("--only")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("-"):
+            print("usage: verify_local.py [SF_DIR] [--no-build] [--only QUERY_KEY]")
+            sys.exit(2)
+        val = sys.argv[i + 1]
+        # interpolated into the sbt runMain string — restrict to key chars
+        if not val.replace("_", "").isalnum():
+            print(f"--only expects a query key (letters/digits/underscore), got: {val!r}")
+            sys.exit(2)
+        only = " " + val
     r = subprocess.run(
         ["sbt", "-batch", f'runMain graft.Verify {SF_DIR} {OUT}{only}'],
         capture_output=True, text=True, cwd="/root/repo", timeout=1200)
