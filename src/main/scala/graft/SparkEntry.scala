@@ -133,6 +133,9 @@ object SparkEntry {
     // Extract stage (reference 02_etl.py:55-67 page loop): land a paged
     // API to JSONL with retry/resume, then read the landing dir back.
     "paged_extract"      -> ((s, d) => graft.sources.PagedExtract.demoExtract(s, d)),
+    // Keyed detail-fetch (reference 02_etl.py:136-140 per-movie
+    // credits): per-parent fan-out with the same landing contract.
+    "keyed_extract"      -> ((s, d) => graft.sources.PagedExtract.demoKeyedExtract(s, d)),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -1348,6 +1351,13 @@ object SparkEntry {
       """SELECT doc_id, source, lang,
                 CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 + 1 AS BIGINT) AS page
          FROM documents ORDER BY doc_id""",
+    "keyed_extract" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS supp_key,
+                CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                CAST(l_partkey AS BIGINT) AS l_partkey,
+                CAST(l_linenumber AS BIGINT) AS l_linenumber
+         FROM lineitem WHERE l_partkey % 20 = 0
+         ORDER BY supp_key, l_orderkey, l_linenumber""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint

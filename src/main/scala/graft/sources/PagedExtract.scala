@@ -192,69 +192,188 @@ object PagedExtract {
     val remaining = (1 to total).filterNot(already)
     if (remaining.isEmpty) return ExtractReport(Nil, already.toSeq.sorted, Nil)
 
-    val hadoopConf = new org.apache.spark.util.SerializableConfiguration(
-      s.sparkContext.hadoopConfiguration)
-    val failedAcc = s.sparkContext.collectionAccumulator[(Int, String)]("failed")
-
+    val failedAcc = s.sparkContext.collectionAccumulator[(Long, String)]("failed")
+    val loop = commitLoop(
+      new org.apache.spark.util.SerializableConfiguration(s.sparkContext.hadoopConfiguration),
+      landingDir, u => f"page_$u%05d.jsonl", u => api.fetch(u.toInt),
+      maxRetries, backoffMs, minFetchIntervalMs, failedAcc)
     s.sparkContext
-      .parallelize(remaining, math.min(parallelism, remaining.size))
-      .foreachPartition { pages: Iterator[Int] =>
-        import org.apache.hadoop.fs.{Path => HPath}
-        val dir = new HPath(landingDir)
-        val fs = dir.getFileSystem(hadoopConf.value)
-        fs.mkdirs(new HPath(dir, "_tmp"))
-        var lastFetch = 0L
-        pages.foreach { page =>
-          var attempt = 0
-          var done = false
-          var lastErr: Throwable = null
-          while (!done && attempt <= maxRetries) {
-            if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
-            if (minFetchIntervalMs > 0) {
-              val wait = lastFetch + minFetchIntervalMs - System.currentTimeMillis()
-              if (wait > 0) Thread.sleep(wait)
-            }
-            try {
-              lastFetch = System.currentTimeMillis()
-              val records = api.fetch(page)
-              val tmp = new HPath(dir, s"_tmp/${java.util.UUID.randomUUID()}")
-              val out = fs.create(tmp, true)
-              try records.foreach { r => out.write(r.getBytes("UTF-8")); out.write('\n') }
-              finally out.close()
-              // The commit point: first rename wins; a losing duplicate
-              // (or an exception-path orphan) cleans up its temp.
-              if (!fs.rename(tmp, new HPath(dir, f"page_$page%05d.jsonl")))
-                fs.delete(tmp, false)
-              done = true
-            } catch {
-              // NonFatal excludes InterruptedException: a killed or
-              // cancelled task must STOP fetching, not treat the
-              // interrupt as one more transient upstream error.
-              case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1
-            }
-          }
-          if (!done)
-            failedAcc.add((page, s"${lastErr.getClass.getSimpleName}: ${lastErr.getMessage}"))
-        }
-      }
+      .parallelize(remaining.map(_.toLong), math.min(parallelism, remaining.size))
+      .foreachPartition(loop(_))
 
     // Ground truth from the directory (see scaladoc): committed files
     // survive attempt retries and speculation; accumulators don't.
     val onDisk = landedPages(s, landingDir)
     val landed = remaining.filter(onDisk).toSeq
-    val failed = failedAcc.value.asScala.toSeq
+    val failed = failedAcc.value.asScala.toSeq.map { case (u, m) => (u.toInt, m) }
       .filterNot { case (p, _) => onDisk(p) }.sortBy(_._1)
-    // A fully-successful run leaves the landing dir clean: reclaim the
-    // temp area (exception-path orphans from THIS run and debris from
-    // earlier flaky ones). A concurrent run's in-flight temp would just
-    // retry its page — rename-commit keeps correctness.
-    if (failed.isEmpty) {
-      val hdir = new org.apache.hadoop.fs.Path(landingDir)
-      hdir.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(hdir, "_tmp"), true)
-    }
+    if (failed.isEmpty) cleanupTmp(s, landingDir)
     ExtractReport(landed.sorted, already.toSeq.sorted, failed)
   }
+
+  /** Executor-side fetch→temp→atomic-rename commit loop shared by
+    * [[land]] (page units) and [[landKeyed]] (parent-key units) — one
+    * definition so retry, backoff, rate-limit, and commit semantics
+    * cannot drift between the two fan-outs. Returned as a
+    * serializable closure over the unit→filename and unit→records
+    * functions; everything captured (conf wrapper, strings, the api
+    * inside `fetch`, the accumulator) ships to executors.
+    */
+  private def commitLoop(hadoopConf: org.apache.spark.util.SerializableConfiguration,
+                         landingDir: String, fileName: Long => String,
+                         fetch: Long => Seq[String],
+                         maxRetries: Int, backoffMs: Long, minFetchIntervalMs: Long,
+                         failedAcc: org.apache.spark.util.CollectionAccumulator[(Long, String)])
+      : Iterator[Long] => Unit = { units =>
+    import org.apache.hadoop.fs.{Path => HPath}
+    val dir = new HPath(landingDir)
+    val fs = dir.getFileSystem(hadoopConf.value)
+    fs.mkdirs(new HPath(dir, "_tmp"))
+    var lastFetch = 0L
+    units.foreach { unit =>
+      var attempt = 0
+      var done = false
+      var lastErr: Throwable = null
+      while (!done && attempt <= maxRetries) {
+        if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+        if (minFetchIntervalMs > 0) {
+          val wait = lastFetch + minFetchIntervalMs - System.currentTimeMillis()
+          if (wait > 0) Thread.sleep(wait)
+        }
+        try {
+          lastFetch = System.currentTimeMillis()
+          val records = fetch(unit)
+          val tmp = new HPath(dir, s"_tmp/${java.util.UUID.randomUUID()}")
+          val out = fs.create(tmp, true)
+          try records.foreach { r => out.write(r.getBytes("UTF-8")); out.write('\n') }
+          finally out.close()
+          // The commit point: first rename wins; a losing duplicate
+          // (or an exception-path orphan) cleans up its temp.
+          if (!fs.rename(tmp, new HPath(dir, fileName(unit))))
+            fs.delete(tmp, false)
+          done = true
+        } catch {
+          // NonFatal excludes InterruptedException: a killed or
+          // cancelled task must STOP fetching, not treat the
+          // interrupt as one more transient upstream error.
+          case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1
+        }
+      }
+      if (!done)
+        failedAcc.add((unit, s"${lastErr.getClass.getSimpleName}: ${lastErr.getMessage}"))
+    }
+  }
+
+  /** A fully-successful run leaves the landing dir clean: reclaim the
+    * temp area (exception-path orphans from THIS run and debris from
+    * earlier flaky ones). A concurrent run's in-flight temp would just
+    * retry its unit — rename-commit keeps correctness.
+    */
+  private def cleanupTmp(s: SparkSession, landingDir: String): Unit = {
+    val hdir = new org.apache.hadoop.fs.Path(landingDir)
+    hdir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(hdir, "_tmp"), true)
+    ()
+  }
+
+  // ----------------------------------------------------------------
+  // keyed detail-fetch variant — per-parent-key fan-out
+  // ----------------------------------------------------------------
+
+  /** Client contract for [[landKeyed]] — the per-parent detail
+    * endpoint (the reference fetches `/movie/{id}/credits` for EACH
+    * movie row: 02_etl.py:136-140 `fetch_movie_credits`, :202-221
+    * `load_cast_for_movies`). `fetch(key)` runs ON EXECUTORS and may
+    * throw; [[landKeyed]] owns retry, backoff, rate limiting, and
+    * failure tolerance. An EMPTY result is a legitimate answer (a
+    * movie with no credits) and still lands an empty file — the
+    * committed checkpoint that stops a resume from refetching it.
+    */
+  trait KeyedApi extends Serializable {
+    def fetch(key: Long): Seq[String]
+  }
+
+  /** Outcome of one [[landKeyed]] run — same contract as
+    * [[ExtractReport]] (failures reported, not thrown; the landed
+    * prefix is the checkpoint), with parent keys as the units.
+    */
+  final case class KeyedExtractReport(landed: Seq[Long], skipped: Seq[Long],
+                                      failed: Seq[(Long, String)]) {
+    def ok: Boolean = failed.isEmpty
+  }
+
+  private val KeyFileName = """key_(\d+)\.jsonl""".r
+
+  /** Parent keys already committed under `landingDir`. */
+  def landedKeys(s: SparkSession, landingDir: String): Set[Long] = {
+    val path = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else fs.listStatus(path).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case KeyFileName(n) => Some(n.toLong)
+        case _              => None
+      }
+    }.toSet
+  }
+
+  /** Distributed per-parent-key detail fetch with the same
+    * atomic-landing / resume / retry / rate-limit discipline as
+    * [[land]]: each parent key is one fetch unit committed as
+    * `key_<k>.jsonl`, landed files ARE the checkpoint, and a rerun
+    * fetches only the gap. This is the reference's credits fan-out
+    * made horizontal — its serial loop holds every fetched cast list
+    * in driver memory and refetches everything on a crash.
+    *
+    * `parentKeys` is a single-column frame (castable to long) and is
+    * never collected: the already-landed set (the driver-held FS
+    * listing) joins against it as a left-anti filter, and the
+    * remaining keys flow straight into the executor fan-out. The
+    * driver holds O(landed keys) for the listing/report — the same
+    * order as [[land]]'s page report. File-per-key is the resume
+    * granularity by design (the reference's unit of partial failure
+    * is one movie's credits); a key space past ~10⁶ wants coarser
+    * units — land key RANGES via [[PageApi]] instead.
+    *
+    * Reporting mirrors [[land]]: ground truth from the directory
+    * listing, accumulator messages trusted only for keys verifiably
+    * not on disk, `_tmp` reclaimed on a clean run.
+    */
+  def landKeyed(s: SparkSession, parentKeys: DataFrame, api: KeyedApi,
+                landingDir: String, parallelism: Int = 8, maxRetries: Int = 3,
+                backoffMs: Long = 5, minFetchIntervalMs: Long = 0): KeyedExtractReport = {
+    require(parallelism > 0 && maxRetries >= 0 && backoffMs >= 0 && minFetchIntervalMs >= 0,
+      "keyed-extract knobs must be non-negative (parallelism positive)")
+    require(parentKeys.columns.length == 1,
+      s"parentKeys must be a single key column, got ${parentKeys.columns.mkString(", ")}")
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    val already = landedKeys(s, landingDir)
+    val wanted = parentKeys.select(col(parentKeys.columns.head).cast("long").as("k"))
+      .filter(col("k").isNotNull).distinct()
+    val remaining =
+      if (already.isEmpty) wanted
+      else wanted.join(already.toSeq.toDF("k"), Seq("k"), "left_anti")
+
+    val failedAcc = s.sparkContext.collectionAccumulator[(Long, String)]("failed_keys")
+    val loop = commitLoop(
+      new org.apache.spark.util.SerializableConfiguration(s.sparkContext.hadoopConfiguration),
+      landingDir, u => s"key_$u.jsonl", api.fetch,
+      maxRetries, backoffMs, minFetchIntervalMs, failedAcc)
+    remaining.repartition(parallelism).as[Long].rdd.foreachPartition(loop(_))
+
+    val onDisk = landedKeys(s, landingDir)
+    val landed = (onDisk -- already).toSeq.sorted
+    val failed = failedAcc.value.asScala.toSeq
+      .filterNot { case (k, _) => onDisk(k) }.sortBy(_._1)
+    if (failed.isEmpty) cleanupTmp(s, landingDir)
+    KeyedExtractReport(landed, already.toSeq.sorted, failed)
+  }
+
+  /** Distributed read of keyed landings — [[readLanded]]'s twin for
+    * `key_*.jsonl` files. */
+  def readLandedKeys(s: SparkSession, landingDir: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(Paths.get(landingDir).resolve("key_*.jsonl").toString)
 
   /** A [[PageApi]] serving pages from a `pg=N/` directory tree of
     * JSONL part files — the deterministic stand-in for a remote API,
@@ -326,6 +445,61 @@ object PagedExtract {
     * hash-verified against DuckDB. Driver memory stays O(1): the store
     * build is a distributed write and every fetch touches one page.
     */
+  /** [[FilePageApi]]'s keyed twin: serves each parent key from its
+    * `sk=N/` directory. A MISSING directory is an empty detail list,
+    * not an error — dynamic partition writes create no directory for
+    * an empty group, and a parent with zero details is a legitimate
+    * upstream answer (see [[KeyedApi]]).
+    */
+  final class FileKeyedApi(storeDir: String) extends KeyedApi {
+    override def fetch(key: Long): Seq[String] = {
+      val d = new java.io.File(storeDir, s"sk=$key")
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+        .sortBy(_.getName).toSeq
+        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+    }
+  }
+
+  val keyedDemoSchema: StructType = StructType(Seq(
+    StructField("supp_key", LongType), StructField("l_orderkey", LongType),
+    StructField("l_partkey", LongType), StructField("l_linenumber", LongType)))
+
+  /** End-to-end demo of [[landKeyed]] for the driver contract: every
+    * supplier key fans out to a `/supplier/{id}/lines`-style endpoint
+    * (a [[FileKeyedApi]] store of the supplier's lineitems for its
+    * `l_partkey % 20 == 0` tracked parts — the mod filter bounds the
+    * demo's JSONL round-trip, not the machinery), lands distributed,
+    * reads the landing dir back. The oracle is the same projection of
+    * lineitem straight from parquet, so fan-out + landing + read are
+    * hash-verified against DuckDB. Store build is a distributed
+    * partitioned write; nothing corpus-sized touches the driver.
+    */
+  def demoKeyedExtract(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val store = Files.createTempDirectory("graft_kstore").toString
+    val landing = Files.createTempDirectory("graft_kextract").toString
+    graft.Caches.onClear { () =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(store)); rm(new java.io.File(landing))
+    }
+    graft.Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 20 === 0)
+      .select(col("l_suppkey").cast("long").as("supp_key"),
+              col("l_orderkey").cast("long").as("l_orderkey"),
+              col("l_partkey").cast("long").as("l_partkey"),
+              col("l_linenumber").cast("long").as("l_linenumber"))
+      .withColumn("sk", col("supp_key"))
+      .write.mode("overwrite").partitionBy("sk").json(store)
+    val parents = graft.Tables.supplier(s, dir).select(col("s_suppkey"))
+    val report = landKeyed(s, parents, new FileKeyedApi(store), landing)
+    require(report.ok, s"demo keyed extract lost keys: ${report.failed}")
+    readLandedKeys(s, landing, keyedDemoSchema)
+      .orderBy("supp_key", "l_orderkey", "l_linenumber")
+  }
+
   def demoExtract(s: SparkSession, dir: String, pageSize: Int = 100): DataFrame = {
     val store = Files.createTempDirectory("graft_store").toString
     val landing = Files.createTempDirectory("graft_extract").toString

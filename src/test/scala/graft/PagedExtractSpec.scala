@@ -39,11 +39,28 @@ class SyntheticApi(run: String, flakyEvery: Int = 0, dead: Set[Int] = Set.empty)
   }
 }
 
+/** Keyed twin of [[SyntheticApi]]: keys 11-13 carry 2 detail records
+  * each, key 14 has none (the empty-details case); keys in `dead`
+  * fail every attempt.
+  */
+class SyntheticKeyedApi(run: String, dead: Set[Long] = Set.empty)
+    extends PagedExtract.KeyedApi {
+  override def fetch(key: Long): Seq[String] = {
+    FetchLog.bump(run, key.toInt)
+    if (dead.contains(key)) throw new RuntimeException(s"key $key is gone")
+    if (key == 14L) Seq.empty
+    else (0 until 2).map(i => s"""{"parent":$key,"detail":${key * 10 + i}}""")
+  }
+}
+
 class PagedExtractSpec extends AnyFunSuite with SparkFixture {
   import org.apache.spark.sql.types._
 
   private val schema = StructType(Seq(
     StructField("id", LongType), StructField("page", LongType)))
+
+  private val kschema = StructType(Seq(
+    StructField("parent", LongType), StructField("detail", LongType)))
 
   private def newDir() = Files.createTempDirectory("graft_paged").toString
 
@@ -106,6 +123,49 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
     assert(PagedExtract.land(spark, new SyntheticApi("tmpclean"), dir).ok)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_tmp")),
       "_tmp must be deleted once every page landed")
+  }
+
+  test("landKeyed: clean run lands every parent key exactly once, empty details included") {
+    import spark.implicits._
+    val dir = newDir()
+    val keys = Seq(11L, 12L, 13L, 14L).toDF("parent")
+    val report = PagedExtract.landKeyed(spark, keys, new SyntheticKeyedApi("kclean"), dir)
+    assert(report.ok && report.skipped.isEmpty)
+    assert(report.landed == Seq(11L, 12L, 13L, 14L))
+    Seq(11, 12, 13, 14).foreach(k => assert(FetchLog.count("kclean", k) == 1))
+    // key 14 has no details: still landed (empty file), still a checkpoint
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "key_14.jsonl")))
+    val rows = PagedExtract.readLandedKeys(spark, dir, kschema).collect()
+    assert(rows.length == 6) // 11,12,13 × 2 details; 14 × 0
+  }
+
+  test("landKeyed: hard failures reported, rerun refetches ONLY the gap") {
+    import spark.implicits._
+    val dir = newDir()
+    val keys = Seq(11L, 12L, 13L).toDF("parent")
+    val broken = PagedExtract.landKeyed(spark, keys,
+      new SyntheticKeyedApi("kdead", dead = Set(12L)), dir, maxRetries = 1)
+    assert(!broken.ok && broken.failed.map(_._1) == Seq(12L))
+    assert(broken.landed == Seq(11L, 13L))
+    assert(FetchLog.count("kdead", 12) == 2, "maxRetries=1 -> exactly 2 attempts")
+
+    val healed = PagedExtract.landKeyed(spark, keys, new SyntheticKeyedApi("khealed"), dir)
+    assert(healed.ok && healed.landed == Seq(12L) && healed.skipped == Seq(11L, 13L))
+    Seq(11, 13).foreach(k =>
+      assert(FetchLog.count("khealed", k) == 0, s"landed key $k must not be refetched"))
+
+    val noop = PagedExtract.landKeyed(spark, keys, new SyntheticKeyedApi("knoop"), dir)
+    assert(noop.ok && noop.landed.isEmpty && noop.skipped == Seq(11L, 12L, 13L))
+  }
+
+  test("demoKeyedExtract equals the direct lineitem projection") {
+    val out = PagedExtract.demoKeyedExtract(spark, sf)
+    val direct = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_partkey") % 20 === 0)
+      .selectExpr("CAST(l_suppkey AS LONG) supp_key", "CAST(l_orderkey AS LONG) l_orderkey",
+        "CAST(l_partkey AS LONG) l_partkey", "CAST(l_linenumber AS LONG) l_linenumber")
+    assert(out.exceptAll(direct).count() == 0 && direct.exceptAll(out).count() == 0)
+    assert(out.count() > 0 && out.count() == direct.count())
   }
 
   test("demoExtract pages the documents table in doc_id-rank order") {
