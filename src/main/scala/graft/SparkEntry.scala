@@ -73,6 +73,7 @@ object SparkEntry {
     "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     "graph_triangles"       -> (GraphOps.graphTriangles _),
     "graph_similar_parts"   -> ((s, d) => GraphOps.graphSimilarParts(s, d)),
+    "graph_components"      -> (GraphOps.graphComponents _),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
+    "semdedup_keep_central"   -> ((s, d) => Dedup.semdedupKeepCentral(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_edit_distance"    -> ((s, d) => Dedup.dedupEditDistance(s, d)),
@@ -380,6 +382,27 @@ object SparkEntry {
                UNION ALL SELECT z FROM t)
          SELECT node AS part_key, COUNT(*) AS n_triangles
          FROM n GROUP BY node ORDER BY part_key""",
+    // Same co-purchase edge derivation as graph_triangles; the reach
+    // CTE is the recursive min-label chase precedented by
+    // dedup_clusters' oracle (reps only decrease along a chain, so
+    // MIN over all chase steps equals the engine's fixpoint).
+    "graph_components" ->
+      """WITH RECURSIVE
+         pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+               FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                  AND x.l_partkey < y.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+         nodes AS (SELECT DISTINCT a AS part_key FROM sym),
+         reach(part_key, r) AS (
+           SELECT part_key, part_key AS r FROM nodes
+           UNION
+           SELECT s.a AS part_key, c.r FROM sym s JOIN reach c ON s.b = c.part_key),
+         comp AS (SELECT part_key, MIN(r) AS component FROM reach GROUP BY part_key)
+         SELECT part_key, component,
+                CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+         FROM comp ORDER BY part_key""",
     "stream_interval_join" ->
       """WITH sg AS (
            SELECT user_id, event_id AS signup_event_id, epoch_ns(ts) AS s_ns
@@ -1004,6 +1027,48 @@ object SparkEntry {
            SELECT s.a AS vec_id, c.r FROM sym s JOIN reach c ON s.b = c.vec_id)
          SELECT vec_id, MIN(r) AS rep_vec_id, MIN(r) <> vec_id AS is_dup
          FROM reach GROUP BY vec_id ORDER BY vec_id""",
+    // Same CC chase as dedup_semantic_clusters, then exact integer
+    // centroid math: micro-unit vectors (floor(1e6*x), the VecSumMicro
+    // element op), centroid = per-dim sum TRUNC-divided by n (exact in
+    // double at oracle scale; the engine divides in long), squared-
+    // distance argmin per cluster. range(1,65) indexes the testdata's
+    // 64-dim embeddings (per-corpus oracle, like the ANN sums).
+    "semdedup_keep_central" ->
+      """WITH RECURSIVE
+         pairs AS (
+           SELECT a.vec_id AS a, b.vec_id AS b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+         sym AS (
+           SELECT a, b FROM pairs
+           UNION ALL
+           SELECT b AS a, a AS b FROM pairs),
+         reach(vec_id, r) AS (
+           SELECT vec_id, vec_id AS r FROM embeddings
+           UNION
+           SELECT s.a AS vec_id, c.r FROM sym s JOIN reach c ON s.b = c.vec_id),
+         comp AS (SELECT vec_id, MIN(r) AS component FROM reach GROUP BY vec_id),
+         m AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                                 x -> CAST(FLOOR(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)) AS mv
+           FROM embeddings),
+         ex AS (
+           SELECT c.component, c.vec_id, r.i, m.mv[CAST(r.i AS INT)] AS v
+           FROM comp c JOIN m ON m.vec_id = c.vec_id, range(1, 65) r(i)),
+         cen AS (
+           SELECT component, i,
+                  CAST(TRUNC(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY component, i),
+         d AS (
+           SELECT ex.component, ex.vec_id,
+                  CAST(SUM((ex.v - cen.cv) * (ex.v - cen.cv)) AS BIGINT) AS center_dist
+           FROM ex JOIN cen ON cen.component = ex.component AND cen.i = ex.i
+           GROUP BY ex.component, ex.vec_id)
+         SELECT vec_id, component, center_dist,
+                ROW_NUMBER() OVER (PARTITION BY component
+                                   ORDER BY center_dist, vec_id) = 1 AS is_kept
+         FROM d ORDER BY vec_id""",
     "dedup_embedding_cosine" ->
       """WITH pairs AS (
            SELECT a.vec_id AS a, b.vec_id AS b
@@ -1249,6 +1314,42 @@ object SparkEntry {
          SELECT t.doc_id, CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
                 COALESCE(hit.n_hits, 0) > 0 AS contaminated
          FROM t LEFT JOIN hit USING (doc_id) WHERE t.doc_id % 97 <> 0 ORDER BY doc_id""",
+    "corpus_shuffle" ->
+      """WITH k AS (
+           SELECT doc_id,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12) AS BIGINT) AS shuffle_key
+           FROM documents)
+         SELECT doc_id, shuffle_key % 8 AS shard,
+                CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+                                        ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_pos,
+                shuffle_key
+         FROM k ORDER BY doc_id""",
+    "corpus_budget_select" ->
+      """WITH t AS (
+           SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+         c AS (
+           SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens,
+                  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws,
+                  CAST(len(list_filter(string_split(norm, ' '),
+                                       x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stop,
+                  CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                  CAST(length(norm) AS BIGINT) AS n_chars
+           FROM t),
+         r AS (
+           SELECT doc_id, source, n_tokens,
+                  CAST(LEAST(100, CAST(FLOOR((CAST(FLOOR(100.0*n_stop/n_ws) AS BIGINT)
+                                              + CAST(FLOOR(100.0*n_alpha/n_chars) AS BIGINT))/2.0) AS BIGINT)) AS BIGINT) AS quality_score
+           FROM c),
+         w AS (
+           SELECT doc_id, source, n_tokens, quality_score,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY source
+                                           ORDER BY quality_score DESC, doc_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM r)
+         SELECT doc_id, source, n_tokens, quality_score, cum_tokens,
+                cum_tokens <= 1000 AS selected
+         FROM w ORDER BY doc_id""",
     "corpus_manifest" ->
       """WITH d AS (
            SELECT source, lang,

@@ -189,27 +189,53 @@ object Multimodal {
   /** Decoded-content row produced by the batch decoder. */
   case class DecodedMeta(doc_id: Long, n_bytes: Long, content_feature: Long)
 
+  /** Codec contract for [[decodeBatched]] — the injection point a
+    * container WITH real image/audio libraries fills, leaving the
+    * operator (and its plan) unmodified. `open()` runs ONCE PER
+    * PARTITION on the executor (amortized codec/model init — the
+    * expensive part of real decoders); the function it returns decodes
+    * each blob to its content feature. Serializable: the codec object
+    * ships in the task closure, its `open()`ed state never does.
+    */
+  trait MediaCodec extends Serializable {
+    def open(): Array[Byte] => Long
+  }
+
+  /** Default codec: the same deterministic md5 digest as
+    * [[decodeStub]] (no codecs in this container — declared stub).
+    * MultimodalSpec asserts the batched and expression paths agree
+    * byte-for-byte.
+    */
+  object Md5StubCodec extends MediaCodec {
+    override def open(): Array[Byte] => Long = {
+      // per-partition "codec" init happens once, here
+      val md = java.security.MessageDigest.getInstance("MD5")
+      bytes => {
+        md.reset()
+        java.lang.Long.parseLong(
+          md.digest(bytes).take(3).map(b => f"$b%02x").mkString, 16)
+      }
+    }
+  }
+
   /** The BATCH decode path a real codec plugs into: `mapPartitions`
     * over (id, payload) rows, so a partition's blobs stream through one
     * decoder instance (the shape `mapInPandas` gives Python codecs —
-    * amortized model/codec init, batch-friendly). The decoder here is
-    * the same deterministic md5 stub as [[decodeStub]] — MultimodalSpec
-    * asserts both paths agree byte-for-byte — but the signature
+    * amortized init, batch-friendly). The codec is injected (see
+    * [[MediaCodec]]); the default is the md5 stub. The signature
     * (Iterator[bytes] in, typed rows out, row-local, no shuffle) is
-    * exactly what a pixel/sample decoder would have.
+    * exactly what a pixel/sample decoder has, and the PLAN is codec-
+    * independent — MultimodalSpec pins that swapping codecs leaves the
+    * physical plan shape unchanged.
     */
-  def decodeBatched(s: SparkSession, payloads: DataFrame): DataFrame = {
+  def decodeBatched(s: SparkSession, payloads: DataFrame,
+                    codec: MediaCodec = Md5StubCodec): DataFrame = {
     import s.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec" init happens once, here
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) =>
-          md.reset()
-          val hex = md.digest(bytes).take(3).map(b => f"$b%02x").mkString
-          DecodedMeta(id, bytes.length.toLong, java.lang.Long.parseLong(hex, 16))
-        }
+        val decode = codec.open()
+        it.map { case (id, bytes) => DecodedMeta(id, bytes.length.toLong, decode(bytes)) }
       }
       .toDF()
   }

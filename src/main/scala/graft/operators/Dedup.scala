@@ -493,7 +493,16 @@ object Dedup {
   /** 64-bit SimHash over the token multiset + 4×16-bit hamming-band
     * bucketing; candidates verified with bit_count(xor) ≤ 3. A pair
     * within hamming distance d is guaranteed to agree on ≥ one of
-    * (d+1) bands, so 4 bands exactly covers d ≤ 3.
+    * (d+1) bands, so 4 bands exactly covers d ≤ 3 — a DETERMINISTIC
+    * cover, unlike MinHash banding's probabilistic recall.
+    *
+    * Why this key is rows-only in the driver gate while every other
+    * dedup key is hash-checked: the DuckDB oracle reads only the input
+    * parquet tables, and the signature is xxhash64-derived, which
+    * DuckDB cannot recompute — and the signature is also an output
+    * column, so no construction avoids it. The full-strength check
+    * lives in DedupSpec instead: banded verdicts == plain all-pairs
+    * hamming verdicts, exactly (the cover argument made a test).
     */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // One codegen'd pass (graft.functions.SimHash64): each token hashed
@@ -806,5 +815,57 @@ object Dedup {
                             tau: Double = 0.9): DataFrame = {
     val (ids, verified) = embeddingVerifiedPairs(s, dir, nBands, bitsPerBand, tau)
     connectedComponents(ids, verified, "vec_id")
+  }
+
+  /** SemDeDup's actual KEEP rule, completing the semantic family:
+    * [[dedupSemanticClusters]] finds the paraphrase clusters, this
+    * picks each cluster's representative as the member CLOSEST TO THE
+    * CLUSTER CENTROID (the paper's rule — the most typical member,
+    * where min-id is arbitrary and [[dedupKeepBest]]'s quality argmax
+    * is text-based).
+    *
+    * All-integral for cross-engine exactness: member vectors and the
+    * centroid live in micro-units (floor(1e6·x) — the same per-element
+    * op as [[graft.functions.VecSumMicro]], which computes the
+    * per-cluster sums as ONE partial-aggregated long[dim] state),
+    * centroid = sum div n (Java/SQL truncating division in both
+    * engines), distance = Σ(x_i − c_i)² in long arithmetic (≤ 4e12 per
+    * dim · dim ≪ 2⁶³). A float centroid would be partition-order-
+    * dependent and could never hash-match.
+    *
+    * Scale shape: clustering is the shared CC iterator; the centroid
+    * aggregate shuffles one fixed-width state per (partition, cluster);
+    * the centroid table (|clusters| rows) joins back size-guard-
+    * broadcast; the distance is a row-local fused lambda; one
+    * cluster-keyed window picks the argmin. Nothing corpus-broadcast,
+    * nothing driver-side.
+    */
+  def semdedupKeepCentral(s: SparkSession, dir: String,
+                          nBands: Int = 8, bitsPerBand: Int = 6,
+                          tau: Double = 0.9): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val cc = dedupSemanticClusters(s, dir, nBands, bitsPerBand, tau)
+      .select(col("vec_id"), col("rep_vec_id").as("component"))
+    val emb = graft.Caches.cached(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val members = cc.join(emb, "vec_id")
+    val cents = members.groupBy("component")
+      .agg(call_function("graft_vec_sum_micro", col("embedding")).as("sum_micro"),
+           count(lit(1)).as("n_members"))
+      .select(col("component"),
+              expr("transform(sum_micro, s -> s div n_members)").as("centroid_micro"))
+    val d = members.join(Hints.maybeBroadcast(cents), "component")
+      .select(col("vec_id"), col("component"),
+        expr("""aggregate(
+                  zip_with(
+                    transform(embedding,
+                              x -> CAST(FLOOR(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)),
+                    centroid_micro,
+                    (x, c) -> (x - c) * (x - c)),
+                  0L, (acc, v) -> acc + v)""").as("center_dist"))
+    val w = Window.partitionBy("component").orderBy(col("center_dist"), col("vec_id"))
+    d.withColumn("is_kept", row_number().over(w) === 1)
+      .select("vec_id", "component", "center_dist", "is_kept")
+      .orderBy("vec_id")
   }
 }

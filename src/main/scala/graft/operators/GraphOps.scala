@@ -169,8 +169,8 @@ object GraphOps {
     * distinct + self-join formulation pays a third full-table
     * shuffle for the same answer. Output: (a, b) with a < b.
     */
-  private[operators] def copurchaseEdges(s: SparkSession, dir: String,
-                                         minSupport: Int = 2): DataFrame =
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String,
+                                     minSupport: Int = 2): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
       .select(array_sort(col("parts")).as("ps"))
@@ -244,6 +244,33 @@ object GraphOps {
       .filter(col("rank") <= topK)
       .select("part_key", "rank", "similar_part", "n_common", "jaccard_x1000")
       .orderBy("part_key", "rank")
+  }
+
+  /** Connected components of the part co-purchase graph — the
+    * "product family" discovery primitive over the same
+    * [[copurchaseEdges]] substrate the triangle and similarity
+    * operators read: every part in the support-≥2 graph labeled with
+    * the smallest part key reachable through any chain of co-purchase
+    * links, plus its family's size. Reuses the shared pointer-doubling
+    * min-label iterator ([[Dedup.connectedComponents]] — one cached
+    * symmetrized edge list, O(log diameter) rounds, per-round
+    * checkpoint lifecycle), so graph CC and dedup-cluster CC cannot
+    * drift. Family sizes come from one component-keyed partial
+    * aggregate joined back through the size-guarded broadcast.
+    * Scale story = the iterator's: everything shuffles on node keys,
+    * nothing is corpus-broadcast, and the support floor keeps the
+    * edge set sparse as orders grow.
+    */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    val ids = edges.select(col("a").as("part_key"))
+      .unionAll(edges.select(col("b").as("part_key"))).distinct()
+    val cc = Dedup.connectedComponents(ids, edges, "part_key")
+      .select(col("part_key"), col("rep_part_key").as("component"))
+    val sizes = cc.groupBy("component").agg(count(lit(1)).as("component_size"))
+    cc.join(Hints.maybeBroadcast(sizes), "component")
+      .select("part_key", "component", "component_size")
+      .orderBy("part_key")
   }
 
   /** The unrolled DuckDB oracle for [[pageRank]] — the same integral

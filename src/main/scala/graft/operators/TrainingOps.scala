@@ -360,6 +360,86 @@ object TrainingOps {
     * content hash is [[Dedup.dedupExactHash]]'s sha2-256, so the card
     * reports the same numbers the pipeline's other stages act on.
     */
+  /** Deterministic global training-order shuffle — the "shuffle the
+    * corpus before sharding" step every pretraining run needs, as a
+    * pure function of (doc_id, seed): shuffle key = 48 bits of
+    * md5(doc_id:seed) (md5 for the same reason as
+    * [[sampleSplitHash]] — the one keyed hash both engines compute
+    * identically), shard = key mod nShards, position = rank of
+    * (key, doc_id) WITHIN the shard. Same corpus, same seed → same
+    * layout on any cluster, any partitioning; a new seed is a fresh
+    * permutation.
+    *
+    * Scale shape: the key is a row-local projection; ranking
+    * partitions by SHARD, so no global sort-partition funnel (the
+    * same trap [[packSequences]] documents) — each shard's window
+    * sorts independently and shard count is the parallelism dial. At
+    * 100 TB the materializing form is `repartitionByRange(shard,
+    * key)` + `sortWithinPartitions` + partitioned write, which is
+    * exactly this plan with the window replaced by the writer.
+    */
+  def corpusShuffle(s: SparkSession, dir: String, nShards: Int = 8,
+                    seed: Int = 42): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val key = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(s":$seed"))), 1, 12), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", col("shuffle_key") % nShards)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "shard_pos", "shuffle_key")
+      .orderBy("doc_id")
+  }
+
+  /** Quality-ranked token-budget selection per source — the
+    * data-selection step of corpus assembly ("keep only the best N
+    * tokens of each source"): within a source, docs rank by
+    * (quality desc, doc_id), BPE token counts accumulate over that
+    * order, and a doc is selected while the running total stays
+    * within `budget`. Greedy-by-quality under a token budget is the
+    * standard curation rule when a source must shrink to fit its mix
+    * allocation (the knob [[mixWeighted]] applies by REPLICATION,
+    * this one applies by TRUNCATION).
+    *
+    * Quality is [[TextOps.textQualityScore]]'s integer score and
+    * tokens are [[TextOps.textTokenCount]]'s BPE-ish count — same
+    * definitions as everywhere else in the engine, recomputed here in
+    * the same single normalize+tokenize pass. ONE window shuffle on
+    * source; per-source ordering never crosses sources, so
+    * parallelism is the source count and a hot source is AQE's skew
+    * case, not a plan rewrite.
+    */
+  def corpusBudgetSelect(s: SparkSession, dir: String, budget: Long = 1000): DataFrame = {
+    require(budget >= 0, s"budget $budget must be non-negative")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("source"), col("norm"),
+              split(col("norm"), " ").as("toks"))
+    val scored = d
+      .select(
+        col("doc_id"), col("source"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_tokens"),
+        markerCountIn(col("toks"), TextOps.stopwords).as("n_stop"),
+        size(col("toks")).cast("long").as("n_ws"),
+        length(regexp_replace(col("norm"), "[^a-z]", "")).cast("long").as("n_alpha"),
+        length(col("norm")).cast("long").as("n_chars"))
+      .withColumn("quality_score",
+        least(lit(100L),
+          floor((ratioX100(col("n_stop"), col("n_ws"))
+                 + ratioX100(col("n_alpha"), col("n_chars"))) / 2.0).cast("long")))
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("selected", col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "quality_score", "cum_tokens", "selected")
+      .orderBy("doc_id")
+  }
+
   def corpusManifest(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(

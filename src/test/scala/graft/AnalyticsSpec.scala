@@ -423,6 +423,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("graph_components: edge-consistent labels, exact sizes, crafted shapes") {
+    import graft.operators.GraphOps
+    import spark.implicits._
+    // crafted: two components {1,2,3} (path) and {10,11} + the CC
+    // helper itself is proven in DedupSpec; this pins the graph facade
+    val crafted = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val ids = crafted.select(col("a").as("k"))
+      .unionAll(crafted.select(col("b").as("k"))).distinct()
+    val cc = graft.operators.Dedup.connectedComponents(ids, crafted, "k")
+    assert(cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    Caches.clear()
+    val out = GraphOps.graphComponents(spark, sf).cache()
+    // labels are edge-consistent: both endpoints of every co-purchase
+    // edge carry the same component
+    val edges = GraphOps.copurchaseEdges(spark, sf)
+    val la = out.select(col("part_key").as("a"), col("component").as("ca"))
+    val lb = out.select(col("part_key").as("b"), col("component").as("cb"))
+    assert(edges.join(la, "a").join(lb, "b").filter(col("ca") =!= col("cb")).count() == 0)
+    // sizes are exact member counts and the component is its own min member
+    val recount = out.groupBy("component").agg(
+      count(lit(1)).as("n"), min("part_key").as("mn"))
+    assert(out.join(recount, "component")
+      .filter(col("component_size") =!= col("n") || col("component") =!= col("mn"))
+      .count() == 0)
+    out.unpersist()
+    Caches.clear()
+  }
+
   test("graph_similar_parts equals the materialized-neighbor-set road") {
     import graft.operators.GraphOps
     val out = GraphOps.graphSimilarParts(spark, sf)

@@ -58,6 +58,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("dedup_simhash equals the all-pairs hamming road — the 4-band cover of d<=3 is LOSSLESS") {
+    // The DuckDB gate can't check this key (the oracle reads only the
+    // input parquet and DuckDB has no xxhash64 to re-derive the
+    // signature), so the full-strength check lives here: unlike
+    // MinHash banding (probabilistic recall), 4 bands over 64 bits
+    // cover hamming <= 3 DETERMINISTICALLY (pigeonhole: 4 mismatched
+    // bits can't touch all 4 bands), so the banded operator must equal
+    // plain all-pairs exactly — verdict for verdict, not just recall.
+    import graft.functions.TextFunctions.tokens
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"), call_function("graft_simhash", tokens(col("text"))).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = sigs.map { case (d, sd) =>
+      val smaller = sigs.iterator
+        .filter { case (a, sa) => a < d && java.lang.Long.bitCount(sa ^ sd) <= 3 }
+        .map(_._1)
+      if (smaller.hasNext) { val rep = smaller.min; (d, rep, true) } else (d, d, false)
+    }.toSeq
+    val got = Dedup.dedupSimhash(spark, sf)
+      .select("doc_id", "rep_doc_id", "is_dup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sortBy(_._1)
+    assert(got == expected)
+    assert(expected.count(_._3) > 0, "corpus must exercise the dup path for this to mean anything")
+  }
+
   test("dedup_ngram_jaccard: OPH banding yields the identical verified output") {
     val classic = graft.operators.Dedup.dedupNgramJaccard(spark, sf)
     val oph = graft.operators.Dedup.dedupNgramJaccard(spark, sf, useOph = true)
@@ -149,6 +175,44 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val pairs = Dedup.dedupEmbeddingCosine(spark, dir, nBands = 16, bitsPerBand = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(pairs(3L) == 2L)
+    graft.Caches.clear()
+  }
+
+  test("semdedup_keep_central keeps the centroid-closest member, not the min id") {
+    import spark.implicits._
+    def v(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_semc").toString
+    Seq(
+      (1L, v(0)), (2L, v(16)), (3L, v(32)),
+      (40L, Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val out = Dedup.semdedupKeepCentral(spark, dir, nBands = 16, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(out.filter(_._2 == 1L).map(_._1).toSet == Set(1L, 2L, 3L))
+    // the angular middle (16°) is the centroid-closest representative —
+    // min-id labeling would keep 1
+    assert(byId(2L)._4 && !byId(1L)._4 && !byId(3L)._4)
+    // singleton: kept, centroid is itself, distance exactly 0
+    assert(byId(40L)._4 && byId(40L)._3 == 0L)
+    // independent plain-Scala micro-unit recompute of every distance
+    val vecs = Map(1L -> v(0), 2L -> v(16), 3L -> v(32))
+    val micro = vecs.map { case (k, a) => k -> a.map(x => math.floor(1e6 * x).toLong) }
+    val cen = Array.tabulate(8)(i => micro.values.map(_(i)).sum / 3)
+    micro.foreach { case (k, mv) =>
+      val dist = mv.zip(cen).map { case (x, c) => (x - c) * (x - c) }.sum
+      assert(byId(k)._3 == dist, s"center_dist of $k")
+    }
+    graft.Caches.clear()
+    // real corpus: exactly one kept member per component
+    val real = Dedup.semdedupKeepCentral(spark, sf)
+    val perComp = real.filter(col("is_kept")).groupBy("component")
+      .agg(count(lit(1)).as("k"))
+    assert(perComp.filter(col("k") =!= 1).count() == 0)
+    assert(real.select("component").distinct().count() == perComp.count())
     graft.Caches.clear()
   }
 

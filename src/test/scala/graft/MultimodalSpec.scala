@@ -30,6 +30,24 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(batch.exceptAll(expr).count() == 0 && expr.exceptAll(batch).count() == 0)
   }
 
+  test("a swapped-in codec changes only the features, never the plan shape") {
+    val payloads = Multimodal.synthesizePayloads(spark, sf)
+    // the "real decoder" a codec-equipped container would inject
+    object FakePixelCodec extends Multimodal.MediaCodec {
+      override def open(): Array[Byte] => Long = bytes => bytes.length * 7L + bytes.head
+    }
+    val custom = Multimodal.decodeBatched(spark, payloads, FakePixelCodec)
+    val expected = payloads.select(col("doc_id"),
+      (length(col("payload")).cast("long") * 7L +
+        ascii(decode(substring(col("payload"), 1, 1), "UTF-8")).cast("long"))
+        .as("content_feature"))
+    assert(custom.select("doc_id", "content_feature").exceptAll(expected).count() == 0)
+    // the operator's plan is codec-independent: same node sequence
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect { case n => n.nodeName }
+    assert(shape(custom) == shape(Multimodal.decodeBatched(spark, payloads)))
+  }
+
   test("frame sampling: video-only, in-range, sorted-distinct, short clips covered") {
     val k = 8
     val out = Multimodal.mmFrameSample(spark, sf, k).cache()

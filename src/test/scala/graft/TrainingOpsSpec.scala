@@ -145,4 +145,52 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     val ref = refBpe(Map("aaa" -> 3L), 2)
     assert(ref == Seq((1L, "a", "a", 6L), (2L, "aa", "a", 3L)))
   }
+
+  test("corpus_shuffle: a seeded permutation — contiguous per-shard positions, balanced, seed-sensitive") {
+    val out = TrainingOps.corpusShuffle(spark, sf).cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    assert(out.count() == n, "every doc appears exactly once")
+    // per shard: positions are exactly 1..count (a permutation, no gaps)
+    val per = out.groupBy("shard").agg(
+      count(lit(1)).as("c"), min("shard_pos").as("lo"), max("shard_pos").as("hi"),
+      countDistinct("shard_pos").as("d"))
+    assert(per.filter(col("lo") =!= 1 || col("hi") =!= col("c") || col("d") =!= col("c"))
+      .count() == 0)
+    // hash sharding balances: no shard above 2x the fair share
+    assert(per.filter(col("c") > lit(2L * n) / 8L).count() == 0)
+    // deterministic under recomputation; a different seed reorders
+    val again = TrainingOps.corpusShuffle(spark, sf)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    val reseeded = TrainingOps.corpusShuffle(spark, sf, seed = 7)
+    assert(out.exceptAll(reseeded).count() > 0, "a new seed must produce a new permutation")
+    out.unpersist()
+  }
+
+  test("corpus_budget_select: greedy-by-quality, per-source token budget never exceeded") {
+    val budget = 1000L
+    val out = TrainingOps.corpusBudgetSelect(spark, sf, budget).cache()
+    assert(out.count() == graft.Tables.documents(spark, sf).count(),
+      "selection REPORTS every doc; selected is the verdict column")
+    // selected tokens per source stay within budget
+    val spent = out.filter(col("selected")).groupBy("source")
+      .agg(sum("n_tokens").as("t"))
+    assert(spent.filter(col("t") > budget).count() == 0)
+    // greedy: an unselected doc never outranks a selected one
+    // ((quality desc, doc_id) order means rejected docs sit strictly
+    // after every selected doc of their source)
+    val sel = out.filter(col("selected"))
+      .groupBy("source").agg(min("quality_score").as("min_sel_q"),
+                             max("doc_id").as("max_sel_id"))
+    val bad = out.filter(!col("selected")).join(sel, "source")
+      .filter(col("quality_score") > col("min_sel_q"))
+    assert(bad.count() == 0, "a rejected doc with higher quality than a selected one breaks greediness")
+    // quality and token definitions agree with the standalone operators
+    val q = graft.operators.TextOps.textQualityScore(spark, sf)
+      .select(col("doc_id"), col("quality_score").as("q2"))
+    assert(out.join(q, "doc_id").filter(col("quality_score") =!= col("q2")).count() == 0)
+    val t = graft.operators.TextOps.textTokenCount(spark, sf)
+      .select(col("doc_id"), col("bpe_tokens"))
+    assert(out.join(t, "doc_id").filter(col("n_tokens") =!= col("bpe_tokens")).count() == 0)
+    out.unpersist()
+  }
 }
