@@ -111,8 +111,11 @@ object SparkEntry {
     "seq_len_histogram" -> (TrainingOps.seqLenHistogram _),
     "pretrain_corpus"   -> ((s, d) => TrainingOps.pretrainCorpus(s, d)),
     "bpe_train"         -> ((s, d) => TrainingOps.bpeTrain(s, d)),
+    "corpus_shuffle"    -> ((s, d) => TrainingOps.corpusShuffle(s, d)),
+    "corpus_budget_select" -> ((s, d) => TrainingOps.corpusBudgetSelect(s, d)),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
+    "hilbert_key"       -> ((s, d) => LayoutOps.hilbertKey(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
@@ -127,6 +130,7 @@ object SparkEntry {
     "text_pii_redact"    -> (TextOps.textPiiRedact _),
     "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
     "doc_top_terms"      -> ((s, d) => TextOps.docTopTerms(s, d)),
+    "bm25_rank"          -> ((s, d) => TextOps.bm25Rank(s, d)),
     "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
     "vocab_encode"       -> ((s, d) => TextOps.vocabEncode(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
@@ -1216,6 +1220,8 @@ object SparkEntry {
            FROM b)
          SELECT doc_id, n_emails, n_phones, n_nums, redacted FROM c ORDER BY doc_id""",
     "zorder_key" -> zorderOracle,
+    "hilbert_key" -> hilbertOracle,
+    "bm25_rank" -> bm25Oracle,
     "knn_graph" -> knnGraphOracle,
     "cohort_retention" ->
       """WITH c AS (
@@ -1620,6 +1626,73 @@ object SparkEntry {
       s"(((user_id >> $i) & 1) << ${2 * i + 1})"))
     s"""SELECT event_id, user_id, CAST(${terms.mkString(" + ")} AS BIGINT) AS zval
         FROM events ORDER BY event_id"""
+  }
+
+  /** Level-by-level unrolled mirror of [[graft.functions.HilbertIndex]]:
+    * unlike the z-key's disjoint-bit sum, the Hilbert recursion
+    * carries MUTABLE state (the reflect/transpose of the sub-square),
+    * so the oracle is a chain of 21 CTEs each advancing (x, y, d) one
+    * level — the same shape as the PageRank unroll. Flips can drive
+    * intermediate x/y negative; `&` on two's-complement BIGINT agrees
+    * between DuckDB and the JVM, so the per-level bit tests match the
+    * engine exactly.
+    */
+  private lazy val hilbertOracle: String = {
+    val bits = 21
+    val levels = (bits - 1) to 0 by -1
+    val steps = levels.zipWithIndex.map { case (lvl, j) =>
+      val s = 1L << lvl
+      s"""l${j + 1} AS (
+         SELECT event_id, user_id,
+                d + ${s * s} * (CASE WHEN (x & $s) <> 0
+                                     THEN 3 - (CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END)
+                                     ELSE (CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END) END) AS d,
+                CASE WHEN (y & $s) = 0
+                     THEN (CASE WHEN (x & $s) <> 0 THEN ${s - 1} - y ELSE y END)
+                     ELSE x END AS x,
+                CASE WHEN (y & $s) = 0
+                     THEN (CASE WHEN (x & $s) <> 0 THEN ${s - 1} - x ELSE x END)
+                     ELSE y END AS y
+         FROM l$j)"""
+    }
+    s"""WITH l0 AS (
+          SELECT event_id, user_id, event_id AS x, user_id AS y,
+                 CAST(0 AS BIGINT) AS d FROM events),
+        ${steps.mkString(",\n")}
+        SELECT event_id, user_id, CAST(d AS BIGINT) AS hval
+        FROM l$bits ORDER BY event_id"""
+  }
+
+  /** Generated from the same term list as [[TextOps.bm25Rank]]'s
+    * default so query and oracle cannot drift. Pure integer BM25 (see
+    * the operator's derivation): per-term contribution is one BIGINT
+    * `//` division, the doc score an order-independent integer sum.
+    */
+  private lazy val bm25Oracle: String = {
+    val terms = Seq("spark", "vector", "dup")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i" }
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+    val contribs = terms.indices.map(i =>
+      s"(22000 * (n_docs - df_$i) * tf_$i * s_tokens) // (10 * s_tokens * tf_$i + 3 * s_tokens + 9 * dl * n_docs)")
+    val matched = terms.indices.map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END")
+    s"""WITH t AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, ${tfCols.mkString(", ")} FROM t),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens,
+                      ${dfCols.mkString(", ")} FROM c),
+        sc AS (SELECT doc_id,
+                      CAST(${contribs.mkString(" + ")} AS BIGINT) AS bm25_x1000,
+                      CAST(${matched.mkString(" + ")} AS BIGINT) AS n_terms_matched
+               FROM c, st),
+        top AS (SELECT * FROM sc WHERE n_terms_matched > 0
+                ORDER BY bm25_x1000 DESC, doc_id LIMIT 50)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25_x1000 DESC, doc_id) AS BIGINT) AS rank,
+               bm25_x1000, n_terms_matched
+        FROM top ORDER BY doc_id"""
   }
 
   /** All-pairs variant of [[annBruteforceOracle]] (same expanded-sum

@@ -38,6 +38,31 @@ object LayoutOps {
       .orderBy("event_id")
   }
 
+  /** Hilbert-curve key over two long columns — the codegen'd
+    * [[graft.functions.HilbertIndex]] expression. See
+    * [[clusterByHilbert]] for the layout this key drives.
+    */
+  def hilbertCol(s: SparkSession, x: Column, y: Column, bits: Int): Column = {
+    GraftFunctions.ensureRegistered(s)
+    call_function("graft_hilbert2", x, y, lit(bits))
+  }
+
+  /** Hilbert-key projection over the events table — the same
+    * (event_id, user_id) domain and bit depth as [[zorderKey]], on the
+    * continuous curve: consecutive key values are always grid-adjacent
+    * cells (Morton jumps diagonally at every power-of-two boundary),
+    * so equal-width key ranges cover tighter rectangles and the
+    * range-partitioned files prune strictly better on either-column
+    * predicates — why clustering engines moved Z-order → Hilbert.
+    * Same loud out-of-range failure, same row-local two-column scan.
+    */
+  def hilbertKey(s: SparkSession, dir: String, bits: Int = 21): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_id"), col("user_id"),
+        hilbertCol(s, col("event_id"), col("user_id"), bits).as("hval"))
+      .orderBy("event_id")
+  }
+
   /** Cluster a frame for writing: range-partition on the z-key of
     * (`x`, `y`) and sort within partitions, so each output file covers
     * a small rectangle of the 2-D key space and min/max footer stats
@@ -51,4 +76,16 @@ object LayoutOps {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
+
+  /** [[clusterByZorder]] on the Hilbert key — same single
+    * range-exchange, tighter per-file bounding rectangles (the curve's
+    * continuity means an index range never splits across distant
+    * regions of the grid).
+    */
+  def clusterByHilbert(s: SparkSession, df: DataFrame, x: Column, y: Column,
+                       bits: Int = 21, numFiles: Int = 32): DataFrame =
+    df.withColumn("__h", hilbertCol(s, x, y, bits))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
 }

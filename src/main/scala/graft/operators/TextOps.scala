@@ -140,6 +140,65 @@ object TextOps {
       .orderBy("doc_id", "term_rank")
   }
 
+  /** BM25 retrieval ranking of the corpus against a fixed query-term
+    * list — the scoring half of a search/RAG index, ALL-INTEGRAL so it
+    * is partition-order-independent and hash-checkable: with k1=1.2,
+    * b=0.75 the per-term weight tf·(k1+1)/(tf+k1·(1−b+b·dl/avgdl))
+    * clears to the integer ratio 22·tf·S/(10·S·tf+3·S+9·dl·N) once
+    * avgdl=S/N is substituted (S=corpus tokens, N=docs, dl=doc
+    * length), the float idf is replaced by its exact monotone
+    * surrogate (N−df), and each term contributes
+    * (1000·22·(N−df)·tf·S) div (10·S·tf+3·S+9·dl·N) — an integer, so
+    * the doc score is an order-independent integer SUM (a float BM25
+    * sums in partition order and can never hash-match).
+    *
+    * Plan, not a search engine: per-term tf is a row-local
+    * `array-filter size` over the one projected token array (NO
+    * explode/shuffle for a fixed query); (N, S, df…) is ONE 1-row
+    * corpus aggregate cross-joined back broadcast; top-k lands via
+    * TakeOrderedAndProject (no global sort materializes) and the rank
+    * window runs on the ≤k survivors. Numerator bound
+    * 22000·N·tf·S < 2^63 holds through sf10-scale test data;
+    * a 100 TB deployment drops the ×1000 print scale first.
+    */
+  def bm25Rank(s: SparkSession, dir: String,
+               queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
+               k: Int = 50): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
+      s"bm25_rank expects distinct, non-empty query terms, got $queryTerms")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
+        }: _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("s_tokens") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    val scored = toks.crossJoin(broadcast(stats))
+    val prepared = queryTerms.indices.foldLeft(scored) { (d, i) =>
+      val num = lit(22000L) * (col("n_docs") - col(s"df_$i")) * col(s"tf_$i") * col("s_tokens")
+      val den = lit(10L) * col("s_tokens") * col(s"tf_$i") +
+        lit(3L) * col("s_tokens") + lit(9L) * col("dl") * col("n_docs")
+      d.withColumn(s"__num_$i", num).withColumn(s"__den_$i", den)
+        .withColumn(s"c_$i", expr(s"__num_$i div __den_$i"))
+    }
+    val score = queryTerms.indices.map(i => col(s"c_$i")).reduce(_ + _)
+    val matched = queryTerms.indices
+      .map(i => when(col(s"tf_$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    val top = prepared
+      .select(col("doc_id"), score.as("bm25_x1000"), matched.as("n_terms_matched"))
+      .filter(col("n_terms_matched") > 0)
+      .orderBy(col("bm25_x1000").desc, col("doc_id"))
+      .limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25_x1000").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank", "bm25_x1000", "n_terms_matched")
+      .orderBy("doc_id")
+  }
+
   /** Canonical fingerprint key per document (sorted distinct tokens).
     * The 64-bit hash variant ([[graft.functions.TextFunctions.fingerprint64]])
     * is what a 100 TB dedup would shuffle; the string key is emitted

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, SimHash64, SrpSignature, VecSumMicro}
+import graft.functions.{CosineSim, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, SimHash64, SrpSignature, VecSumMicro}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -59,6 +59,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_zorder2"),
       new ExpressionInfo(classOf[InterleaveBits].getName, "graft_zorder2"),
       (args: Seq[Expression]) => InterleaveBits(args(0), args(1), intArg(args, 2, "graft_zorder2"))),
+    (FunctionIdentifier("graft_hilbert2"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert2"),
+      (args: Seq[Expression]) => HilbertIndex(args(0), args(1), intArg(args, 2, "graft_hilbert2"))),
     (FunctionIdentifier("graft_vec_sum_micro"),
       new ExpressionInfo(classOf[VecSumMicro].getName, "graft_vec_sum_micro"),
       (args: Seq[Expression]) => VecSumMicro(args(0))))

@@ -53,6 +53,10 @@ class CodegenOnlySpec extends AnyFunSuite with SparkFixture {
       val z = Seq((5L, 3L)).toDF("x", "y")
         .select(call_function("graft_zorder2", col("x"), col("y"), lit(21))).head().getLong(0)
       assert(z == 27L)
+      // order-1 hilbert quadrant order is (0,0)->(0,1)->(1,1)->(1,0)
+      val h = Seq((1L, 0L)).toDF("x", "y")
+        .select(call_function("graft_hilbert2", col("x"), col("y"), lit(1))).head().getLong(0)
+      assert(h == 3L)
     }
   }
 

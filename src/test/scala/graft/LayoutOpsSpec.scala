@@ -62,6 +62,88 @@ class LayoutOpsSpec extends AnyFunSuite with SparkFixture {
       (ex.getCause != null && ex.getCause.getMessage.contains("graft_zorder2")))
   }
 
+  test("graft_hilbert2 is a bijection with unit-step adjacency (the property Morton lacks)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.HilbertIndex
+    // exhaustive over the order-5 curve: 32x32 = 1024 cells
+    val bits = 5
+    val n = 1 << bits
+    val cells = for { x <- 0 until n; y <- 0 until n } yield
+      (HilbertIndex(Literal(x.toLong), Literal(y.toLong), bits)
+        .eval(null).asInstanceOf[Long], (x, y))
+    val byD = cells.toMap
+    assert(byD.size == n * n, "hilbert index must be a bijection on the grid")
+    assert(cells.map(_._1).min == 0L && cells.map(_._1).max == (n * n - 1).toLong)
+    (0L until (n * n - 1).toLong).foreach { d =>
+      val (x0, y0) = byD(d); val (x1, y1) = byD(d + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1,
+        s"cells at d=$d and ${d + 1} must be grid-adjacent, got ($x0,$y0)->($x1,$y1)")
+    }
+  }
+
+  test("graft_hilbert2 codegen path agrees with interpreted; loud range failure") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.HilbertIndex
+    GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 200).map(_ => (rnd.nextLong().abs % (1L << 21), rnd.nextLong().abs % (1L << 21)))
+    rows.toDF("x", "y")
+      .select(col("x"), col("y"), call_function("graft_hilbert2", col("x"), col("y"), lit(21)).as("h"))
+      .collect()
+      .foreach { r =>
+        val interp = HilbertIndex(Literal(r.getLong(0)), Literal(r.getLong(1)), 21)
+          .eval(null).asInstanceOf[Long]
+        assert(r.getLong(2) == interp)
+      }
+    val ex = intercept[Exception] {
+      Seq((1L << 21, 0L)).toDF("x", "y")
+        .select(call_function("graft_hilbert2", col("x"), col("y"), lit(21))).collect()
+    }
+    assert(ex.getMessage.contains("graft_hilbert2") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("graft_hilbert2")))
+  }
+
+  test("hilbert ranges cover no-wider rectangles than z-order ranges (locality at equal splits)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{HilbertIndex, InterleaveBits}
+    // On the full order-5 grid, split each curve into 16 equal index
+    // ranges and measure each range's bounding-box half-perimeter; the
+    // summed Hilbert extent must not exceed the summed Morton extent
+    // (the continuity advantage that makes equal-width key ranges map
+    // to tighter min/max footer rectangles).
+    val bits = 5; val n = 1 << bits; val ranges = 16; val per = n * n / ranges
+    def extent(key: (Long, Long) => Long): Long = {
+      val cells = for { x <- 0 until n; y <- 0 until n } yield (key(x.toLong, y.toLong), x, y)
+      cells.groupBy(_._1 / per).values.map { g =>
+        (g.map(_._2).max - g.map(_._2).min).toLong + (g.map(_._3).max - g.map(_._3).min).toLong
+      }.sum
+    }
+    val h = extent((x, y) => HilbertIndex(Literal(x), Literal(y), bits).eval(null).asInstanceOf[Long])
+    val z = extent((x, y) => InterleaveBits(Literal(x), Literal(y), bits).eval(null).asInstanceOf[Long])
+    assert(h <= z, s"hilbert summed extent $h must be <= morton $z")
+  }
+
+  test("clusterByHilbert bounds BOTH key dimensions per partition") {
+    val ev = Tables.events(spark, sf)
+    val clustered = LayoutOps.clusterByHilbert(spark, ev,
+      col("event_id"), col("user_id"), bits = 21, numFiles = 8)
+    val spans = clustered
+      .select(col("event_id"), col("user_id"), spark_partition_id().as("pid"))
+      .groupBy("pid")
+      .agg((max("event_id") - min("event_id")).as("ev_span"),
+           (max("user_id") - min("user_id")).as("u_span"),
+           count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .collect()
+    val evGlobal = ev.agg(max("event_id") - min("event_id")).head().getLong(0)
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      assert(r.getLong(1) <= (evGlobal * 2) / 3,
+        s"partition ${r.getInt(0)} event_id span ${r.getLong(1)} vs global $evGlobal")
+    }
+  }
+
   test("clusterByZorder bounds BOTH key dimensions per partition (the skipping property)") {
     val ev = Tables.events(spark, sf)
     val clustered = LayoutOps.clusterByZorder(spark, ev,

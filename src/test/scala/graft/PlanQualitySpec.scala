@@ -163,6 +163,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       && !readSchema.contains("value"), s"schema not pruned: $readSchema")
   }
 
+  test("hilbert_key scan prunes to exactly the two id columns") {
+    val p = plan(graft.operators.LayoutOps.hilbertKey(spark, sf))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+      .split("ReadSchema: ").last
+    assert(readSchema.contains("event_id") && readSchema.contains("user_id")
+      && !readSchema.contains("props") && !readSchema.contains("event_type")
+      && !readSchema.contains("value"), s"schema not pruned: $readSchema")
+  }
+
+  test("bm25_rank is one corpus scan per side of a broadcast stats join; top-k never global-sorts") {
+    val p = plan(graft.operators.TextOps.bm25Rank(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row corpus stats not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k materialized a global sort:\n$p")
+    // the token array must never reach an exchange — scores shuffle, text does not
+    val shuffledToks = p.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .exists(l => l.contains("toks") || l.contains("text"))
+    assert(!shuffledToks, s"token arrays in an exchange:\n$p")
+  }
+
   test("knn_graph broadcasts the neighbor side and prunes top-k map-side") {
     val p = plan(graft.operators.Similarity.knnGraph(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), s"neighbor side not broadcast:\n$p")

@@ -158,4 +158,52 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     // every bigram is two tokens
     assert(out.forall(_.getString(0).split(" ").length == 2))
   }
+
+  test("bm25Rank: integral scores match a single-node recompute; rare terms dominate") {
+    import graft.operators.TextOps
+    import graft.functions.TextFunctions.tokens
+    val terms = Seq("spark", "vector", "dup")
+    val out = TextOps.bm25Rank(spark, sf, terms, k = 20).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // independent plain-Scala recompute of the integral formula
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val n = docs.length.toLong
+    val sTok = docs.map(_._2.length.toLong).sum
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toLong)
+    def score(toks: Seq[String]): (Long, Long) = {
+      val dl = toks.length.toLong
+      val cs = terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toLong
+        (22000L * (n - df) * tf * sTok) / (10L * sTok * tf + 3L * sTok + 9L * dl * n)
+      }
+      (cs.sum, terms.count(t => toks.contains(t)).toLong)
+    }
+    val byDoc = docs.toMap
+    out.foreach { r =>
+      val (expScore, expMatched) = score(byDoc(r.getLong(0)))
+      assert(r.getLong(2) == expScore, s"doc ${r.getLong(0)}")
+      assert(r.getLong(3) == expMatched)
+    }
+    // ranks are 1..k in score-desc order
+    val byRank = out.sortBy(_.getLong(1))
+    assert(byRank.map(_.getLong(1)).toSeq == (1L to out.length).toSeq)
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) => a.getLong(2) > b.getLong(2) ||
+        (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0))
+      case _ => true
+    })
+    // a doc containing the rare term outscores every no-rare-term doc
+    // with comparable tf mass: the (N - df) surrogate keeps idf ordering
+    val rare = terms.last
+    val rareDocs = out.filter(r => byDoc(r.getLong(0)).contains(rare))
+    if (rareDocs.nonEmpty) {
+      val bestNonRare = out.filter(r => !byDoc(r.getLong(0)).contains(rare))
+        .map(_.getLong(2)).maxOption.getOrElse(0L)
+      assert(rareDocs.map(_.getLong(2)).max > bestNonRare,
+        "a rare-term match must outrank common-term-only matches")
+    }
+  }
 }
