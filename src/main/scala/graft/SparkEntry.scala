@@ -131,6 +131,8 @@ object SparkEntry {
     "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
     "doc_top_terms"      -> ((s, d) => TextOps.docTopTerms(s, d)),
     "bm25_rank"          -> ((s, d) => TextOps.bm25Rank(s, d)),
+    "text_bigram_fluency" -> ((s, d) => TextOps.textBigramFluency(s, d)),
+    "inverted_index"     -> ((s, d) => TextOps.invertedIndex(s, d)),
     "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
     "vocab_encode"       -> ((s, d) => TextOps.vocabEncode(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
@@ -1222,6 +1224,49 @@ object SparkEntry {
     "zorder_key" -> zorderOracle,
     "hilbert_key" -> hilbertOracle,
     "bm25_rank" -> bm25Oracle,
+    // Positional bigrams via a correlated lateral range (start index
+    // 1..len-1); c1 is the bigram-HEAD marginal (sum of c2 over w2),
+    // so per-head conditional micro-probs mirror the engine exactly.
+    "text_bigram_fluency" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         exl AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                         i -> struct_pack(w1 := toks[CAST(i AS INT)],
+                                          w2 := toks[CAST(i AS INT) + 1]))) AS bg
+           FROM t),
+         ex AS (SELECT doc_id, struct_extract(bg, 'w1') AS w1,
+                       struct_extract(bg, 'w2') AS w2 FROM exl),
+         c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM ex GROUP BY w1, w2),
+         c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+         model AS (
+           SELECT c2.w1, c2.w2, (c2.c2 * 1000000) // c1.c1 AS prob_micro
+           FROM c2 JOIN c1 ON c1.w1 = c2.w1),
+         per AS (
+           SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(prob_micro) AS BIGINT) AS sp
+           FROM ex JOIN model ON model.w1 = ex.w1 AND model.w2 = ex.w2
+           GROUP BY ex.doc_id)
+         SELECT t.doc_id, CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(per.sp // per.n_bigrams AS BIGINT) AS fluency_micro
+         FROM t LEFT JOIN per ON per.doc_id = t.doc_id
+         ORDER BY t.doc_id""",
+    "inverted_index" ->
+      """WITH t AS (
+           SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+           FROM documents),
+         tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY term, doc_id),
+         df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         r AS (
+           SELECT term, doc_id, tf,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS posting_rank
+           FROM tf)
+         SELECT r.term, r.posting_rank, r.doc_id, r.tf, df.df
+         FROM r JOIN df ON df.term = r.term
+         WHERE r.posting_rank <= 10
+         ORDER BY r.term, r.posting_rank""",
     "knn_graph" -> knnGraphOracle,
     "cohort_retention" ->
       """WITH c AS (

@@ -199,6 +199,75 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-trained bigram language-model fluency score per document —
+    * the KenLM-perplexity-filter stand-in every pretraining pipeline
+    * runs (gibberish and boilerplate have improbable token
+    * transitions), kept ALL-INTEGRAL so it is engine-exact where a
+    * log-prob sum never could be: each bigram (w1,w2) scores
+    * floor(1e6·c(w1,w2)/c(w1·)) — its conditional probability in
+    * micro-units, c(w1·) the bigram-head marginal so probabilities
+    * per head sum to ~1e6 — and a doc's fluency is the integer mean
+    * over its bigram occurrences (sum div count, order-independent).
+    *
+    * Plan: ONE positional-bigram explode of the corpus; the model
+    * (c2, then c1 as a second partial agg over it) is vocab²-bounded
+    * and joins BACK to the exploded corpus through the size-guarded
+    * broadcast — at 100 TB the corpus bigrams never shuffle for the
+    * probability lookup, only the slim (doc_id, prob) pairs shuffle
+    * for the per-doc mean. Docs with <2 tokens carry n_bigrams=0 and
+    * a NULL score (nothing to measure ≠ fluent).
+    */
+  def textBigramFluency(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val ex = docs
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+                    element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = ex.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), expr("c2 * 1000000 div c1").as("prob_micro"))
+    val perDoc = ex.join(Hints.maybeBroadcast(model), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("prob_micro")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"), expr("sp div n_bigrams").as("fluency_micro"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("fluency_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Impact-ordered inverted-index build — the index half of the
+    * search/RAG story [[bm25Rank]] scores against: every term's
+    * posting list, postings ranked by (tf desc, doc_id) and cut at
+    * `maxPostings` (impact ordering — the truncation that lets a
+    * query engine stop after the first block), document frequency
+    * carried per term. One corpus explode + one (doc,term) partial
+    * agg; the df table is vocab-bounded and joins back through the
+    * size-guarded broadcast; the per-term rank window ships with a
+    * map-side WindowGroupLimit so full posting lists never cross the
+    * exchange — key space is the vocabulary, the natural index shard
+    * key at 100 TB.
+    */
+  def invertedIndex(s: SparkSession, dir: String, maxPostings: Int = 10): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("doc_id"))
+    tf.withColumn("posting_rank", row_number().over(w).cast("long"))
+      .filter(col("posting_rank") <= maxPostings)
+      .join(Hints.maybeBroadcast(df), "term")
+      .select("term", "posting_rank", "doc_id", "tf", "df")
+      .orderBy("term", "posting_rank")
+  }
+
   /** Canonical fingerprint key per document (sorted distinct tokens).
     * The 64-bit hash variant ([[graft.functions.TextFunctions.fingerprint64]])
     * is what a 100 TB dedup would shuffle; the string key is emitted

@@ -206,4 +206,60 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
         "a rare-term match must outrank common-term-only matches")
     }
   }
+
+  test("textBigramFluency: integral scores match a single-node bigram LM recompute") {
+    import graft.operators.TextOps
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val bigrams = docs.flatMap { case (id, ts) => ts.sliding(2).collect {
+      case Seq(a, b) => (id, (a, b)) } }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    def prob(bg: (String, String)): Long = c2(bg) * 1000000L / c1(bg._1)
+    val expected = docs.map { case (id, ts) =>
+      val bgs = ts.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      id -> (bgs.length.toLong,
+             if (bgs.isEmpty) None else Some(bgs.map(prob).sum / bgs.length))
+    }.toMap
+    val out = TextOps.textBigramFluency(spark, sf).collect()
+    assert(out.length == docs.length)
+    out.foreach { r =>
+      val (n, f) = expected(r.getLong(0))
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} n_bigrams")
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == f,
+        s"doc ${r.getLong(0)} fluency")
+    }
+    // per-head conditional micro-probs sum to ~1e6 (short only by the
+    // <=|continuations| truncation of each floor)
+    c1.keys.foreach { h =>
+      val s = c2.collect { case ((w1, w2), _) if w1 == h => prob((w1, w2)) }.sum
+      val k = c2.count { case ((w1, _), _) => w1 == h }
+      assert(s <= 1000000L && s > 1000000L - k,
+        s"head $h conditional mass $s with $k continuations")
+    }
+  }
+
+  test("invertedIndex: impact-ordered postings match a recompute; lists cut at maxPostings") {
+    import graft.operators.TextOps
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    val tf = docs.flatMap { case (id, ts) => ts.groupBy(identity).map {
+      case (t, occ) => (t, id, occ.length.toLong) } }
+    val byTerm = tf.groupBy(_._1)
+    val out = TextOps.invertedIndex(spark, sf, maxPostings = 5).collect()
+    val got = out.groupBy(_.getString(0))
+    got.foreach { case (term, rows) =>
+      val exp = byTerm(term).sortBy { case (_, id, t) => (-t, id) }.take(5)
+      assert(rows.length == exp.length && rows.length <= 5)
+      rows.sortBy(_.getLong(1)).zip(exp).foreach { case (r, (_, id, t)) =>
+        assert(r.getLong(2) == id && r.getLong(3) == t)
+        assert(r.getLong(4) == byTerm(term).length.toLong, "df")
+      }
+    }
+    assert(got.keySet == byTerm.keySet, "every corpus term indexed")
+  }
 }
