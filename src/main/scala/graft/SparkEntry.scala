@@ -96,6 +96,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    "ann_pq_topk"         -> ((s, d) => Similarity.annPqTopK(s, d)),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),

