@@ -113,6 +113,7 @@ object SparkEntry {
     "pretrain_corpus"   -> ((s, d) => TrainingOps.pretrainCorpus(s, d)),
     "bpe_train"         -> ((s, d) => TrainingOps.bpeTrain(s, d)),
     "corpus_shuffle"    -> ((s, d) => TrainingOps.corpusShuffle(s, d)),
+    "mix_temperature"   -> ((s, d) => TrainingOps.mixTemperature(s, d)),
     "corpus_budget_select" -> ((s, d) => TrainingOps.corpusBudgetSelect(s, d)),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
@@ -1402,6 +1403,32 @@ object SparkEntry {
          SELECT doc_id, source, n_tokens, quality_score, cum_tokens,
                 cum_tokens <= 1000 AS selected
          FROM w ORDER BY doc_id""",
+    // The ±1-corrected isqrt makes the T=2 weight exact whichever way
+    // either engine's double sqrt rounded — same CASE as the Spark side.
+    "mix_temperature" ->
+      """WITH t AS (
+           SELECT source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+         c AS (
+           SELECT source,
+                  CAST(SUM(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS n_tokens
+           FROM t GROUP BY source),
+         tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM c),
+         sh AS (SELECT source, n_tokens,
+                       (n_tokens * 1000000) // total AS share_x1e6 FROM c, tot),
+         r AS (SELECT source, n_tokens, share_x1e6, share_x1e6 * 1000000 AS a,
+                      CAST(FLOOR(SQRT(CAST(share_x1e6 * 1000000 AS DOUBLE))) AS BIGINT) AS r0
+               FROM sh),
+         w AS (SELECT source, n_tokens, share_x1e6,
+                      CASE WHEN r0 * r0 > a THEN r0 - 1
+                           WHEN (r0 + 1) * (r0 + 1) <= a THEN r0 + 1
+                           ELSE r0 END AS weight_x1e6
+               FROM r),
+         sw AS (SELECT CAST(SUM(weight_x1e6) AS BIGINT) AS sum_w FROM w),
+         al AS (SELECT source, n_tokens, share_x1e6, weight_x1e6,
+                       (10000 * weight_x1e6) // sum_w AS alloc_tokens FROM w, sw)
+         SELECT source, n_tokens, share_x1e6, weight_x1e6, alloc_tokens,
+                (alloc_tokens * 1000000) // n_tokens AS epochs_x1e6
+         FROM al ORDER BY source""",
     "corpus_manifest" ->
       """WITH d AS (
            SELECT source, lang,

@@ -440,6 +440,61 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Exact integer square root as a Column: floor(sqrt(double)) then a
+    * ±1 correction. Double sqrt is correctly rounded in every IEEE
+    * engine but floor() of it can still land one off near perfect
+    * squares — the two guards make the result EXACTLY isqrt(a) no
+    * matter which way the engine rounded, so Spark and the oracle
+    * agree bit-for-bit with no libm trust. Valid for a < 2^62.
+    */
+  private def isqrt(a: Column): Column = {
+    val r0 = floor(sqrt(a.cast("double"))).cast("long")
+    when(r0 * r0 > a, r0 - 1)
+      .when((r0 + 1) * (r0 + 1) <= a, r0 + 1)
+      .otherwise(r0)
+  }
+
+  /** Temperature-flattened source mixing (T=2) — the multilingual /
+    * multi-source rebalance: sampling a source proportionally to
+    * (its share)^(1/T) instead of its share, so big sources shrink
+    * and small ones upsample (the standard fix for head-language
+    * dominance). T=2 keeps the whole computation EXACT-INTEGRAL:
+    * weight = isqrt(1e12·n_s/N) ≈ 1e6·√share (the ±1-corrected
+    * [[isqrt]] — engine-independent with no libm trust), allocation =
+    * budget·w_s div Σw, and epochs_x1e6 = alloc·1e6 div n_s shows the
+    * replication factor (>1e6 ⇒ the source repeats — temperature
+    * sampling's deliberate upsampling of rare sources).
+    *
+    * Plan: one corpus scan → per-source token partial agg (key space
+    * = sources), then two 1-row corpus totals cross-joined broadcast;
+    * everything after the first agg is arithmetic over a frame the
+    * size of the source list.
+    */
+  def mixTemperature(s: SparkSession, dir: String,
+                     budgetTokens: Long = 10000): DataFrame = {
+    require(budgetTokens >= 0, s"budget $budgetTokens must be non-negative")
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), normText(col("text")).as("norm"))
+      .select(col("source"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
+    // share at 1e6 granularity, then ×1e6 before the root, so the
+    // widest intermediate is 1e12 (n_s·1e6 is the only product that
+    // grows with the corpus — headroom to ~9·10¹² tokens per source)
+    val weighted = perSource.crossJoin(broadcast(total))
+      .withColumn("share_x1e6", expr("(n_tokens * 1000000) div total_tokens"))
+      .withColumn("weight_x1e6", isqrt(col("share_x1e6") * lit(1000000L)))
+      .drop("total_tokens")
+    val sumW = weighted.agg(sum(col("weight_x1e6")).as("sum_w"))
+    weighted.crossJoin(broadcast(sumW))
+      .select(col("source"), col("n_tokens"), col("share_x1e6"), col("weight_x1e6"),
+        expr(s"($budgetTokens * weight_x1e6) div sum_w").as("alloc_tokens"))
+      .withColumn("epochs_x1e6", expr("(alloc_tokens * 1000000) div n_tokens"))
+      .orderBy("source")
+  }
+
   def corpusManifest(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .select(

@@ -208,4 +208,33 @@ class TrainingMixSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got == Map(10L -> false, 20L -> false, 30L -> true))
   }
+
+  test("mix_temperature: exact isqrt weights, flattening upsamples the tail, budget respected") {
+    import graft.operators.TrainingOps
+    val out = TrainingOps.mixTemperature(spark, sf, budgetTokens = 10000).collect()
+    assert(out.nonEmpty)
+    val totalTokens = out.map(_.getLong(1)).sum
+    out.foreach { r =>
+      val (n, share, w) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(share == n * 1000000L / totalTokens)
+      // exact integer sqrt: w² <= share·1e6 < (w+1)²
+      val a = BigInt(share) * 1000000
+      assert(BigInt(w).pow(2) <= a && BigInt(w + 1).pow(2) > a,
+        s"weight $w is not isqrt($a)")
+    }
+    // allocations sum to <= budget (floor division can only undershoot)
+    assert(out.map(_.getLong(4)).sum <= 10000L)
+    // temperature flattening: the SMALLEST source's share of the
+    // allocation exceeds its share of the corpus; the LARGEST's shrinks
+    val smallest = out.minBy(_.getLong(1)); val largest = out.maxBy(_.getLong(1))
+    if (smallest.getLong(1) < largest.getLong(1)) {
+      val allocSum = out.map(_.getLong(4)).sum.toDouble
+      assert(smallest.getLong(4) / allocSum > smallest.getLong(1).toDouble / totalTokens)
+      assert(largest.getLong(4) / allocSum < largest.getLong(1).toDouble / totalTokens)
+    }
+    // epochs_x1e6 is the replication factor in micro-units
+    out.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) * 1000000L / r.getLong(1))
+    }
+  }
 }
