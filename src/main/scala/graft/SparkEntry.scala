@@ -32,6 +32,7 @@ object SparkEntry {
     "fk_orphans"      -> (QualityOps.fkOrphans _),
     "profile_columns" -> (QualityOps.profileColumns _),
     "dq_expectations" -> (QualityOps.dqExpectations _),
+    "profile_drift"   -> ((s, d) => QualityOps.profileDrift(s, d)),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -596,6 +597,33 @@ object SparkEntry {
                   COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          ) ORDER BY relation""",
+    "profile_drift" ->
+      """WITH src AS (
+           SELECT (o_orderdate < TIMESTAMP '1998-01-01') AS is_base, col_name, bucket
+           FROM (
+             SELECT o_orderdate, 'o_orderstatus' AS col_name, o_orderstatus AS bucket FROM orders
+             UNION ALL
+             SELECT o_orderdate, 'o_orderpriority', o_orderpriority FROM orders
+             UNION ALL
+             SELECT o_orderdate, 'o_totalprice_bin',
+                    CAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR) FROM orders)),
+         counts AS (
+           SELECT col_name, bucket,
+                  CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                  CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+           FROM src GROUP BY col_name, bucket),
+         p AS (
+           SELECT *, CAST(SUM(n_base) OVER (PARTITION BY col_name) AS BIGINT) AS t_base,
+                     CAST(SUM(n_cur) OVER (PARTITION BY col_name) AS BIGINT) AS t_cur
+           FROM counts),
+         q AS (
+           SELECT col_name, bucket, n_base, n_cur,
+                  (n_base * 1000000) // t_base AS p_base_x1e6,
+                  (n_cur * 1000000) // t_cur AS p_cur_x1e6
+           FROM p)
+         SELECT col_name, bucket, n_base, n_cur, p_base_x1e6, p_cur_x1e6,
+                CAST(SUM(ABS(p_cur_x1e6 - p_base_x1e6)) OVER (PARTITION BY col_name) // 2 AS BIGINT) AS col_tvd_x1e6
+         FROM q ORDER BY col_name, bucket""",
     "dq_expectations" ->
       """WITH a AS (
            SELECT COUNT(*) AS n_rows,

@@ -234,4 +234,55 @@ object QualityOps {
               (col("r.v") === 0L).as("pass"))
       .orderBy("rule")
   }
+
+  /** Distribution-drift monitor between two time slices of the orders
+    * stream — the check that catches silent upstream shifts (a source
+    * changing its status mix, a price-scale bug) before they poison a
+    * derived table or a training mix. For each profiled column
+    * (status, priority, a fixed-width price binning) the base
+    * (< pivot) and current (≥ pivot) bucket distributions are compared
+    * by TOTAL VARIATION DISTANCE — ½·Σ|p_cur − p_base| — in exact
+    * micro-units: probabilities are cnt·1e6 div total, the TVD an
+    * integer sum, so the verdict is engine-exact where a KL/PSI log
+    * term could never be (and TVD is bounded [0,1e6] with no
+    * zero-bucket blowups).
+    *
+    * Plan: ONE scan of orders, each row contributing its three
+    * (column, bucket) pairs row-local (explode of a 3-literal array),
+    * one partial agg on (column, bucket, side) — key space = profiled
+    * buckets, not rows — then window sums over the bucket-sized frame.
+    * At 100 TB nothing but bucket counts ever shuffles.
+    */
+  def profileDrift(s: SparkSession, dir: String,
+                   pivot: String = "1998-01-01"): DataFrame = {
+    val src = Tables.orders(s, dir)
+      .select(
+        (col("o_orderdate") < to_timestamp(lit(pivot))).as("is_base"),
+        explode(array(
+          struct(lit("o_orderstatus").as("col_name"),
+                 col("o_orderstatus").as("bucket")),
+          struct(lit("o_orderpriority").as("col_name"),
+                 col("o_orderpriority").as("bucket")),
+          struct(lit("o_totalprice_bin").as("col_name"),
+                 floor(col("o_totalprice") / 50000.0).cast("long")
+                   .cast("string").as("bucket")))).as("p"))
+      .select(col("is_base"), col("p.col_name").as("col_name"),
+              col("p.bucket").as("bucket"))
+    val counts = src.groupBy("col_name", "bucket")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+           sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur"))
+    val byCol = Window.partitionBy("col_name")
+    val withP = counts
+      .withColumn("t_base", sum("n_base").over(byCol))
+      .withColumn("t_cur", sum("n_cur").over(byCol))
+      .withColumn("p_base_x1e6", expr("(n_base * 1000000) div t_base"))
+      .withColumn("p_cur_x1e6", expr("(n_cur * 1000000) div t_cur"))
+    withP
+      .withColumn("col_tvd_x1e6",
+        (sum(abs(col("p_cur_x1e6") - col("p_base_x1e6"))).over(byCol) / 2)
+          .cast("long"))
+      .select("col_name", "bucket", "n_base", "n_cur",
+              "p_base_x1e6", "p_cur_x1e6", "col_tvd_x1e6")
+      .orderBy("col_name", "bucket")
+  }
 }

@@ -163,4 +163,38 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     // rule count and n_rows are stable
     assert(out.size == 6)
   }
+
+  test("profile_drift: micro-unit TVD matches a plain-Scala recompute per column") {
+    import graft.operators.QualityOps
+    val pivotTs = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderdate"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .collect()
+    def dist(buckets: Seq[String]): Map[String, Long] = {
+      val total = buckets.size.toLong
+      buckets.groupBy(identity).map { case (b, g) => b -> g.size * 1000000L / total }
+    }
+    def tvd(colName: String, f: org.apache.spark.sql.Row => String): (Map[String, Long], Map[String, Long], Long) = {
+      val (base, cur) = rows.partition(
+        _.getAs[java.time.LocalDateTime](0).isBefore(pivotTs))
+      val (pb, pc) = (dist(base.map(f).toSeq), dist(cur.map(f).toSeq))
+      val keys = pb.keySet ++ pc.keySet
+      (pb, pc, keys.toSeq.map(k => math.abs(pc.getOrElse(k, 0L) - pb.getOrElse(k, 0L))).sum / 2)
+    }
+    val expected = Map(
+      "o_orderstatus"    -> tvd("o_orderstatus", _.getString(1)),
+      "o_orderpriority"  -> tvd("o_orderpriority", _.getString(2)),
+      "o_totalprice_bin" -> tvd("o_totalprice_bin",
+        r => math.floor(r.getDouble(3) / 50000.0).toLong.toString))
+    val out = QualityOps.profileDrift(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (pb, pc, t) = expected(r.getString(0))
+      assert(r.getLong(4) == pb.getOrElse(r.getString(1), 0L), s"${r.getString(0)}/${r.getString(1)} p_base")
+      assert(r.getLong(5) == pc.getOrElse(r.getString(1), 0L), s"${r.getString(0)}/${r.getString(1)} p_cur")
+      assert(r.getLong(6) == t, s"${r.getString(0)} tvd")
+    }
+    // every (column, bucket) that occurs anywhere is present
+    assert(out.length == expected.values.map { case (pb, pc, _) => (pb.keySet ++ pc.keySet).size }.sum)
+  }
 }
