@@ -33,6 +33,7 @@ object SparkEntry {
     "profile_columns" -> (QualityOps.profileColumns _),
     "dq_expectations" -> (QualityOps.dqExpectations _),
     "profile_drift"   -> ((s, d) => QualityOps.profileDrift(s, d)),
+    "customer_rfm"    -> ((s, d) => Analytics.customerRfm(s, d)),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "semdedup_keep_central"   -> ((s, d) => Dedup.semdedupKeepCentral(s, d)),
+    "dedup_paragraphs"        -> ((s, d) => Dedup.dedupParagraphs(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_edit_distance"    -> ((s, d) => Dedup.dedupEditDistance(s, d)),
@@ -597,6 +599,28 @@ object SparkEntry {
                   COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END)
            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
          ) ORDER BY relation""",
+    "customer_rfm" ->
+      """WITH pc AS (
+           SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                  CAST(COUNT(*) AS BIGINT) AS frequency,
+                  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+           FROM orders GROUP BY o_custkey),
+         ref AS (SELECT MAX(last_order) AS ref_date FROM pc),
+         m AS (
+           SELECT o_custkey AS c_custkey,
+                  CAST(datediff('day', last_order, ref_date) AS BIGINT) AS recency_days,
+                  frequency, monetary_cents
+           FROM pc, ref),
+         q AS (
+           SELECT *,
+                  CAST(6 - NTILE(5) OVER (ORDER BY recency_days, c_custkey) AS BIGINT) AS r_score,
+                  CAST(NTILE(5) OVER (ORDER BY frequency, c_custkey) AS BIGINT) AS f_score,
+                  CAST(NTILE(5) OVER (ORDER BY monetary_cents, c_custkey) AS BIGINT) AS m_score
+           FROM m)
+         SELECT c_custkey, recency_days, frequency, monetary_cents,
+                r_score, f_score, m_score,
+                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm_segment
+         FROM q ORDER BY c_custkey""",
     "profile_drift" ->
       """WITH src AS (
            SELECT (o_orderdate < TIMESTAMP '1998-01-01') AS is_base, col_name, bucket
@@ -1395,6 +1419,29 @@ object SparkEntry {
          SELECT t.doc_id, CAST(COALESCE(hit.n_hits, 0) AS BIGINT) AS n_hits,
                 COALESCE(hit.n_hits, 0) > 0 AS contaminated
          FROM t LEFT JOIN hit USING (doc_id) WHERE t.doc_id % 97 <> 0 ORDER BY doc_id""",
+    // 10-token chunk units via the scalar list-range pattern (see
+    // text_bigram_fluency); boilerplate = unit in >= 2 distinct docs;
+    // docs reassemble in ordinal order with string_agg.
+    "dedup_paragraphs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         ul AS (
+           SELECT doc_id,
+                  unnest(list_transform(range(0, (len(toks) - 1) // 10 + 1),
+                         i -> struct_pack(ord := i,
+                                          unit := array_to_string(list_slice(toks, CAST(i AS INT) * 10 + 1, CAST(i AS INT) * 10 + 10), ' ')))) AS u
+           FROM t),
+         units AS (SELECT doc_id, CAST(struct_extract(u, 'ord') AS BIGINT) AS ord,
+                          struct_extract(u, 'unit') AS unit FROM ul),
+         df AS (
+           SELECT unit, CAST(COUNT(*) AS BIGINT) AS unit_df
+           FROM (SELECT DISTINCT unit, doc_id FROM units) GROUP BY unit)
+         SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS n_units,
+                CAST(SUM(CASE WHEN df.unit_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                COALESCE(string_agg(CASE WHEN df.unit_df < 2 THEN u.unit END, ' ' ORDER BY u.ord), '') AS clean_text
+         FROM units u JOIN df ON df.unit = u.unit
+         GROUP BY u.doc_id ORDER BY u.doc_id""",
     "corpus_shuffle" ->
       """WITH k AS (
            SELECT doc_id,

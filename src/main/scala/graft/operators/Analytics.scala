@@ -846,4 +846,49 @@ object Analytics {
               epochS(col("ts")).as("first_ts_s"))
       .orderBy("user_id", "event_type")
   }
+
+  /** RFM customer segmentation (recency / frequency / monetary — the
+    * classic warehouse marketing cut) over orders: metrics are ONE
+    * per-customer partial agg (monetary in exact cents —
+    * floor(100·price) longs, so the sum is order-independent where a
+    * double sum of prices never hashes; the reference date is the
+    * corpus max order date, broadcast from a 1-row agg, so the result
+    * is a pure function of the table), quintiles are `ntile(5)` over
+    * the (metric, custkey) total order — the engine-portable exact
+    * assignment [[quantileBins]] proved (SQL-standard fill +
+    * deterministic tie-break; an interpolated-percentile threshold
+    * would put a float ulp between the engines at bucket boundaries).
+    * Recency scores INVERT (recent = 5).
+    *
+    * Scale note (same as [[quantileBins]]): exact ntile funnels the
+    * customer frame through sorted quintile windows; the 100 TB swap
+    * is approx_percentile cut points broadcast + row-local bucketing —
+    * approximately equal-count, shuffle-free. Exactness here is
+    * oracle-mandated.
+    */
+  def customerRfm(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("last_order"),
+           count(lit(1)).as("frequency"),
+           sum(col("price_cents")).as("monetary_cents"))
+    val ref = perCust.agg(max(col("last_order")).as("ref_date"))
+    val metrics = perCust.crossJoin(broadcast(ref))
+      .select(col("o_custkey").as("c_custkey"),
+        datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    def quintile(m: String): Column =
+      ntile(5).over(Window.orderBy(col(m), col("c_custkey"))).cast("long")
+    metrics
+      .withColumn("r_score", lit(6L) - quintile("recency_days"))
+      .withColumn("f_score", quintile("frequency"))
+      .withColumn("m_score", quintile("monetary_cents"))
+      .withColumn("rfm_segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .select("c_custkey", "recency_days", "frequency", "monetary_cents",
+              "r_score", "f_score", "m_score", "rfm_segment")
+      .orderBy("c_custkey")
+  }
 }

@@ -868,4 +868,48 @@ object Dedup {
       .select("vec_id", "component", "center_dist", "is_kept")
       .orderBy("vec_id")
   }
+
+  /** Paragraph-granularity cross-document dedup — the CCNet/RefinedWeb
+    * boilerplate strip: where the doc-level family keeps or drops
+    * WHOLE documents, this removes the repeated UNITS inside otherwise
+    * unique ones (navigation chrome, license footers, template
+    * headers — the highest-volume contaminant in crawled corpora).
+    * Units here are fixed `windowTokens`-token chunks (the corpus has
+    * no newline structure; a real crawl splits on lines — the
+    * semantics are identical); a unit is boilerplate when it appears
+    * in ≥ `minDf` DISTINCT documents, and each document re-emits with
+    * its boilerplate units removed, original order preserved.
+    *
+    * Plan: one chunk posexplode, unit df by two partial aggs over the
+    * distinct (unit, doc) projection (key space = distinct units —
+    * vocabulary-of-phrases-bounded, not corpus-bounded), verdicts join
+    * back on the unit key, and documents reassemble via
+    * array_sort(collect_list(struct(ord, unit))) — per-key state
+    * bounded by the doc's own size, the same irreducible-reassembly
+    * contract as mm_chunk_roundtrip. Nothing ever shuffles full
+    * documents except their own chunks.
+    */
+  def dedupParagraphs(s: SparkSession, dir: String,
+                      windowTokens: Int = 10, minDf: Int = 2): DataFrame = {
+    require(windowTokens >= 1 && minDf >= 2,
+      s"windowTokens=$windowTokens must be >=1 and minDf=$minDf >=2")
+    val units = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), expr(s"(size(toks) - 1) div $windowTokens")),
+        i => concat_ws(" ", slice(col("toks"), i * windowTokens + 1, lit(windowTokens))))))
+      .withColumnRenamed("pos", "ord").withColumnRenamed("col", "unit")
+    val df = units.select("unit", "doc_id").distinct()
+      .groupBy("unit").agg(count(lit(1)).as("unit_df"))
+    val flagged = units.join(df, "unit")
+      .withColumn("is_boilerplate", col("unit_df") >= minDf)
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_units"),
+        sum(when(col("is_boilerplate"), 1L).otherwise(0L)).as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("is_boilerplate"),
+            struct(col("ord"), col("unit"))))),
+          u => u("unit"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

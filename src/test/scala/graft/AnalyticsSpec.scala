@@ -547,4 +547,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
     Caches.clear()
   }
+
+  test("customer_rfm: balanced quintiles, inverted recency, metrics match a recompute") {
+    import graft.operators.Analytics
+    val out = Analytics.customerRfm(spark, sf).collect()
+    assert(out.nonEmpty)
+    val n = out.length
+    // each score dimension is a balanced 5-way split (ntile fill rule)
+    Seq(4, 5, 6).foreach { i =>
+      val sizes = out.groupBy(_.getLong(i)).view.mapValues(_.size)
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L, 4L, 5L)))
+      assert(sizes.values.max - sizes.values.min <= 1, s"col $i skewed: $sizes")
+    }
+    // most recent customer scores r=5; highest spender m=5; segment concat
+    val mostRecent = out.minBy(_.getLong(1))
+    assert(mostRecent.getLong(4) == 5L)
+    val topSpender = out.maxBy(_.getLong(3))
+    assert(topSpender.getLong(6) == 5L)
+    out.foreach { r =>
+      assert(r.getString(7) == s"${r.getLong(4)}${r.getLong(5)}${r.getLong(6)}")
+    }
+    // metric recompute for frequency/monetary on the raw table
+    val raw = Tables.orders(spark, sf)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("f"), sum("c").as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    out.foreach { r =>
+      val (f, m) = raw(r.getLong(0))
+      assert(r.getLong(2) == f && r.getLong(3) == m)
+    }
+  }
 }

@@ -411,4 +411,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     out.unpersist(); docs.unpersist()
     graft.Caches.clear()
   }
+
+  test("dedup_paragraphs strips the shared unit, keeps unique units in order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-para").toString
+    // windowTokens=3: each doc splits into exact 3-token units
+    Seq(
+      (1L, "nav bar menu alpha beta gamma"),   // boiler + unique
+      (2L, "nav bar menu delta epsilon zeta"), // boiler + unique
+      (3L, "eta theta iota kappa lambda mu"),  // fully unique
+      (4L, "nav bar menu")                     // boiler ONLY -> empty clean text
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupParagraphs(spark, dir, windowTokens = 3, minDf = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "alpha beta gamma")))
+    assert(out(2L) == ((2L, 1L, "delta epsilon zeta")))
+    assert(out(3L) == ((2L, 0L, "eta theta iota kappa lambda mu")))
+    assert(out(4L) == ((1L, 1L, "")))
+  }
+
+  test("dedup_paragraphs on the corpus: unit counts tile each doc, drops only cross-doc units") {
+    import graft.functions.TextFunctions.tokens
+    val out = Dedup.dedupParagraphs(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1))
+    // single-node recompute of the same chunking + df>=2 rule
+    val units = docs.map { case (id, ts) =>
+      id -> ts.grouped(10).map(_.mkString(" ")).toSeq }
+    val dfm = units.flatMap { case (id, us) => us.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    units.foreach { case (id, us) =>
+      val kept = us.filter(dfm(_) < 2)
+      val (n, dropped, clean) = out(id)
+      assert(n == us.length, s"doc $id unit count")
+      assert(dropped == us.count(dfm(_) >= 2), s"doc $id dropped")
+      assert(clean == kept.mkString(" "), s"doc $id clean text")
+    }
+  }
 }
