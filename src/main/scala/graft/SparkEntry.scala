@@ -34,6 +34,7 @@ object SparkEntry {
     "dq_expectations" -> (QualityOps.dqExpectations _),
     "profile_drift"   -> ((s, d) => QualityOps.profileDrift(s, d)),
     "customer_rfm"    -> ((s, d) => Analytics.customerRfm(s, d)),
+    "stream_topk_trending" -> ((s, d) => Analytics.streamTopkTrending(s, d)),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -881,6 +882,17 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.9), 4) AS p90,
                 COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_topk_trending" ->
+      """WITH c AS (
+           SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS window_start_s,
+                  event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (
+           SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY window_start_s
+                            ORDER BY n_events DESC, event_type) AS BIGINT) AS rank
+           FROM c)
+         SELECT window_start_s, rank, event_type, n_events
+         FROM r WHERE rank <= 3 ORDER BY window_start_s, rank""",
     "stream_windowed_counts" ->
       """SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS window_start_s,
                 event_type, COUNT(*) AS n_events,

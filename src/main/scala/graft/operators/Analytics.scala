@@ -847,6 +847,26 @@ object Analytics {
       .orderBy("user_id", "event_type")
   }
 
+  /** Batch twin of the trending-topics pattern
+    * (graft.streaming.EventStreams.trendingCounts + rankTrending —
+    * the RANKING stage is the SAME function object, so stream and
+    * batch cannot drift): hourly tumbling counts per event type,
+    * top-k per window by (count desc, type). One windowed partial
+    * agg + one rank window whose key space is hours×types, map-side
+    * WindowGroupLimit pruning before the exchange.
+    */
+  def streamTopkTrending(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_events"))
+    graft.streaming.EventStreams.rankTrending(counts, k)
+      .select(epochS(col("window_start")).as("window_start_s"),
+              col("rank"), col("event_type"), col("n_events"))
+      .orderBy("window_start_s", "rank")
+  }
+
   /** RFM customer segmentation (recency / frequency / monetary — the
     * classic warehouse marketing cut) over orders: metrics are ONE
     * per-customer partial agg (monetary in exact cents —

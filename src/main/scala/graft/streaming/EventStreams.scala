@@ -238,4 +238,35 @@ object EventStreams {
           }
       }
   }
+
+  /** Tumbling 1-hour counts per event type — the aggregation half of
+    * the trending-topics pattern. Ranking is NOT expressible inside a
+    * streaming aggregation (a rank window over an updating aggregate
+    * has no incremental form), so the stream emits counts and
+    * [[rankTrending]] runs per micro-batch via `foreachBatch` — the
+    * standard split: incremental state in the engine, per-snapshot
+    * ranking on each batch's (small, window×type-sized) output.
+    */
+  def trendingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+              col("event_type"), col("n_events"))
+
+  /** Per-window top-k rank over a counts snapshot — shared verbatim by
+    * the `foreachBatch` sink and the batch twin
+    * (Analytics.streamTopkTrending), so stream and batch ranking
+    * cannot drift. Input: (window_start, event_type, n_events).
+    */
+  def rankTrending(counts: DataFrame, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start")
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("window_start", "rank", "event_type", "n_events")
+  }
 }

@@ -173,6 +173,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(back == Seq((10L, "purchase", 9.0), (11L, "view", 2.0), (12L, "view", 3.0)))
   }
 
+  test("trending top-k via foreachBatch rank equals the batch twin; late data re-ranks") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_trend").toString
+    val input = MemoryStream[Ev]
+    // counts stream in complete mode; each micro-batch snapshot is
+    // ranked by the SAME rankTrending the batch twin uses and lands as
+    // a full overwrite — the foreachBatch half of the pattern under test
+    val q = EventStreams.trendingCounts(input.toDF())
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStreams.rankTrending(batch, 3)
+          .write.mode("overwrite").parquet(outDir)
+      }.start()
+    try {
+      val rows = eventRows()
+      val (early, late) = rows.splitAt(rows.length / 2)
+      input.addData(early)
+      q.processAllAvailable()
+      input.addData(late) // second batch must RE-rank, not append
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+      .select(unix_timestamp(col("window_start")).as("window_start_s"),
+              col("rank"), col("event_type"), col("n_events"))
+    val batch = graft.operators.Analytics.streamTopkTrending(spark, sf)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0 &&
+           batch.exceptAll(streamed).count() == 0)
+    // max 3 ranks per window, contiguous from 1
+    val per = batch.groupBy("window_start_s")
+      .agg(max("rank").as("mr"), count(lit(1)).as("c"))
+      .filter(col("mr") =!= col("c") || col("c") > 3)
+    assert(per.count() == 0)
+  }
+
   test("dedup state is evicted once the watermark passes — a later duplicate re-emits") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
