@@ -35,6 +35,7 @@ object SparkEntry {
     "profile_drift"   -> ((s, d) => QualityOps.profileDrift(s, d)),
     "customer_rfm"    -> ((s, d) => Analytics.customerRfm(s, d)),
     "stream_topk_trending" -> ((s, d) => Analytics.streamTopkTrending(s, d)),
+    "gap_fill_locf"   -> ((s, d) => Analytics.gapFillLocf(s, d)),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "graph_triangles"       -> (GraphOps.graphTriangles _),
     "graph_similar_parts"   -> ((s, d) => GraphOps.graphSimilarParts(s, d)),
     "graph_components"      -> (GraphOps.graphComponents _),
+    "assoc_rules"           -> ((s, d) => GraphOps.assocRules(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -394,6 +396,35 @@ object SparkEntry {
                UNION ALL SELECT z FROM t)
          SELECT node AS part_key, COUNT(*) AS n_triangles
          FROM n GROUP BY node ORDER BY part_key""",
+    "assoc_rules" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (
+           SELECT x.l_partkey AS a, y.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS pair_support
+           FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                              AND x.l_partkey < y.l_partkey
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         directed AS (
+           SELECT a AS antecedent, b AS consequent, pair_support FROM pairs
+           UNION ALL
+           SELECT b AS antecedent, a AS consequent, pair_support FROM pairs),
+         item AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_support
+                  FROM pl GROUP BY l_partkey),
+         n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM lineitem)
+         SELECT d.antecedent, d.consequent, d.pair_support,
+                ia.item_support AS ant_support, ic.item_support AS cons_support,
+                (d.pair_support * 1000000) // ia.item_support AS confidence_x1e6,
+                (d.pair_support * n.n_orders * 1000000) // (ia.item_support * ic.item_support) AS lift_x1e6
+         FROM directed d
+         JOIN item ia ON ia.l_partkey = d.antecedent
+         JOIN item ic ON ic.l_partkey = d.consequent, n
+         ORDER BY d.antecedent, d.consequent""",
+    "gap_fill_locf" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_s,
+                CASE WHEN event_type = 'purchase' THEN value END AS reading,
+                LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                        ROWS UNBOUNDED PRECEDING) AS filled
+         FROM events ORDER BY user_id, event_id""",
     // Same co-purchase edge derivation as graph_triangles; the reach
     // CTE is the recursive min-label chase precedented by
     // dedup_clusters' oracle (reps only decrease along a chain, so

@@ -847,6 +847,30 @@ object Analytics {
       .orderBy("user_id", "event_type")
   }
 
+  /** Last-observation-carried-forward imputation per user — the
+    * standard time-series gap fill (sensor dropouts, sparse telemetry):
+    * here "readings" arrive only on purchase events and every other
+    * event carries the user's last known reading forward (null until
+    * the first). `last(ignoreNulls)` over the (ts_ns, event_id)
+    * user-ordered running frame is ONE sort-shuffle on the user key —
+    * the self-join formulation ("latest earlier reading per row") is
+    * an as-of join per event, strictly worse. The filled value is a
+    * verbatim COPY of an input double (no arithmetic), so the hash
+    * compare is exact by construction.
+    */
+  def gapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        when(col("event_type") === "purchase", col("value")).as("reading"))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000000").as("ts_s"),
+        col("reading"), col("filled"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Batch twin of the trending-topics pattern
     * (graft.streaming.EventStreams.trendingCounts + rankTrending —
     * the RANKING stage is the SAME function object, so stream and

@@ -171,6 +171,14 @@ object GraphOps {
     */
   private[graft] def copurchaseEdges(s: SparkSession, dir: String,
                                      minSupport: Int = 2): DataFrame =
+    copurchasePairSupports(s, dir, minSupport).select("a", "b")
+
+  /** The co-purchase pair substrate WITH its support count — shared by
+    * the edge builder above and [[assocRules]], so the pair expansion
+    * and support floor cannot drift between graph and rule mining.
+    */
+  private[graft] def copurchasePairSupports(s: SparkSession, dir: String,
+                                            minSupport: Int = 2): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("parts"))
       .select(array_sort(col("parts")).as("ps"))
@@ -182,7 +190,6 @@ object GraphOps {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .select("a", "b")
 
   /** [[triangleCounts]] on the part co-purchase graph
     * ([[copurchaseEdges]]). */
@@ -303,5 +310,46 @@ object GraphOps {
            FROM nodes n LEFT JOIN c$i c ON c.node = n.node)"""
     }.mkString
     s"$head$blocks\n         SELECT node, rank FROM pr$iters ORDER BY node"
+  }
+
+  /** Market-basket association rules over the co-purchase substrate
+    * ([[copurchasePairSupports]] — the SAME pair expansion and support
+    * floor as the graph operators): every ordered pair (antecedent →
+    * consequent) with pair support ≥ 2 scored by confidence
+    * P(cons|ant) and lift P(cons|ant)/P(cons), both in exact
+    * micro-units (pair·1e6 div supp(ant); pair·N·1e6 div
+    * supp(a)·supp(b)) so the rule ranking is engine-exact — the
+    * "customers who bought X also bought Y, and is that surprising"
+    * query behind recommendations and cross-sell reports.
+    *
+    * Plan: one basket collect per order (state bounded by the order's
+    * own lines), row-local pair expansion, ONE pair-keyed partial agg;
+    * item supports are a part-key-space aggregate joined back through
+    * the size guard, N is a 1-row broadcast. Nothing shuffles baskets.
+    */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val pairs = copurchasePairSupports(s, dir)
+      .withColumnRenamed("support", "pair_support")
+    val itemSupport = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("item_support"))
+    val nOrders = Tables.lineitem(s, dir)
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val directed = pairs.select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("pair_support"))
+      .unionAll(pairs.select(col("b").as("antecedent"), col("a").as("consequent"),
+        col("pair_support")))
+    directed
+      .join(Hints.maybeBroadcast(itemSupport.withColumnRenamed("l_partkey", "antecedent")
+        .withColumnRenamed("item_support", "ant_support")), "antecedent")
+      .join(Hints.maybeBroadcast(itemSupport.withColumnRenamed("l_partkey", "consequent")
+        .withColumnRenamed("item_support", "cons_support")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("pair_support"),
+        col("ant_support"), col("cons_support"),
+        expr("(pair_support * 1000000) div ant_support").as("confidence_x1e6"),
+        expr("(pair_support * n_orders * 1000000) div (ant_support * cons_support)")
+          .as("lift_x1e6"))
+      .orderBy("antecedent", "consequent")
   }
 }

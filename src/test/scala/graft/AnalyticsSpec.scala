@@ -548,6 +548,57 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("assoc_rules: confidence and lift match a single-node basket recompute") {
+    import graft.operators.GraphOps
+    val out = GraphOps.assocRules(spark, sf).collect()
+    assert(out.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val nOrders = byOrder.size.toLong
+    val item = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def pairSupport(a: Long, b: Long): Long =
+      byOrder.values.count(s => s.contains(a) && s.contains(b)).toLong
+    out.foreach { r =>
+      val (ant, cons, ps) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(ps >= 2 && ps == pairSupport(ant, cons), s"$ant->$cons support")
+      assert(r.getLong(3) == item(ant) && r.getLong(4) == item(cons))
+      assert(r.getLong(5) == ps * 1000000L / item(ant), s"$ant->$cons confidence")
+      assert(r.getLong(6) == ps * nOrders * 1000000L / (item(ant) * item(cons)),
+        s"$ant->$cons lift")
+    }
+    // rules come in direction pairs sharing the same lift (lift is symmetric)
+    val byPair = out.groupBy(r => (math.min(r.getLong(0), r.getLong(1)),
+                                   math.max(r.getLong(0), r.getLong(1))))
+    byPair.values.foreach { rs =>
+      assert(rs.length == 2 && rs.map(_.getLong(6)).distinct.length == 1)
+    }
+  }
+
+  test("gap_fill_locf carries the last purchase reading forward, null before the first") {
+    import graft.operators.Analytics
+    val out = Analytics.gapFillLocf(spark, sf).collect()
+    val tsNs = Tables.events(spark, sf).select(col("event_id"), col("ts_ns"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.values.foreach { rows =>
+      // replay in the operator's frame order: (ts_ns, event_id)
+      val inTime = rows.sortBy(r => (tsNs(r.getLong(1)), r.getLong(1)))
+      var lastSeen: Option[Double] = None
+      inTime.foreach { r =>
+        if (!r.isNullAt(3)) lastSeen = Some(r.getDouble(3))
+        (lastSeen, r.isNullAt(4)) match {
+          case (None, isNull)    => assert(isNull, s"event ${r.getLong(1)} filled before any reading")
+          case (Some(v), false)  => assert(r.getDouble(4) == v, s"event ${r.getLong(1)}")
+          case (Some(_), true)   => fail(s"event ${r.getLong(1)} lost the carried value")
+        }
+      }
+    }
+    // readings exist and gaps exist (the fixture exercises both paths)
+    assert(out.exists(!_.isNullAt(3)) && out.exists(r => r.isNullAt(3) && !r.isNullAt(4)))
+  }
+
   test("customer_rfm: balanced quintiles, inverted recency, metrics match a recompute") {
     import graft.operators.Analytics
     val out = Analytics.customerRfm(spark, sf).collect()
