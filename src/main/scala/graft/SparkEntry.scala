@@ -1654,7 +1654,7 @@ object SparkEntry {
                 CAST(l_orderkey AS BIGINT) AS l_orderkey,
                 CAST(l_partkey AS BIGINT) AS l_partkey,
                 CAST(l_linenumber AS BIGINT) AS l_linenumber
-         FROM lineitem WHERE l_partkey % 20 = 0
+         FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 5 = 0
          ORDER BY supp_key, l_orderkey, l_linenumber""",
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -318,16 +318,24 @@ object Similarity {
     // Codebooks are model state, not data — at 100 TB the fits run on
     // a deterministic 1/trainMod slice (the only non-row-local part of
     // the index build; needs ≳40·nCodes training points per subspace).
-    // The tiny test corpora train on everything (trainMod=1).
+    // The tiny test corpora train on everything (trainMod=1). The nSub
+    // fits are INDEPENDENT seeded jobs, so they submit concurrently —
+    // each fit is deterministic on its own, and the scheduler overlap
+    // cuts the training wall-clock ~nSub-fold on an idle cluster.
     val train = graft.Caches.cached(emb.filter(col("vec_id") % trainMod === 0))
-    val codebooks: Seq[Seq[Seq[Float]]] = (0 until nSub).map { m =>
-      val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
-        slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(nCodes).setSeed(42L + m).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("code")
-        .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-    }
+    train.count() // materialize once before the concurrent fits share it
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val codebooks: Seq[Seq[Seq[Float]]] = Await.result(
+      Future.sequence((0 until nSub).map { m => Future {
+        val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
+          slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
+        new org.apache.spark.ml.clustering.KMeans()
+          .setK(nCodes).setSeed(42L + m).setMaxIter(5)
+          .setFeaturesCol("features").setPredictionCol("code")
+          .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+      }}),
+      scala.concurrent.duration.Duration.Inf)
     val cbLit = typedLit(codebooks) // array<array<array<float>>> plan literal
     // argmin_c L2²(sub_m, CB[m][c]) via (dist, idx) struct sort — first
     // min wins, deterministic

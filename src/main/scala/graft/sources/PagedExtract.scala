@@ -485,8 +485,11 @@ object PagedExtract {
       }
       rm(new java.io.File(store)); rm(new java.io.File(landing))
     }
+    // Every 5th supplier: the fan-out/resume semantics are identical at
+    // any parent count, and file-per-key demos scale in KEYS, not rows —
+    // the full-catalog run is the same loop, 5x the checkpoint files.
     graft.Tables.lineitem(s, dir)
-      .filter(col("l_partkey") % 20 === 0)
+      .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 5 === 0)
       .select(col("l_suppkey").cast("long").as("supp_key"),
               col("l_orderkey").cast("long").as("l_orderkey"),
               col("l_partkey").cast("long").as("l_partkey"),
@@ -494,6 +497,7 @@ object PagedExtract {
       .withColumn("sk", col("supp_key"))
       .write.mode("overwrite").partitionBy("sk").json(store)
     val parents = graft.Tables.supplier(s, dir).select(col("s_suppkey"))
+      .filter(col("s_suppkey") % 5 === 0)
     val report = landKeyed(s, parents, new FileKeyedApi(store), landing)
     require(report.ok, s"demo keyed extract lost keys: ${report.failed}")
     readLandedKeys(s, landing, keyedDemoSchema)

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Source/sink helpers (SURVEY.md §2 "Sources / sinks"). The
   * reference extracts from a paginated JSON API and loads into
@@ -87,6 +88,38 @@ object Sources {
 
   def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
+
+  /** JSONL ingestion that QUARANTINES malformed lines instead of
+    * silently nulling (the default PERMISSIVE mode's failure mode: a
+    * corrupt line becomes an all-null row and poisons every downstream
+    * aggregate with no signal). Returns (clean, quarantine): clean
+    * rows parsed against the explicit schema, quarantine rows carrying
+    * the raw offending line for replay after the producer is fixed —
+    * the standard dead-letter contract of an ingestion edge. One scan;
+    * the corrupt-record column is PERMISSIVE mode's own bookkeeping,
+    * so this costs nothing over the naive read. DROPMALFORMED is the
+    * alternative and it is WRONG at scale: it deletes data with no
+    * audit trail.
+    */
+  def readJsonlQuarantine(s: SparkSession, path: String,
+                          schema: StructType): (DataFrame, DataFrame) = {
+    val corrupt = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      StructField(corrupt, org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = s.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .json(path)
+      // Spark defers corrupt-record materialization: filtering on the
+      // corrupt column alone is disallowed (AnalysisException) unless
+      // the parsed frame is materialized first — cache is the
+      // documented idiom.
+      .cache()
+    val clean = raw.filter(col(corrupt).isNull).drop(corrupt)
+    val quarantine = raw.filter(col(corrupt).isNotNull)
+      .select(col(corrupt).as("raw_line"))
+    (clean, quarantine)
+  }
 
   /** Bucketed table sink: pre-shuffle once at write time so repeated
     * joins/aggregations on `bucketCol` run with NO exchange (the classic

@@ -161,7 +161,8 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
   test("demoKeyedExtract equals the direct lineitem projection") {
     val out = PagedExtract.demoKeyedExtract(spark, sf)
     val direct = Tables.lineitem(spark, sf)
-      .filter(org.apache.spark.sql.functions.col("l_partkey") % 20 === 0)
+      .filter(org.apache.spark.sql.functions.col("l_partkey") % 20 === 0 &&
+              org.apache.spark.sql.functions.col("l_suppkey") % 5 === 0)
       .selectExpr("CAST(l_suppkey AS LONG) supp_key", "CAST(l_orderkey AS LONG) l_orderkey",
         "CAST(l_partkey AS LONG) l_partkey", "CAST(l_linenumber AS LONG) l_linenumber")
     assert(out.exceptAll(direct).count() == 0 && direct.exceptAll(out).count() == 0)

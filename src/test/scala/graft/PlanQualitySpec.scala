@@ -184,6 +184,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!shuffledToks, s"token arrays in an exchange:\n$p")
   }
 
+  test("text_bigram_fluency broadcasts the model back; corpus bigrams never hash-shuffle for the lookup") {
+    val p = plan(graft.operators.TextOps.textBigramFluency(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bigram model not broadcast:\n$p")
+    // the probability lookup join must not be a sort-merge on (w1, w2)
+    assert(!p.contains("SortMergeJoin"), s"corpus bigrams sort-merge-shuffled:\n$p")
+  }
+
+  test("assoc_rules joins item supports broadcast; baskets never shuffle") {
+    val p = plan(graft.operators.GraphOps.assocRules(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"item supports not broadcast:\n$p")
+    val shuffledBaskets = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(l => l.contains("parts") || l.contains("ps"))
+    assert(!shuffledBaskets, s"collected baskets in a shuffle:\n$p")
+  }
+
   test("knn_graph broadcasts the neighbor side and prunes top-k map-side") {
     val p = plan(graft.operators.Similarity.knnGraph(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin"), s"neighbor side not broadcast:\n$p")

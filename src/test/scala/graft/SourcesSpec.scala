@@ -300,4 +300,26 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val pinned = Sources.readParquetEvolved(spark, dir, Some(merged.schema))
     assert(pinned.exceptAll(merged).count() == 0 && merged.exceptAll(pinned).count() == 0)
   }
+
+  test("readJsonlQuarantine splits clean rows from dead-lettered raw lines losslessly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine").toString
+    val lines = Seq(
+      """{"id": 1, "name": "ok"}""",
+      """{"id": 2 "name": "missing-comma"}""",   // malformed
+      """{"id": 3, "name": "fine"}""",
+      """not json at all""",                      // malformed
+      """{"id": "not-a-number", "name": "bad-type"}""") // type mismatch
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, quarantine) = Sources.readJsonlQuarantine(spark, s"$dir/data.jsonl", schema)
+    val good = clean.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(good.toSeq == Seq((1L, "ok"), (3L, "fine")))
+    // every malformed line lands verbatim in the quarantine, nothing is dropped
+    val dead = quarantine.collect().map(_.getString(0)).toSet
+    assert(dead == Set(lines(1), lines(3), lines(4)))
+    assert(clean.count() + quarantine.count() == lines.length)
+  }
 }
