@@ -79,6 +79,7 @@ object SparkEntry {
     "graph_similar_parts"   -> ((s, d) => GraphOps.graphSimilarParts(s, d)),
     "graph_components"      -> (GraphOps.graphComponents _),
     "assoc_rules"           -> ((s, d) => GraphOps.assocRules(s, d)),
+    "graph_label_prop"      -> ((s, d) => GraphOps.labelPropagation(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
@@ -1319,6 +1320,7 @@ object SparkEntry {
            FROM b)
          SELECT doc_id, n_emails, n_phones, n_nums, redacted FROM c ORDER BY doc_id""",
     "zorder_key" -> zorderOracle,
+    "graph_label_prop" -> labelPropOracle,
     "hilbert_key" -> hilbertOracle,
     "bm25_rank" -> bm25Oracle,
     // Positional bigrams via a correlated lateral range (start index
@@ -1805,6 +1807,43 @@ object SparkEntry {
     * engines (verified at sf0.001 and sf0.01). Fixed to the testdata's
     * 64-dim embeddings; the oracle is per-corpus by nature.
     */
+  /** Unrolled Jacobi label-propagation mirror (5 rounds over the
+    * co-purchase graph) — aggregates over a recursive reference are
+    * not portable SQL, so the iteration count is baked like the
+    * PageRank oracle's. Tie-break (cnt desc, label) matches the
+    * engine's window exactly.
+    */
+  private lazy val labelPropOracle: String = {
+    val iters = 5
+    val rounds = (1 to iters).map { i =>
+      s"""v$i AS (
+           SELECT s.dst AS node, c.label, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM sym s JOIN lp${i - 1} c ON c.node = s.src
+           GROUP BY s.dst, c.label),
+         r$i AS (
+           SELECT node, label,
+                  ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+           FROM v$i),
+         lp$i AS (
+           SELECT n.node, COALESCE(r.label, n.node) AS label
+           FROM nodes n LEFT JOIN (SELECT node, label FROM r$i WHERE rn = 1) r
+             ON r.node = n.node)"""
+    }.mkString(",\n")
+    s"""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+              FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                 AND x.l_partkey < y.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sym AS (SELECT a AS src, b AS dst FROM e
+                UNION ALL SELECT b AS src, a AS dst FROM e),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        lp0 AS (SELECT node, node AS label FROM nodes),
+        $rounds
+        SELECT node AS part_key, label AS community,
+               CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+        FROM lp$iters ORDER BY part_key"""
+  }
+
   /** Bit-arithmetic mirror of [[graft.functions.InterleaveBits]]: the
     * z-value is a disjoint-bit sum, so 21 explicit shift-mask terms per
     * dimension reproduce the codegen'd loop exactly in any engine with

@@ -312,6 +312,57 @@ object GraphOps {
     s"$head$blocks\n         SELECT node, rank FROM pr$iters ORDER BY node"
   }
 
+  /** Synchronous label propagation over the part co-purchase graph —
+    * community detection one notch finer than [[graphComponents]]:
+    * CC merges everything reachable, LP settles on DENSE regions (a
+    * node adopts the label most common among its neighbors, so sparse
+    * bridges between communities don't merge them). Jacobi-style
+    * rounds — every node updates from the PREVIOUS round's labels —
+    * with the deterministic tie-break (max count, then min label)
+    * make the result a pure function of (graph, iters): the async
+    * variant's arrival-order sensitivity can never hash-match an
+    * oracle. Initial label = own key; isolated nodes keep theirs.
+    *
+    * Per round: one edge⋈labels join, one (node, label) partial-agg
+    * count, one per-node top-1 window (key space = nodes), eager
+    * per-round checkpoint with predecessor unpersist — the same
+    * iterator lifecycle as [[pageRank]] and the CC closures. At
+    * 100 TB each round shuffles (node, label) pairs only.
+    */
+  def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val pairs = copurchaseEdges(s, dir)
+    val sym = graft.Caches.cached(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    val nodes = graft.Caches.cached(
+      sym.select(col("src").as("node")).distinct())
+    var labels = graft.Caches.roundCheckpoint(
+      nodes.select(col("node"), col("node").as("label")), reliable = false)
+    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
+    (1 to iters).foreach { _ =>
+      val votes = sym.join(labels, sym("src") === labels("node"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("label").as("new_label"))
+      val next = graft.Caches.roundCheckpoint(
+        nodes.join(votes, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("node")).as("label")),
+        reliable = false)
+      graft.Caches.unpersistRound(labels)
+      labels = next
+    }
+    val last = labels
+    graft.Caches.onClear(() => graft.Caches.unpersistRound(last))
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
+    labels.join(Hints.maybeBroadcast(sizes), "label")
+      .select(col("node").as("part_key"), col("label").as("community"),
+              col("community_size"))
+      .orderBy("part_key")
+  }
+
   /** Market-basket association rules over the co-purchase substrate
     * ([[copurchasePairSupports]] — the SAME pair expansion and support
     * floor as the graph operators): every ordered pair (antecedent →

@@ -548,6 +548,32 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("label propagation keeps bridge-linked dense communities separate where CC merges them") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp").toString
+    // two triangles {1,2,3} and {10,11,12} joined by the single bridge
+    // 3-10; each co-purchase pair appears in 2 orders (support floor)
+    val basket = Seq(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L), Seq(3L, 10L))
+    val rows = for {
+      (parts, b) <- basket.zipWithIndex
+      rep <- 0 until 2
+      p <- parts
+    } yield (b * 2L + rep + 1L, p)
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val lp = GraphOps.labelPropagation(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // within-community labels agree...
+    assert(Set(1L, 2L, 3L).map(lp).size == 1)
+    assert(Set(10L, 11L, 12L).map(lp).size == 1)
+    // ...but the two dense regions stay DISTINCT across the bridge
+    assert(lp(1L) != lp(11L), s"communities merged: $lp")
+    // while connected components merges everything into one family
+    val cc = GraphOps.graphComponents(spark, dir).collect().map(_.getLong(1)).distinct
+    assert(cc.length == 1)
+    graft.Caches.clear()
+  }
+
   test("assoc_rules: confidence and lift match a single-node basket recompute") {
     import graft.operators.GraphOps
     val out = GraphOps.assocRules(spark, sf).collect()
