@@ -36,6 +36,7 @@ object SparkEntry {
     "customer_rfm"    -> ((s, d) => Analytics.customerRfm(s, d)),
     "stream_topk_trending" -> ((s, d) => Analytics.streamTopkTrending(s, d)),
     "gap_fill_locf"   -> ((s, d) => Analytics.gapFillLocf(s, d)),
+    "user_ewma_spend" -> ((s, d) => Analytics.userEwmaSpend(s, d)),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -419,6 +420,20 @@ object SparkEntry {
          JOIN item ia ON ia.l_partkey = d.antecedent
          JOIN item ic ON ic.l_partkey = d.consequent, n
          ORDER BY d.antecedent, d.consequent""",
+    // list_reduce seeds with the first element — the same fold contract
+    // as the engine's aggregate(slice(2..), first, ...) construction.
+    "user_ewma_spend" ->
+      """WITH p AS (
+           SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+         g AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                  list(cents ORDER BY ts_ns, event_id) AS seq
+           FROM p GROUP BY user_id)
+         SELECT user_id, n_purchases, seq[-1] AS last_cents,
+                CAST(list_reduce(seq, (acc, x) -> (30 * x + 70 * acc) // 100) AS BIGINT) AS ewma_cents
+         FROM g ORDER BY user_id""",
     "gap_fill_locf" ->
       """SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_s,
                 CASE WHEN event_type = 'purchase' THEN value END AS reading,

@@ -847,6 +847,43 @@ object Analytics {
       .orderBy("user_id", "event_type")
   }
 
+  /** Per-user exponentially-weighted spend level — the classic
+    * recency-weighted engagement signal (recent purchases count more
+    * than old ones), made hash-checkable by keeping the recursion
+    * INTEGRAL: values enter as exact cents, each step is
+    * acc' = (30·x + 70·acc) div 100 (α = 0.3), and the fold seeds
+    * with the FIRST purchase — the same semantics as a list_reduce,
+    * so the oracle is one expression. A float EWMA's rounding drifts
+    * with evaluation order; the integer recursion cannot.
+    *
+    * Plan: purchases collapse to one ordered array per user
+    * (array_sort over (ts_ns, event_id, cents) structs — per-key
+    * state bounded by the user's own purchase history, the same
+    * contract as chunk reassembly), then the fold runs row-local via
+    * the `aggregate` HOF. One shuffle on the user key, nothing else.
+    */
+  def userEwmaSpend(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("cents"))))
+          .as("seq"))
+      .select(col("user_id"), col("n_purchases"),
+        element_at(col("seq"), -1)("cents").as("last_cents"),
+        aggregate(
+          expr("slice(seq, 2, size(seq) - 1)"),
+          element_at(col("seq"), 1)("cents"),
+          // floor == DuckDB's integer // here: purchase cents are
+          // non-negative by domain, and the sum stays far below 2^53
+          (acc, x) => floor((lit(30L) * x("cents") + lit(70L) * acc) / lit(100L))
+            .cast("long"))
+          .as("ewma_cents"))
+      .orderBy("user_id")
+  }
+
   /** Last-observation-carried-forward imputation per user — the
     * standard time-series gap fill (sensor dropouts, sparse telemetry):
     * here "readings" arrive only on purchase events and every other

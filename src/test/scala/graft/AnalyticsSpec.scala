@@ -602,6 +602,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("user_ewma_spend: integral fold matches a single-node replay; bounded by [min,max] cents") {
+    import graft.operators.Analytics
+    val out = Analytics.userEwmaSpend(spark, sf).collect()
+    assert(out.nonEmpty)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = purchases.groupBy(_._1)
+    assert(out.length == byUser.size)
+    out.foreach { r =>
+      val seq = byUser(r.getLong(0)).sortBy(t => (t._2, t._3)).map(_._4)
+      val expected = seq.tail.foldLeft(seq.head)((acc, x) => (30 * x + 70 * acc) / 100)
+      assert(r.getLong(1) == seq.length && r.getLong(2) == seq.last)
+      assert(r.getLong(3) == expected, s"user ${r.getLong(0)}")
+      // EWMA of non-negative cents stays inside the observed range
+      assert(r.getLong(3) >= seq.min - 1 && r.getLong(3) <= seq.max)
+    }
+  }
+
   test("gap_fill_locf carries the last purchase reading forward, null before the first") {
     import graft.operators.Analytics
     val out = Analytics.gapFillLocf(spark, sf).collect()
