@@ -948,13 +948,15 @@ object Analytics {
     * oracle-mandated.
     */
   def customerRfm(s: SparkSession, dir: String): DataFrame = {
-    val perCust = Tables.orders(s, dir)
+    // Referenced twice (reference-date agg, metric projection) — one
+    // shared per-customer aggregate scan.
+    val perCust = graft.Caches.cached(Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderdate"),
         floor(col("o_totalprice") * 100).cast("long").as("price_cents"))
       .groupBy("o_custkey")
       .agg(max(col("o_orderdate")).as("last_order"),
            count(lit(1)).as("frequency"),
-           sum(col("price_cents")).as("monetary_cents"))
+           sum(col("price_cents")).as("monetary_cents")))
     val ref = perCust.agg(max(col("last_order")).as("ref_date"))
     val metrics = perCust.crossJoin(broadcast(ref))
       .select(col("o_custkey").as("c_custkey"),

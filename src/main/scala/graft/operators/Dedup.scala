@@ -893,12 +893,14 @@ object Dedup {
                       windowTokens: Int = 10, minDf: Int = 2): DataFrame = {
     require(windowTokens >= 1 && minDf >= 2,
       s"windowTokens=$windowTokens must be >=1 and minDf=$minDf >=2")
-    val units = Tables.documents(s, dir)
+    // Referenced twice (df count, verdict join) — one shared
+    // chunk-explode scan, the vocab_encode discipline.
+    val units = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(transform(
         sequence(lit(0), expr(s"(size(toks) - 1) div $windowTokens")),
         i => concat_ws(" ", slice(col("toks"), i * windowTokens + 1, lit(windowTokens))))))
-      .withColumnRenamed("pos", "ord").withColumnRenamed("col", "unit")
+      .withColumnRenamed("pos", "ord").withColumnRenamed("col", "unit"))
     val df = units.select("unit", "doc_id").distinct()
       .groupBy("unit").agg(count(lit(1)).as("unit_df"))
     val flagged = units.join(df, "unit")

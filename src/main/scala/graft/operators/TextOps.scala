@@ -166,12 +166,14 @@ object TextOps {
                k: Int = 50): DataFrame = {
     require(queryTerms.nonEmpty && queryTerms == queryTerms.distinct,
       s"bm25_rank expects distinct, non-empty query terms, got $queryTerms")
-    val toks = Tables.documents(s, dir)
+    // Referenced twice (corpus stats agg, scoring projection) — one
+    // shared tokenize scan.
+    val toks = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
         queryTerms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
-        }: _*)
+        }: _*))
     val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("s_tokens") +:
       queryTerms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
@@ -220,13 +222,15 @@ object TextOps {
   def textBigramFluency(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val ex = docs
+    // Referenced twice (model counts, per-doc scoring join) — one
+    // shared bigram-explode scan.
+    val ex = graft.Caches.cached(docs
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("toks")) - 1),
         i => struct(element_at(col("toks"), i).as("w1"),
                     element_at(col("toks"), i + 1).as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val c2 = ex.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val model = c2.join(c1, "w1")

@@ -447,7 +447,7 @@ object TrainingOps {
     * matter which way the engine rounded, so Spark and the oracle
     * agree bit-for-bit with no libm trust. Valid for a < 2^62.
     */
-  private def isqrt(a: Column): Column = {
+  private[graft] def isqrt(a: Column): Column = {
     val r0 = floor(sqrt(a.cast("double"))).cast("long")
     when(r0 * r0 > a, r0 - 1)
       .when((r0 + 1) * (r0 + 1) <= a, r0 + 1)
@@ -473,12 +473,14 @@ object TrainingOps {
   def mixTemperature(s: SparkSession, dir: String,
                      budgetTokens: Long = 10000): DataFrame = {
     require(budgetTokens >= 0, s"budget $budgetTokens must be non-negative")
-    val perSource = Tables.documents(s, dir)
+    // Referenced twice (total agg, weighted projection) — one shared
+    // tokenize+aggregate scan.
+    val perSource = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("source"), normText(col("text")).as("norm"))
       .select(col("source"),
         size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
           .cast("long").as("n_tokens"))
-      .groupBy("source").agg(sum(col("n_tokens")).as("n_tokens"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("n_tokens")))
     val total = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
     // share at 1e6 granularity, then ×1e6 before the root, so the
     // widest intermediate is 1e12 (n_s·1e6 is the only product that

@@ -126,4 +126,26 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(open == expect, s"day $day: open=$open, brute=$expect")
     }
   }
+
+  test("isqrt is exactly floor(sqrt) across the boundary-adversarial range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // perfect squares and their neighbors are where floor(sqrt(double))
+    // misrounds (m^2 - 1 near 2^52 rounds UP to m); the +/-1 correction
+    // must fix every one of them
+    val roots = cases(Gen.chooseNum(0L, (1L << 31) - 1), 64)
+    val adversarial = roots.flatMap { m =>
+      val sq = m * m
+      Seq(sq - 1, sq, sq + 1).filter(v => v >= 0 && v < (1L << 62))
+    } ++ cases(Gen.chooseNum(0L, (1L << 62) - 1), 64) ++
+      Seq(0L, 1L, 2L, 3L, 4L, (1L << 62) - 1)
+    val got = adversarial.toDF("a")
+      .select(col("a"), graft.operators.TrainingOps.isqrt(col("a")).as("r"))
+      .collect()
+    got.foreach { row =>
+      val (a, r) = (row.getLong(0), row.getLong(1))
+      assert(BigInt(r).pow(2) <= BigInt(a) && BigInt(r + 1).pow(2) > BigInt(a),
+        s"isqrt($a) = $r is not the integer square root")
+    }
+  }
 }
