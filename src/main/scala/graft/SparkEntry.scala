@@ -37,6 +37,7 @@ object SparkEntry {
     "stream_topk_trending" -> ((s, d) => Analytics.streamTopkTrending(s, d)),
     "gap_fill_locf"   -> ((s, d) => Analytics.gapFillLocf(s, d)),
     "user_ewma_spend" -> ((s, d) => Analytics.userEwmaSpend(s, d)),
+    "rolling_median_spend" -> ((s, d) => Analytics.rollingMedianSpend(s, d)),
     // Analytics views (reference sql/03_views.sql)
     "v_top_actors"           -> (Views.topActors _),
     "v_top_genres"           -> (Views.topGenres _),
@@ -420,6 +421,18 @@ object SparkEntry {
          JOIN item ia ON ia.l_partkey = d.antecedent
          JOIN item ic ON ic.l_partkey = d.consequent, n
          ORDER BY d.antecedent, d.consequent""",
+    // quantile_disc(0.5)'s index floor(0.5*(n-1)) is the same LOWER
+    // median element as the engine's element_at(sorted, (n+1)/2) for
+    // every frame size (checked n=2..5 explicitly).
+    "rolling_median_spend" ->
+      """SELECT user_id, event_id, epoch_ns(ts)//1000000000 AS ts_s,
+                CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                CAST(COUNT(*) OVER w AS BIGINT) AS n_in_frame,
+                CAST(quantile_disc(CAST(FLOOR(value * 100) AS BIGINT), 0.5) OVER w AS BIGINT) AS median_cents
+         FROM events WHERE event_type = 'purchase'
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     // list_reduce seeds with the first element — the same fold contract
     // as the engine's aggregate(slice(2..), first, ...) construction.
     "user_ewma_spend" ->

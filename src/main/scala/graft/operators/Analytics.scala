@@ -847,6 +847,33 @@ object Analytics {
       .orderBy("user_id", "event_type")
   }
 
+  /** Trailing-window DISCRETE median of purchase value per user — the
+    * robust running level (a median shrugs off the outlier spike that
+    * drags [[userEwmaSpend]]'s mean-family signal): over each user's
+    * last `win` purchases (ROWS frame), the lower median of exact
+    * cents, computed as element (n+1)/2 of the sorted frame — an INPUT
+    * VALUE, never an interpolation, so it hash-matches DuckDB's
+    * `quantile_disc(0.5)` whose index floor(0.5·(n−1)) lands on the
+    * same element for every n. One sort-shuffle on the user key; the
+    * collect_list frame state is bounded by `win`, not history.
+    */
+  def rollingMedianSpend(s: SparkSession, dir: String, win: Int = 5): DataFrame = {
+    require(win >= 1, s"window $win must be >= 1")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-(win - 1), 0)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("frame", collect_list(col("cents")).over(w))
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000000").as("ts_s"), col("cents"),
+        size(col("frame")).cast("long").as("n_in_frame"),
+        element_at(array_sort(col("frame")),
+          ((size(col("frame")) + 1) / 2).cast("int")).as("median_cents"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Per-user exponentially-weighted spend level — the classic
     * recency-weighted engagement signal (recent purchases count more
     * than old ones), made hash-checkable by keeping the recursion

