@@ -269,7 +269,9 @@ object GraphOps {
     * edge set sparse as orders grow.
     */
   def graphComponents(s: SparkSession, dir: String): DataFrame = {
-    val edges = copurchaseEdges(s, dir)
+    // Referenced three times (both union branches + the CC iterator's
+    // first round) — one shared basket/pair-expansion scan.
+    val edges = graft.Caches.cached(copurchaseEdges(s, dir))
     val ids = edges.select(col("a").as("part_key"))
       .unionAll(edges.select(col("b").as("part_key"))).distinct()
     val cc = Dedup.connectedComponents(ids, edges, "part_key")
@@ -379,8 +381,10 @@ object GraphOps {
     * the size guard, N is a 1-row broadcast. Nothing shuffles baskets.
     */
   def assocRules(s: SparkSession, dir: String): DataFrame = {
-    val pairs = copurchasePairSupports(s, dir)
-      .withColumnRenamed("support", "pair_support")
+    // Referenced twice (both direction branches of the union) — one
+    // shared basket/pair-expansion scan.
+    val pairs = graft.Caches.cached(copurchasePairSupports(s, dir)
+      .withColumnRenamed("support", "pair_support"))
     val itemSupport = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy("l_partkey").agg(count(lit(1)).as("item_support"))

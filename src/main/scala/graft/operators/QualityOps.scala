@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -272,11 +272,20 @@ object QualityOps {
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
            sum(when(col("is_base"), 0L).otherwise(1L)).as("n_cur"))
     val byCol = Window.partitionBy("col_name")
+    // A pivot outside the data's range leaves one side empty; `div`
+    // would return NULL and the monitor would report NOTHING exactly
+    // when the input is most anomalous — fail loudly instead (the
+    // oracle's integer division errors on the same input).
+    def pOf(n: String, t: String): Column =
+      when(col(t) === 0, raise_error(concat(
+        lit(s"profile_drift: zero rows on the $t side of pivot '$pivot' for column "),
+        col("col_name"))).cast("long"))
+        .otherwise(expr(s"($n * 1000000) div $t"))
     val withP = counts
       .withColumn("t_base", sum("n_base").over(byCol))
       .withColumn("t_cur", sum("n_cur").over(byCol))
-      .withColumn("p_base_x1e6", expr("(n_base * 1000000) div t_base"))
-      .withColumn("p_cur_x1e6", expr("(n_cur * 1000000) div t_cur"))
+      .withColumn("p_base_x1e6", pOf("n_base", "t_base"))
+      .withColumn("p_cur_x1e6", pOf("n_cur", "t_cur"))
     withP
       .withColumn("col_tvd_x1e6",
         (sum(abs(col("p_cur_x1e6") - col("p_base_x1e6"))).over(byCol) / 2)

@@ -199,10 +199,16 @@ object Similarity {
     // use the candidate-pruned path, not something to degrade around.
     val limit = Hints.parseBytes(
       s.conf.get(Similarity.KnnBroadcastLimitKey, Similarity.KnnBroadcastLimitDefault))
-    val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+    // The plan estimate reflects COMPRESSED parquet bytes; the broadcast
+    // materializes deserialized rows at a small multiple of that. A 4x
+    // expansion factor (float arrays decode near 1:1, but row/object
+    // headers and the driver+executor copies stack) keeps the guard on
+    // the protective side of the limit it advertises.
+    val est = corpus.queryExecution.optimizedPlan.stats.sizeInBytes * 4
     require(est <= limit,
-      s"knn_graph broadcasts the ENTIRE embedding corpus (plan-estimated $est bytes > " +
-      s"limit $limit from ${Similarity.KnnBroadcastLimitKey}): exact all-pairs is " +
+      s"knn_graph broadcasts the ENTIRE embedding corpus (~$est bytes deserialized, " +
+      s"4x the plan estimate, > limit $limit from ${Similarity.KnnBroadcastLimitKey}): " +
+      "exact all-pairs is " +
       "O(n²) by contract and corpus-broadcast-bound — use knnGraphIvf " +
       "(knn_graph_ivf), which prunes candidates by IVF cell and never broadcasts the corpus")
     val other = broadcast(corpus)

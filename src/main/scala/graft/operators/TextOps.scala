@@ -259,9 +259,11 @@ object TextOps {
     * key at 100 TB.
     */
   def invertedIndex(s: SparkSession, dir: String, maxPostings: Int = 10): DataFrame = {
-    val tf = Tables.documents(s, dir)
+    // Referenced twice (df aggregate, posting-rank window) — one
+    // shared tokenize+explode+aggregate scan.
+    val tf = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("term")
       .orderBy(col("tf").desc, col("doc_id"))

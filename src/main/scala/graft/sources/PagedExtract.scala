@@ -302,7 +302,11 @@ object PagedExtract {
     def ok: Boolean = failed.isEmpty
   }
 
-  private val KeyFileName = """key_(\d+)\.jsonl""".r
+  // Negative parent keys are legal (any castable-to-long id column);
+  // a \d+-only pattern would commit key_-5.jsonl and then never SEE it
+  // again — the rerun refetches such keys forever and the report lists
+  // them in neither landed nor failed.
+  private val KeyFileName = """key_(-?\d+)\.jsonl""".r
 
   /** Parent keys already committed under `landingDir`. */
   def landedKeys(s: SparkSession, landingDir: String): Set[Long] = {

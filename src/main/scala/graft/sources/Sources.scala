@@ -106,15 +106,15 @@ object Sources {
     val corrupt = "_corrupt_record"
     val withCorrupt = StructType(schema.fields :+
       StructField(corrupt, org.apache.spark.sql.types.StringType, nullable = true))
-    val raw = s.read.schema(withCorrupt)
+    // Spark defers corrupt-record materialization: filtering on the
+    // corrupt column alone is disallowed (AnalysisException) unless the
+    // parsed frame is materialized first — cache is the documented
+    // idiom. Registered with Caches so clear() can release it (a bare
+    // .cache() would pin the parsed input for the session).
+    val raw = graft.Caches.cached(s.read.schema(withCorrupt)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
-      .json(path)
-      // Spark defers corrupt-record materialization: filtering on the
-      // corrupt column alone is disallowed (AnalysisException) unless
-      // the parsed frame is materialized first — cache is the
-      // documented idiom.
-      .cache()
+      .json(path))
     val clean = raw.filter(col(corrupt).isNull).drop(corrupt)
     val quarantine = raw.filter(col(corrupt).isNotNull)
       .select(col(corrupt).as("raw_line"))

@@ -139,6 +139,19 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 6) // 11,12,13 × 2 details; 14 × 0
   }
 
+  test("landKeyed: NEGATIVE parent keys land, report, and resume like any other key") {
+    import spark.implicits._
+    val dir = newDir()
+    val keys = Seq(-5L, 11L).toDF("parent")
+    val report = PagedExtract.landKeyed(spark, keys, new SyntheticKeyedApi("kneg"), dir)
+    assert(report.ok && report.landed == Seq(-5L, 11L), s"got $report")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "key_-5.jsonl")))
+    // a rerun must SEE the negative key's checkpoint and skip it
+    val again = PagedExtract.landKeyed(spark, keys, new SyntheticKeyedApi("kneg2"), dir)
+    assert(again.ok && again.landed.isEmpty && again.skipped == Seq(-5L, 11L))
+    assert(FetchLog.count("kneg2", -5) == 0, "landed negative key must not be refetched")
+  }
+
   test("landKeyed: hard failures reported, rerun refetches ONLY the gap") {
     import spark.implicits._
     val dir = newDir()

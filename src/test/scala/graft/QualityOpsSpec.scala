@@ -164,6 +164,17 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.size == 6)
   }
 
+  test("profile_drift fails loudly when the pivot leaves one side empty") {
+    import graft.operators.QualityOps
+    val ex = intercept[Exception] {
+      QualityOps.profileDrift(spark, sf, pivot = "1900-01-01").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("profile_drift")),
+      s"expected the loud empty-side error, got: ${msgs(ex)}")
+  }
+
   test("profile_drift: micro-unit TVD matches a plain-Scala recompute per column") {
     import graft.operators.QualityOps
     val pivotTs = java.time.LocalDateTime.of(1998, 1, 1, 0, 0)
