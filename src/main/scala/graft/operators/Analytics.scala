@@ -961,18 +961,24 @@ object Analytics {
     * floor(100·price) longs, so the sum is order-independent where a
     * double sum of prices never hashes; the reference date is the
     * corpus max order date, broadcast from a 1-row agg, so the result
-    * is a pure function of the table), quintiles are `ntile(5)` over
-    * the (metric, custkey) total order — the engine-portable exact
-    * assignment [[quantileBins]] proved (SQL-standard fill +
-    * deterministic tie-break; an interpolated-percentile threshold
-    * would put a float ulp between the engines at bucket boundaries).
-    * Recency scores INVERT (recent = 5).
+    * is a pure function of the table), quintiles carry NTILE(5)
+    * semantics over the (metric, custkey) total order — the
+    * engine-portable exact assignment [[quantileBins]] proved
+    * (SQL-standard fill + deterministic tie-break; an
+    * interpolated-percentile threshold would put a float ulp between
+    * the engines at bucket boundaries). Recency scores INVERT
+    * (recent = 5).
     *
-    * Scale note (same as [[quantileBins]]): exact ntile funnels the
-    * customer frame through sorted quintile windows; the 100 TB swap
-    * is approx_percentile cut points broadcast + row-local bucketing —
-    * approximately equal-count, shuffle-free. Exactness here is
-    * oracle-mandated.
+    * Scale: the customer key space grows with the corpus, so a bare
+    * `ntile(5) OVER (ORDER BY …)` — one task sorting every customer,
+    * three times — is the one plan shape this operator must NOT use.
+    * Each quintile is instead [[DistRank.withPrefix]]'s two-stage
+    * exact rank (range partition → in-cell prefix → bounded offsets
+    * frame broadcast back) + [[DistRank.ntileCol]]'s integral NTILE
+    * arithmetic: identical bucket assignment (the oracle's NTILE
+    * hash-matches), but no task ever sorts more than one range
+    * partition's slice. Three metrics → three range shuffles over the
+    * (already aggregated, one-row-per-customer) frame.
     */
   def customerRfm(s: SparkSession, dir: String): DataFrame = {
     // Referenced twice (reference-date agg, metric projection) — one
@@ -989,12 +995,16 @@ object Analytics {
       .select(col("o_custkey").as("c_custkey"),
         datediff(col("ref_date"), col("last_order")).cast("long").as("recency_days"),
         col("frequency"), col("monetary_cents"))
-    def quintile(m: String): Column =
-      ntile(5).over(Window.orderBy(col(m), col("c_custkey"))).cast("long")
-    metrics
-      .withColumn("r_score", lit(6L) - quintile("recency_days"))
-      .withColumn("f_score", quintile("frequency"))
-      .withColumn("m_score", quintile("monetary_cents"))
+    def quintile(df: DataFrame, m: String, out: String): DataFrame =
+      DistRank.withPrefix(df, Nil, Seq(col(m), col("c_custkey")),
+          lit(1L), "__rfm_rank", groupTotalOut = Some("__rfm_n"))
+        .withColumn(out, DistRank.ntileCol("__rfm_rank", "__rfm_n", 5))
+        .drop("__rfm_rank", "__rfm_n")
+    quintile(quintile(quintile(metrics,
+        "recency_days", "r_quintile"),
+        "frequency", "f_score"),
+        "monetary_cents", "m_score")
+      .withColumn("r_score", lit(6L) - col("r_quintile"))
       .withColumn("rfm_segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .select("c_custkey", "recency_days", "frequency", "monetary_cents",

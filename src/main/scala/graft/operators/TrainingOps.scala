@@ -92,25 +92,31 @@ object TrainingOps {
     *
     * Same reproducibility rationale as [[sampleSplitHash]] (pure
     * function of the key, stable across runs/engines/partitionings),
-    * but with an exact per-stratum COUNT guarantee, which costs ONE
-    * window shuffle on the stratum key — that is the price of "exactly
-    * ceil(pct·n)" over "pct in expectation". The quota arithmetic is
-    * integral ((n·pct + 99) div 100): a double `ceil(0.01·pct·n)`
-    * computes 0.1·750 = 75.000000000000014 and quietly over-admits.
-    * At 100 TB with few strata, swap the row_number window for the
+    * but with an exact per-stratum COUNT guarantee. The quota
+    * arithmetic is integral ((n·pct + 99) div 100): a double
+    * `ceil(0.01·pct·n)` computes 0.1·750 = 75.000000000000014 and
+    * quietly over-admits.
+    *
+    * Scale: strata are few but each stratum's row count grows with
+    * the corpus, so the rank is NOT a per-stratum `row_number` window
+    * (one task sorting a whole language) — it is
+    * [[DistRank.withPrefix]]'s two-stage exact rank with `lang` as
+    * the group key: range partition on (lang, md5, doc_id), in-cell
+    * prefix, bounded (parts × langs) offsets frame broadcast back.
+    * The stratum size falls out of the same offsets frame (no second
+    * count-over window). When "pct in expectation" suffices, the
     * zero-shuffle hash-threshold form (keep iff bucket < pct — the
-    * [[sampleSplitHash]] trick) when "pct in expectation" suffices.
+    * [[sampleSplitHash]] trick) is cheaper still.
     */
   def sampleStratified(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct $pct outside [0,100]")
-    val w = Window.partitionBy("lang")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    val wAll = Window.partitionBy("lang")
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"))
-      .withColumn("sample_rank", row_number().over(w).cast("long"))
-      .withColumn("strat_size", count(lit(1)).over(wAll))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+              md5(col("doc_id").cast("string")).as("__h"))
+    DistRank.withPrefix(base, Seq("lang"), Seq(col("__h"), col("doc_id")),
+        lit(1L), "sample_rank", groupTotalOut = Some("strat_size"))
       .filter(col("sample_rank") * 100 <= col("strat_size") * pct + 99)
+      .select("doc_id", "lang", "sample_rank", "strat_size")
       .orderBy("doc_id")
   }
 
@@ -406,10 +412,12 @@ object TrainingOps {
     * Quality is [[TextOps.textQualityScore]]'s integer score and
     * tokens are [[TextOps.textTokenCount]]'s BPE-ish count — same
     * definitions as everywhere else in the engine, recomputed here in
-    * the same single normalize+tokenize pass. ONE window shuffle on
-    * source; per-source ordering never crosses sources, so
-    * parallelism is the source count and a hot source is AQE's skew
-    * case, not a plan rewrite.
+    * the same single normalize+tokenize pass. The running total is
+    * [[DistRank.withPrefix]]'s two-stage exact prefix sum (range
+    * partition on (source, quality desc, doc_id) → in-cell running
+    * sum → bounded offsets frame broadcast back), NOT a per-source
+    * window — a single hot source would otherwise sort in one task,
+    * and source counts are small precisely when sources are huge.
     */
   def corpusBudgetSelect(s: SparkSession, dir: String, budget: Long = 1000): DataFrame = {
     require(budget >= 0, s"budget $budget must be non-negative")
@@ -430,11 +438,9 @@ object TrainingOps {
         least(lit(100L),
           floor((ratioX100(col("n_stop"), col("n_ws"))
                  + ratioX100(col("n_alpha"), col("n_chars"))) / 2.0).cast("long")))
-    val w = Window.partitionBy("source")
-      .orderBy(col("quality_score").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+    DistRank.withPrefix(scored, Seq("source"),
+        Seq(col("quality_score").desc, col("doc_id")),
+        col("n_tokens"), "cum_tokens")
       .withColumn("selected", col("cum_tokens") <= budget)
       .select("doc_id", "source", "n_tokens", "quality_score", "cum_tokens", "selected")
       .orderBy("doc_id")
