@@ -402,6 +402,52 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("no registered query funnels a corpus-scaling key space through a single task") {
+    // The regression net for the whole global-window class of
+    // scale-killers (round-8 verdict): walk EVERY SparkEntry query's
+    // optimized plan and flag any un-partitioned Window (physical
+    // SinglePartition sort of the frame — one task sorts everything)
+    // or an explicit repartition-to-1. The logical level is checked
+    // deliberately: it is AQE-mode independent, and a global logical
+    // Window ALWAYS lowers to an Exchange SinglePartition. The
+    // trailing oracle ORDER BY is a global *Sort*, not a Window —
+    // range-partitioned, parallel — and is not flagged.
+    //
+    // A global window whose input subtree carries a GlobalLimit is
+    // frame-bounded BY CONSTRUCTION (≤ limit rows reach the sort —
+    // bm25_rank's rank over its top-k survivors, vocab_encode's id
+    // assignment over the V-row cut) and is exempt mechanically. One
+    // window is bounded SEMANTICALLY and allowlisted by name:
+    val boundedByConstruction = Map(
+      // cumulative sum over distinct DAYS: calendar-bounded frame
+      // (Analytics.scala backlogOverTime scaladoc)
+      "backlog_over_time" -> "day-grain cumsum, frame = distinct days")
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Repartition, Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val shapes = fn(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case g: GlobalLimit => g }.isEmpty =>
+          s"global Window over ${w.orderSpec.map(_.sql).mkString(", ")}"
+        case r: Repartition if r.numPartitions == 1 => "repartition(1)"
+      }
+      if (shapes.nonEmpty && !boundedByConstruction.contains(name))
+        Some(s"$name: ${shapes.mkString("; ")}")
+      else None
+    }
+    graft.Caches.clear()
+    assert(offenders.isEmpty,
+      s"single-task sort funnels over corpus-scaling keys:\n${offenders.mkString("\n")}")
+  }
+
+  test("customer_rfm plans no window at all — two-stage rank only") {
+    // The specific round-8 weak flag: quintiles must come from
+    // DistRank's range-partition + bounded-offsets prefix, never a
+    // Window (partitioned OR global) over the customer frame.
+    val p = plan(Analytics.customerRfm(spark, sf))
+    assert(!p.contains("Window"), s"customer_rfm grew a window:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition exchange:\n$p")
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
