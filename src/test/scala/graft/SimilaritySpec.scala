@@ -175,12 +175,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("PQ search is a pure function of the corpus: seeded reruns agree exactly") {
+    graft.Caches.clearModels()
     val out = Similarity.annPqTopK(spark, sf, k = 3)
-    // schema + determinism: two runs of the seeded pipeline agree exactly
+    // drop the memoized codebooks so the second run is a GENUINE
+    // refit — this pins seed-determinism, not cache identity
+    graft.Caches.clearModels()
     val again = Similarity.annPqTopK(spark, sf, k = 3)
     assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
     assert(out.columns.toSeq ==
       Seq("probe_id", "rank", "neighbor_id", "adc_cosine_x1e6"))
+    graft.Caches.clear()
+  }
+
+  test("trained index state is session-memoized: repeat PQ/IVF invocations skip the k-means fits") {
+    graft.Caches.clearModels()
+    val before = graft.Caches.modelMissCount
+    val first = Similarity.annPqTopK(spark, sf, k = 3).collect()
+    assert(graft.Caches.modelMissCount == before + 1,
+      "first invocation trains exactly one codebook set")
+    val second = Similarity.annPqTopK(spark, sf, k = 3).collect()
+    assert(graft.Caches.modelMissCount == before + 1,
+      "second invocation must reuse the memoized codebooks, not retrain")
+    assert(first.map(_.toSeq).sameElements(second.map(_.toSeq)),
+      "memoized index must serve bit-identical results")
+    // the IVF coarse quantizer rides the same contract
+    Similarity.annIvfTopK(spark, sf).limit(1).count()
+    val afterIvf = graft.Caches.modelMissCount
+    Similarity.annIvfTopK(spark, sf).limit(1).count()
+    Similarity.knnGraphIvf(spark, sf).limit(1).count() // same (dir, nCells) key
+    assert(graft.Caches.modelMissCount == afterIvf,
+      "repeat IVF invocations (and knn_graph_ivf at the same dial) must not refit")
     graft.Caches.clear()
   }
 
