@@ -158,8 +158,12 @@ object TextOps {
     * corpus aggregate cross-joined back broadcast; top-k lands via
     * TakeOrderedAndProject (no global sort materializes) and the rank
     * window runs on the ≤k survivors. Numerator bound
-    * 22000·N·tf·S < 2^63 holds through sf10-scale test data;
-    * a 100 TB deployment drops the ×1000 print scale first.
+    * 22000·N·tf·S < 2^63 holds through sf10-scale test data, and is
+    * ENFORCED: one eager read of the 1-row stats aggregate requires
+    * 22000·N·maxTf·S to fit int64 — with ANSI off Spark would wrap
+    * silently (the DuckDB oracle errors loudly), so past the bound a
+    * deployment drops the ×1000 print scale or moves the contribution
+    * to DECIMAL instead of shipping wrong ranks.
     */
   def bm25Rank(s: SparkSession, dir: String,
                queryTerms: Seq[String] = Seq("spark", "vector", "dup"),
@@ -174,10 +178,25 @@ object TextOps {
         queryTerms.zipWithIndex.map { case (t, i) =>
           size(filter(col("toks"), x => x === lit(t))).cast("long").as(s"tf_$i")
         }: _*))
+    val tfCols = queryTerms.indices.map(i => col(s"tf_$i"))
+    val maxTf = if (tfCols.size == 1) tfCols.head else greatest(tfCols: _*)
     val statCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("s_tokens") +:
+      max(maxTf).as("max_tf") +:
       queryTerms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
     val stats = toks.agg(statCols.head, statCols.tail: _*)
+    // Overflow guard off the stats row the plan needs anyway (the agg
+    // runs over the cached scan — one tiny eager job): fail loudly
+    // BEFORE silent int64 wraparound can ship wrong ranks.
+    locally {
+      val st = stats.head()
+      def lv(f: String): Long = if (st.isNullAt(st.fieldIndex(f))) 0L else st.getAs[Long](f)
+      val bound = BigInt(22000L) * lv("n_docs") * lv("max_tf") * lv("s_tokens")
+      require(bound <= Long.MaxValue,
+        s"bm25_rank integer surrogate would overflow int64 " +
+        s"(22000·N=${lv("n_docs")}·maxTf=${lv("max_tf")}·S=${lv("s_tokens")} = $bound): " +
+        "drop the x1000 print scale or compute contributions in DECIMAL")
+    }
     val scored = toks.crossJoin(broadcast(stats))
     val prepared = queryTerms.indices.foldLeft(scored) { (d, i) =>
       val num = lit(22000L) * (col("n_docs") - col(s"df_$i")) * col(s"tf_$i") * col("s_tokens")
