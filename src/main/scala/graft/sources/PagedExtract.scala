@@ -353,7 +353,24 @@ object PagedExtract {
     import org.apache.spark.sql.functions.col
     import s.implicits._
     val already = landedKeys(s, landingDir)
-    val wanted = parentKeys.select(col(parentKeys.columns.head).cast("long").as("k"))
+    // NUMERIC-KEY CONTRACT, enforced loudly: the checkpoint filename
+    // `key_<k>.jsonl` round-trips a LONG (resume re-parses it — the
+    // fragile seam the negative-key bug lived in). A non-castable key
+    // (e.g. a UUID string) would either throw a generic CAST error
+    // mid-landing (ANSI on) or cast to null and be silently DROPPED —
+    // fetched never, reported nowhere (ANSI off) — so probe with
+    // try_cast (null on malformed under EITHER mode) and refuse the
+    // frame with a domain error before any fetch. String keys that
+    // are decimal integers ("42") are fine; true string-keyed fan-out
+    // wants an explicit key↔long dictionary in front of this API.
+    val keyCol = col(parentKeys.columns.head)
+    val nonNumeric = parentKeys
+      .filter(keyCol.isNotNull && keyCol.try_cast("long").isNull).limit(1).collect()
+    require(nonNumeric.isEmpty,
+      s"landKeyed parent keys must cast to long (checkpoint filenames round-trip longs); " +
+      s"got e.g. '${nonNumeric.headOption.map(_.get(0)).getOrElse("")}' — " +
+      "map string keys through a key dictionary first")
+    val wanted = parentKeys.select(keyCol.cast("long").as("k"))
       .filter(col("k").isNotNull).distinct()
     val remaining =
       if (already.isEmpty) wanted
@@ -449,19 +466,43 @@ object PagedExtract {
     * hash-verified against DuckDB. Driver memory stays O(1): the store
     * build is a distributed write and every fetch touches one page.
     */
+  /** Name of the keyed store's manifest: one parent key per line for
+    * every key that HAS details. Written at store build; read by
+    * [[FileKeyedApi]] to make "no details" and "store not visible"
+    * distinguishable. */
+  val KeysManifest = "_KEYS"
+
   /** [[FilePageApi]]'s keyed twin: serves each parent key from its
-    * `sk=N/` directory. A MISSING directory is an empty detail list,
-    * not an error — dynamic partition writes create no directory for
-    * an empty group, and a parent with zero details is a legitimate
-    * upstream answer (see [[KeyedApi]]).
+    * `sk=N/` directory. A parent with zero details is a legitimate
+    * upstream answer (dynamic partition writes create no directory
+    * for an empty group — see [[KeyedApi]]), but empty must never be
+    * SILENT: a store root that is not visible from the caller (on a
+    * real cluster, executors do not share the driver filesystem)
+    * would otherwise land every key as an empty checkpoint with
+    * report.ok=true. The [[KeysManifest]] file closes that seam —
+    * fetch fails loudly when the manifest is unreadable (store not
+    * visible) or when a manifest-listed key has no files (store
+    * partially visible); only a key genuinely absent from the
+    * manifest returns the empty list.
     */
   final class FileKeyedApi(storeDir: String) extends KeyedApi {
+    @transient private lazy val manifest: Set[Long] = {
+      val f = new java.io.File(storeDir, KeysManifest)
+      require(f.isFile,
+        s"keyed store not visible: no $KeysManifest manifest under $storeDir — " +
+        "refusing to treat an invisible store as all-empty details")
+      Files.readAllLines(f.toPath).asScala.filter(_.nonEmpty).map(_.toLong).toSet
+    }
     override def fetch(key: Long): Seq[String] = {
       val d = new java.io.File(storeDir, s"sk=$key")
-      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+      val parts = Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
         .sortBy(_.getName).toSeq
-        .flatMap(f => Files.readAllLines(f.toPath).asScala)
+      if (manifest.contains(key))
+        require(parts.nonEmpty,
+          s"keyed store lists key $key in $KeysManifest but sk=$key has no files under " +
+          s"$storeDir — store partially visible, refusing to land an empty checkpoint")
+      parts.flatMap(f => Files.readAllLines(f.toPath).asScala)
     }
   }
 
@@ -500,6 +541,19 @@ object PagedExtract {
               col("l_linenumber").cast("long").as("l_linenumber"))
       .withColumn("sk", col("supp_key"))
       .write.mode("overwrite").partitionBy("sk").json(store)
+    // The store's own manifest (see [[KeysManifest]]): written by the
+    // SIMULATED REMOTE at build time, so a fetch can tell "this key
+    // has no details" from "the store isn't visible here". The
+    // collect is store-side and O(parent keys) — the same order the
+    // landing report already holds — not an engine-path collect.
+    locally {
+      import s.implicits._
+      val keysWithDetails = graft.Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 5 === 0)
+        .select(col("l_suppkey").cast("long")).distinct().as[Long].collect().sorted
+      Files.write(Paths.get(store, KeysManifest),
+        keysWithDetails.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val parents = graft.Tables.supplier(s, dir).select(col("s_suppkey"))
       .filter(col("s_suppkey") % 5 === 0)
     val report = landKeyed(s, parents, new FileKeyedApi(store), landing)

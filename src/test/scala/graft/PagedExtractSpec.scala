@@ -171,6 +171,45 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
     assert(noop.ok && noop.landed.isEmpty && noop.skipped == Seq(11L, 12L, 13L))
   }
 
+  test("landKeyed: numeric-STRING keys land; non-numeric keys are refused loudly, not dropped") {
+    import spark.implicits._
+    // decimal-integer strings satisfy the long-round-trip contract
+    val dir = newDir()
+    val report = PagedExtract.landKeyed(spark,
+      Seq("11", "12").toDF("parent"), new SyntheticKeyedApi("kstr"), dir)
+    assert(report.ok && report.landed == Seq(11L, 12L))
+    // a UUID-ish key would cast to null and silently vanish from the
+    // fan-out (fetched never, reported nowhere) — the guard refuses
+    // the frame instead
+    val e = intercept[IllegalArgumentException] {
+      PagedExtract.landKeyed(spark,
+        Seq("11", "not-a-number").toDF("parent"), new SyntheticKeyedApi("kbad"), newDir())
+    }
+    assert(e.getMessage.contains("cast to long"))
+    assert(FetchLog.count("kbad", 11) == 0, "guard must fire before any fetch")
+  }
+
+  test("FileKeyedApi: invisible store fails loudly instead of landing every key empty") {
+    import spark.implicits._
+    // no _KEYS manifest at the root == the store isn't visible from
+    // this process (the real-cluster failure mode: executors that
+    // don't share the driver's filesystem) — every fetch must throw,
+    // so the report carries failures instead of ok=true over empty
+    // checkpoints
+    val ghost = Files.createTempDirectory("graft_ghost").toString + "/nowhere"
+    val report = PagedExtract.landKeyed(spark, Seq(11L).toDF("parent"),
+      new PagedExtract.FileKeyedApi(ghost), newDir(), maxRetries = 0)
+    assert(!report.ok && report.landed.isEmpty)
+    assert(report.failed.head._2.contains("_KEYS"))
+    // manifest present: a listed key with no files is partial
+    // visibility (loud); an unlisted key is a legitimate empty answer
+    val store = Files.createTempDirectory("graft_manif").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(store, "_KEYS"), "7".getBytes)
+    val api = new PagedExtract.FileKeyedApi(store)
+    intercept[IllegalArgumentException] { api.fetch(7L) }
+    assert(api.fetch(8L).isEmpty)
+  }
+
   test("demoKeyedExtract equals the direct lineitem projection") {
     val out = PagedExtract.demoKeyedExtract(spark, sf)
     val direct = Tables.lineitem(spark, sf)
