@@ -857,21 +857,32 @@ object Analytics {
     * same element for every n. One sort-shuffle on the user key; the
     * collect_list frame state is bounded by `win`, not history.
     */
-  def rollingMedianSpend(s: SparkSession, dir: String, win: Int = 5): DataFrame = {
+  def rollingMedianSpend(s: SparkSession, dir: String, win: Int = 5): DataFrame =
+    rollingMedianOver(
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          floor(col("value") * 100).cast("long").as("cents")),
+      win)
+      .orderBy("user_id", "event_id")
+
+  /** [[rollingMedianSpend]]'s window body over an explicit purchase
+    * frame (user_id, event_id, ts_ns, cents) — factored so
+    * PropertySpec can drive it with arbitrary generated sequences
+    * (frame edges n=1..win, tied timestamps) against a single-node
+    * sliding lower-median recompute.
+    */
+  def rollingMedianOver(purchases: DataFrame, win: Int): DataFrame = {
     require(win >= 1, s"window $win must be >= 1")
     val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
       .rowsBetween(-(win - 1), 0)
-    Tables.events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts_ns"),
-        floor(col("value") * 100).cast("long").as("cents"))
+    purchases
       .withColumn("frame", collect_list(col("cents")).over(w))
       .select(col("user_id"), col("event_id"),
         expr("ts_ns div 1000000000").as("ts_s"), col("cents"),
         size(col("frame")).cast("long").as("n_in_frame"),
         element_at(array_sort(col("frame")),
           ((size(col("frame")) + 1) / 2).cast("int")).as("median_cents"))
-      .orderBy("user_id", "event_id")
   }
 
   /** Per-user exponentially-weighted spend level — the classic
@@ -889,11 +900,22 @@ object Analytics {
     * contract as chunk reassembly), then the fold runs row-local via
     * the `aggregate` HOF. One shuffle on the user key, nothing else.
     */
-  def userEwmaSpend(s: SparkSession, dir: String): DataFrame = {
-    Tables.events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts_ns"), col("event_id"),
-        floor(col("value") * 100).cast("long").as("cents"))
+  def userEwmaSpend(s: SparkSession, dir: String): DataFrame =
+    ewmaOver(
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents")))
+      .orderBy("user_id")
+
+  /** [[userEwmaSpend]]'s fold over an explicit purchase frame
+    * (user_id, ts_ns, event_id, cents) — factored so PropertySpec
+    * can drive it with arbitrary generated sequences (any input
+    * order, tied timestamps, single-purchase users) against a
+    * single-node integral fold.
+    */
+  def ewmaOver(purchases: DataFrame): DataFrame = {
+    purchases
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_purchases"),
         array_sort(collect_list(struct(col("ts_ns"), col("event_id"), col("cents"))))
@@ -908,7 +930,6 @@ object Analytics {
           (acc, x) => floor((lit(30L) * x("cents") + lit(70L) * acc) / lit(100L))
             .cast("long"))
           .as("ewma_cents"))
-      .orderBy("user_id")
   }
 
   /** Last-observation-carried-forward imputation per user — the
