@@ -51,6 +51,7 @@ object SparkEntry {
     "pivot_event_types"     -> (Analytics.pivotEventTypes _),
     "window_running"        -> (Analytics.windowRunning _),
     "window_time_range"     -> (Analytics.windowTimeRange _),
+    "window_lag_features"   -> (Analytics.windowLagFeatures _),
     "sessionize_events"     -> (Analytics.sessionizeEvents _),
     "cohort_retention"      -> (Analytics.cohortRetention _),
     "rolling_active_users"  -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
@@ -64,6 +65,7 @@ object SparkEntry {
     "gap_fill_days"         -> (Analytics.gapFillDays _),
     "event_transitions"     -> (Analytics.eventTransitions _),
     "skew_report"           -> ((s, d) => Analytics.skewReport(s, d)),
+    "topk_heavy_hitters"    -> ((s, d) => Analytics.topkHeavyHitters(s, d)),
     "hll_states"            -> (Analytics.hllStates _),
     "bitmap_distinct"       -> (Analytics.bitmapDistinct _),
     "bitmap_overlap"        -> (Analytics.bitmapOverlap _),
@@ -78,6 +80,7 @@ object SparkEntry {
     "stream_sliding_counts" -> (Analytics.streamSlidingCounts _),
     "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     "graph_triangles"       -> (GraphOps.graphTriangles _),
+    "graph_degree_stats"    -> (GraphOps.graphDegreeStats _),
     "graph_similar_parts"   -> ((s, d) => GraphOps.graphSimilarParts(s, d)),
     "graph_components"      -> (GraphOps.graphComponents _),
     "assoc_rules"           -> ((s, d) => GraphOps.assocRules(s, d)),
@@ -350,6 +353,23 @@ object SparkEntry {
                 CAST(FLOOR(10000.0 * n_transitions /
                      SUM(n_transitions) OVER (PARTITION BY prev_type)) AS BIGINT) AS p_x10000
          FROM c ORDER BY prev_type, event_type""",
+    // k=64 > |event types|: the MG sketch is provably the exact count
+    // map in this regime, so a plain GROUP BY is the oracle.
+    "topk_heavy_hitters" ->
+      """SELECT event_type AS item, COUNT(*) AS est_count
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "window_lag_features" ->
+      """WITH p AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id, event_id, ts_ns//1000000000 AS ts_s, cents,
+                ROW_NUMBER() OVER w AS seq,
+                LAG(cents) OVER w AS prev_cents,
+                cents - LAG(cents) OVER w AS delta_cents,
+                (ts_ns - LAG(ts_ns) OVER w)//1000000000 AS gap_s
+         FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+         ORDER BY user_id, seq""",
     "skew_report" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
          t AS (SELECT SUM(n_rows) AS total_rows FROM k)
@@ -384,6 +404,19 @@ object SparkEntry {
          SELECT part_key, CAST(rank AS BIGINT) AS rank, similar_part,
                 n_common, jaccard_x1000
          FROM ranked WHERE rank <= 5 ORDER BY part_key, rank""",
+    // Same pair substrate as graph_similar_parts (distinct co-purchase
+    // pairs, support >= 2), reduced to the degree histogram.
+    "graph_degree_stats" ->
+      """WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+                FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+         deg AS (SELECT a AS part_key, COUNT(*) AS degree FROM sym GROUP BY a)
+         SELECT degree, COUNT(*) AS n_parts,
+                MIN(part_key) AS min_part, MAX(part_key) AS max_part
+         FROM deg GROUP BY degree ORDER BY degree""",
     // Naive all-triangles road (x<y<z three-way join) vs the engine's
     // degree-ordered orientation — same triangle set, counted per node.
     "graph_triangles" ->

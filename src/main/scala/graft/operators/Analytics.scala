@@ -847,6 +847,60 @@ object Analytics {
       .orderBy("user_id", "event_type")
   }
 
+  /** Heavy hitters of the event-type stream via the engine's
+    * [[graft.functions.FreqSketch]] Misra-Gries aggregate — the
+    * frequency member of the sketch family ([[hllStates]] distinct,
+    * [[bitmapDistinct]] membership): top items in ONE pass with ≤ k
+    * counters per (partition, group) of state, where exact
+    * `groupBy(item).count` shuffles the item cardinality (at 100 TB
+    * the hot-key question must not cost a full-cardinality shuffle —
+    * that shuffle IS the skew being diagnosed). Partial sketches
+    * merge through ObjectHashAggregate like any built-in aggregate.
+    *
+    * Oracle-checkable because k=64 exceeds the event-type
+    * cardinality, where Misra-Gries provably degenerates to the
+    * EXACT count map (no decrement ever fires, so the sketch is
+    * order-independent); the approximation regime's guarantee
+    * (undercount ≤ n/(k+1), every item with count > n/(k+1)
+    * present) is spec-pinned on adversarial streams instead.
+    */
+  def topkHeavyHitters(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    Tables.events(s, dir)
+      .agg(call_function("graft_freq_sketch", col("event_type"), lit(k)).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("item", "est_count")))
+      .orderBy("item")
+  }
+
+  /** Per-user lag features over the purchase stream — the feature-
+    * engineering primitive every churn/LTV training table starts
+    * from (previous amount, spend delta, inter-purchase gap, running
+    * purchase index). All three window functions share ONE window
+    * spec, so the whole feature block costs a single user-keyed
+    * sort-shuffle and lands in one Window operator (the [[scd2Build]]
+    * shared-window discipline). Cents are exact longs and the gap is
+    * integral seconds from the ns clock — engine-portable where
+    * float money/time never hash. First-purchase rows carry null
+    * prev/delta/gap (nothing to look back at ≠ zero).
+    */
+  def windowLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .withColumn("prev_cents", lag("cents", 1).over(w))
+      .withColumn("delta_cents", col("cents") - col("prev_cents"))
+      .withColumn("prev_ns", lag("ts_ns", 1).over(w))
+      // integral div: a double ns quotient loses exactness past 2^53
+      .withColumn("gap_s", expr("(ts_ns - prev_ns) div 1000000000"))
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000000000").as("ts_s"),
+        col("cents"), col("seq"), col("prev_cents"), col("delta_cents"), col("gap_s"))
+      .orderBy("user_id", "seq")
+  }
+
   /** Trailing-window DISCRETE median of purchase value per user — the
     * robust running level (a median shrugs off the outlier spike that
     * drags [[userEwmaSpend]]'s mean-family signal): over each user's

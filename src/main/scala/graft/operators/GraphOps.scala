@@ -198,6 +198,32 @@ object GraphOps {
       .select(col("node").as("part_key"), col("n_triangles"))
       .orderBy("part_key")
 
+  /** Degree distribution of the co-purchase graph — the first
+    * question asked of any graph before running anything iterative on
+    * it (is it scale-free? where is the hub tail that salts a join or
+    * breaks a pregel superstep?). One histogram row per distinct
+    * degree with the witness part range, so the output is bounded by
+    * max degree, not vertex count.
+    *
+    * Plan: [[copurchaseEdges]]' distinct (a<b) pairs symmetrize
+    * row-locally (explode of a 2-struct array, no second scan), then
+    * two partial-aggregated shuffles — degree per part, parts per
+    * degree. Nothing here touches raw lineitem beyond the shared
+    * pair substrate, and no window anywhere.
+    */
+  def graphDegreeStats(s: SparkSession, dir: String): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    val sym = edges.select(explode(array(
+        struct(col("a").as("part_key"), col("b").as("nbr")),
+        struct(col("b").as("part_key"), col("a").as("nbr")))).as("e"))
+      .select("e.part_key", "e.nbr")
+    sym.groupBy("part_key").agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(count(lit(1)).as("n_parts"),
+           min("part_key").as("min_part"), max("part_key").as("max_part"))
+      .orderBy("degree")
+  }
+
   /** "Customers who bought X also bought Y": top-k similar parts per
     * part by neighborhood Jaccard over the co-purchase graph —
     * |N(a)∩N(b)| / |N(a)∪N(b)| as floor(×1000) integers. The

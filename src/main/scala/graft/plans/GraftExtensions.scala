@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, SimHash64, SrpSignature, VecSumMicro}
+import graft.functions.{CosineSim, FreqSketch, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, SimHash64, SrpSignature, VecSumMicro}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -64,7 +64,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => HilbertIndex(args(0), args(1), intArg(args, 2, "graft_hilbert2"))),
     (FunctionIdentifier("graft_vec_sum_micro"),
       new ExpressionInfo(classOf[VecSumMicro].getName, "graft_vec_sum_micro"),
-      (args: Seq[Expression]) => VecSumMicro(args(0))))
+      (args: Seq[Expression]) => VecSumMicro(args(0))),
+    (FunctionIdentifier("graft_freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
+      (args: Seq[Expression]) => FreqSketch(args(0), intArg(args, 1, "graft_freq_sketch"))))
 
   /** Idempotently register on an existing session. */
   def ensureRegistered(s: SparkSession): Unit = {

@@ -423,6 +423,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("graph_degree_stats: histogram mass equals 2|E| and vertex count; witnesses bound the keys") {
+    import graft.operators.GraphOps
+    val hist = GraphOps.graphDegreeStats(spark, sf).collect()
+    val edges = GraphOps.copurchaseEdges(spark, sf)
+    val nEdges = edges.count()
+    val nVerts = edges.select(explode(array(col("a"), col("b"))).as("n"))
+      .distinct().count()
+    // handshake lemma: Σ degree·n_parts = 2|E|; Σ n_parts = |V|
+    assert(hist.map(r => r.getLong(0) * r.getLong(1)).sum == 2 * nEdges)
+    assert(hist.map(_.getLong(1)).sum == nVerts)
+    // degrees strictly ascending (it is a histogram), witnesses ordered
+    val degrees = hist.map(_.getLong(0))
+    assert(degrees.sameElements(degrees.sorted.distinct))
+    hist.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "min_part must not exceed max_part")
+    }
+  }
+
+  test("window_lag_features: per-user replay reproduces every lag/delta/gap") {
+    val rows = graft.operators.Analytics.windowLagFeatures(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, userRows) =>
+      val ordered = userRows.sortBy(_.getLong(4)) // seq
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(4) == i + 1, "seq must be contiguous from 1")
+        if (i == 0) {
+          assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7),
+            "first purchase carries null prev/delta/gap")
+        } else {
+          val prev = ordered(i - 1)
+          assert(r.getLong(5) == prev.getLong(3), "prev_cents must echo the prior row")
+          assert(r.getLong(6) == r.getLong(3) - prev.getLong(3))
+          assert(r.getLong(7) >= 0 && r.getLong(7) <= r.getLong(2) - prev.getLong(2) + 1,
+            "gap must be the non-negative second-grain distance")
+        }
+      }
+    }
+  }
+
   test("graph_components: edge-consistent labels, exact sizes, crafted shapes") {
     import graft.operators.GraphOps
     import spark.implicits._
