@@ -70,7 +70,7 @@ object Bench {
       val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val fs = flaky.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
     // Atomic temp+rename so a kill mid-write can't leave a truncated
     // (unparseable) file — the reader always sees the previous snapshot
@@ -101,7 +101,14 @@ object Bench {
     // the index trains once per session, so the first pass pays
     // training and min-of-N records the serving cost — the
     // train-once/serve-many contract a real deployment runs.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 — iteration filter for timing a
+    // hot query without the full sweep; the JSON stamps "filtered"
+    // so a partial record can never masquerade as a round total.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val passErrors = scala.collection.mutable.ArrayBuffer.empty[String]
       val passTimes = (1 to passes).flatMap { _ =>
         Caches.clear()

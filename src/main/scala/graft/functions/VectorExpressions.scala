@@ -169,3 +169,110 @@ case class SrpSignature(child: Expression, nBits: Int, seed: Long = 42L,
   override protected def withNewChildInternal(newChild: Expression): SrpSignature =
     copy(child = newChild)
 }
+
+/** Product-quantization ENCODE: per subspace, the index of the
+  * nearest codebook centroid by squared L2 — the hot stage of
+  * [[graft.operators.Similarity.annPqTopK]]'s index build (nSub ×
+  * nCodes × subDim multiply-adds per vector). The higher-order
+  * formulation (array_sort over aggregate-HOF distance structs)
+  * evaluates generic lambdas and materializes 64 structs per
+  * subspace per row; this is one fused primitive loop, bound to the
+  * trained codebook as a codegen reference object.
+  *
+  * BIT-COMPATIBLE with the HOF construction it replaces (spec-pinned
+  * in SimilaritySpec): distances accumulate left-to-right in double
+  * from float-widened operands — the exact IEEE sequence of
+  * `aggregate(zip_with(...))` — and ties keep the LOWEST code index
+  * (strict-< scan == first element of the (dist, idx) ascending
+  * sort).
+  */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  private val nSub = codebooks.length
+  require(nSub >= 1, "graft_pq_encode needs a non-empty codebook")
+  private val nCodes = codebooks(0).length
+  private val subDim = codebooks(0)(0).length
+  require(codebooks.forall(m => m.length == nCodes && m.forall(_.length == subDim)),
+    "graft_pq_encode codebook must be rectangular (nSub x nCodes x subDim)")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_encode expects array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != nSub * subDim)
+      throw PqEncode.dimError(vec.numElements(), nSub, subDim)
+    val codes = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      val cb = codebooks(m)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCodes) {
+        val cent = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = vec.getFloat(m * subDim + j).toDouble - cent(j).toDouble
+          d += diff * diff
+          j += 1
+        }
+        if (c == 0 || d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(m) = best
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val codes = ctx.freshName("codes"); val m = ctx.freshName("m")
+      val cb = ctx.freshName("cb"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent"); val d = ctx.freshName("d")
+      val j = ctx.freshName("j"); val diff = ctx.freshName("diff")
+      s"""
+        if ($vec.numElements() != ${nSub * subDim}) {
+          throw graft.functions.PqEncode.dimError($vec.numElements(), $nSub, $subDim);
+        }
+        int[] $codes = new int[$nSub];
+        for (int $m = 0; $m < $nSub; $m++) {
+          float[][] $cb = $cbRef[$m];
+          int $best = 0;
+          double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $nCodes; $c++) {
+            float[] $cent = $cb[$c];
+            double $d = 0.0;
+            for (int $j = 0; $j < $subDim; $j++) {
+              double $diff = (double) $vec.getFloat($m * $subDim + $j) - (double) $cent[$j];
+              $d += $diff * $diff;
+            }
+            if ($c == 0 || $d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          $codes[$m] = $best;
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  def dimError(dim: Int, nSub: Int, subDim: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_pq_encode: vector dim $dim != nSub($nSub) x subDim($subDim) — " +
+      "the codebook was trained for a different embedding width")
+}

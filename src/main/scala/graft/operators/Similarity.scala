@@ -360,18 +360,12 @@ object Similarity {
           scala.concurrent.duration.Duration.Inf)
       }
     val cbLit = typedLit(codebooks) // array<array<array<float>>> plan literal
-    // argmin_c L2²(sub_m, CB[m][c]) via (dist, idx) struct sort — first
-    // min wins, deterministic
-    def encodeSub(m: Int): Column = {
-      val sub = slice(col("embedding"), m * subDim + 1, subDim)
-      element_at(array_sort(transform(element_at(cbLit, m + 1), (cent, i) =>
-        struct(aggregate(zip_with(sub, cent,
-                 (a, b) => (a.cast("double") - b.cast("double")) *
-                           (a.cast("double") - b.cast("double"))),
-               lit(0.0), (acc, x) => acc + x).as("dist"), i.as("idx")))), 1)("idx")
-    }
+    // argmin_c L2²(sub_m, CB[m][c]) — the codegen'd PqEncode fused
+    // loop (codebook bound as a plan constant); bit-compatible with
+    // the (dist, idx) struct-sort HOF road, which SimilaritySpec
+    // keeps as the equivalence oracle
     val encoded = graft.Caches.cached(emb.select(col("vec_id"),
-      array((0 until nSub).map(encodeSub): _*).as("codes")))
+      call_function("graft_pq_encode", col("embedding"), cbLit).as("codes")))
     val decoded = flatten(transform(sequence(lit(1), lit(nSub)),
       m => element_at(element_at(cbLit, m), element_at(col("codes"), m) + 1)))
     val w = Window.partitionBy("probe_id")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, FreqSketch, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, SimHash64, SrpSignature, VecSumMicro}
+import graft.functions.{CosineSim, FreqSketch, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -29,6 +29,24 @@ object GraftFunctions {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
         s"$name expects a literal int at position $i, got $other")
+    }
+
+  /** Trained PQ codebook bound at plan build: a FOLDABLE
+    * array<array<array<float>>> argument (typedLit of the fitted
+    * centroids) evaluated once into the primitive matrix the codegen
+    * references — model state rides the plan as a constant, exactly
+    * like [[SrpSignature]]'s plane matrix, never as per-row data.
+    */
+  private def codebookArg(args: Seq[Expression], i: Int, name: String): Array[Array[Array[Float]]] =
+    args(i) match {
+      case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        val outer = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        Array.tabulate(outer.numElements()) { m =>
+          val mid = outer.getArray(m)
+          Array.tabulate(mid.numElements())(c => mid.getArray(c).toFloatArray())
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name expects a foldable codebook literal at position $i, got $other")
     }
 
   /** (identifier, info, builder) triples for both injection routes. */
@@ -67,7 +85,10 @@ object GraftFunctions {
       (args: Seq[Expression]) => VecSumMicro(args(0))),
     (FunctionIdentifier("graft_freq_sketch"),
       new ExpressionInfo(classOf[FreqSketch].getName, "graft_freq_sketch"),
-      (args: Seq[Expression]) => FreqSketch(args(0), intArg(args, 1, "graft_freq_sketch"))))
+      (args: Seq[Expression]) => FreqSketch(args(0), intArg(args, 1, "graft_freq_sketch"))),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (args: Seq[Expression]) => PqEncode(args(0), codebookArg(args, 1, "graft_pq_encode"))))
 
   /** Idempotently register on an existing session. */
   def ensureRegistered(s: SparkSession): Unit = {

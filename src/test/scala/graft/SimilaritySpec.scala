@@ -187,6 +187,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("graft_pq_encode equals the struct-sort HOF encode bit-for-bit, ties keep the lowest code") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val nSub = 16; val nCodes = 64
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val subDim = dim / nSub
+    // seeded arbitrary codebook — equivalence must hold for ANY codebook
+    val rnd = new scala.util.Random(7)
+    val codebooks: Seq[Seq[Seq[Float]]] = Seq.fill(nSub)(Seq.fill(nCodes)(
+      Seq.fill(subDim)(rnd.nextFloat() * 2f - 1f)))
+    val cbLit = typedLit(codebooks)
+    def hofEncode(m: Int) = {
+      val sub = slice(col("embedding"), m * subDim + 1, subDim)
+      element_at(array_sort(transform(element_at(cbLit, m + 1), (cent, i) =>
+        struct(aggregate(zip_with(sub, cent,
+                 (a, b) => (a.cast("double") - b.cast("double")) *
+                           (a.cast("double") - b.cast("double"))),
+               lit(0.0), (acc, x) => acc + x).as("dist"), i.as("idx")))), 1)("idx")
+    }
+    val diff = emb
+      .withColumn("fast", call_function("graft_pq_encode", col("embedding"), cbLit))
+      .withColumn("hof", array((0 until nSub).map(hofEncode): _*))
+      .filter(col("fast") =!= col("hof"))
+    assert(diff.count() == 0, "fused encode diverged from the HOF road")
+    // exact tie (duplicate centroids): both roads must keep code 0
+    val dupCb = typedLit(Seq(Seq(Seq(0.5f, 0.5f), Seq(0.5f, 0.5f))))
+    val tied = Seq(Tuple1(Seq(0.1f, 0.9f))).toDF("embedding")
+      .select(call_function("graft_pq_encode", col("embedding"), dupCb).as("codes"))
+      .head().getSeq[Int](0)
+    assert(tied == Seq(0), "tie must resolve to the lowest code index")
+  }
+
   test("trained index state is session-memoized: repeat PQ/IVF invocations skip the k-means fits") {
     graft.Caches.clearModels()
     val before = graft.Caches.modelMissCount
