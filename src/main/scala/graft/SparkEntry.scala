@@ -73,6 +73,7 @@ object SparkEntry {
     "cube_flag_status"      -> (Analytics.cubeFlagStatus _),
     "seasonality_profile"   -> (Analytics.seasonalityProfile _),
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
+    "stream_heavy_hitters"  -> ((s, d) => Analytics.streamHeavyHitters(s, d)),
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
     "stream_enrich"         -> (Analytics.streamEnrich _),
     "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
@@ -991,6 +992,11 @@ object SparkEntry {
                 event_type, COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY window_start_s, event_type""",
+    // per-window MG sketch at k > |event types| == exact window counts
+    "stream_heavy_hitters" ->
+      """SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS window_start_s,
+                event_type AS item, COUNT(*) AS est_count
+         FROM events GROUP BY 1, 2 ORDER BY window_start_s, item""",
     "stream_dedup_ids" ->
       """SELECT user_id, event_type, event_id AS first_event_id,
                 epoch_ns(ts)//1000000000 AS first_ts_s

@@ -749,6 +749,21 @@ object Analytics {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Batch twin of the streaming windowed heavy-hitters sketch
+    * ([[graft.streaming.EventStreams.windowHeavyHitters]] — same
+    * plan, bounded source). Oracle-exact per window because k=64
+    * exceeds the event-type cardinality (see [[topkHeavyHitters]]).
+    */
+  def streamHeavyHitters(s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("graft_freq_sketch", col("event_type"), lit(k)).as("sketch"))
+      .select(epochS(col("window.start")).as("window_start_s"),
+              explode(col("sketch")).as(Seq("item", "est_count")))
+      .orderBy("window_start_s", "item")
+  }
+
   /** Sliding-window counts (1-hour windows every 15 minutes): each
     * event belongs to exactly width/slide = 4 overlapping windows, so
     * the aggregate's input replicates 4× BEFORE the shuffle — that

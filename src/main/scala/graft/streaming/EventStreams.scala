@@ -50,6 +50,29 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
               col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Per-window heavy hitters via the engine's Misra-Gries aggregate
+    * ([[graft.functions.FreqSketch]], `graft_freq_sketch`) — the
+    * custom TypedImperativeAggregate composing with Structured
+    * Streaming state exactly like the built-in sketches: ≤ k
+    * counters of partial-summary state per window key in the state
+    * store, merged on every micro-batch, evicted when the watermark
+    * closes the window. The "what dominates this stream right now"
+    * dashboard question answered with BOUNDED state on an unbounded
+    * stream — an exact windowed groupBy(item) would grow state with
+    * item cardinality instead. Batch twin:
+    * Analytics.streamHeavyHitters (same plan, bounded source;
+    * StreamingSpec proves stream == batch).
+    */
+  def windowHeavyHitters(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(events.sparkSession)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(call_function("graft_freq_sketch", col("event_type"), lit(k)).as("sketch"))
+      .select(col("window.start").as("window_start"),
+              explode(col("sketch")).as(Seq("item", "est_count")))
+  }
+
   /** Sliding 1-hour windows every 15 minutes, 2h watermark: the state
     * store holds width/slide = 4 open windows per (window, type) key
     * group and the watermark closes them in slide-sized steps —

@@ -38,6 +38,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("windowed heavy hitters over MemoryStream equal the batch twin (sketch state in the store)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.windowHeavyHitters(input.toDF())
+      .writeStream.format("memory").queryName("hh_test").outputMode("complete").start()
+    try {
+      // two batches: partial sketches must MERGE in the state store,
+      // not overwrite — a second batch of the same rows doubles counts
+      val rows = eventRows()
+      val (a, b) = rows.splitAt(rows.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("hh_test")
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+                col("item"), col("est_count"))
+      val batch = graft.operators.Analytics.streamHeavyHitters(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("sliding windows over MemoryStream equal the batch twin; 4 windows per event") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
