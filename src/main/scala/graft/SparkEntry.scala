@@ -56,6 +56,7 @@ object SparkEntry {
     "cohort_retention"      -> (Analytics.cohortRetention _),
     "rolling_active_users"  -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
     "anomaly_zscore"        -> ((s, d) => Analytics.anomalyZscore(s, d)),
+    "anomaly_mad"           -> ((s, d) => Analytics.anomalyMad(s, d)),
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "graph_label_prop"      -> ((s, d) => GraphOps.labelPropagation(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
+    "asof_join_nearest"  -> (Joins.asofJoinNearest _),
     "range_join_buckets" -> (Joins.rangeJoinBuckets _),
     "salted_join_skew"   -> ((s, d) => Joins.saltedJoinSkew(s, d)),
     "temporal_join_scd2" -> (Joins.temporalJoinScd2 _),
@@ -284,6 +286,22 @@ object SparkEntry {
            FROM events e JOIN m USING (event_type))
          SELECT event_id, event_type, z_x100, abs(z_x100) >= 300 AS is_outlier
          FROM z ORDER BY event_id""",
+    // discrete medians in exact cents (quantile_disc == the engine's
+    // rank-(n+1)div2 element at every group size), integral flag
+    "anomaly_mad" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         m AS (SELECT event_type, quantile_disc(cents, 0.5) AS med_cents
+               FROM e GROUP BY 1),
+         d AS (SELECT e.event_id, e.event_type, e.cents,
+                      ABS(e.cents - m.med_cents) AS adev_cents
+               FROM e JOIN m USING (event_type)),
+         md AS (SELECT event_type, quantile_disc(adev_cents, 0.5) AS mad_cents
+                FROM d GROUP BY 1)
+         SELECT d.event_id, d.event_type, d.cents, d.adev_cents, md.mad_cents,
+                (d.adev_cents * 100 > 300 * md.mad_cents) AS is_outlier
+         FROM d JOIN md USING (event_type) ORDER BY event_id""",
     "rolling_active_users" ->
       """WITH du AS (
            SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, user_id
@@ -1008,6 +1026,28 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+    // candidate rank road: dist asc, before-side first on ties, then
+    // highest id within before / lowest within after — textually the
+    // engine's last/first + pick semantics
+    "asof_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ns FROM events
+                    WHERE event_type = 'purchase'),
+         s AS (SELECT event_id, user_id, epoch_ns(ts) AS ns FROM events
+               WHERE event_type = 'signup'),
+         cand AS (
+           SELECT p.event_id AS pid, p.user_id, p.ns AS pns,
+                  s.event_id AS sid, s.ns AS sns,
+                  CASE WHEN s.ns <= p.ns THEN p.ns - s.ns ELSE s.ns - p.ns END AS dist,
+                  CASE WHEN s.ns <= p.ns THEN 0 ELSE 1 END AS side
+           FROM p LEFT JOIN s ON p.user_id = s.user_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, side,
+                  CASE WHEN side = 0 THEN -sid ELSE sid END) AS rn
+           FROM cand)
+         SELECT pid AS purchase_event_id, user_id, pns//1000000000 AS purchase_ts_s,
+                sid AS nearest_signup_id, sns//1000000000 AS nearest_signup_ts_s,
+                dist//1000000000 AS dist_s
+         FROM ranked WHERE rn = 1 ORDER BY purchase_event_id""",
     "asof_join_events" ->
       """SELECT p.event_id AS purchase_event_id, p.user_id,
                 epoch_ns(p.ts)//1000000000 AS purchase_ts_s,

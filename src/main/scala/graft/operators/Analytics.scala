@@ -336,6 +336,51 @@ object Analytics {
       .withColumn("is_outlier", abs(col("z_x100")) >= zX100Cut)
   }
 
+  /** Robust MAD outlier flags — [[anomalyZscore]]'s median twin: a
+    * z-score's mean/std are themselves dragged by the outliers they
+    * hunt, so the robust detector scores |x − median| against the
+    * Median Absolute Deviation. ALL-INTEGRAL in exact cents (the
+    * engine-portable discipline: an interpolated float median puts an
+    * ulp between the engines; the discrete median is an input VALUE,
+    * `quantile_disc(0.5)`-compatible at every group size), and both
+    * per-type medians come from [[DistRank.withPrefix]] ranks — a
+    * per-type `row_number` window would sort a whole event type's
+    * corpus-scaling rows in one task (the exact shape the plan net
+    * forbids); the two-stage rank keeps every sort one range
+    * partition wide. Flag: 100·|x−med| > kX100·MAD (k=3 at the
+    * default print scale); MAD = 0 (constant group) flags any
+    * deviation, mirrored in the oracle.
+    */
+  def anomalyMad(s: SparkSession, dir: String, kX100: Long = 300): DataFrame =
+    madFlags(Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents")), kX100)
+      .orderBy("event_id")
+
+  /** [[anomalyMad]]'s core over an explicit (event_id, event_type,
+    * cents) frame — factored for crafted-median specs. */
+  def madFlags(e: DataFrame, kX100: Long): DataFrame = {
+    // discrete median per type: the unique row at rank (n+1) div 2 of
+    // the (cents, event_id) total order carries the median VALUE
+    val medRow = DistRank.withPrefix(e, Seq("event_type"),
+        Seq(col("cents"), col("event_id")), lit(1L), "__rk",
+        groupTotalOut = Some("__n"))
+      .filter(col("__rk") === expr("(__n + 1) div 2"))
+      .select(col("event_type"), col("cents").as("med_cents"))
+    val dev = e.join(Hints.maybeBroadcast(medRow), "event_type")
+      .withColumn("adev_cents", abs(col("cents") - col("med_cents")))
+    val madRow = DistRank.withPrefix(
+        dev.select(col("event_type"), col("event_id"), col("adev_cents")),
+        Seq("event_type"), Seq(col("adev_cents"), col("event_id")), lit(1L), "__rk",
+        groupTotalOut = Some("__n"))
+      .filter(col("__rk") === expr("(__n + 1) div 2"))
+      .select(col("event_type"), col("adev_cents").as("mad_cents"))
+    dev.join(Hints.maybeBroadcast(madRow), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("adev_cents"), col("mad_cents"),
+        (col("adev_cents") * 100 > lit(kX100) * col("mad_cents")).as("is_outlier"))
+  }
+
   /** Exact interpolated percentiles per group — exact by spec for
     * oracle parity (bounded group count here). At 100 TB the same plan
     * shape swaps `percentile` for `approx_percentile(value, p, acc)`

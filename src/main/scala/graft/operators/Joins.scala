@@ -46,6 +46,64 @@ object Joins {
       .orderBy("purchase_event_id")
   }
 
+  /** NEAREST-neighbor as-of join — [[asofJoinEvents]]'s two-sided
+    * sibling: for every purchase, the signup of the same user nearest
+    * in time in EITHER direction (sensor alignment, feature joins
+    * where "most recent" is wrong half the time). Same union+window
+    * formulation, ONE sort-shuffle, zero row explosion: the shared
+    * (user, ts, side, id) sort carries the last at-or-before signup
+    * forward (`last ignoreNulls`, unbounded-preceding frame) AND the
+    * first strictly-after signup backward (`first ignoreNulls`,
+    * unbounded-following frame) — two frames over one exchange+sort —
+    * then a row-local pick of the closer side. Ties: equal distance
+    * prefers the before side; equal-ts signups sort before the
+    * purchase (side tag), so same-instant is "before" at distance 0,
+    * and within a side the before branch keeps the highest, the
+    * after branch the lowest event_id (mirrored in the oracle's
+    * rank ordering). All distances integral ns, printed as `div 1e9`
+    * seconds. A join-based nearest would range-explode per user; at
+    * 100 TB this stays one shuffle of the event slice.
+    */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame =
+    asofNearestOver(
+      Tables.events(s, dir).filter(col("event_type").isin("signup", "purchase")))
+      .orderBy("purchase_event_id")
+
+  /** [[asofJoinNearest]]'s core over an explicit (user_id, ts_ns,
+    * event_id, event_type) frame — factored for crafted tie/edge
+    * specs. */
+  def asofNearestOver(ev: DataFrame): DataFrame = {
+    val tagged = ev.select(
+      col("user_id"), col("ts_ns"), col("event_id"), col("event_type"),
+      when(col("event_type") === "signup", lit(0)).otherwise(lit(1)).as("side"),
+      when(col("event_type") === "signup", col("ts_ns")).as("sig_ns"),
+      when(col("event_type") === "signup", col("event_id")).as("sig_id"))
+    val wB = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wA = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("side"), col("event_id"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    tagged
+      .withColumn("b_ns", last(col("sig_ns"), ignoreNulls = true).over(wB))
+      .withColumn("b_id", last(col("sig_id"), ignoreNulls = true).over(wB))
+      .withColumn("a_ns", first(col("sig_ns"), ignoreNulls = true).over(wA))
+      .withColumn("a_id", first(col("sig_id"), ignoreNulls = true).over(wA))
+      .filter(col("event_type") === "purchase")
+      .withColumn("use_b", col("b_ns").isNotNull &&
+        (col("a_ns").isNull ||
+         (col("ts_ns") - col("b_ns")) <= (col("a_ns") - col("ts_ns"))))
+      .select(
+        col("event_id").as("purchase_event_id"),
+        col("user_id"),
+        expr("ts_ns div 1000000000").as("purchase_ts_s"),
+        when(col("use_b"), col("b_id")).otherwise(col("a_id")).as("nearest_signup_id"),
+        when(col("use_b"), expr("b_ns div 1000000000"))
+          .otherwise(expr("a_ns div 1000000000")).as("nearest_signup_ts_s"),
+        when(col("use_b"), expr("(ts_ns - b_ns) div 1000000000"))
+          .otherwise(expr("(a_ns - ts_ns) div 1000000000")).as("dist_s"))
+  }
+
   /** Banded range join: signup→purchase conversions within one hour,
     * joined via hour buckets (each signup probes its own and the next
     * bucket) then filtered to the exact interval. The join is a plain

@@ -41,6 +41,53 @@ class JoinsViewsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("asof nearest: crafted sides, exact ties prefer before, no-signup nulls") {
+    import spark.implicits._
+    val G = 1000000000L
+    // user 1: signup@10s, purchase@13s (before, d=3), purchase@2s (after-only, d=8)
+    // user 2: signups@10s,@20s, purchase@15s — EXACT tie, before (id 20) wins
+    // user 3: purchase with no signup at all → null columns
+    // user 4: signup at the same instant as the purchase → before, d=0
+    val ev = Seq(
+      (1L, 10L * G, 100L, "signup"), (1L, 13L * G, 101L, "purchase"),
+      (1L, 2L * G, 102L, "purchase"),
+      (2L, 10L * G, 20L, "signup"), (2L, 20L * G, 21L, "signup"),
+      (2L, 15L * G, 22L, "purchase"),
+      (3L, 5L * G, 30L, "purchase"),
+      (4L, 7L * G, 40L, "signup"), (4L, 7L * G, 41L, "purchase")
+    ).toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = Joins.asofNearestOver(ev).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+                                 Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    assert(out(101L) == (Some(100L), Some(3L)), "before side at distance 3")
+    assert(out(102L) == (Some(100L), Some(8L)), "after-only side at distance 8")
+    assert(out(22L) == (Some(20L), Some(5L)), "exact tie must prefer the before side")
+    assert(out(30L) == (None, None), "no signup anywhere → nulls")
+    assert(out(41L) == (Some(40L), Some(0L)), "same instant is before at distance 0")
+  }
+
+  test("asof nearest on real data equals the brute-force min-distance road") {
+    val out = Joins.asofJoinNearest(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts_ns").as("pns"))
+    val s2 = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("sid"), col("user_id"), col("ts_ns").as("sns"))
+    val cand = p.join(s2, Seq("user_id"), "left")
+      .withColumn("dist", abs(col("sns") - col("pns")))
+      .withColumn("side", when(col("sns") <= col("pns"), 0).otherwise(1))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+      .orderBy(col("dist"), col("side"),
+        when(col("side") === 0, -col("sid")).otherwise(col("sid")))
+    val brute = cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("pid").as("purchase_event_id"), col("user_id"),
+        expr("pns div 1000000000").as("purchase_ts_s"),
+        col("sid").as("nearest_signup_id"),
+        expr("sns div 1000000000").as("nearest_signup_ts_s"),
+        expr("dist div 1000000000").as("dist_s"))
+    assert(out.exceptAll(brute).count() == 0 && brute.exceptAll(out).count() == 0)
+  }
+
   test("v_top_actors ranks by distinct order count, descending") {
     val out = Views.topActors(spark, sf).collect()
     val counts = out.map(_.getAs[Long]("movie_count"))
