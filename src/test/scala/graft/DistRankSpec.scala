@@ -67,6 +67,17 @@ class DistRankSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("degenerate frames: empty input yields empty output, one row ranks 1 of 1") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("g", "id")
+    assert(DistRank.withPrefix(empty, Seq("g"), Seq(col("id")), lit(1L), "rk",
+      groupTotalOut = Some("n")).count() == 0)
+    val one = Seq(("g1", 7L)).toDF("g", "id")
+    val row = DistRank.withPrefix(one, Seq("g"), Seq(col("id")), lit(1L), "rk",
+      groupTotalOut = Some("n")).select("rk", "n").head()
+    assert(row.getLong(0) == 1L && row.getLong(1) == 1L)
+  }
+
   test("ntileCol matches Spark's ntile for ragged and exact-fill sizes") {
     import spark.implicits._
     for (n <- Seq(1, 3, 5, 7); rows <- Seq(1, 4, 5, 23, 100)) {
