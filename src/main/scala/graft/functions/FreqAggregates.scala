@@ -113,11 +113,17 @@ case class FreqSketch(child: Expression, k: Int,
       new GenericArrayData(entries.map(e => e._2: Any)))
   }
 
+  // length-prefixed UTF-8, not writeUTF: writeUTF caps items at 64 KB
+  // of modified-UTF-8 and would kill the partial-sketch shuffle on a
+  // pathological key (this is a general string aggregate)
   override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)
-    buffer.foreach { case (item, c) => out.writeUTF(item); out.writeLong(c) }
+    buffer.foreach { case (item, c) =>
+      val b = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -126,7 +132,11 @@ case class FreqSketch(child: Expression, k: Int,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val m = mutable.HashMap.empty[String, Long]
-    (0 until n).foreach { _ => val item = in.readUTF(); m.update(item, in.readLong()) }
+    (0 until n).foreach { _ =>
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      m.update(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+    }
     m
   }
 

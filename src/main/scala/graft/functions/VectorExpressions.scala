@@ -189,7 +189,8 @@ case class SrpSignature(child: Expression, nBits: Int, seed: Long = 42L,
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     extends UnaryExpression {
   private val nSub = codebooks.length
-  require(nSub >= 1, "graft_pq_encode needs a non-empty codebook")
+  require(nSub >= 1 && codebooks(0).nonEmpty && codebooks(0)(0).nonEmpty,
+    "graft_pq_encode needs a non-empty nSub x nCodes x subDim codebook")
   private val nCodes = codebooks(0).length
   private val subDim = codebooks(0)(0).length
   require(codebooks.forall(m => m.length == nCodes && m.forall(_.length == subDim)),

@@ -359,7 +359,11 @@ object Analytics {
 
   /** [[anomalyMad]]'s core over an explicit (event_id, event_type,
     * cents) frame — factored for crafted-median specs. */
-  def madFlags(e: DataFrame, kX100: Long): DataFrame = {
+  def madFlags(eIn: DataFrame, kX100: Long): DataFrame = {
+    // Referenced three times (median rank, deviation join, output) —
+    // one shared scan; likewise dev feeds both the MAD rank and the
+    // final projection.
+    val e = graft.Caches.cached(eIn)
     // discrete median per type: the unique row at rank (n+1) div 2 of
     // the (cents, event_id) total order carries the median VALUE
     val medRow = DistRank.withPrefix(e, Seq("event_type"),
@@ -367,8 +371,9 @@ object Analytics {
         groupTotalOut = Some("__n"))
       .filter(col("__rk") === expr("(__n + 1) div 2"))
       .select(col("event_type"), col("cents").as("med_cents"))
-    val dev = e.join(Hints.maybeBroadcast(medRow), "event_type")
-      .withColumn("adev_cents", abs(col("cents") - col("med_cents")))
+    val dev = graft.Caches.cached(
+      e.join(Hints.maybeBroadcast(medRow), "event_type")
+        .withColumn("adev_cents", abs(col("cents") - col("med_cents"))))
     val madRow = DistRank.withPrefix(
         dev.select(col("event_type"), col("event_id"), col("adev_cents")),
         Seq("event_type"), Seq(col("adev_cents"), col("event_id")), lit(1L), "__rk",

@@ -358,18 +358,24 @@ object PagedExtract {
     // fragile seam the negative-key bug lived in). A non-castable key
     // (e.g. a UUID string) would either throw a generic CAST error
     // mid-landing (ANSI on) or cast to null and be silently DROPPED —
-    // fetched never, reported nowhere (ANSI off) — so probe with
-    // try_cast (null on malformed under EITHER mode) and refuse the
-    // frame with a domain error before any fetch. String keys that
-    // are decimal integers ("42") are fine; true string-keyed fan-out
-    // wants an explicit key↔long dictionary in front of this API.
+    // fetched never, reported nowhere (ANSI off) — and a LOSSY cast
+    // (a 42.5 double key, a "42.5" string) would silently land under
+    // the truncated key, corrupting the checkpoint space. So probe
+    // with try_cast (null on malformed under either ANSI mode) AND
+    // require the cast to round-trip textually; refuse the frame with
+    // a domain error before any fetch. Exact decimal-integer keys
+    // ("42", 42L) pass; anything else wants an explicit key↔long
+    // dictionary in front of this API.
     val keyCol = col(parentKeys.columns.head)
-    val nonNumeric = parentKeys
-      .filter(keyCol.isNotNull && keyCol.try_cast("long").isNull).limit(1).collect()
-    require(nonNumeric.isEmpty,
-      s"landKeyed parent keys must cast to long (checkpoint filenames round-trip longs); " +
-      s"got e.g. '${nonNumeric.headOption.map(_.get(0)).getOrElse("")}' — " +
-      "map string keys through a key dictionary first")
+    val asLong = keyCol.try_cast("long")
+    val bad = parentKeys
+      .filter(keyCol.isNotNull &&
+        (asLong.isNull || asLong.cast("string") =!= keyCol.cast("string")))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"landKeyed parent keys must cast LOSSLESSLY to long (checkpoint filenames " +
+      s"round-trip longs); got e.g. '${bad.headOption.map(_.get(0)).getOrElse("")}' — " +
+      "map non-integral keys through a key dictionary first")
     val wanted = parentKeys.select(keyCol.cast("long").as("k"))
       .filter(col("k").isNotNull).distinct()
     val remaining =

@@ -442,6 +442,7 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(Seq(1L, 2L, 4L).forall(!out(_)._3), "in-family rows do not flag")
     assert(Seq(6L, 7L, 8L).forall(id => out(id) == (0L, 0L, false)),
       "constant group: MAD 0, nothing flags")
+    Caches.clear()
   }
 
   test("graph_degree_stats: histogram mass equals 2|E| and vertex count; witnesses bound the keys") {

@@ -185,8 +185,21 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
       PagedExtract.landKeyed(spark,
         Seq("11", "not-a-number").toDF("parent"), new SyntheticKeyedApi("kbad"), newDir())
     }
-    assert(e.getMessage.contains("cast to long"))
+    assert(e.getMessage.contains("cast LOSSLESSLY to long"))
     assert(FetchLog.count("kbad", 11) == 0, "guard must fire before any fetch")
+    // LOSSY casts refuse too: 42.5 would silently truncate to key_42
+    // (double columns are refused wholesale — "11.0" is not the
+    // textual round-trip of 11; a float key space wants a dictionary)
+    val lossy = intercept[IllegalArgumentException] {
+      PagedExtract.landKeyed(spark,
+        Seq(11.0, 42.5).toDF("parent"), new SyntheticKeyedApi("klossy"), newDir())
+    }
+    assert(lossy.getMessage.contains("cast LOSSLESSLY to long"))
+    val lossyStr = intercept[IllegalArgumentException] {
+      PagedExtract.landKeyed(spark,
+        Seq("42.5").toDF("parent"), new SyntheticKeyedApi("klossy2"), newDir())
+    }
+    assert(lossyStr.getMessage.contains("42.5"))
   }
 
   test("FileKeyedApi: invisible store fails loudly instead of landing every key empty") {
