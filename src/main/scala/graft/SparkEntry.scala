@@ -142,6 +142,7 @@ object SparkEntry {
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
     "text_token_count"   -> (TextOps.textTokenCount _),
+    "token_fertility_by_lang" -> (TextOps.tokenFertilityByLang _),
     "text_fingerprint"   -> (TextOps.textFingerprint _),
     "top_ngrams"         -> ((s, d) => TextOps.topNgrams(s, d)),
     "text_pii_redact"    -> (TextOps.textPiiRedact _),
@@ -1355,6 +1356,25 @@ object SparkEntry {
                 CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
                 CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
          FROM t ORDER BY doc_id""",
+    "token_fertility_by_lang" ->
+      """WITH t AS (
+           SELECT lang, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+         c AS (
+           SELECT lang, CAST(len(norm) AS BIGINT) AS chars,
+                  CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
+                  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+           FROM t),
+         g AS (
+           SELECT lang, COUNT(*) AS n_docs,
+                  CAST(SUM(chars) AS BIGINT) AS total_chars,
+                  CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+                  CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+           FROM c GROUP BY lang)
+         SELECT lang, n_docs, total_chars, total_ws_tokens, total_bpe_tokens,
+                (100 * total_bpe_tokens) // total_chars AS tokens_per_100_chars,
+                (100 * total_bpe_tokens) // total_ws_tokens AS tokens_per_100_words
+         FROM g ORDER BY lang""",
     "mm_frame_sample" ->
       """WITH m AS (
            SELECT doc_id,

@@ -95,6 +95,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-language tokenizer fertility — the table a multilingual
+    * corpus build reads before freezing a tokenizer: languages where
+    * the BPE-ish tokenizer emits many tokens per character (or per
+    * whitespace word) are the ones it serves poorly, and their
+    * training cost inflates by exactly that ratio. Same token
+    * definitions as [[textTokenCount]] (one normalize pass feeding
+    * both tokenizers — "token" means one thing engine-wide), summed
+    * per lang in ONE partial-aggregated shuffle over a
+    * langs-bounded key space; ratios integral ×100 (sum div sum —
+    * order-independent, hash-exact) computed from the 1-row-per-lang
+    * aggregate, never per doc.
+    */
+  def tokenFertilityByLang(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("lang"), normText(col("text")).as("norm"))
+      .select(col("lang"),
+        length(col("norm")).cast("long").as("chars"),
+        size(split(col("norm"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("chars").as("total_chars"),
+           sum("ws_tokens").as("total_ws_tokens"),
+           sum("bpe_tokens").as("total_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        col("total_ws_tokens"), col("total_bpe_tokens"),
+        expr("(100 * total_bpe_tokens) div total_chars").as("tokens_per_100_chars"),
+        expr("(100 * total_bpe_tokens) div total_ws_tokens").as("tokens_per_100_words"))
+      .orderBy("lang")
+  }
+
   /** Corpus-wide n-gram document frequency, top `k` — the boilerplate
     * detector of a training-data pipeline (an n-gram appearing in a
     * large fraction of documents is template/navigation text, a

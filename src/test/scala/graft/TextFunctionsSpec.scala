@@ -125,6 +125,27 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(viaDf.map(_.mkString(",")).sorted.toSeq == viaEval.map(_.mkString(",")).sorted)
   }
 
+  test("tokenFertilityByLang: totals cross-foot with per-doc token counts; ratios integral") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions._
+    val fert = TextOps.tokenFertilityByLang(spark, sf).collect()
+    // per-lang BPE/ws totals must equal summing textTokenCount's
+    // per-doc counts over the same docs — one definition of "token"
+    val perDoc = TextOps.textTokenCount(spark, sf)
+      .join(Tables.documents(spark, sf).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("ws_tokens").as("ws"), sum("bpe_tokens").as("bpe"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(fert.nonEmpty)
+    fert.foreach { r =>
+      val (n, ws, bpe) = perDoc(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(3) == ws && r.getLong(4) == bpe,
+        s"lang ${r.getString(0)} totals diverge from textTokenCount")
+      assert(r.getLong(5) == 100 * bpe / r.getLong(2), "chars ratio must be the integral quotient")
+      assert(r.getLong(6) == 100 * bpe / ws, "words ratio must be the integral quotient")
+    }
+  }
+
   test("docTopTerms: ranks by tf then rarity, k rows max per doc, df consistent") {
     import graft.operators.TextOps
     val out = TextOps.docTopTerms(spark, sf).cache()
