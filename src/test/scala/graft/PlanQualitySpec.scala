@@ -439,6 +439,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"single-task sort funnels over corpus-scaling keys:\n${offenders.mkString("\n")}")
   }
 
+  test("asof_join_nearest: both frames ride ONE user exchange, no join anywhere") {
+    val p = plan(graft.operators.Joins.asofJoinNearest(spark, sf))
+    val hashExchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.size == 1 && hashExchanges.head.contains("user_id"),
+      s"expected exactly one user_id exchange shared by both window frames:\n$p")
+    assert(!p.contains("Join"), s"nearest as-of must not plan a join:\n$p")
+  }
+
+  test("anomaly_mad: no window, broadcast medians, one cached event scan") {
+    val p = plan(graft.operators.Analytics.anomalyMad(spark, sf))
+    assert(!p.contains("Window"), s"MAD must rank through DistRank, never a window:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-type medians not broadcast:\n$p")
+    assert(p.contains("InMemoryTableScan"), s"shared event scan not cached:\n$p")
+    graft.Caches.clear()
+  }
+
+  test("token_fertility_by_lang aggregates partially over the lang-bounded key space") {
+    val p = plan(graft.operators.TextOps.tokenFertilityByLang(spark, sf))
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("source") && !readSchema.contains("doc_id"),
+      s"scan not pruned to (lang, text): $readSchema")
+  }
+
   test("customer_rfm plans no window at all — two-stage rank only") {
     // The specific round-8 weak flag: quintiles must come from
     // DistRank's range-partition + bounded-offsets prefix, never a
