@@ -1372,7 +1372,8 @@ object SparkEntry {
                   CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
            FROM c GROUP BY lang)
          SELECT lang, n_docs, total_chars, total_ws_tokens, total_bpe_tokens,
-                (100 * total_bpe_tokens) // total_chars AS tokens_per_100_chars,
+                CASE WHEN total_chars > 0
+                     THEN (100 * total_bpe_tokens) // total_chars END AS tokens_per_100_chars,
                 (100 * total_bpe_tokens) // total_ws_tokens AS tokens_per_100_words
          FROM g ORDER BY lang""",
     "mm_frame_sample" ->

@@ -53,14 +53,26 @@ object TextFunctions {
     floor(lit(100.0) * a / b).cast("long")
 
   /** Whitespace token count. */
-  def wsTokenCount(c: Column): Column = size(tokens(c)).cast("long")
+  def wsTokenCount(c: Column): Column = wsTokenCountOfNorm(normText(c))
+
+  /** [[wsTokenCount]] over an ALREADY-normalized column — use with a
+    * projected [[normText]] attribute so one normalize pass feeds
+    * every token expression of a row. */
+  def wsTokenCountOfNorm(norm: Column): Column =
+    size(split(norm, " ")).cast("long")
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * other non-space chars — the classic pre-tokenizer split. DuckDB
     * mirror: len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
     */
-  def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(normText(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+  def bpeTokenCount(c: Column): Column = bpeTokenCountOfNorm(normText(c))
+
+  /** [[bpeTokenCount]] over an ALREADY-normalized column. The ONE
+    * definition of the BPE-ish pre-tokenizer — every operator that
+    * counts tokens must route here (or through [[bpeTokenCount]]) so
+    * "token" keeps meaning one thing engine-wide. */
+  def bpeTokenCountOfNorm(norm: Column): Column =
+    size(regexp_extract_all(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
   /** Canonical document fingerprint: the sorted distinct-token key
     * (fingerprint clustering à la OpenRefine). Two documents with the

@@ -89,9 +89,8 @@ object TextOps {
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(
         col("doc_id"),
-        size(split(col("norm"), " ")).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("bpe_tokens"))
+        wsTokenCountOfNorm(col("norm")).as("ws_tokens"),
+        bpeTokenCountOfNorm(col("norm")).as("bpe_tokens"))
       .orderBy("doc_id")
   }
 
@@ -112,9 +111,8 @@ object TextOps {
       .select(col("lang"), normText(col("text")).as("norm"))
       .select(col("lang"),
         length(col("norm")).cast("long").as("chars"),
-        size(split(col("norm"), " ")).cast("long").as("ws_tokens"),
-        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("bpe_tokens"))
+        wsTokenCountOfNorm(col("norm")).as("ws_tokens"),
+        bpeTokenCountOfNorm(col("norm")).as("bpe_tokens"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum("chars").as("total_chars"),
@@ -122,7 +120,11 @@ object TextOps {
            sum("bpe_tokens").as("total_bpe_tokens"))
       .select(col("lang"), col("n_docs"), col("total_chars"),
         col("total_ws_tokens"), col("total_bpe_tokens"),
-        expr("(100 * total_bpe_tokens) div total_chars").as("tokens_per_100_chars"),
+        // chars can be 0 for an all-whitespace language (ANSI would
+        // raise DIVIDE_BY_ZERO); null = "no measurable text", mirrored
+        // in the oracle. ws_tokens >= n_docs >= 1, no guard needed.
+        when(col("total_chars") > 0,
+          expr("(100 * total_bpe_tokens) div total_chars")).as("tokens_per_100_chars"),
         expr("(100 * total_bpe_tokens) div total_ws_tokens").as("tokens_per_100_words"))
       .orderBy("lang")
   }

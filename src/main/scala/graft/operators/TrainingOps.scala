@@ -66,8 +66,7 @@ object TrainingOps {
       .select(
         col("doc_id"),
         (col("doc_id") % nShards).as("shard"),
-        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("n_tokens"))
+        bpeTokenCountOfNorm(col("norm")).as("n_tokens"))
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     counted
@@ -428,8 +427,7 @@ object TrainingOps {
     val scored = d
       .select(
         col("doc_id"), col("source"),
-        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("n_tokens"),
+        bpeTokenCountOfNorm(col("norm")).as("n_tokens"),
         markerCountIn(col("toks"), TextOps.stopwords).as("n_stop"),
         size(col("toks")).cast("long").as("n_ws"),
         length(regexp_replace(col("norm"), "[^a-z]", "")).cast("long").as("n_alpha"),
@@ -484,8 +482,7 @@ object TrainingOps {
     val perSource = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("source"), normText(col("text")).as("norm"))
       .select(col("source"),
-        size(regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
-          .cast("long").as("n_tokens"))
+        bpeTokenCountOfNorm(col("norm")).as("n_tokens"))
       .groupBy("source").agg(sum(col("n_tokens")).as("n_tokens")))
     val total = perSource.agg(sum(col("n_tokens")).as("total_tokens"))
     // share at 1e6 granularity, then ×1e6 before the root, so the

@@ -435,14 +435,15 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       (1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L), (5L, "a", 100L),
       (6L, "b", 7L), (7L, "b", 7L), (8L, "b", 7L)
     ).toDF("event_id", "event_type", "cents")
-    val out = Analytics.madFlags(e, kX100 = 300).collect()
-      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
-    assert(out(3L) == (0L, 1L, false), "median row: adev 0, MAD 1")
-    assert(out(5L) == (97L, 1L, true), "the spike flags")
-    assert(Seq(1L, 2L, 4L).forall(!out(_)._3), "in-family rows do not flag")
-    assert(Seq(6L, 7L, 8L).forall(id => out(id) == (0L, 0L, false)),
-      "constant group: MAD 0, nothing flags")
-    Caches.clear()
+    try {
+      val out = Analytics.madFlags(e, kX100 = 300).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+      assert(out(3L) == (0L, 1L, false), "median row: adev 0, MAD 1")
+      assert(out(5L) == (97L, 1L, true), "the spike flags")
+      assert(Seq(1L, 2L, 4L).forall(!out(_)._3), "in-family rows do not flag")
+      assert(Seq(6L, 7L, 8L).forall(id => out(id) == (0L, 0L, false)),
+        "constant group: MAD 0, nothing flags")
+    } finally Caches.clear() // an assert failure must not leak the cached frames
   }
 
   test("graph_degree_stats: histogram mass equals 2|E| and vertex count; witnesses bound the keys") {

@@ -449,11 +449,12 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
   }
 
   test("anomaly_mad: no window, broadcast medians, one cached event scan") {
-    val p = plan(graft.operators.Analytics.anomalyMad(spark, sf))
-    assert(!p.contains("Window"), s"MAD must rank through DistRank, never a window:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"per-type medians not broadcast:\n$p")
-    assert(p.contains("InMemoryTableScan"), s"shared event scan not cached:\n$p")
-    graft.Caches.clear()
+    try {
+      val p = plan(graft.operators.Analytics.anomalyMad(spark, sf))
+      assert(!p.contains("Window"), s"MAD must rank through DistRank, never a window:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"per-type medians not broadcast:\n$p")
+      assert(p.contains("InMemoryTableScan"), s"shared event scan not cached:\n$p")
+    } finally graft.Caches.clear() // an assert failure must not leak the cached frames
   }
 
   test("token_fertility_by_lang aggregates partially over the lang-bounded key space") {
