@@ -49,7 +49,8 @@ object Caches {
     df
   }
 
-  private val models = scala.collection.mutable.HashMap.empty[Seq[Any], Any]
+  private val models =
+    new java.util.concurrent.ConcurrentHashMap[Seq[Any], ModelHolder]()
 
   /** Session-lifetime memo for TRAINED MODEL STATE (PQ codebooks, the
     * IVF coarse quantizer): KB-scale driver objects that are pure,
@@ -62,30 +63,40 @@ object Caches {
     * blocks to leak. [[clearModels]] resets (tests that re-measure
     * training, or a corpus that changed under the same path).
     *
-    * The fit runs under the lock — callers' fits are driver-blocking
-    * model trains, and the entrypoints are single-threaded; internal
-    * fit parallelism (PQ's concurrent subspace futures) is unaffected.
+    * Locking is PER KEY, not global: the map access goes through
+    * `ConcurrentHashMap.computeIfAbsent` (which only installs a lazy
+    * holder — O(1) under the bin lock) and the fit itself runs under
+    * the holder's own monitor via `lazy val`. A multi-minute KMeans
+    * fit therefore never blocks a concurrent caller training a
+    * DIFFERENT key, nor [[cached]]/[[clear]] (which take the Caches
+    * monitor). Two concurrent callers of the SAME key still dedupe to
+    * one fit — the second blocks on the holder until the first's
+    * result is published. A fit that THROWS is not cached: its holder
+    * (which captured the failing thunk) is evicted, so the next call
+    * installs and runs a fresh fit rather than replaying the failure.
     */
-  def model[T](key: Any*)(fit: => T): T = synchronized {
+  def model[T](key: Any*)(fit: => T): T = {
     val k = key.toSeq
-    models.getOrElse(k, {
-      modelMisses += 1
-      val v = fit
-      models.update(k, v)
-      v
-    }).asInstanceOf[T]
+    val holder = models.computeIfAbsent(k,
+      _ => new ModelHolder(() => { modelMisses.incrementAndGet(); fit }))
+    try holder.value.asInstanceOf[T]
+    catch { case e: Throwable => models.remove(k, holder); throw e }
+  }
+
+  private final class ModelHolder(fit: () => Any) {
+    lazy val value: Any = fit()
   }
 
   /** Drop all memoized model state. */
-  def clearModels(): Unit = synchronized { models.clear() }
+  def clearModels(): Unit = models.clear()
 
-  private var modelMisses = 0
+  private val modelMisses = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Number of model fits actually executed (memo misses) since JVM
     * start — the observable for "the second invocation did not
     * retrain" (monotone; tests diff it around calls).
     */
-  def modelMissCount: Int = synchronized { modelMisses }
+  def modelMissCount: Int = modelMisses.get()
 
   /** Register a cleanup thunk to run at the next [[clear]] — for
     * materializations `DataFrame.unpersist` cannot reach (e.g. the

@@ -269,6 +269,23 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
+
+  // Case-class equality over Array fields is reference-based, which
+  // would make two semantically identical graft_pq_encode calls never
+  // compare equal — canonicalization and common-subexpression
+  // elimination could then not dedupe them. Compare the codebook by
+  // VALUE instead (the child as usual).
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncode =>
+      child == p.child &&
+        java.util.Arrays.deepEquals(
+          codebooks.asInstanceOf[Array[AnyRef]],
+          p.codebooks.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 }
 
 object PqEncode {

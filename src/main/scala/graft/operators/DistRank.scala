@@ -68,6 +68,22 @@ object DistRank {
     * g)`). `sortCols` may carry sort direction (`.desc`); the same
     * expressions drive both the range partitioning and the in-cell
     * ordering.
+    *
+    * GROUP-CARDINALITY CONTRACT: the driver sync in step 2 holds
+    * parts × groups cells, so `groupCols` must have BOUNDED
+    * cardinality (an enum, a source tag, a language, or empty for
+    * the global window) — it is the SORT key that may scale with the
+    * corpus, never the group key. `maxCells` (default 4M ≈ a few
+    * hundred MB of driver boxed keys, far below a default driver
+    * heap) is enforced PER PARTITION on the executor, before any
+    * collect: range partitioning lands each group's rows
+    * contiguously, so total collected cells ≤ Σ per-partition
+    * distinct groups ≤ parts × cap while any single partition
+    * holding more than `maxCells` distinct groups proves the total
+    * would blow the budget. The failure is a loud domain error at
+    * job 1, not a driver OOM at the collect. Corpus-scaling group
+    * keys want the hash-threshold pattern (sample_split_hash) or a
+    * per-group window instead.
     */
   def withPrefix(df: DataFrame,
                  groupCols: Seq[String],
@@ -75,7 +91,9 @@ object DistRank {
                  value: Column,
                  out: String,
                  groupTotalOut: Option[String] = None,
-                 numPartitions: Option[Int] = None): DataFrame = {
+                 numPartitions: Option[Int] = None,
+                 maxCells: Int = 4000000): DataFrame = {
+    require(maxCells > 0, s"maxCells=$maxCells must be positive")
     val spark = df.sparkSession
     val parts = numPartitions.getOrElse(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
@@ -95,12 +113,22 @@ object DistRank {
     // so the (sample-seeded) range boundaries are computed exactly once.
     val rdd = ranged.rdd
 
-    // Job 1 (bounded): per-(partition, group) totals → driver.
+    // Job 1 (bounded): per-(partition, group) totals → driver. The
+    // cap fails on the EXECUTOR, before the collect can OOM the
+    // driver (see the group-cardinality contract above).
+    val cap = maxCells
     val cellTotals: Array[(Int, Map[List[Any], Long])] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val m = mutable.LinkedHashMap.empty[List[Any], Long]
         it.foreach { r =>
           val k = groupKey(r)
+          if (!m.contains(k) && m.size >= cap)
+            throw new IllegalStateException(
+              s"DistRank.withPrefix: partition $pid exceeds $cap distinct " +
+              "group cells — the group key cardinality scales with the " +
+              "corpus, which this helper's driver sync cannot hold. Use a " +
+              "bounded group key, raise maxCells deliberately, or switch " +
+              "to a hash-threshold / per-group-window formulation.")
           m.update(k, m.getOrElse(k, 0L) + rowValue(r))
         }
         Iterator.single((pid, m.toMap))

@@ -363,21 +363,25 @@ object PagedExtract {
     // the truncated key, corrupting the checkpoint space. So probe
     // with try_cast (null on malformed under either ANSI mode) AND
     // require the cast to round-trip textually; refuse the frame with
-    // a domain error before any fetch. Exact decimal-integer keys
+    // a domain error before any fetch. NULL keys are refused by the
+    // same guard (a null key has no filename, so silently skipping it
+    // would be the exact 'fetched never, reported nowhere' hole the
+    // lossy-cast branch closes — callers with optional parents filter
+    // nulls EXPLICITLY before the call). Exact decimal-integer keys
     // ("42", 42L) pass; anything else wants an explicit key↔long
     // dictionary in front of this API.
     val keyCol = col(parentKeys.columns.head)
     val asLong = keyCol.try_cast("long")
     val bad = parentKeys
-      .filter(keyCol.isNotNull &&
-        (asLong.isNull || asLong.cast("string") =!= keyCol.cast("string")))
+      .filter(keyCol.isNull ||
+        asLong.isNull || asLong.cast("string") =!= keyCol.cast("string"))
       .limit(1).collect()
     require(bad.isEmpty,
-      s"landKeyed parent keys must cast LOSSLESSLY to long (checkpoint filenames " +
-      s"round-trip longs); got e.g. '${bad.headOption.map(_.get(0)).getOrElse("")}' — " +
-      "map non-integral keys through a key dictionary first")
-    val wanted = parentKeys.select(keyCol.cast("long").as("k"))
-      .filter(col("k").isNotNull).distinct()
+      s"landKeyed parent keys must be non-null and cast LOSSLESSLY to long " +
+      s"(checkpoint filenames round-trip longs); got e.g. " +
+      s"'${bad.headOption.map(r => Option(r.get(0)).getOrElse("NULL")).getOrElse("")}' — " +
+      "filter nulls / map non-integral keys through a key dictionary first")
+    val wanted = parentKeys.select(keyCol.cast("long").as("k")).distinct()
     val remaining =
       if (already.isEmpty) wanted
       else wanted.join(already.toSeq.toDF("k"), Seq("k"), "left_anti")

@@ -92,4 +92,20 @@ class DistRankSpec extends AnyFunSuite with SparkFixture {
         s"ntile($n) over $rows rows diverged")
     }
   }
+
+  test("corpus-scaling GROUP key fails loudly on the executor, not as a driver OOM") {
+    import spark.implicits._
+    // every row its own group: the driver sync would hold one cell per
+    // row — exactly the misuse the cardinality contract forbids
+    val perRow = (0 until 2000).map(i => (i.toLong, i.toLong)).toDF("g", "id")
+    val e = intercept[org.apache.spark.SparkException] {
+      DistRank.withPrefix(perRow, Seq("g"), Seq(col("id")), lit(1L), "rk",
+        maxCells = 100).count()
+    }
+    assert(e.getMessage.contains("distinct group cells"),
+      s"expected the cap's domain error, got: ${e.getMessage.take(200)}")
+    // the same frame under the default budget still computes exactly
+    val ok = DistRank.withPrefix(perRow, Seq("g"), Seq(col("id")), lit(1L), "rk")
+    assert(ok.filter(col("rk") =!= 1L).count() == 0)
+  }
 }

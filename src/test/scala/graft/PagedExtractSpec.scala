@@ -200,6 +200,15 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
         Seq("42.5").toDF("parent"), new SyntheticKeyedApi("klossy2"), newDir())
     }
     assert(lossyStr.getMessage.contains("42.5"))
+    // NULL keys refuse too: a null has no checkpoint filename, so
+    // silently excluding it would be the same fetched-never,
+    // reported-nowhere hole — callers filter nulls explicitly
+    val withNull = intercept[IllegalArgumentException] {
+      PagedExtract.landKeyed(spark,
+        Seq(Some(11L), None).toDF("parent"), new SyntheticKeyedApi("knull"), newDir())
+    }
+    assert(withNull.getMessage.contains("non-null"))
+    assert(FetchLog.count("knull", 11) == 0, "null guard must fire before any fetch")
   }
 
   test("FileKeyedApi: invisible store fails loudly instead of landing every key empty") {

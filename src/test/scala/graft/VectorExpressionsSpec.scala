@@ -135,4 +135,23 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(CosineSim(litVec, litVec).eval(null).asInstanceOf[Double] - selfCos) < 1e-12)
     }
   }
+
+  test("PqEncode equality is structural over the codebook, not reference-based") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    import graft.functions.PqEncode
+    // two DISTINCT array instances with identical contents — under
+    // case-class (reference) equality these would never compare
+    // equal, defeating canonicalization / common-subexpression
+    // elimination of repeated graft_pq_encode calls
+    def book() = Array.tabulate(2, 3, 2)((m, c, j) => (m * 6 + c * 2 + j).toFloat)
+    val child = Literal.create(Seq.fill(4)(0.5f), ArrayType(FloatType))
+    val a = PqEncode(child, book())
+    val b = PqEncode(child, book())
+    assert(a == b, "structurally equal codebooks must compare equal")
+    assert(a.hashCode == b.hashCode, "equal expressions must hash equal")
+    val mutated = book(); mutated(1)(2)(1) += 1f
+    assert(a != PqEncode(child, mutated), "different codebooks must differ")
+    assert(a != PqEncode(Literal.create(Seq.fill(4)(0.25f), ArrayType(FloatType)), book()))
+  }
 }
