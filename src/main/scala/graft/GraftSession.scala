@@ -11,11 +11,12 @@ import org.apache.spark.sql.SparkSession
   *    session build. Operators also self-register on first use, so a
   *    foreign session still works — the extension just makes the
   *    functions visible to plain `spark.sql` users immediately.
-  *  - `spark.sql.legacy.parquet.nanosAsLong = true` is REQUIRED to
-  *    read TIMESTAMP(NANOS) parquet (the events table): Spark's
-  *    reader rejects the type outright otherwise, and `Tables.events`
-  *    refuses to guess session-wide semantics at plan-build time
-  *    (see its scaladoc).
+  *  - `spark.sql.legacy.parquet.nanosAsLong = true` so INT64
+  *    TIMESTAMP(NANOS) parquet (one encoding the driver has shipped
+  *    for the events table) reads as nanosecond longs instead of being
+  *    rejected outright. `Tables.events` adapts to whichever encoding
+  *    the file actually carries (see its scaladoc); this conf only
+  *    matters for the NANOS one, and is harmless otherwise.
   *  - UTC session timezone: timestamp→date/epoch conversions must not
   *    depend on the host machine's zone.
   *
