@@ -72,6 +72,17 @@ object Bench {
       val total = timings.values.filter(_ >= 0).sum
       s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
+    // Keep the previous record before the first flush overwrites it: a
+    // degraded-environment run (round 10: 50 env-broken queries) would
+    // otherwise destroy the only clean local record while still being
+    // the file a reader trusts. One generation of history is enough for
+    // the reader to compare against / fall back to.
+    locally {
+      val cur = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      if (java.nio.file.Files.exists(cur))
+        java.nio.file.Files.copy(cur, java.nio.file.Paths.get("BENCH_LOCAL_PREV.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     // Atomic temp+rename so a kill mid-write can't leave a truncated
     // (unparseable) file — the reader always sees the previous snapshot
     // or the new one, never a torn line.
