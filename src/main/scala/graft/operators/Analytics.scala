@@ -948,12 +948,23 @@ object Analytics {
     * float money/time never hash. First-purchase rows carry null
     * prev/delta/gap (nothing to look back at ≠ zero).
     */
-  def windowLagFeatures(s: SparkSession, dir: String): DataFrame = {
+  def windowLagFeatures(s: SparkSession, dir: String): DataFrame =
+    lagFeaturesOver(
+      Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          floor(col("value") * 100).cast("long").as("cents")))
+      .orderBy("user_id", "seq")
+
+  /** [[windowLagFeatures]]'s window body over an explicit purchase
+    * frame (user_id, event_id, ts_ns, cents) — factored so
+    * PropertySpec can drive it with arbitrary generated sequences
+    * (tied timestamps at any grain, single-purchase users, shuffled
+    * input order) against a single-node recompute.
+    */
+  def lagFeaturesOver(purchases: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
-    Tables.events(s, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts_ns"),
-        floor(col("value") * 100).cast("long").as("cents"))
+    purchases
       .withColumn("seq", row_number().over(w).cast("long"))
       .withColumn("prev_cents", lag("cents", 1).over(w))
       .withColumn("delta_cents", col("cents") - col("prev_cents"))
@@ -963,7 +974,6 @@ object Analytics {
       .select(col("user_id"), col("event_id"),
         expr("ts_ns div 1000000000").as("ts_s"),
         col("cents"), col("seq"), col("prev_cents"), col("delta_cents"), col("gap_s"))
-      .orderBy("user_id", "seq")
   }
 
   /** Trailing-window DISCRETE median of purchase value per user — the

@@ -132,54 +132,89 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     * SMALL range so tied timestamps (the event_id tie-break seam) are
     * common, fed to the engine in a seeded-shuffled row order so the
     * properties also pin input-order independence. event_id = the
-    * per-user position index, unique by construction.
+    * per-user position index, unique by construction. `tickNs` sets
+    * the clock grain: 1e9 models the original ns-grain data (ties at
+    * whole seconds), 1000 models the regenerated µs-grain data, where
+    * EVERY ts_ns is a multiple of 1000 and ties collide at exactly
+    * the grain the loader now derives from TIMESTAMP files.
     */
-  private def purchaseRows(nUsers: Int): Seq[(Long, Long, Long, Long)] = {
+  private def purchaseRows(nUsers: Int, tickNs: Long): Seq[(Long, Long, Long, Long)] = {
     val seqGen: Gen[List[(Long, Long)]] =
       Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(0L, 100000L)))
     val rows = cases(seqGen, nUsers).zipWithIndex.flatMap { case (hist, u) =>
       hist.zipWithIndex.map { case ((ts, cents), i) =>
-        (u.toLong, (i + 1).toLong, ts * 1000000000L, cents)
+        (u.toLong, (i + 1).toLong, ts * tickNs, cents)
       }
     }
     new scala.util.Random(99L).shuffle(rows)
   }
 
-  test("rolling median == single-node sliding lower-median at every frame edge") {
+  private val grains = Seq("second" -> 1000000000L, "micro" -> 1000L)
+
+  test("rolling median == single-node sliding lower-median at every frame edge, both clock grains") {
     import spark.implicits._
     val win = 5
-    val rows = purchaseRows(24)
-    val got = graft.operators.Analytics
-      .rollingMedianOver(rows.toDF("user_id", "event_id", "ts_ns", "cents"), win)
-      .select("user_id", "event_id", "n_in_frame", "median_cents")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
-    val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
-      val ordered = rs.sortBy(r => (r._3, r._2))
-      ordered.zipWithIndex.map { case (r, i) =>
-        val frame = ordered.slice(math.max(0, i - win + 1), i + 1).map(_._4).sorted
-        // lower median = 1-based element (n+1)/2 of the sorted frame
-        (u, r._2) -> (frame.size.toLong, frame((frame.size + 1) / 2 - 1))
+    for ((grain, tick) <- grains) {
+      val rows = purchaseRows(24, tick)
+      val got = graft.operators.Analytics
+        .rollingMedianOver(rows.toDF("user_id", "event_id", "ts_ns", "cents"), win)
+        .select("user_id", "event_id", "n_in_frame", "median_cents")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        ordered.zipWithIndex.map { case (r, i) =>
+          val frame = ordered.slice(math.max(0, i - win + 1), i + 1).map(_._4).sorted
+          // lower median = 1-based element (n+1)/2 of the sorted frame
+          (u, r._2) -> (frame.size.toLong, frame((frame.size + 1) / 2 - 1))
+        }
       }
+      assert(got == expected, s"grain=$grain")
     }
-    assert(got == expected)
   }
 
-  test("user EWMA == single-node integral fold regardless of input order") {
+  test("user EWMA == single-node integral fold regardless of input order, both clock grains") {
     import spark.implicits._
-    val rows = purchaseRows(24)
-    val got = graft.operators.Analytics
-      .ewmaOver(rows.map { case (u, e, ts, c) => (u, ts, e, c) }
-        .toDF("user_id", "ts_ns", "event_id", "cents"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val expected = rows.groupBy(_._1).map { case (u, rs) =>
-      val cents = rs.sortBy(r => (r._3, r._2)).map(_._4)
-      val ewma = cents.tail.foldLeft(cents.head)((acc, x) => (30L * x + 70L * acc) / 100L)
-      u -> (cents.size.toLong, cents.last, ewma)
+    for ((grain, tick) <- grains) {
+      val rows = purchaseRows(24, tick)
+      val got = graft.operators.Analytics
+        .ewmaOver(rows.map { case (u, e, ts, c) => (u, ts, e, c) }
+          .toDF("user_id", "ts_ns", "event_id", "cents"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val expected = rows.groupBy(_._1).map { case (u, rs) =>
+        val cents = rs.sortBy(r => (r._3, r._2)).map(_._4)
+        val ewma = cents.tail.foldLeft(cents.head)((acc, x) => (30L * x + 70L * acc) / 100L)
+        u -> (cents.size.toLong, cents.last, ewma)
+      }
+      assert(got == expected, s"grain=$grain")
     }
-    assert(got == expected)
+  }
+
+  test("lag features == single-node recompute on tied µs-grain timestamps") {
+    import spark.implicits._
+    for ((grain, tick) <- grains) {
+      val rows = purchaseRows(24, tick)
+      val got = graft.operators.Analytics
+        .lagFeaturesOver(rows.toDF("user_id", "event_id", "ts_ns", "cents"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4),
+           Option(r.get(5)).map(_.asInstanceOf[Long]),
+           Option(r.get(6)).map(_.asInstanceOf[Long]),
+           Option(r.get(7)).map(_.asInstanceOf[Long]))).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        ordered.zipWithIndex.map { case (r, i) =>
+          val prev = if (i == 0) None else Some(ordered(i - 1))
+          (u, r._2) -> (r._3 / 1000000000L, r._4, (i + 1).toLong,
+            prev.map(_._4), prev.map(r._4 - _._4),
+            prev.map(p => (r._3 - p._3) / 1000000000L))
+        }
+      }
+      assert(got == expected, s"grain=$grain")
+    }
   }
 
   test("isqrt is exactly floor(sqrt) across the boundary-adversarial range") {
