@@ -152,5 +152,10 @@ object Bench {
     // Printed after spark.stop() so it is the last stdout line.
     println(line)
     System.out.flush()
+    // rc must reflect run health: round 10's driver wrapper recorded
+    // rc=0 while 50/130 queries errored, so tooling keying on rc read a
+    // broken run as green. Timings are already flushed and printed —
+    // the nonzero exit loses nothing and flags the record as degraded.
+    if (errors.nonEmpty) sys.exit(3)
   }
 }

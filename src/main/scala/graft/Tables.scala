@@ -79,7 +79,13 @@ object Tables {
     val df = s.read.parquet(s"$dir/documents.parquet")
     requireColumn(df, "documents", "doc_id") { case LongType | IntegerType => }
     requireColumn(df, "documents", "text") { case StringType => }
-    requireColumn(df, "documents", "lang") { case StringType => }
+    // `lang` is consumed by a minority of operators (corpus_manifest,
+    // stratified sampling, per-lang stats); dedup/text-quality specs feed
+    // crafted (doc_id, text)-only fixtures through this loader, and a
+    // slimmer regeneration is legitimate for them. Validate the TYPE when
+    // the column is present; the consumers call [[requireLang]] so a
+    // missing column still surfaces as one loud message at their entry.
+    requireTypeIfPresent(df, "documents", "lang") { case StringType => }
     df
   }
   def embeddings(s: SparkSession, dir: String): DataFrame = {
@@ -88,9 +94,26 @@ object Tables {
     // strictly array<float>: the codegen'd vector expressions (graft_cosine,
     // graft_pq_encode, …) are typed for FloatType elements
     requireColumn(df, "embeddings", "embedding") { case ArrayType(FloatType, _) => }
-    requireColumn(df, "embeddings", "label") { case LongType | IntegerType => }
+    // same contract as documents.lang: only the class-centroid operator
+    // needs `label`; it calls [[requireLabel]] itself.
+    requireTypeIfPresent(df, "embeddings", "label") { case LongType | IntegerType => }
     df
   }
+
+  /** Loud entry check for the operators that DO consume the optional
+    * columns — so a driver regeneration that drops them fails with one
+    * named message there, not a generic UNRESOLVED_COLUMN downstream.
+    */
+  def requireLang(df: DataFrame): DataFrame = {
+    requireColumn(df, "documents", "lang") { case StringType => }; df
+  }
+  def requireLabel(df: DataFrame): DataFrame = {
+    requireColumn(df, "embeddings", "label") { case LongType | IntegerType => }; df
+  }
+
+  private def requireTypeIfPresent(df: DataFrame, table: String, name: String)(
+      ok: PartialFunction[org.apache.spark.sql.types.DataType, Unit]): Unit =
+    if (df.columns.contains(name)) requireColumn(df, table, name)(ok)
 
   /** Loud one-line schema check: the column must exist and its type must
     * match the partial function's domain.

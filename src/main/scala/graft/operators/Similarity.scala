@@ -435,7 +435,7 @@ object Similarity {
     */
   def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(s)
-    Tables.embeddings(s, dir)
+    Tables.requireLabel(Tables.embeddings(s, dir))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vectors"),
            call_function("graft_vec_sum_micro", col("embedding")).as("sums"))

@@ -107,7 +107,7 @@ object TextOps {
     * aggregate, never per doc.
     */
   def tokenFertilityByLang(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+    Tables.requireLang(Tables.documents(s, dir))
       .select(col("lang"), normText(col("text")).as("norm"))
       .select(col("lang"),
         length(col("norm")).cast("long").as("chars"),

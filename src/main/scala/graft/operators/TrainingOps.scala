@@ -109,7 +109,7 @@ object TrainingOps {
     */
   def sampleStratified(s: SparkSession, dir: String, pct: Int = 10): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct $pct outside [0,100]")
-    val base = Tables.documents(s, dir)
+    val base = Tables.requireLang(Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
               md5(col("doc_id").cast("string")).as("__h"))
     DistRank.withPrefix(base, Seq("lang"), Seq(col("__h"), col("doc_id")),
@@ -501,7 +501,7 @@ object TrainingOps {
   }
 
   def corpusManifest(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
+    Tables.requireLang(Tables.documents(s, dir))
       .select(
         col("source"), col("lang"),
         bpeTokenCount(col("text")).as("toks"),

@@ -454,7 +454,8 @@ object PagedExtract {
     require(pageSize > 0, "pageSize must be positive")
     import s.implicits._
     import org.apache.spark.sql.functions.col
-    val docs = graft.Tables.documents(s, dir).select("doc_id", "source", "lang")
+    val docs = graft.Tables.requireLang(graft.Tables.documents(s, dir))
+      .select("doc_id", "source", "lang")
     val n = docs.count()
     val ranked = docs.repartitionByRange(col("doc_id")).sortWithinPartitions("doc_id")
       .as[(Long, String, String)].rdd.zipWithIndex()

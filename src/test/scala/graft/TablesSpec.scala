@@ -112,6 +112,32 @@ class TablesSpec extends AnyFunSuite with SparkFixture {
     assert(e2.getMessage.contains("unsupported type array<double>"))
   }
 
+  test("lang/label are optional at load, type-checked when present, loud at their consumers") {
+    import spark.implicits._
+    val dir = tmp("optional")
+    // documents without lang: loads fine (dedup/text-quality fixtures ship
+    // this shape), but the lang consumers' entry check names the gap
+    Seq((1L, "hello world")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Tables.documents(spark, dir)
+    assert(docs.count() == 1)
+    val e1 = intercept[IllegalArgumentException](Tables.requireLang(docs))
+    assert(e1.getMessage.contains("missing column `lang`"))
+    // embeddings without label: same contract
+    Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val embs = Tables.embeddings(spark, dir)
+    assert(embs.count() == 1)
+    val e2 = intercept[IllegalArgumentException](Tables.requireLabel(embs))
+    assert(e2.getMessage.contains("missing column `label`"))
+    // a PRESENT lang of the wrong type is still rejected at load — drift
+    // to a non-string lang would silently change groupings otherwise
+    Seq((1L, "t", 7L)).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e3 = intercept[IllegalArgumentException](Tables.documents(spark, dir))
+    assert(e3.getMessage.contains("`lang`") && e3.getMessage.contains("unsupported type"))
+  }
+
   test("driver testdata loads through the guarded loaders") {
     assert(Tables.documents(spark, sf).limit(1).count() == 1)
     assert(Tables.embeddings(spark, sf).limit(1).count() == 1)
