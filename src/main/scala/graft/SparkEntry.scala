@@ -94,6 +94,9 @@ object SparkEntry {
     "salted_join_skew"   -> ((s, d) => Joins.saltedJoinSkew(s, d)),
     "temporal_join_scd2" -> (Joins.temporalJoinScd2 _),
     "q4_priority_exists" -> (Analytics.q4PriorityExists _),
+    "q5_region_volume"   -> (Analytics.q5RegionVolume _),
+    "q10_returned_revenue" -> (Analytics.q10ReturnedRevenue _),
+    "q18_large_orders"   -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -112,6 +115,7 @@ object SparkEntry {
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "ann_pq_topk"         -> ((s, d) => Similarity.annPqTopK(s, d)),
+    "ann_ivfpq_topk"      -> ((s, d) => Similarity.annIvfPqTopK(s, d)),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
@@ -1848,6 +1852,47 @@ object SparkEntry {
                        WHERE l.l_orderkey = o.o_orderkey
                          AND l.l_returnflag = 'R')
          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+    "q5_region_volume" ->
+      """SELECT n.n_name,
+                CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'ASIA'
+           AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n.n_name
+         ORDER BY revenue DESC, n.n_name""",
+    "q10_returned_revenue" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE l.l_returnflag = 'R'
+           AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           AND o.o_orderdate <  TIMESTAMP '1998-04-01 00:00:00'
+         GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+         ORDER BY revenue DESC, c.c_custkey
+         LIMIT 20""",
+    "q18_large_orders" ->
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                CAST(o.o_orderdate AS DATE) AS orderdate,
+                o.o_totalprice, t.total_qty
+         FROM orders o
+         JOIN (SELECT l_orderkey,
+                      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+               FROM lineitem GROUP BY l_orderkey
+               HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) t
+           ON o.o_orderkey = t.l_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY t.total_qty DESC, o.o_orderkey
+         LIMIT 100""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
     "kmeans_step" -> kmeansStepOracle,
     // GENUINE undirected reachability over the verified near-dup pair

@@ -80,6 +80,108 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q5 shape: the region-local volume question — revenue per
+    * nation where the CUSTOMER and the SUPPLIER sit in the same nation
+    * of one region. The signature constraint `c_nationkey =
+    * s_nationkey` ties the two dimension paths together, which is what
+    * distinguishes this from a star-join: lineitem⋈orders is the one
+    * fact-fact shuffle (both on the order key), every dimension hop
+    * (supplier+nation+region pre-joined, customer) rides a size-guarded
+    * broadcast, and the equal-nation predicate is evaluated row-local
+    * inside the customer broadcast join — no extra exchange. The final
+    * aggregate runs over a |nations|-bounded key space, partial
+    * map-side. At 100 TB: dims broadcast by construction (they scale
+    * with entities, not events), facts shuffle once each on their
+    * shared key.
+    */
+  def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val n = Tables.nation(s, dir)
+      .join(Hints.maybeBroadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(Hints.maybeBroadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("o_orderdate") <  to_timestamp(lit("1998-01-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(Hints.maybeBroadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Hints.maybeBroadcast(c),
+            col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 shape: top-20 customers by revenue LOST to returns in a
+    * quarter — the "who should the account team call" list. Returned
+    * lines (scan-pushed `l_returnflag = 'R'`) join the quarter's orders
+    * on the shared order key (the one fact-fact shuffle), then the
+    * customer and nation dimensions broadcast onto the aggregate's
+    * input. Grouping carries the customer's display attributes
+    * (name/acctbal/nation) in the key — they are functionally
+    * dependent on `c_custkey`, so the key space stays |customers| —
+    * and the deterministic top-20 is a TakeOrderedAndProject, never a
+    * global sort.
+    */
+  def q10ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+              col("o_orderdate") <  to_timestamp(lit("1998-04-01 00:00:00")))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Hints.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Hints.maybeBroadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape: large-quantity orders (the HAVING-on-aggregate
+    * semi-filter). The detail table first collapses to per-order
+    * quantity totals — partial aggregation makes the shuffle carry
+    * (key, partial-sum) pairs, not raw lines — and the HAVING survivor
+    * set (rare by construction: the threshold sits in the distribution
+    * tail) then joins orders on its key. The aggregate-THEN-join order
+    * is the entire point: joining first would duplicate every order
+    * row per line and re-aggregate the blowup. Customer display
+    * attributes broadcast last onto the already-tiny survivor rows.
+    * Quantities are integral by data contract, so the total is an
+    * exact BIGINT — hash-identical on any engine.
+    */
+  def q18LargeOrders(s: SparkSession, dir: String, minQty: Long = 250L): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sumLong(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Hints.maybeBroadcast(
+              Tables.customer(s, dir).select("c_custkey", "c_name")),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+              to_date(col("o_orderdate")).as("orderdate"),
+              col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Projection + predicate that must reach the parquet scan
     * (PushedFilters / 3-column ReadSchema in the plan).
     */

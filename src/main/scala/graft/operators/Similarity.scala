@@ -326,7 +326,6 @@ object Similarity {
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     require(dim % nSub == 0, s"dim $dim must split into $nSub subspaces")
-    val subDim = dim / nSub
     // nSub independent subspace quantizers (seeded — the index is a
     // pure function of the corpus)
     // Codebooks are model state, not data — at 100 TB the fits run on
@@ -342,23 +341,7 @@ object Similarity {
     // skip straight to the codegen'd encode — train-once/serve-many,
     // and the training cost (≈ all of this operator's wall time)
     // is paid once per session per corpus.
-    val codebooks: Seq[Seq[Seq[Float]]] =
-      graft.Caches.model("pq_codebooks", dir, nSub, nCodes, trainMod) {
-        val train = graft.Caches.cached(emb.filter(col("vec_id") % trainMod === 0))
-        train.count() // materialize once before the concurrent fits share it
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(
-          Future.sequence((0 until nSub).map { m => Future {
-            val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
-              slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
-            new org.apache.spark.ml.clustering.KMeans()
-              .setK(nCodes).setSeed(42L + m).setMaxIter(5)
-              .setFeaturesCol("features").setPredictionCol("code")
-              .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
-          }}),
-          scala.concurrent.duration.Duration.Inf)
-      }
+    val codebooks = pqCodebooks(emb, dim, nSub, nCodes, trainMod, dir)
     val cbLit = typedLit(codebooks) // array<array<array<float>>> plan literal
     // argmin_c L2²(sub_m, CB[m][c]) — the codegen'd PqEncode fused
     // loop (codebook bound as a plan constant); bit-compatible with
@@ -375,6 +358,105 @@ object Similarity {
       .join(broadcast(probes(emb)), col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
               scoreX1e6(col("probe_emb"), col("decoded")).as("adc_cosine_x1e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "adc_cosine_x1e6")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Shared PQ codebook training: `nSub` independent seeded MLlib
+    * k-means fits over the subspace slices of a deterministic
+    * 1/trainMod corpus sample, session-memoized via
+    * [[graft.Caches.model]] on (dir, hyperparameters) — the
+    * train-once/serve-many contract. Backs [[annPqTopK]] and
+    * [[annIvfPqTopK]]; both share the memo key, so an IVF-PQ call
+    * after a PQ call (or vice versa) pays zero additional training.
+    */
+  private def pqCodebooks(emb: DataFrame, dim: Int, nSub: Int, nCodes: Int,
+                          trainMod: Int, dir: String): Seq[Seq[Seq[Float]]] = {
+    val subDim = dim / nSub
+    graft.Caches.model("pq_codebooks", dir, nSub, nCodes, trainMod) {
+      val train = graft.Caches.cached(emb.filter(col("vec_id") % trainMod === 0))
+      train.count() // materialize once before the concurrent fits share it
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.sequence((0 until nSub).map { m => Future {
+          val sub = train.select(org.apache.spark.ml.functions.array_to_vector(
+            slice(col("embedding"), m * subDim + 1, subDim)).as("features"))
+          new org.apache.spark.ml.clustering.KMeans()
+            .setK(nCodes).setSeed(42L + m).setMaxIter(5)
+            .setFeaturesCol("features").setPredictionCol("code")
+            .fit(sub).clusterCenters.map(_.toArray.map(_.toFloat).toSeq).toSeq
+        }}),
+        scala.concurrent.duration.Duration.Inf)
+    }
+  }
+
+  /** IVF-PQ — the two index tiers COMPOSED, the production ANN shape
+    * at 100 TB (FAISS `IndexIVFPQ`): the coarse quantizer prunes WHICH
+    * vectors are scored (candidates = members of the probe's
+    * `nProbeCells` nearest cells, ~nProbeCells/nCells of the corpus),
+    * and product quantization prunes WHAT is read to score them
+    * (8-byte codes + the codebook plan literal, never the embedding
+    * column). [[annIvfTopK]] bounds compute but still reads full
+    * vectors; [[annPqTopK]] bounds bytes but still scores the whole
+    * corpus per probe; composed, per-probe cost is
+    * (nProbeCells/nCells) · n codes — the only configuration whose
+    * serving cost stays flat as BOTH corpus size and vector width
+    * grow.
+    *
+    * Plan: cell assignment and PQ encode are row-local maps off one
+    * shared scan (both models are session-memoized driver state,
+    * trained on samples at scale); probes rank cells against the
+    * broadcast centroid table; ONE shuffled join on the cell key pairs
+    * probes with cell members, decode+ADC-score runs row-local on the
+    * join output, and the per-probe top-k is a partial-top-k window.
+    * Candidates arise at most once per probe (cells partition the
+    * corpus) — no distinct().
+    *
+    * Rows-only (k-means state is not SQL-expressible); SimilaritySpec
+    * pins the contract: probing EVERY cell reproduces [[annPqTopK]]
+    * EXACTLY (same ADC scores, same tie-breaks — the candidate
+    * generator changes, the scorer doesn't), recall@k vs brute force
+    * at the defaults, and determinism across invocations.
+    */
+  def annIvfPqTopK(s: SparkSession, dir: String, k: Int = 10,
+                   nCells: Int = 16, nProbeCells: Int = 8,
+                   nSub: Int = 16, nCodes: Int = 64, trainMod: Int = 1): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = graft.Caches.cached(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must split into $nSub subspaces")
+    val (assigned, centroids) = ivfAssigned(emb, nCells, dir)
+    val codebooks = pqCodebooks(emb, dim, nSub, nCodes, trainMod, dir)
+    val cbLit = typedLit(codebooks)
+    // the stored index: (vec_id, cell, codes) — 8-byte codes replace
+    // the d·4-byte embedding for every candidate read from here on
+    val encoded = graft.Caches.cached(assigned.select(col("vec_id"), col("cell"),
+      call_function("graft_pq_encode", col("embedding"), cbLit).as("codes")))
+    val centers = s.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+    val cellRank = Window.partitionBy("probe_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probeCells = probes(emb)
+      .crossJoin(broadcast(centers))
+      .select(col("probe_id"), col("probe_emb"), col("cell"),
+              scoreX1e6(col("probe_emb"), col("centroid")).as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(cellRank))
+      .filter(col("cell_rank") <= nProbeCells)
+      .select("probe_id", "probe_emb", "cell")
+    val decoded = flatten(transform(sequence(lit(1), lit(nSub)),
+      m => element_at(element_at(cbLit, m), element_at(col("codes"), m) + 1)))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adc_cosine_x1e6").desc, col("neighbor_id"))
+    encoded
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              scoreX1e6(col("probe_emb"), decoded).as("adc_cosine_x1e6"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "adc_cosine_x1e6")

@@ -125,6 +125,64 @@ class JoinsViewsSpec extends AnyFunSuite with SparkFixture {
     assert(out.groupBy("purchase_event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("q5 region volume equals a plain unhinted join reconstruction") {
+    val out = graft.operators.Analytics.q5RegionVolume(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("o_orderdate") <  to_timestamp(lit("1998-01-01 00:00:00")))
+    val c = Tables.customer(spark, sf)
+    val su = Tables.supplier(spark, sf)
+    val n = Tables.nation(spark, sf)
+    val r = Tables.region(spark, sf).filter(col("r_name") === "ASIA")
+    val plain = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+                col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(graft.functions.OracleSafe.sum4(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    assert(out.exceptAll(plain).count() == 0 && plain.exceptAll(out).count() == 0)
+    // only nations of the filtered region can appear
+    val asiaNations = n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(out.select("n_name").collect().map(_.getString(0)).forall(asiaNations))
+  }
+
+  test("q10 returned revenue: top-20 by revenue, equals the unlimited recompute's head") {
+    val out = graft.operators.Analytics.q10ReturnedRevenue(spark, sf).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    val revs = out.map(r => r.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val full = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, sf)
+              .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01 00:00:00")) &&
+                      col("o_orderdate") <  to_timestamp(lit("1998-04-01 00:00:00"))),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(graft.functions.OracleSafe.sum4(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(out.length).collect()
+    assert(out.toSeq == full.toSeq)
+  }
+
+  test("q18 large orders: every survivor's quantity total is exact and above the threshold") {
+    val out = graft.operators.Analytics.q18LargeOrders(spark, sf)
+    assert(out.filter(col("total_qty") <= 250).count() == 0)
+    // totals match an independent per-order recompute exactly
+    val totals = Tables.lineitem(spark, sf).groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(graft.functions.OracleSafe.sumLong(col("l_quantity")).as("expect_qty"))
+    val joined = out.join(totals, "o_orderkey")
+    assert(joined.filter(col("total_qty") =!= col("expect_qty")).count() == 0)
+    // no order appears twice (aggregate-then-join can't duplicate)
+    assert(out.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("q4 exists: semi join equals inner-join+distinct, never inflates") {
     val out = graft.operators.Analytics.q4PriorityExists(spark, sf)
     val o = Tables.orders(spark, sf)

@@ -96,6 +96,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("IVF-PQ probing every cell reproduces ann_pq_topk exactly") {
+    // Composing IVF candidate pruning with PQ scoring must not change
+    // the scorer: with all cells probed, candidates = the full corpus
+    // and the ADC scores/tie-breaks are identical to plain PQ.
+    val pq = Similarity.annPqTopK(spark, sf)
+    val all = Similarity.annIvfPqTopK(spark, sf, nCells = 8, nProbeCells = 8)
+    assert(pq.exceptAll(all).count() == 0 && all.exceptAll(pq).count() == 0)
+    graft.Caches.clear()
+  }
+
+  test("IVF-PQ recall vs exact top-10 at the default dial; deterministic across reruns") {
+    // Two approximations stack: IVF misses ≈ the unprobed fraction
+    // (8/16 on the near-uniform adversarial corpus), PQ's ADC ranking
+    // reorders near-ties (0.69 alone). The floor leaves drift headroom;
+    // the all-cells test pins the scorer, the PQ tests pin the codes.
+    val bf = Similarity.annBruteforceTopK(spark, sf).select("probe_id", "neighbor_id")
+    val a = Similarity.annIvfPqTopK(spark, sf)
+    val b = Similarity.annIvfPqTopK(spark, sf)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val nBf = bf.count()
+    val hit = bf.intersect(a.select("probe_id", "neighbor_id")).count()
+    assert(nBf > 0 && hit.toDouble / nBf >= 0.45, s"recall ${hit.toDouble / nBf}")
+    graft.Caches.clear()
+  }
+
   test("embedding_quantize matches a plain-Scala int8 quantizer and bounds reconstruction error") {
     val out = Similarity.embeddingQuantize(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
