@@ -59,6 +59,7 @@ object SparkEntry {
     "anomaly_mad"           -> ((s, d) => Analytics.anomalyMad(s, d)),
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
+    "window_percentile_rank" -> (Analytics.windowPercentileRank _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
     "quantile_bins_approx"  -> ((s, d) => Analytics.quantileBinsApprox(s, d)),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
     "sample_stratified" -> ((s, d) => TrainingOps.sampleStratified(s, d)),
+    "sample_reservoir"  -> ((s, d) => TrainingOps.sampleReservoir(s, d)),
     "mix_weighted"      -> ((s, d) => TrainingOps.mixWeighted(s, d)),
     "decontaminate_ngram" -> ((s, d) => TrainingOps.decontaminate(s, d)),
     "corpus_manifest"   -> (TrainingOps.corpusManifest _),
@@ -993,6 +995,16 @@ object SparkEntry {
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          FROM sess GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "window_percentile_rank" ->
+      """SELECT event_type, event_id, cents,
+                CASE WHEN n > 1 THEN ((rk - 1) * 1000000) // (n - 1) END AS pct_x1e6
+         FROM (SELECT event_type, event_id,
+                      CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                      CAST(row_number() OVER (PARTITION BY event_type
+                             ORDER BY CAST(FLOOR(value * 100) AS BIGINT), event_id) AS BIGINT) AS rk,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM events)
+         ORDER BY event_type, event_id""",
     "percentile_value" ->
       """SELECT event_type,
                 ROUND(quantile_cont(value, 0.5), 4) AS p50,
@@ -1422,6 +1434,14 @@ object SparkEntry {
          FROM (SELECT unnest(ngrams) AS ngram FROM g)
          GROUP BY ngram
          ORDER BY doc_freq DESC, ngram
+         LIMIT 100""",
+    "sample_reservoir" ->
+      """SELECT doc_id, tag, sample_rank FROM (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS tag,
+                  CAST(row_number() OVER (
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+           FROM documents)
+         ORDER BY tag, doc_id
          LIMIT 100""",
     "sample_stratified" ->
       """SELECT doc_id, lang, sample_rank, strat_size FROM (

@@ -488,6 +488,38 @@ object Analytics {
         (col("adev_cents") * 100 > lit(kX100) * col("mad_cents")).as("is_outlier"))
   }
 
+  /** Per-event percentile STANDING within its type — percent_rank as
+    * a feature column (the "is this purchase big FOR ITS KIND"
+    * normalizer a scoring pipeline joins back onto events). The
+    * textbook formulation is `percent_rank() OVER (PARTITION BY
+    * event_type ORDER BY value)` — and event_type is exactly the
+    * low-cardinality/corpus-scaling key where that window funnels a
+    * billion-row type through ONE sort task. Here the rank comes from
+    * [[DistRank.withPrefix]] (range partition → in-cell prefix →
+    * bounded offsets broadcast back): no task ever holds more than a
+    * range slice, same two-stage shape as [[anomalyMad]]'s medians
+    * and customer_rfm's quintiles.
+    *
+    * Exactness: the (cents, event_id) order is total (no ties), so
+    * rank == row_number on both engines, and the percentile is the
+    * INTEGRAL micro-unit (rk−1)·1e6 div (n−1) — a pure function of
+    * two exact integers, hash-identical where percent_rank's double
+    * quotient invites ulp drift. Singleton types (n=1) yield null —
+    * "standing among peers" needs a peer, mirrored in the oracle.
+    */
+  def windowPercentileRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+              floor(col("value") * 100).cast("long").as("cents"))
+    DistRank.withPrefix(ev, Seq("event_type"),
+        Seq(col("cents"), col("event_id")), lit(1L), "rk",
+        groupTotalOut = Some("n"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        when(col("n") > 1,
+          expr("((rk - 1) * 1000000) div (n - 1)")).as("pct_x1e6"))
+      .orderBy("event_type", "event_id")
+  }
+
   /** Exact interpolated percentiles per group — exact by spec for
     * oracle parity (bounded group count here). At 100 TB the same plan
     * shape swaps `percentile` for `approx_percentile(value, p, acc)`

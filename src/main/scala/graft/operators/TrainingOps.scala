@@ -37,6 +37,35 @@ object TrainingOps {
       .orderBy("doc_id")
   }
 
+  /** Exact-k uniform sample — the distributed RESERVOIR equivalent.
+    * The classic streaming reservoir keeps k survivors under a random
+    * tag; distributed, the same result is the global top-k by tag,
+    * and a keyed hash replaces the RNG so the tag is a pure function
+    * of the row: the sample is exactly-k, uniform over the md5 tag
+    * order, and IDENTICAL on every cluster/partitioning/rerun (the
+    * property a reproducible training run actually needs — "random"
+    * plus a seed file is what a hash tag already is).
+    *
+    * Scale: `orderBy.limit(k)` plans TakeOrderedAndProject — each
+    * partition keeps its local top-k heap (k·partitions rows move,
+    * bounded), never a global sort of the corpus; the scan prunes to
+    * the id column. The rank over the k survivors sits above the
+    * GlobalLimit — a k-row frame by construction. Appending to the
+    * corpus only displaces the highest tags: the sample is STABLE
+    * under growth (≈ k·(growth/n) rows churn), which a pct-filter
+    * sample ([[sampleSplitHash]]) gives up in exchange for its
+    * zero-coordination form.
+    */
+  def sampleReservoir(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    require(k > 0, s"k $k must be positive")
+    val tagged = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("tag"))
+      .orderBy("tag", "doc_id")
+      .limit(k)
+    tagged.withColumn("sample_rank",
+      row_number().over(Window.orderBy("tag", "doc_id")).cast("long"))
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid end-to-end
     * in token space and cut into fixed `ctxLen`-token context windows
     * (the GPT-style pretraining layout — a document may straddle a

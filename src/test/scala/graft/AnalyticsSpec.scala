@@ -729,6 +729,52 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out.exists(!_.isNullAt(3)) && out.exists(r => r.isNullAt(3) && !r.isNullAt(4)))
   }
 
+  test("window_percentile_rank equals the textbook window formulation; no Window in its own plan") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Analytics.windowPercentileRank(spark, sf)
+    // textbook per-type window (fine at spec scale, the scale trap the
+    // operator exists to avoid in production)
+    val w = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    val textbook = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+              floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("event_type")).cast("long"))
+      .select(col("event_type"), col("event_id"), col("cents"),
+        when(col("n") > 1, expr("((rk - 1) * 1000000) div (n - 1)")).as("pct_x1e6"))
+    assert(out.exceptAll(textbook).count() == 0 &&
+           textbook.exceptAll(out).count() == 0)
+    // bounds: min standing 0, max standing exactly 1e6 per multi-row type
+    val ext = out.groupBy("event_type")
+      .agg(min("pct_x1e6").as("lo"), max("pct_x1e6").as("hi"),
+           count(lit(1)).as("n")).collect()
+    ext.foreach { r =>
+      if (r.getAs[Long]("n") > 1) {
+        assert(r.getAs[Long]("lo") == 0L && r.getAs[Long]("hi") == 1000000L)
+      }
+    }
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"percentile standing must rank through DistRank, never a per-type window:\n$p")
+  }
+
+  test("window_percentile_rank: a singleton type has no standing (null), pairs split 0/1e6") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pctrank").toString
+    Seq((1L, "2024-01-01 00:00:00", 10L, "a", 1.00, "{}"),
+        (2L, "2024-01-01 00:01:00", 10L, "a", 2.00, "{}"),
+        (3L, "2024-01-01 00:02:00", 11L, "b", 5.00, "{}"))
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.windowPercentileRank(spark, dir).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+                 Option(r.getAs[java.lang.Long]("pct_x1e6")).map(_.longValue)))
+      .toMap
+    assert(got(1L) == Some(0L) && got(2L) == Some(1000000L) && got(3L) == None)
+  }
+
   test("customer_rfm: balanced quintiles, inverted recency, metrics match a recompute") {
     import graft.operators.Analytics
     val out = Analytics.customerRfm(spark, sf).collect()

@@ -117,6 +117,25 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     out.toSeq
   }
 
+  test("sample_reservoir: exactly k, matches a single-node md5 ranking, prefix-stable in k") {
+    val k = 10
+    val out = TrainingOps.sampleReservoir(spark, sf, k).collect()
+    assert(out.length == k)
+    assert(out.map(_.getAs[Long]("sample_rank")).toSeq == (1L to k).toSeq)
+    // independent single-node reconstruction of the tag order
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expect = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (md5hex(id.toString), id))
+      .sorted.take(k).map(_._2).toSeq
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == expect)
+    // reservoir property: the k-sample is a PREFIX of the 2k-sample
+    val bigger = TrainingOps.sampleReservoir(spark, sf, 2 * k).collect()
+      .sortBy(_.getAs[Long]("sample_rank")).take(k).map(_.getAs[Long]("doc_id")).toSeq
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == bigger)
+  }
+
   test("bpe_train equals the single-node reference BPE; max count never increases") {
     import graft.functions.TextFunctions
     val got = TrainingOps.bpeTrain(spark, sf, nMerges = 10).collect()
