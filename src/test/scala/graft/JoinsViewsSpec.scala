@@ -34,6 +34,13 @@ class JoinsViewsSpec extends AnyFunSuite with SparkFixture {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every oracle key names a registered query") {
+    // a typo'd oracle key is DEAD — the driver would silently fall back
+    // to the weaker rows-only check for the query it meant to cover
+    val dead = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dead.isEmpty, s"oracle entries with no matching query: $dead")
+  }
+
   test("every registered query has rows at sf0.001") {
     // cheap structural guard: no key in the contract silently breaks
     SparkEntry.queries.foreach { case (name, fn) =>
