@@ -88,6 +88,7 @@ object SparkEntry {
     "graph_components"      -> (GraphOps.graphComponents _),
     "assoc_rules"           -> ((s, d) => GraphOps.assocRules(s, d)),
     "graph_label_prop"      -> ((s, d) => GraphOps.labelPropagation(s, d)),
+    "graph_bfs_hops"        -> ((s, d) => GraphOps.graphBfsHops(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
     "asof_join_nearest"  -> (Joins.asofJoinNearest _),
@@ -534,6 +535,33 @@ object SparkEntry {
          SELECT part_key, component,
                 CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
          FROM comp ORDER BY part_key""",
+    // BFS distance: the recursive depth guard (hops < 6) mirrors the
+    // engine's maxHops cap; UNION dedups the (node, hops) closure and
+    // MIN recovers the shortest-hop distance. Same edge CTE as
+    // graph_components so the substrate cannot drift.
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE
+         pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+               FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                  AND x.l_partkey < y.l_partkey
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b AS src, a AS dst FROM e),
+         nodes AS (SELECT DISTINCT src AS part_key FROM sym),
+         seeds AS (SELECT n.part_key FROM nodes n
+                   JOIN part p ON p.p_partkey = n.part_key
+                   WHERE p.p_brand = 'Brand#1'),
+         bfs(node, hops) AS (
+           SELECT part_key AS node, CAST(0 AS BIGINT) AS hops FROM seeds
+           UNION
+           SELECT s.dst AS node, b.hops + 1 AS hops
+           FROM bfs b JOIN sym s ON s.src = b.node
+           WHERE b.hops < 6),
+         d AS (SELECT node, MIN(hops) AS hops FROM bfs GROUP BY node)
+         SELECT n.part_key, d.hops
+         FROM nodes n LEFT JOIN d ON d.node = n.part_key
+         ORDER BY n.part_key""",
     "stream_interval_join" ->
       """WITH sg AS (
            SELECT user_id, event_id AS signup_event_id, epoch_ns(ts) AS s_ns

@@ -308,6 +308,70 @@ object GraphOps {
       .orderBy("part_key")
   }
 
+  /** Multi-source BFS hop distance over the part co-purchase graph —
+    * "how many co-purchase links from the seed assortment is this
+    * part": the graph FEATURE the centrality/community operators
+    * don't give ([[pageRank]] says how central, [[graphComponents]]
+    * says whether connected; this says HOW FAR). Seeds are a
+    * dimension predicate (all graph nodes of one brand — broadcast,
+    * deterministic); unreached-within-`maxHops` parts carry null.
+    *
+    * Classic frontier BFS, the iterator lifecycle shared with
+    * [[pageRank]]/[[Dedup.connectedComponents]]: per round ONE
+    * frontier⋈edges shuffle on the node key + an anti-join against
+    * the settled set, eager per-round checkpoint, predecessor
+    * unpersisted once its successor exists, early exit on an empty
+    * frontier (closure reached). State is (node, hops) — two longs
+    * per reached node; the frontier shrinks to the unreached
+    * boundary each round, so rounds get CHEAPER as the wave
+    * advances. At 100 TB nothing broadcasts but the seed predicate.
+    *
+    * Oracled by a recursive CTE whose depth guard mirrors `maxHops`
+    * exactly; MIN(hops) over the deduplicated (node, hops) closure is
+    * the same BFS distance the frontier computes.
+    */
+  def graphBfsHops(s: SparkSession, dir: String, seedBrand: String = "Brand#1",
+                   maxHops: Int = 6, reliable: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val edges = graft.Caches.cached(copurchaseEdges(s, dir))
+    val sym = graft.Caches.cached(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+    val nodes = graft.Caches.cached(
+      edges.select(col("a").as("part_key"))
+        .unionAll(edges.select(col("b").as("part_key"))).distinct())
+    val seedParts = Tables.part(s, dir)
+      .filter(col("p_brand") === seedBrand)
+      .select(col("p_partkey").as("part_key"))
+    var dist = graft.Caches.roundCheckpoint(
+      nodes.join(Hints.maybeBroadcast(seedParts), Seq("part_key"), "left_semi")
+        .select(col("part_key").as("node"), lit(0L).as("hops")),
+      reliable)
+    var frontier = dist
+    var h = 0L
+    var grew = true
+    while (h < maxHops && grew) {
+      h += 1
+      val nbrs = frontier.join(sym, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+      val fresh = graft.Caches.roundCheckpoint(
+        nbrs.join(dist, Seq("node"), "left_anti")
+          .select(col("node"), lit(h).as("hops")),
+        reliable)
+      grew = !fresh.isEmpty
+      if (grew) {
+        val merged = graft.Caches.roundCheckpoint(dist.unionAll(fresh), reliable)
+        graft.Caches.unpersistRound(dist)
+        if (h > 1) graft.Caches.unpersistRound(frontier)
+        dist = merged
+        frontier = fresh
+      } else graft.Caches.unpersistRound(fresh)
+    }
+    nodes.join(dist, nodes("part_key") === dist("node"), "left")
+      .select(col("part_key"), col("hops"))
+      .orderBy("part_key")
+  }
+
   /** The unrolled DuckDB oracle for [[pageRank]] — the same integral
     * update chain written as `iters` chained CTEs (aggregates over a
     * recursive reference are not portable SQL, so the iteration count

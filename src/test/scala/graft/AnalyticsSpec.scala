@@ -514,6 +514,42 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("graph_bfs_hops equals a single-node BFS replay; edge-Lipschitz; seeds at zero") {
+    import graft.operators.GraphOps
+    val out = GraphOps.graphBfsHops(spark, sf).cache()
+    // independent single-node BFS over the collected edge list
+    val edges = GraphOps.copurchaseEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keySet
+    val seeds = Tables.part(spark, sf).filter(col("p_brand") === "Brand#1")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet intersect nodes
+    var frontier = seeds
+    val distMap = scala.collection.mutable.Map(seeds.map(_ -> 0L).toSeq: _*)
+    var h = 0L
+    while (h < 6 && frontier.nonEmpty) {
+      h += 1
+      frontier = frontier.flatMap(adj).diff(distMap.keySet)
+      frontier.foreach(distMap(_) = h)
+    }
+    val got = out.collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getAs[java.lang.Long]("hops")).map(_.longValue)).toMap
+    assert(got.keySet == nodes)
+    assert(got == nodes.map(n => n -> distMap.get(n)).toMap)
+    // BFS distance is 1-Lipschitz along edges: reached endpoints of an
+    // edge can differ by at most one hop
+    edges.foreach { case (a, b) =>
+      (got(a), got(b)) match {
+        case (Some(da), Some(db)) => assert(math.abs(da - db) <= 1, s"edge ($a,$b)")
+        case _ => ()
+      }
+    }
+    out.unpersist()
+    Caches.clear()
+  }
+
   test("graph_similar_parts equals the materialized-neighbor-set road") {
     import graft.operators.GraphOps
     val out = GraphOps.graphSimilarParts(spark, sf)
