@@ -162,6 +162,7 @@ object SparkEntry {
     "vocab_encode"       -> ((s, d) => TextOps.vocabEncode(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "dedup_incremental_minhash" -> ((s, d) => Dedup.dedupIncrementalMinhash(s, d)),
+    "dedup_incremental_embedding" -> ((s, d) => Dedup.dedupIncrementalEmbedding(s, d)),
     "dedup_keep_best"    -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     // Extract stage (reference 02_etl.py:55-67 page loop): land a paged
     // API to JSONL with retry/resume, then read the landing dir back.
@@ -1325,6 +1326,19 @@ object SparkEntry {
                 ROW_NUMBER() OVER (PARTITION BY component
                                    ORDER BY center_dist, vec_id) = 1 AS is_kept
          FROM d ORDER BY vec_id""",
+    "dedup_incremental_embedding" ->
+      """WITH scored AS (
+           SELECT d.vec_id AS vec_id, b.vec_id AS base_id
+           FROM embeddings d JOIN embeddings b
+             ON d.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+            AND list_cosine_similarity(d.embedding, b.embedding) >= 0.9),
+         best AS (SELECT vec_id, MIN(base_id) AS rep_base_id
+                  FROM scored GROUP BY vec_id)
+         SELECT e.vec_id, best.rep_base_id IS NOT NULL AS is_near_dup,
+                best.rep_base_id
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) e
+         LEFT JOIN best USING (vec_id)
+         ORDER BY e.vec_id""",
     "dedup_embedding_cosine" ->
       """WITH pairs AS (
            SELECT a.vec_id AS a, b.vec_id AS b

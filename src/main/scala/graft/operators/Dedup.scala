@@ -791,6 +791,56 @@ object Dedup {
     (emb.select("vec_id"), verified)
   }
 
+  /** Incremental SEMANTIC dedup — delta-vs-base on embeddings,
+    * completing the incremental trio ([[dedupIncremental]] exact
+    * hash, [[dedupIncrementalMinhash]] textual fuzzy, this one
+    * paraphrase-level): is each NEW vector a near-duplicate of the
+    * EXISTING corpus? The base side never self-joins and never
+    * rescans at delta time — its band table is the persisted index
+    * (the same deployment contract as the MinHash pair), the delta's
+    * bands probe it, and only (band-matched) candidate pairs read
+    * embeddings back for the exact-cosine verify. The hot-bucket cap
+    * is the same recall valve as the MinHash path (a stopword-band
+    * bucket would otherwise quadratically explode candidates).
+    *
+    * The verdict is `MIN(base_id)` over verified partners — the
+    * family's min-id representative convention, chosen deliberately
+    * over best-cosine: a float score ordering can tie-break
+    * differently across engines on near-equal scores, while
+    * threshold + MIN is a pure integer function of the verified set.
+    */
+  def dedupIncrementalEmbedding(s: SparkSession, dir: String, deltaMod: Int = 10,
+                                nBands: Int = 8, bitsPerBand: Int = 6,
+                                tau: Double = 0.9, maxBucket: Int = 1024): DataFrame = {
+    require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
+    GraftFunctions.ensureRegistered(s)
+    val emb = graft.Caches.cached(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val bands = emb.select(col("vec_id"),
+        call_function("graft_srp_sig", col("embedding"), lit(nBands * bitsPerBand)).as("sig"))
+      .select(col("vec_id"), explode(sliceBands(col("sig"), nBands, bitsPerBand)).as("bd"))
+      .select(col("vec_id"), col("bd.band_idx"), col("bd.band_hash"))
+    val baseBands = bands.filter(col("vec_id") % deltaMod =!= 0)
+      .select(col("vec_id").as("base_id"), col("band_idx"), col("band_hash"))
+    val hotKeys = baseBands.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .select("band_idx", "band_hash")
+    val prunedBase = baseBands.join(hotKeys, Seq("band_idx", "band_hash"), "left_anti")
+    val cand = bands.filter(col("vec_id") % deltaMod === 0)
+      .join(prunedBase, Seq("band_idx", "band_hash"))
+      .select(col("vec_id"), col("base_id")).distinct()
+    val embD = emb.select(col("vec_id"), col("embedding").as("emb_d"))
+    val embB = emb.select(col("vec_id").as("base_id"), col("embedding").as("emb_b"))
+    val best = cand.join(embD, "vec_id").join(embB, "base_id")
+      .filter(call_function("graft_cosine", col("emb_d"), col("emb_b")) >= tau)
+      .groupBy("vec_id").agg(min(col("base_id")).as("rep_base_id"))
+    emb.select("vec_id").filter(col("vec_id") % deltaMod === 0)
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("rep_base_id").isNotNull.as("is_near_dup"),
+              col("rep_base_id"))
+      .orderBy("vec_id")
+  }
+
   def dedupEmbeddingCosine(s: SparkSession, dir: String,
                            nBands: Int = 8, bitsPerBand: Int = 6,
                            tau: Double = 0.9): DataFrame = {

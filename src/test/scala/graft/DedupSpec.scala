@@ -412,6 +412,31 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("dedup_incremental_embedding equals brute-force delta x base cosine; partners from base only") {
+    import graft.plans.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val out = Dedup.dedupIncrementalEmbedding(spark, sf).cache()
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).cache()
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").as("emb_d"))
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("base_id"), col("embedding").as("emb_b"))
+    val best = delta.crossJoin(base)
+      .filter(call_function("graft_cosine", col("emb_d"), col("emb_b")) >= 0.9)
+      .groupBy("vec_id").agg(min("base_id").as("rep_base_id"))
+    val brute = delta.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("rep_base_id").isNotNull.as("is_near_dup"),
+              col("rep_base_id"))
+    assert(out.exceptAll(brute).count() == 0 && brute.exceptAll(out).count() == 0)
+    // representatives always come from the base partition, never the delta
+    assert(out.filter(col("rep_base_id").isNotNull &&
+                      col("rep_base_id") % 10 === 0).count() == 0)
+    // every delta vector gets exactly one verdict row
+    assert(out.count() == delta.count())
+    out.unpersist(); emb.unpersist()
+    graft.Caches.clear()
+  }
+
   test("dedup_paragraphs strips the shared unit, keeps unique units in order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-para").toString
