@@ -332,19 +332,31 @@ object GraphOps {
     */
   def graphBfsHops(s: SparkSession, dir: String, seedBrand: String = "Brand#1",
                    maxHops: Int = 6, reliable: Boolean = false): DataFrame = {
-    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val edges = graft.Caches.cached(copurchaseEdges(s, dir))
-    val sym = graft.Caches.cached(
-      edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
     val nodes = graft.Caches.cached(
       edges.select(col("a").as("part_key"))
         .unionAll(edges.select(col("b").as("part_key"))).distinct())
     val seedParts = Tables.part(s, dir)
       .filter(col("p_brand") === seedBrand)
       .select(col("p_partkey").as("part_key"))
+    bfsHops(nodes, edges, seedParts, maxHops, reliable)
+  }
+
+  /** The frontier-BFS core behind [[graphBfsHops]], on an explicit
+    * (nodes, undirected (a, b) edges, seed keys) triple — factored so
+    * crafted and generative specs can drive arbitrary graphs through
+    * the exact production iterator. Seeds outside the node universe
+    * are ignored (the semi-join); output is one row per node with the
+    * shortest-hop distance, null when unreached within `maxHops`.
+    */
+  private[graft] def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                             maxHops: Int, reliable: Boolean = false): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val sym = graft.Caches.cached(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
     var dist = graft.Caches.roundCheckpoint(
-      nodes.join(Hints.maybeBroadcast(seedParts), Seq("part_key"), "left_semi")
+      nodes.join(Hints.maybeBroadcast(seeds), Seq("part_key"), "left_semi")
         .select(col("part_key").as("node"), lit(0L).as("hops")),
       reliable)
     var frontier = dist

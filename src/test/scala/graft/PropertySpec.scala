@@ -217,6 +217,54 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("BFS core == single-node BFS on seeded random graphs (chains, cliques, isolates)") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // few cases, each a full iterative Spark run — generative coverage
+    // of shapes the corpus graph can't produce on demand: disconnected
+    // islands, long chains (hop-cap truncation), empty seed sets
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 16)
+      edgeCount <- Gen.chooseNum(0, n * 2)
+      edges <- Gen.listOfN(edgeCount,
+        Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+      seedCount <- Gen.chooseNum(0, 3)
+      seeds <- Gen.listOfN(seedCount, Gen.chooseNum(0, n - 1))
+    } yield (edges.collect { case (a, b) if a != b =>
+               (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct, seeds.map(_.toLong))
+    // a deterministic worst case: an 8-chain seeded at one end with
+    // maxHops=4 — the far half must stay null
+    val chain = ((0L to 6L).map(i => (i, i + 1)).toList, List(0L))
+    (cases(graphGen, n = 5) :+ chain).zipWithIndex.foreach { case ((edges, seeds), i) =>
+      if (edges.nonEmpty) {
+        val maxHops = 4
+        val nodesSet = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+        val nodesDf = nodesSet.toSeq.toDF("part_key")
+        val edgesDf = edges.toDF("a", "b")
+        val seedsDf = seeds.toDF("part_key")
+        val got = GraphOps.bfsHops(nodesDf, edgesDf, seedsDf, maxHops).collect()
+          .map(r => r.getLong(0) ->
+            Option(r.getAs[java.lang.Long]("hops")).map(_.longValue)).toMap
+        // single-node replay
+        val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val distMap = scala.collection.mutable.Map(
+          seeds.toSet.intersect(nodesSet).map(_ -> 0L).toSeq: _*)
+        var frontier = distMap.keySet.toSet
+        var h = 0L
+        while (h < maxHops && frontier.nonEmpty) {
+          h += 1
+          frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+            .diff(distMap.keySet)
+          frontier.foreach(distMap(_) = h)
+        }
+        val expect = nodesSet.map(n => n -> distMap.get(n)).toMap
+        assert(got == expect, s"case $i: edges=$edges seeds=$seeds")
+        graft.Caches.clear()
+      }
+    }
+  }
+
   test("isqrt is exactly floor(sqrt) across the boundary-adversarial range") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
