@@ -355,17 +355,20 @@ object GraphOps {
     val sym = graft.Caches.cached(
       edges.select(col("a").as("src"), col("b").as("dst"))
         .union(edges.select(col("b").as("src"), col("a").as("dst"))))
-    // The settled set is the lazy UNION of the per-round frontier
-    // checkpoints — every piece is already materialized, so re-
-    // checkpointing the growing union each round would only repeat
-    // the rounds' work (measured ~13% of the operator back-to-back
-    // on the same host: 4.7 s → 4.1 s at sf0.1); the union's plan
-    // depth is bounded by maxHops leaves, each a checkpoint.
-    var frontier = graft.Caches.roundCheckpoint(
+    // The settled set is re-checkpointed as ONE merged relation per
+    // round, predecessor freed immediately. The lazy-union alternative
+    // (keep every round checkpoint, union lazily) was tried and
+    // REVERTED: the round-h anti-join rescans h checkpoint leaves
+    // (h×32 partitions of task overhead, O(maxHops²) leaf scans per
+    // query) and the retained blocks defeat the per-round unpersist
+    // discipline — idle-host min-of-3 at sf0.1 measured 4.28 s lazy
+    // vs 3.76 s merged, and the driver's contended full-sweep run saw
+    // the lazy variant at 3.1× the merged record.
+    var dist = graft.Caches.roundCheckpoint(
       nodes.join(Hints.maybeBroadcast(seeds), Seq("part_key"), "left_semi")
         .select(col("part_key").as("node"), lit(0L).as("hops")),
       reliable)
-    var dist = frontier
+    var frontier = dist
     var h = 0L
     var grew = true
     while (h < maxHops && grew) {
@@ -378,9 +381,24 @@ object GraphOps {
         reliable)
       grew = !fresh.isEmpty
       if (grew) {
-        dist = dist.unionAll(fresh)
+        val merged = graft.Caches.roundCheckpoint(dist.unionAll(fresh), reliable)
+        graft.Caches.unpersistRound(dist)
+        if (h > 1) graft.Caches.unpersistRound(frontier)
+        dist = merged
         frontier = fresh
       } else graft.Caches.unpersistRound(fresh)
+    }
+    // The final merged settled set (and the last frontier, a distinct
+    // checkpoint when the loop exited with growth) back the RETURNED
+    // plan, so they cannot be freed here — register them for the
+    // caller's batch-boundary clear() instead, the same final-round
+    // contract as [[labelPropagation]]/[[pageRank]]: no checkpoint
+    // block outlives the query that built it.
+    val lastDist = dist
+    val lastFrontier = frontier
+    graft.Caches.onClear { () =>
+      graft.Caches.unpersistRound(lastDist)
+      graft.Caches.unpersistRound(lastFrontier)
     }
     nodes.join(dist, nodes("part_key") === dist("node"), "left")
       .select(col("part_key"), col("hops"))
