@@ -25,6 +25,7 @@ object SparkEntry {
     "upsert_merge"        -> (EtlOps.upsertMerge _),
     "junction_build"      -> (EtlOps.junctionBuild _),
     "cdc_apply"           -> (EtlOps.cdcApply _),
+    "cdc_cascade_delete"  -> (EtlOps.cdcCascadeDelete _),
     "agg_incremental"     -> (EtlOps.aggIncremental _),
     "scd2_build"          -> (EtlOps.scd2Build _),
     // Data quality / table lifecycle
@@ -238,6 +239,24 @@ object SparkEntry {
                      ELSE 'updated' END AS row_source
          FROM m WHERE op IS NULL OR op <> 'D'
          ORDER BY user_id""",
+    "cdc_cascade_delete" ->
+      """WITH j AS (
+           SELECT l_orderkey, l_partkey, MIN(l_linenumber) AS cast_order,
+                  COUNT(*) AS n_lines
+           FROM lineitem GROUP BY l_orderkey, l_partkey),
+         d1 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 = 7),
+         d2 AS (SELECT p_partkey FROM part WHERE p_partkey % 10 = 3)
+         SELECT j.l_orderkey, j.l_partkey, j.cast_order, j.n_lines,
+                (d1.o_orderkey IS NULL AND d2.p_partkey IS NULL) AS is_live,
+                CASE
+                  WHEN d1.o_orderkey IS NOT NULL AND d2.p_partkey IS NOT NULL
+                    THEN 'l_orderkey,l_partkey'
+                  WHEN d1.o_orderkey IS NOT NULL THEN 'l_orderkey'
+                  WHEN d2.p_partkey IS NOT NULL THEN 'l_partkey'
+                END AS cascade_source
+         FROM j LEFT JOIN d1 ON j.l_orderkey = d1.o_orderkey
+                LEFT JOIN d2 ON j.l_partkey = d2.p_partkey
+         ORDER BY j.l_orderkey, j.l_partkey""",
     "scd2_build" ->
       """SELECT user_id,
                 CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_seq,
@@ -1326,6 +1345,15 @@ object SparkEntry {
                 ROW_NUMBER() OVER (PARTITION BY component
                                    ORDER BY center_dist, vec_id) = 1 AS is_kept
          FROM d ORDER BY vec_id""",
+    // RECALL ASSUMPTION (same family as dedup_embedding_cosine): the
+    // oracle is exact brute-force delta×base cosine, but the engine is
+    // SRP-LSH (8 bands × 6 bits) with a maxBucket=1024 hot-bucket cap —
+    // equality needs every cosine≥0.9 pair to collide in ≥1 unpruned
+    // band (~2% miss for threshold-GRAZING pairs). The testdata's
+    // crafted near-dup pairs sit well above tau, where SRP collision
+    // probability is ≈1, so the hash-match holds; a regenerated fixture
+    // with pairs at the threshold edge could flag a false mismatch —
+    // that would indict the fixture margin, not the operator.
     "dedup_incremental_embedding" ->
       """WITH scored AS (
            SELECT d.vec_id AS vec_id, b.vec_id AS base_id

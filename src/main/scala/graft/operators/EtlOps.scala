@@ -188,6 +188,73 @@ object EtlOps {
       .orderBy("user_id")
   }
 
+  /** ON DELETE CASCADE re-expressed as a batch audit: tag every
+    * junction row whose foreign key points at a deleted parent, for
+    * any number of parent sides (the reference's junction tables
+    * cascade from BOTH parents — movie_genre from movies and genres,
+    * movie_actor from movies and actors; sql/01_schema.sql:45-47,
+    * 56-58). `deletes` pairs each junction FK column with the batch of
+    * deleted parent keys (single-column frame, any column name).
+    *
+    * Output = the junction with `is_live` (no FK hit any tombstone)
+    * and `cascade_source` (comma-joined FK names that matched, null
+    * when live) — the tagged form rather than a filter, so the same
+    * pass serves the delete itself (filter is_live) AND the audit
+    * trail a warehouse wants from a destructive propagation.
+    *
+    * Scale shape: a CDC delete batch is small relative to the
+    * junction, so each parent side is ONE size-guarded broadcast left
+    * join against the distinct tombstone keys — the junction never
+    * shuffles, never rescans; k parent sides cost k row-local probes
+    * in a single stage. If a delete batch ever outgrows the broadcast
+    * guard, [[graft.operators.Hints.maybeBroadcast]] falls back to a
+    * shuffle join on the FK — correct either way.
+    */
+  def cascadeDelete(junction: DataFrame, deletes: Seq[(String, DataFrame)]): DataFrame = {
+    require(deletes.nonEmpty, "cascadeDelete needs at least one (fk, deletedKeys) pair")
+    val tagged = deletes.foldLeft(junction) { case (acc, (fk, dels)) =>
+      val keyCol = dels.columns.head
+      val probe = dels.select(col(keyCol).cast(junction.schema(fk).dataType)
+        .as(s"__del_$fk")).distinct()
+      acc.join(Hints.maybeBroadcast(probe), col(fk) === col(s"__del_$fk"), "left")
+    }
+    val hitCols = deletes.map { case (fk, _) => col(s"__del_$fk").isNotNull }
+    val sources = deletes.map { case (fk, _) =>
+      when(col(s"__del_$fk").isNotNull, lit(fk)) }
+    tagged
+      .withColumn("is_live", !hitCols.reduce(_ || _))
+      .withColumn("cascade_source",
+        when(col("is_live"), lit(null).cast("string"))
+          .otherwise(concat_ws(",", sources: _*)))
+      .drop(deletes.map { case (fk, _) => s"__del_$fk" }: _*)
+  }
+
+  /** [[cascadeDelete]] demonstration mirroring the reference's
+    * movie_actor triple: junction = the order×part pairs of
+    * [[junctionBuild]], parents = orders and part, and each parent's
+    * tombstone batch is a deterministic CDC delete set (every 10th
+    * key, offset so the two sides overlap on some junction rows and
+    * exercise the 'both' cascade path). In the composed pipeline the
+    * batches come from [[applyChanges]]' collapsed log — the keys
+    * whose latest op is 'D'; a modular predicate stands in here so
+    * the oracle is closed-form over the testdata.
+    */
+  def cdcCascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    val junction = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(min("l_linenumber").as("cast_order"),
+           count(lit(1)).as("n_lines"))
+    val delOrders = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 7).select("o_orderkey")
+    val delParts = Tables.part(s, dir)
+      .filter(col("p_partkey") % 10 === 3).select("p_partkey")
+    cascadeDelete(junction,
+        Seq("l_orderkey" -> delOrders, "l_partkey" -> delParts))
+      .select("l_orderkey", "l_partkey", "cast_order", "n_lines",
+              "is_live", "cascade_source")
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
   /** Type-2 slowly-changing-dimension build from a change log: every
     * change becomes a version row with [valid_from, valid_to) bounds
     * and an is_current flag — the warehouse-history layout the

@@ -62,8 +62,12 @@ object TrainingOps {
       .select(col("doc_id"), md5(col("doc_id").cast("string")).as("tag"))
       .orderBy("tag", "doc_id")
       .limit(k)
+    // Contractual output ordering: the k-row rank window happens to
+    // emit tag order today, but plan-incidental order is not a
+    // contract — the oracle specifies ORDER BY tag, doc_id.
     tagged.withColumn("sample_rank",
       row_number().over(Window.orderBy("tag", "doc_id")).cast("long"))
+      .orderBy("tag", "doc_id")
   }
 
   /** Concat-and-chunk sequence packing: documents are laid end-to-end

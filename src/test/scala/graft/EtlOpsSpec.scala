@@ -91,6 +91,54 @@ class EtlOpsSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("cascadeDelete: tags per-side, both-sides, and live rows; filter equals double anti-join") {
+    import spark.implicits._
+    val junction = Seq(
+      (1L, 10L, "a"),                   // both sides hit
+      (1L, 20L, "b"),                   // parent-1 delete only
+      (2L, 10L, "c"),                   // parent-2 delete only
+      (1L, 99L, "d"),                   // both sides hit
+      (3L, 30L, "e"), (4L, 40L, "f"))   // live
+      .toDF("fk1", "fk2", "payload")
+    val del1 = Seq(1L).toDF("k")        // deletes fk1=1
+    val del2 = Seq(10L, 99L).toDF("k")  // deletes fk2 in {10, 99}
+    val out = EtlOps.cascadeDelete(junction,
+      Seq("fk1" -> del1, "fk2" -> del2)).cache()
+    val byRow = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getBoolean(3), Option(r.getString(4)))).toMap
+    assert(byRow((1L, 20L)) == ((false, Some("fk1"))))          // side 1 only
+    assert(byRow((2L, 10L)) == ((false, Some("fk2"))))          // side 2 only
+    assert(byRow((1L, 10L)) == ((false, Some("fk1,fk2"))))      // both sides
+    assert(byRow((1L, 99L)) == ((false, Some("fk1,fk2"))))      // both sides
+    assert(byRow((3L, 30L)) == ((true, None)))                  // live
+    assert(byRow((4L, 40L)) == ((true, None)))                  // live
+    // the delete itself (filter is_live) == composing two anti-joins
+    val viaAnti = junction
+      .join(del1.select(col("k").as("fk1")), Seq("fk1"), "left_anti")
+      .join(del2.select(col("k").as("fk2")), Seq("fk2"), "left_anti")
+    assert(out.filter(col("is_live")).count() == viaAnti.count())
+    out.unpersist()
+  }
+
+  test("cdc_cascade_delete preserves the junction rowset and cascades both FK sides") {
+    val out = EtlOps.cdcCascadeDelete(spark, sf).cache()
+    val junction = EtlOps.junctionBuild(spark, sf)
+    assert(out.count() == junction.count())
+    // no tagged row has neither FK in a tombstone batch, and vice versa
+    val bad = out.filter(
+      (col("l_orderkey") % 10 === 7 || col("l_partkey") % 10 === 3) === col("is_live"))
+    assert(bad.count() == 0)
+    // cascade_source names exactly the matching sides
+    val wrongSource = out.filter(!col("is_live")).filter(
+      col("cascade_source") =!=
+        concat_ws(",",
+          when(col("l_orderkey") % 10 === 7, lit("l_orderkey")),
+          when(col("l_partkey") % 10 === 3, lit("l_partkey"))))
+    assert(wrongSource.count() == 0)
+    out.unpersist()
+  }
+
   test("scd2_build: exactly one current version per user, ranges chain without gaps") {
     val out = EtlOps.scd2Build(spark, sf).cache()
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
