@@ -22,6 +22,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    def loadavg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Ambient host load, sampled BEFORE the warmup block: the warmup's
+    // own work inflates the 1-minute loadavg, so a post-warmup sample
+    // partly measures ourselves. The degraded verdict keys on ambient.
+    val loadAmbient = loadavg
     // Warm up session init, parquet reader, and the codegen paths the
     // queries share (broadcast join, window, custom expressions) so the
     // alphabetically-first timed queries don't absorb JVM/classloader
@@ -42,9 +48,15 @@ object Bench {
                 col("vec_id"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
     } catch { case _: Throwable => () }
-    def loadavg: Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadavg
+    // A run that STARTS on a contended host measures the machine, not
+    // the plans (memory: uniform per-key inflation with no code delta =
+    // host steal). Such a run is stamped degraded:true and may NOT
+    // overwrite a clean canonical record — round 10 and 11 both lost
+    // their clean BENCH_LOCAL.json to contended reruns; the writer now
+    // enforces what the record-hygiene note only asked for.
+    val cleanThresh = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_CLEAN", "1.5").toDouble
+    val degraded = loadAmbient > cleanThresh
     // Default 2 passes: min-of-3 filters shared-host steal stalls
     // better (measured: three unchanged queries recorded 26-37 s on
     // min-of-2 runs, 1-4 s on min-of-3), but the DRIVER's round budget
@@ -70,19 +82,27 @@ object Bench {
       val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val fs = flaky.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
+    // A degraded run never overwrites a canonical record unless that
+    // record is itself stamped degraded — it lands in
+    // BENCH_LOCAL_DEGRADED.json instead, so the trusted file always
+    // holds the best-environment measurement available. Clean runs
+    // always claim the canonical file.
+    val canonical = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    val target =
+      if (degraded && java.nio.file.Files.exists(canonical)
+          && !java.nio.file.Files.readString(canonical).contains("\"degraded\":true"))
+        java.nio.file.Paths.get("BENCH_LOCAL_DEGRADED.json")
+      else canonical
     // Keep the previous record before the first flush overwrites it: a
     // degraded-environment run (round 10: 50 env-broken queries) would
     // otherwise destroy the only clean local record while still being
     // the file a reader trusts. One generation of history is enough for
     // the reader to compare against / fall back to.
-    locally {
-      val cur = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      if (java.nio.file.Files.exists(cur))
-        java.nio.file.Files.copy(cur, java.nio.file.Paths.get("BENCH_LOCAL_PREV.json"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (target == canonical && java.nio.file.Files.exists(canonical))
+      java.nio.file.Files.copy(canonical, java.nio.file.Paths.get("BENCH_LOCAL_PREV.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // Atomic temp+rename so a kill mid-write can't leave a truncated
     // (unparseable) file — the reader always sees the previous snapshot
     // or the new one, never a torn line.
@@ -94,7 +114,7 @@ object Bench {
       val tmp = java.nio.file.Files.createTempFile(dir, ".BENCH_LOCAL", ".tmp")
       try {
         java.nio.file.Files.writeString(tmp, jsonLine(partial))
-        java.nio.file.Files.move(tmp, dir.resolve("BENCH_LOCAL.json"),
+        java.nio.file.Files.move(tmp, dir.resolve(target),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       } catch { case e: Throwable =>
