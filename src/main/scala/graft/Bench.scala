@@ -87,11 +87,17 @@ object Bench {
     // A degraded run never overwrites a canonical record unless that
     // record is itself stamped degraded — it lands in
     // BENCH_LOCAL_DEGRADED.json instead, so the trusted file always
-    // holds the best-environment measurement available. Clean runs
-    // always claim the canonical file.
+    // holds the best-environment measurement available. A FILTERED run
+    // (SPARK_GRAFT_BENCH_ONLY iteration loop) never claims the
+    // canonical file either — a per-key debugging subset must not
+    // replace the full-sweep record a reader compares rounds with; it
+    // lands in BENCH_LOCAL_FILTERED.json. Clean full runs always claim
+    // the canonical file.
     val canonical = java.nio.file.Paths.get("BENCH_LOCAL.json")
     val target =
-      if (degraded && java.nio.file.Files.exists(canonical)
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        java.nio.file.Paths.get("BENCH_LOCAL_FILTERED.json")
+      else if (degraded && java.nio.file.Files.exists(canonical)
           && !java.nio.file.Files.readString(canonical).contains("\"degraded\":true"))
         java.nio.file.Paths.get("BENCH_LOCAL_DEGRADED.json")
       else canonical

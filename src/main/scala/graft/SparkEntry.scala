@@ -63,6 +63,9 @@ object SparkEntry {
     "window_percentile_rank" -> (Analytics.windowPercentileRank _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
     "quantile_bins_approx"  -> ((s, d) => Analytics.quantileBinsApprox(s, d)),
+    "value_histogram"       -> ((s, d) => Analytics.valueHistogram(s, d)),
+    "skyline_pareto"        -> (Analytics.skylinePareto _),
+    "time_weighted_avg"     -> (Analytics.timeWeightedAvg _),
     "approx_distinct_users" -> (Analytics.approxDistinctUsers _),
     "merge_intervals"       -> (Analytics.mergeIntervals _),
     "gap_fill_days"         -> (Analytics.gapFillDays _),
@@ -78,6 +81,7 @@ object SparkEntry {
     "stream_windowed_counts"-> (Analytics.streamWindowedCounts _),
     "stream_heavy_hitters"  -> ((s, d) => Analytics.streamHeavyHitters(s, d)),
     "stream_dedup_ids"      -> (Analytics.streamDedupIds _),
+    "stream_cdc_apply"      -> (Analytics.streamCdcApply _),
     "stream_enrich"         -> (Analytics.streamEnrich _),
     "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
     "stream_session_window" -> (Analytics.streamSessionWindows _),
@@ -138,9 +142,11 @@ object SparkEntry {
     "corpus_shuffle"    -> ((s, d) => TrainingOps.corpusShuffle(s, d)),
     "mix_temperature"   -> ((s, d) => TrainingOps.mixTemperature(s, d)),
     "corpus_budget_select" -> ((s, d) => TrainingOps.corpusBudgetSelect(s, d)),
+    "shard_assign_balanced" -> ((s, d) => TrainingOps.shardAssignBalanced(s, d)),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
     "hilbert_key"       -> ((s, d) => LayoutOps.hilbertKey(s, d)),
+    "compaction_plan"   -> ((s, d) => LayoutOps.compactionPlan(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
@@ -1059,6 +1065,49 @@ object SparkEntry {
                 ROUND(quantile_cont(value, 0.9), 4) AS p90,
                 COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the oracle runs the textbook all-pairs NOT EXISTS dominance test;
+    // the engine's bounded-domain frontier (per-size min + suffix-min)
+    // must reproduce it exactly, ties and all
+    "skyline_pareto" ->
+      """WITH pts AS (
+           SELECT p_partkey, p_size,
+                  CAST(FLOOR(p_retailprice * 100) AS BIGINT) AS price_cents
+           FROM part)
+         SELECT a.p_partkey, a.p_size, a.price_cents
+         FROM pts a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM pts b
+           WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+             AND (b.price_cents < a.price_cents OR b.p_size > a.p_size))
+         ORDER BY a.p_size, a.p_partkey""",
+    "value_histogram" ->
+      """WITH c AS (
+           SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         b AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM c)
+         SELECT ((cents - mn) * 20) // (mx - mn + 1) AS bin,
+                COUNT(*) AS n_orders,
+                MIN(cents) AS min_cents, MAX(cents) AS max_cents
+         FROM c, b GROUP BY 1 ORDER BY bin""",
+    "time_weighted_avg" ->
+      """WITH e AS (
+           SELECT user_id,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+                  epoch_ns(ts) // 1000000000 AS ts_s,
+                  LEAD(epoch_ns(ts) // 1000000000) OVER (
+                    PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS next_s
+           FROM events),
+         iv AS (
+           SELECT user_id, cents, next_s - ts_s AS dt_s
+           FROM e WHERE next_s IS NOT NULL),
+         g AS (
+           SELECT user_id,
+                  CAST(SUM(cents * dt_s) AS BIGINT) AS num_cent_s,
+                  CAST(SUM(dt_s) AS BIGINT) AS dur_s,
+                  COUNT(*) AS n_intervals
+           FROM iv GROUP BY user_id)
+         SELECT user_id, num_cent_s, dur_s, n_intervals,
+                CASE WHEN dur_s > 0 THEN num_cent_s // dur_s END AS twa_cents
+         FROM g ORDER BY user_id""",
     "stream_topk_trending" ->
       """WITH c AS (
            SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS window_start_s,
@@ -1091,6 +1140,17 @@ object SparkEntry {
       """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+    "stream_cdc_apply" ->
+      """SELECT user_id, event_id AS last_event_id,
+                epoch_ns(ts)//1000000000 AS last_ts_s,
+                op AS last_op, op <> 'D' AS is_live,
+                CAST(FLOOR(value * 100) AS BIGINT) AS last_value_cents
+         FROM (SELECT *,
+                      CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 ORDER BY user_id""",
     // candidate rank road: dist asc, before-side first on ties, then
     // highest id within before / lowest within after — textually the
     // engine's last/first + pick semantics
@@ -1544,6 +1604,21 @@ object SparkEntry {
     "zorder_key" -> zorderOracle,
     "graph_label_prop" -> labelPropOracle,
     "hilbert_key" -> hilbertOracle,
+    "compaction_plan" ->
+      """WITH f AS (
+           SELECT (epoch_ns(ts) // 1000000000) // 86400 * 86400 AS day_s,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1),
+         p AS (
+           SELECT day_s, n_rows,
+                  COALESCE(SUM(n_rows) OVER (ORDER BY day_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 50000 AS bin
+           FROM f)
+         SELECT day_s, n_rows, bin,
+                COUNT(*) OVER (PARTITION BY bin) AS bin_files,
+                CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows
+         FROM p ORDER BY day_s""",
     "bm25_rank" -> bm25Oracle,
     // Positional bigrams via a correlated lateral range (start index
     // 1..len-1); c1 is the bigram-HEAD marginal (sum of c2 over w2),
@@ -1784,6 +1859,21 @@ object SparkEntry {
                 CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
                 CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups
          FROM d GROUP BY source ORDER BY source""",
+    "shard_assign_balanced" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_tokens,
+                  CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS size_rank
+           FROM d),
+         a AS (SELECT doc_id, n_tokens, size_rank, (size_rank - 1) % 8 AS shard FROM r),
+         t AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS shard_docs,
+                      CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+               FROM a GROUP BY shard)
+         SELECT a.doc_id, a.n_tokens, a.size_rank, a.shard, t.shard_docs, t.shard_tokens
+         FROM a JOIN t USING (shard) ORDER BY a.doc_id""",
     "pretrain_corpus" ->
       """WITH t AS (
            SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm

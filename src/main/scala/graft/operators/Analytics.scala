@@ -1031,6 +1031,33 @@ object Analytics {
       .orderBy("user_id", "signup_event_id", "purchase_event_id")
   }
 
+  /** Batch-equivalent of the streaming CDC latest-wins register
+    * (graft.streaming.EventStreams.cdcState — same change→state
+    * collapse on a bounded source): per key, the change log's latest
+    * row by the (ts_ns, event_id) total order, `error` events as
+    * tombstones; `is_live=false` IS the delete, kept visible so a
+    * sink can propagate it. One window shuffle on the key with
+    * WindowGroupLimit pruning (rn=1); value in exact cents for the
+    * hash oracle. Where [[graft.operators.EtlOps.cdcApply]] merges
+    * the collapsed log onto a base snapshot, this key is the collapse
+    * itself — the state the stream twin holds per key.
+    */
+  def streamCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+              when(col("event_type") === "error", "D").otherwise("U").as("op"),
+              floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+              expr("ts_ns div 1000000000").as("last_ts_s"),
+              col("op").as("last_op"), (col("op") =!= "D").as("is_live"),
+              col("cents").as("last_value_cents"))
+      .orderBy("user_id")
+  }
+
   /** Batch-equivalent of streaming dropDuplicates: first occurrence per
     * (user_id, event_type) by event time.
     */
@@ -1294,5 +1321,112 @@ object Analytics {
       .select("c_custkey", "recency_days", "frequency", "monetary_cents",
               "r_score", "f_score", "m_score", "rfm_segment")
       .orderBy("c_custkey")
+  }
+
+  /** 2-D Pareto frontier (skyline) over the part catalog: the parts
+    * for which no other part is both cheaper-or-equal AND
+    * larger-or-equal with at least one strict — "best price for the
+    * size class or better". The textbook formulation is an all-pairs
+    * NOT EXISTS dominance test (exactly what the DuckDB oracle runs);
+    * at catalog scale that is n² and dead on arrival.
+    *
+    * The engine instead exploits that the maximize-dimension (p_size)
+    * has a BOUNDED domain: one partial-aggregated groupBy yields the
+    * per-size min price m[s] (≤ |size domain| rows), a window over
+    * that TINY frame computes M[s] = min price over strictly larger
+    * sizes (suffix-min — single-partition window, but over a frame
+    * bounded by the size domain, not the corpus), and one size-guarded
+    * broadcast join back tags every part row-locally:
+    * skyline ⇔ price == m[size] ∧ (M[size] null ∨ price < M[size]).
+    * Two scans + one bounded shuffle, no self-join of the catalog.
+    * Ties at (size, m[size]) all survive — identical points do not
+    * dominate each other — matching NOT-EXISTS semantics exactly.
+    * For a continuous maximize-dimension the same plan runs on a
+    * quantile-grid bucketing of that dimension as a PRUNE (candidates
+    * = grid survivors), with the exact dominance test only among the
+    * near-frontier remnant.
+    *
+    * Prices in exact cents (floor ×100) so the frontier is integral
+    * arithmetic on both engines.
+    */
+  def skylinePareto(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_size"),
+              floor(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    val perSize = pts.groupBy("p_size").agg(min("price_cents").as("m"))
+    // suffix-min over the bounded per-size frame: M[s] = min m[s'] , s' > s
+    val wSuffix = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perSize.withColumn("bigger_min", min(col("m")).over(wSuffix))
+    pts.join(Hints.maybeBroadcast(frontier), Seq("p_size"))
+      .filter(col("price_cents") === col("m") &&
+              (col("bigger_min").isNull || col("price_cents") < col("bigger_min")))
+      .select("p_partkey", "p_size", "price_cents")
+      .orderBy("p_size", "p_partkey")
+  }
+
+  /** Exact equi-width histogram of order totals — the profile/sketch
+    * primitive behind range-partition planning and drift dashboards
+    * ([[quantileBins]] is its equi-DEPTH sibling). Bin edges derive
+    * from the global [min, max] in integral cents:
+    * bin = (cents−mn)·k div (mx−mn+1) — a pure function of three
+    * exact integers, so assignment hash-matches any engine.
+    *
+    * Plan: one partial-aggregated min/max pass reduced to a 1-row
+    * frame, broadcast back (the repo's totals-crossJoin idiom), then
+    * one row-local bin projection + one bounded-key (≤ k) partial
+    * agg. Two scans, one tiny shuffle, nothing corpus-broadcast —
+    * the shape survives any scale factor. Observed per-bin min/max
+    * ride along so the output doubles as footer-stats evidence.
+    * Empty bins are absent (a report row with n=0 has no observed
+    * bounds) — mirrored in the oracle.
+    */
+  def valueHistogram(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"bin count $k must be positive")
+    val cents = Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min("cents").as("mn"), max("cents").as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .select(col("cents"),
+        expr(s"((cents - mn) * $k) div (mx - mn + 1)").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"),
+           min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .orderBy("bin")
+  }
+
+  /** Time-weighted average of the event `value` per user — the
+    * sensor/price-series mean where each reading holds until the next
+    * one, so irregular sampling doesn't bias toward burst periods:
+    * twa = Σ value·Δt / Σ Δt over consecutive-event intervals.
+    *
+    * One per-user window (lead over the (ts_ns, event_id) total
+    * order) + one per-user partial agg — the [[userEwmaSpend]]
+    * precedent: per-user history is activity-bounded, not
+    * corpus-bounded, so the window partition key is the right grain
+    * at 100 TB. All arithmetic integral: value in cents, Δt in whole
+    * seconds (both engines derive them from the same epoch-ns), the
+    * weighted sum a cents·seconds long (≤2^50 at any plausible user
+    * history), and the average its div quotient. A user's LAST event
+    * has no successor ⇒ no interval; single-event users therefore
+    * have no rows, and a zero total duration (all events in one
+    * second) yields a null average, never a divide-by-zero.
+    */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+              floor(col("value") * 100).cast("long").as("cents"),
+              expr("ts_ns div 1000000000").as("ts_s"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    ev.withColumn("next_s", lead(col("ts_s"), 1).over(w))
+      .filter(col("next_s").isNotNull)
+      .select(col("user_id"), col("cents"), (col("next_s") - col("ts_s")).as("dt_s"))
+      .groupBy("user_id")
+      .agg(sum(expr("cents * dt_s")).as("num_cent_s"),
+           sum("dt_s").as("dur_s"),
+           count(lit(1)).as("n_intervals"))
+      .withColumn("twa_cents",
+        when(col("dur_s") > 0, expr("num_cent_s div dur_s")))
+      .orderBy("user_id")
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.plans.GraftFunctions
@@ -88,4 +89,47 @@ object LayoutOps {
       .repartitionByRange(numFiles, col("__h"))
       .sortWithinPartitions("__h")
       .drop("__h")
+
+  /** Small-file compaction PLANNER (the lakehouse OPTIMIZE front
+    * half): group undersized files into target-sized rewrite bins
+    * WITHOUT breaking the table's cluster order. Files are taken in
+    * cluster-key order and chunked by exclusive-prefix row count:
+    * bin = rows_before div target — each bin rewrites to ~target rows
+    * of KEY-ADJACENT data, so the min/max footer pruning the sorted
+    * layout bought ([[clusterByZorder]]) survives compaction. The
+    * bin-minimizing alternative (first-fit-decreasing) packs tighter
+    * but interleaves distant key ranges into one output file,
+    * destroying pruning — the wrong trade for a clustered table.
+    *
+    * This is a MANIFEST-level operator: its input is one row per
+    * file, its cost O(files), never O(rows) — at 100 TB the plan runs
+    * over table metadata. The prefix window rides the global file
+    * order, bounded by the file count (calendar days here), not the
+    * corpus; a multi-million-file manifest would swap in
+    * [[graft.operators.DistRank.withPrefix]], the repo's standard
+    * prefix-at-scale form. Here the manifest is simulated from the
+    * events table (one "file" per event day, rows as the size proxy —
+    * the driver testdata ships one physical parquet per table, so
+    * day-grain stands in for the file listing); per-bin file counts
+    * and row totals ride along so the plan doubles as the rewrite
+    * job's work list.
+    */
+  def compactionPlan(s: SparkSession, dir: String, targetRows: Long = 50000): DataFrame = {
+    require(targetRows > 0, s"targetRows $targetRows must be positive")
+    val files = Tables.events(s, dir)
+      .groupBy(expr("(ts_ns div 1000000000) div 86400 * 86400").as("day_s"))
+      .agg(count(lit(1)).as("n_rows"))
+    val wPrefix = Window.orderBy("day_s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // exclusive prefix → bin id; coalesce(…, 0) covers the first file
+    val planned = files
+      .withColumn("rows_before", coalesce(sum(col("n_rows")).over(wPrefix), lit(0L)))
+      .withColumn("bin", expr(s"rows_before div $targetRows"))
+      .drop("rows_before")
+    val binTotals = planned.groupBy("bin")
+      .agg(count(lit(1)).as("bin_files"), sum("n_rows").as("bin_rows"))
+    planned.join(Hints.maybeBroadcast(binTotals), Seq("bin"))
+      .select("day_s", "n_rows", "bin", "bin_files", "bin_rows")
+      .orderBy("day_s")
+  }
 }

@@ -549,4 +549,40 @@ object TrainingOps {
         (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dups"))
       .orderBy("source")
   }
+
+  /** Balanced output-shard assignment: write the corpus as `nShards`
+    * shards with near-equal TOKEN totals (training-data shards feed
+    * one worker each; a doc-count-balanced split leaves the
+    * long-document shard a straggler). Greedy LPT — sort by size
+    * descending, each item to the currently-lightest bin — is the
+    * classic heuristic but is inherently sequential; its
+    * order-statistics cousin used here is fully declarative: rank
+    * docs by (tokens desc, doc_id) and deal round-robin,
+    * shard = (rank−1) mod n. Consecutive ranks have near-equal sizes,
+    * so each dealing round adds ≈equal weight to every shard — the
+    * imbalance bound is one round's size spread, tightest exactly
+    * where it matters (the big-doc head is dealt first, one giant per
+    * shard). Deterministic: a pure function of (tokens, doc_id), no
+    * RNG, identical on any cluster.
+    *
+    * The global rank is the corpus-scaling window this repo never
+    * gives to a single sort task: [[DistRank.withPrefix]]'s two-stage
+    * exact rank (range exchange + bounded offsets broadcast). Shard
+    * totals (bounded key space = nShards) join back through the size
+    * guard so the output carries its own balance evidence.
+    */
+  def shardAssignBalanced(s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    require(nShards > 0, s"nShards $nShards must be positive")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), bpeTokenCount(col("text")).as("n_tokens"))
+    val ranked = DistRank.withPrefix(docs, Nil,
+        Seq(col("n_tokens").desc, col("doc_id")), lit(1L), "size_rank")
+      .withColumn("shard", expr(s"(size_rank - 1) % $nShards"))
+    val totals = ranked.groupBy("shard")
+      .agg(count(lit(1)).as("shard_docs"), sum("n_tokens").as("shard_tokens"))
+    ranked.join(Hints.maybeBroadcast(totals), Seq("shard"))
+      .select("doc_id", "n_tokens", "size_rank", "shard",
+              "shard_docs", "shard_tokens")
+      .orderBy("doc_id")
+  }
 }

@@ -262,6 +262,66 @@ object EventStreams {
       }
   }
 
+  /** The CDC current view a change row produced for its key. The
+    * register timestamp rides along at FULL µs grain: seconds-grain
+    * output would alias two updates of one key inside a second, and a
+    * downstream merge needs the exact register order to pick winners.
+    */
+  case class CdcOut(user_id: Long, last_event_id: Long, last_ts_us: Long,
+                    last_op: String, is_live: Boolean, last_value: Double)
+
+  /** Latest change kept per key in the state store. Event time at µs
+    * grain — Spark's own timestamp precision, so the (ts_us, event_id)
+    * register order is EXACTLY the batch twin's (ts_ns, event_id) rank
+    * order on µs-encoded data (a ms-grain register would re-order
+    * sub-ms neighbors; the testdata carries real µs components).
+    */
+  case class CdcLatest(ts_us: Long, event_id: Long, op: String, value: Double)
+
+  private def epochMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  /** Streaming CDC apply — the continuous form of
+    * [[graft.operators.EtlOps.applyChanges]]' log collapse: one
+    * latest-wins register per key in the state store (`error` events
+    * are tombstones, everything else upserts), emitting the key's new
+    * CURRENT row whenever a change batch moves it forward. Update
+    * output mode is the point: downstream sees a continuously-correct
+    * current view (is_live=false IS the delete, kept visible so a sink
+    * can propagate it — the [[toJdbcUpsertSink]] contract), not an
+    * append log it must re-collapse.
+    *
+    * Late/duplicate data is handled by the register itself: a change
+    * older than the state's (ts, event_id) is absorbed without output
+    * (max is order-insensitive), so replayed partitions and unordered
+    * micro-batches converge to the same state — the idempotence that
+    * makes the operator safe behind an at-least-once source. State is
+    * one fixed-size register per LIVE key, sharded by key across the
+    * state store: 100 TB of change history costs |keys| registers,
+    * never the log.
+    */
+  def cdcState(changes: Dataset[Ev]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcLatest, CdcOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[CdcLatest]) =>
+          val incoming = evs.map { e =>
+            CdcLatest(epochMicros(e.ts), e.event_id,
+              if (e.event_type == "error") "D" else "U", e.value)
+          }
+          val latest = (state.getOption.iterator ++ incoming)
+            .maxBy(c => (c.ts_us, c.event_id))
+          val moved = !state.getOption.contains(latest)
+          if (moved) {
+            state.update(latest)
+            Iterator(CdcOut(uid, latest.event_id, latest.ts_us, latest.op,
+              latest.op != "D", latest.value))
+          } else Iterator.empty
+      }
+  }
+
   /** Tumbling 1-hour counts per event type — the aggregation half of
     * the trending-topics pattern. Ranking is NOT expressible inside a
     * streaming aggregation (a rank window over an updating aggregate

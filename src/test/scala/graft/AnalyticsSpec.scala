@@ -841,4 +841,65 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(2) == f && r.getLong(3) == m)
     }
   }
+
+  test("skyline_pareto equals the all-pairs NOT-EXISTS dominance test") {
+    val pts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size"),
+              floor(col("p_retailprice") * 100).cast("long").as("price_cents"))
+    // textbook quadratic dominance anti-join — the oracle the bounded-
+    // domain frontier plan must reproduce exactly (test-only at sf0.001)
+    val b = pts.select(col("p_size").as("b_size"), col("price_cents").as("b_price"))
+    val brute = pts.join(b,
+        col("b_price") <= col("price_cents") && col("b_size") >= col("p_size") &&
+          (col("b_price") < col("price_cents") || col("b_size") > col("p_size")),
+        "left_anti")
+      .select("p_partkey", "p_size", "price_cents")
+    val out = Analytics.skylinePareto(spark, sf)
+      .select("p_partkey", "p_size", "price_cents")
+    assert(out.exceptAll(brute).isEmpty && brute.exceptAll(out).isEmpty)
+    assert(out.count() > 0)
+    // frontier is strictly monotone once collapsed to one price per
+    // size: larger size => strictly cheaper never happens upward
+    val rows = out.select("p_size", "price_cents").distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach {
+      case Array((s1, p1), (s2, p2)) =>
+        assert(s1 < s2 && p1 < p2, s"frontier not monotone: ($s1,$p1) vs ($s2,$p2)")
+      case _ => ()
+    }
+  }
+
+  test("value_histogram partitions all orders into in-range, ordered bins") {
+    val out = Analytics.valueHistogram(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == n, "histogram drops or double-counts rows")
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 20))
+    // observed value ranges of successive bins never overlap
+    out.sortBy(_.getLong(0)).sliding(2).foreach {
+      case Array(a, bb) => assert(a.getLong(3) < bb.getLong(2),
+        s"bins ${a.getLong(0)}/${bb.getLong(0)} value ranges overlap")
+      case _ => ()
+    }
+  }
+
+  test("time_weighted_avg: telescoping duration, interval count, bounded mean") {
+    val out = Analytics.timeWeightedAvg(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts_ns div 1000000000").as("ts_s"),
+              floor(col("value") * 100).cast("long").as("cents"))
+    val perUser = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"), (max("ts_s") - min("ts_s")).as("span_s"),
+           min("cents").as("min_c"), max("cents").as("max_c"))
+    val joined = out.join(perUser, "user_id").cache()
+    // intervals = events − 1, and their durations telescope to the span
+    assert(joined.filter(col("n_intervals") =!= col("n_ev") - 1).count() == 0)
+    assert(joined.filter(col("dur_s") =!= col("span_s")).count() == 0)
+    // a weighted mean can never leave the value range of its inputs
+    assert(joined.filter(col("twa_cents").isNotNull &&
+      (col("twa_cents") < col("min_c") || col("twa_cents") > col("max_c"))).count() == 0)
+    // single-event users emit no row
+    val single = perUser.filter(col("n_ev") === 1).select("user_id")
+    assert(out.join(single, Seq("user_id"), "left_semi").count() == 0)
+    joined.unpersist()
+  }
 }

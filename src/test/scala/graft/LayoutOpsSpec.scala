@@ -172,4 +172,43 @@ class LayoutOpsSpec extends AnyFunSuite with SparkFixture {
         s"partition ${r.getInt(0)} event_id span ${r.getLong(1)} vs global $evGlobal")
     }
   }
+
+  test("compaction_plan: lossless, order-preserving, target-bounded bins") {
+    val target = 500L
+    val out = LayoutOps.compactionPlan(spark, sf, targetRows = target).collect()
+    assert(out.nonEmpty)
+    // lossless: every event row is in exactly one planned file
+    val evTotal = Tables.events(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == evTotal)
+    // cluster order preserved: bins are contiguous, nondecreasing runs
+    // over the day-ordered manifest (never interleaved like FFD would)
+    val bins = out.sortBy(_.getLong(0)).map(_.getLong(2))
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a <= b, s"bin order broken: $a after $b")
+      case _ => ()
+    }
+    // bin id recomputed from the exclusive prefix — the planner's contract
+    var before = 0L
+    out.sortBy(_.getLong(0)).foreach { r =>
+      assert(r.getLong(2) == before / target,
+        s"day ${r.getLong(0)}: bin ${r.getLong(2)} != ${before / target}")
+      before += r.getLong(1)
+    }
+    // per-bin rollups agree with the per-file rows
+    out.groupBy(_.getLong(2)).foreach { case (_, fs) =>
+      assert(fs.head.getLong(3) == fs.length)
+      assert(fs.head.getLong(4) == fs.map(_.getLong(1)).sum)
+    }
+    // every bin except the last reaches the target minus at most one
+    // straddling file (no premature cut): bin b's first file starts at
+    // most one predecessor-file past b·target, and its last crosses
+    // (b+1)·target, so total ≥ target − max file size
+    val maxFile = out.map(_.getLong(1)).max
+    val totals = out.groupBy(_.getLong(2)).view.mapValues(_.map(_.getLong(1)).sum)
+      .toSeq.sortBy(_._1)
+    totals.dropRight(1).foreach { case (b, t) =>
+      assert(t >= target - maxFile,
+        s"bin $b undersized at $t without a straddling file")
+    }
+  }
 }

@@ -287,6 +287,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cdcState converges to the batch CDC collapse under shuffled batches and replay") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.cdcState(input.toDS())
+      .writeStream.format("memory").queryName("cdc_test").outputMode("update").start()
+    try {
+      // out-of-order delivery + an at-least-once replay of the middle
+      // batch: the latest-wins register must absorb both
+      val rows = eventRows()
+      val (b1, rest) = rows.splitAt(rows.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable() // replay
+      // the register only moves forward, so each key's FINAL state is
+      // its max emitted (ts_us, event_id) row in the update log
+      val streamedFinal = spark.table("cdc_test")
+        .groupBy("user_id")
+        .agg(max(struct(col("last_ts_us"), col("last_event_id"), col("last_op"),
+                        col("is_live"), col("last_value"))).as("m"))
+        .select(col("user_id"), col("m.last_event_id"),
+                expr("m.last_ts_us div 1000000").as("last_ts_s"),
+                col("m.last_op"), col("m.is_live"),
+                floor(col("m.last_value") * 100).cast("long").as("last_value_cents"))
+      val batch = graft.operators.Analytics.streamCdcApply(spark, sf)
+        .select("user_id", "last_event_id", "last_ts_s", "last_op",
+                "is_live", "last_value_cents")
+      assert(streamedFinal.count() == batch.count())
+      assert(streamedFinal.exceptAll(batch).isEmpty && batch.exceptAll(streamedFinal).isEmpty)
+      // tombstoned keys stay visible with is_live=false — never dropped
+      val nDead = batch.filter(!col("is_live")).count()
+      assert(streamedFinal.filter(!col("is_live")).count() == nDead)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on event-time timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -212,4 +212,38 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out.join(t, "doc_id").filter(col("n_tokens") =!= col("bpe_tokens")).count() == 0)
     out.unpersist()
   }
+
+  test("shard_assign_balanced: exact partition, LPT-dealing balance bound, determinism") {
+    val n = 8
+    val out = TrainingOps.shardAssignBalanced(spark, sf, nShards = n).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.length == docs, "every doc gets exactly one shard row")
+    // size_rank is the permutation 1..n over (tokens desc, doc_id) and
+    // shard is its round-robin deal
+    val byRank = out.sortBy(_.getLong(2))
+    assert(byRank.map(_.getLong(2)).toSeq == (1L to docs).toSeq)
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) > b.getLong(1) ||
+          (a.getLong(1) == b.getLong(1) && a.getLong(0) < b.getLong(0)),
+          "size_rank order is not (tokens desc, doc_id)")
+      case _ => ()
+    }
+    out.foreach(r => assert(r.getLong(3) == (r.getLong(2) - 1) % n))
+    // every shard populated; token totals within one max-doc of each
+    // other (the round-robin-descending telescoping bound)
+    val totals = out.groupBy(_.getLong(3)).view
+      .mapValues(_.map(_.getLong(1)).sum).toMap
+    assert(totals.keySet == (0L until n).toSet)
+    val maxDoc = out.map(_.getLong(1)).max
+    assert(totals.values.max - totals.values.min <= maxDoc,
+      s"token imbalance ${totals.values.max - totals.values.min} exceeds max doc $maxDoc")
+    // rollup columns agree with the recomputed totals
+    out.foreach { r =>
+      assert(r.getLong(5) == totals(r.getLong(3)))
+    }
+    // a pure function of the corpus: a second run is identical
+    val again = TrainingOps.shardAssignBalanced(spark, sf, nShards = n).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
