@@ -28,6 +28,8 @@ object SparkEntry {
     "cdc_cascade_delete"  -> (EtlOps.cdcCascadeDelete _),
     "agg_incremental"     -> (EtlOps.aggIncremental _),
     "scd2_build"          -> (EtlOps.scd2Build _),
+    "scd2_point_in_time"  -> (EtlOps.scd2PointInTime _),
+    "ingest_quarantine"   -> (EtlOps.ingestQuarantine _),
     // Data quality / table lifecycle
     "table_diff"      -> ((s, d) => QualityOps.tableDiff(s, d)),
     "fk_orphans"      -> (QualityOps.fkOrphans _),
@@ -59,6 +61,7 @@ object SparkEntry {
     "anomaly_zscore"        -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "anomaly_mad"           -> ((s, d) => Analytics.anomalyMad(s, d)),
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
+    "conversion_lag_histogram" -> (Analytics.conversionLagHistogram _),
     "percentile_value"      -> (Analytics.percentileValue _),
     "window_percentile_rank" -> (Analytics.windowPercentileRank _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
@@ -91,6 +94,7 @@ object SparkEntry {
     "graph_degree_stats"    -> (GraphOps.graphDegreeStats _),
     "graph_similar_parts"   -> ((s, d) => GraphOps.graphSimilarParts(s, d)),
     "graph_components"      -> (GraphOps.graphComponents _),
+    "graph_kcore"           -> ((s, d) => GraphOps.graphKcore(s, d)),
     "assoc_rules"           -> ((s, d) => GraphOps.assocRules(s, d)),
     "graph_label_prop"      -> ((s, d) => GraphOps.labelPropagation(s, d)),
     "graph_bfs_hops"        -> ((s, d) => GraphOps.graphBfsHops(s, d)),
@@ -273,6 +277,59 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
          ORDER BY user_id, version_seq""",
+    "scd2_point_in_time" ->
+      """WITH t AS (
+           SELECT ((MIN(epoch_ns(ts)) + MAX(epoch_ns(ts))) // 2) // 1000000000 AS asof_s
+           FROM events),
+         v AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_ns(ts)//1000000000 AS valid_from_s,
+                  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_seq,
+                  LEAD(epoch_ns(ts)//1000000000) OVER w AS valid_to_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT v.user_id, v.version_seq, v.event_id, v.event_type,
+                v.valid_from_s, t.asof_s
+         FROM v, t
+         WHERE v.valid_from_s <= t.asof_s
+           AND (v.valid_to_s IS NULL OR t.asof_s < v.valid_to_s)
+         ORDER BY v.user_id""",
+    // same deterministic mangle as the engine (every 7th event loses
+    // its closing brace); json_valid gates the parse verdict — every
+    // intact payload carries `k`, so field-level and document-level
+    // validity agree
+    "ingest_quarantine" ->
+      """WITH m AS (
+           SELECT event_type, event_id,
+                  CASE WHEN event_id % 7 = 0
+                       THEN substring(props, 1, length(props) - 1)
+                       ELSE props END AS payload
+           FROM events),
+         p AS (SELECT event_type, event_id, json_valid(payload) AS ok FROM m)
+         SELECT event_type, COUNT(*) AS n_rows,
+                CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+                MIN(CASE WHEN NOT ok THEN event_id END) AS first_quarantined_id,
+                MAX(CASE WHEN NOT ok THEN event_id END) AS last_quarantined_id
+         FROM p GROUP BY event_type ORDER BY event_type""",
+    "conversion_lag_histogram" ->
+      """WITH s AS (
+           SELECT user_id, MIN(epoch_ns(ts)) AS s_ns
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         p AS (
+           SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ns, MIN(s.s_ns) AS s_ns
+           FROM events e JOIN s USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s.s_ns
+           GROUP BY e.user_id),
+         d AS (SELECT user_id, (p_ns - s_ns) // 1000000000 AS delta_s FROM p),
+         b AS (
+           SELECT delta_s,
+                  CASE WHEN delta_s = 0 THEN 0
+                       ELSE CAST(length(bin(delta_s)) AS BIGINT) END AS lag_bucket
+           FROM d)
+         SELECT lag_bucket, COUNT(*) AS n_users,
+                MIN(delta_s) AS min_lag_s, MAX(delta_s) AS max_lag_s
+         FROM b GROUP BY lag_bucket ORDER BY lag_bucket""",
     "funnel_steps" ->
       """WITH s1 AS (
            SELECT user_id, MIN(ts) AS t1

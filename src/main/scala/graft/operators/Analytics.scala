@@ -1395,6 +1395,42 @@ object Analytics {
       .orderBy("bin")
   }
 
+  /** Conversion-lag distribution — how long signup→purchase takes,
+    * as a log2 histogram (the latency-report shape: exponential
+    * buckets resolve the fast head without drowning the slow tail).
+    * Lag = first purchase STRICTLY after the user's first signup,
+    * in whole seconds; bucket = the lag's binary digit count
+    * (`length(bin(lag))`, bucket 0 for lag 0) — an INTEGRAL log2
+    * every engine computes identically, where `floor(log2(x))`
+    * invites libm boundary drift. Complements [[funnelSteps]] (how
+    * many convert) with WHEN they convert.
+    *
+    * Plan: one partial agg for first signups, one key-co-partitioned
+    * join + partial agg for first qualifying purchases (user keys
+    * scale with the corpus — never broadcast), one bounded-key
+    * (≤64 buckets) rollup. No windows.
+    */
+  def conversionLagHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_ns").as("s_ns"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("p_ns"))
+      .join(signups, Seq("user_id"))
+      .filter(col("p_ns") > col("s_ns"))
+      .groupBy("user_id").agg(min("p_ns").as("p_ns"), min("s_ns").as("s_ns"))
+    purchases
+      .select(col("user_id"),
+        expr("(p_ns - s_ns) div 1000000000").as("delta_s"))
+      .select(col("delta_s"),
+        when(col("delta_s") === 0, 0L)
+          .otherwise(length(bin(col("delta_s"))).cast("long")).as("lag_bucket"))
+      .groupBy("lag_bucket")
+      .agg(count(lit(1)).as("n_users"),
+           min("delta_s").as("min_lag_s"), max("delta_s").as("max_lag_s"))
+      .orderBy("lag_bucket")
+  }
+
   /** Time-weighted average of the event `value` per user — the
     * sensor/price-series mean where each reading holds until the next
     * one, so irregular sampling doesn't bias toward burst periods:

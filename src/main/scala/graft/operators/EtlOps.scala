@@ -311,4 +311,74 @@ object EtlOps {
            count(lit(1)).as("n_partials"))
       .orderBy("l_returnflag")
   }
+
+  /** Point-in-time (time-travel) read of the SCD2 history: the
+    * dimension AS OF an instant T — one row per key, the version whose
+    * [valid_from, valid_to) interval covers T. This is the query an
+    * SCD2 table EXISTS for ([[scd2Build]] writes the layout;
+    * [[graft.operators.Joins]] `temporal_join_scd2` is its join form);
+    * here T is the corpus midpoint so the demo is a pure function of
+    * the data (one min/max partial agg → 1-row broadcast — the totals
+    * idiom), but any literal T makes the snapshot a single row-local
+    * interval filter over the history scan: no window, no join, and at
+    * 100 TB a valid_from-partitioned layout prunes most files before
+    * the filter runs. Chained [from, next-from) intervals cannot
+    * overlap — even sub-second version bursts yield at most one
+    * covering version per key (empty intervals never match).
+    * EtlOpsSpec proves the snapshot == the latest-change collapse of
+    * the log truncated at T — time travel and CDC state agree.
+    */
+  def scd2PointInTime(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val asof = ev.agg(
+      expr("((min(ts_ns) + max(ts_ns)) div 2) div 1000000000").as("asof_s"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val versions = ev
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              col("ts_ns"), epochS(col("ts")).as("valid_from_s"))
+      .withColumn("version_seq", row_number().over(w).cast("long"))
+      .withColumn("valid_to_s", lead(col("valid_from_s"), 1).over(w))
+    versions.crossJoin(broadcast(asof))
+      .filter(col("valid_from_s") <= col("asof_s") &&
+              (col("valid_to_s").isNull || col("asof_s") < col("valid_to_s")))
+      .select("user_id", "version_seq", "event_id", "event_type",
+              "valid_from_s", "asof_s")
+      .orderBy("user_id")
+  }
+
+  /** Malformed-record quarantine — the ingest front door the reference
+    * pipeline trusts its API not to need (02_etl.py parses responses
+    * unguarded): parse the raw JSON payload, route unparseable rows to
+    * a counted quarantine instead of failing the batch or silently
+    * nulling fields. The payload column is deterministically mangled
+    * for every 7th event (trailing brace dropped — unambiguously
+    * invalid JSON to any parser) so the corrupt path runs at every
+    * scale factor against the read-only testdata; a real feed skips
+    * the mangle and parses `props` as-is.
+    *
+    * Emits the per-type audit: row/ok/quarantined counts plus the
+    * quarantined id range as the reprocessing pointer. One row-local
+    * parse projection + one bounded-key partial agg — the parse never
+    * shuffles, the report is type-cardinality-sized. Parse verdict is
+    * field-level (`k` extracted non-null): identical under either
+    * null-struct or null-field malformed-row semantics, and matching
+    * the oracle's json_valid gate because every intact payload carries
+    * `k`.
+    */
+  def ingestQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mangled = when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props) - 1)"))
+      .otherwise(col("props"))
+    ev.select(col("event_type"), col("event_id"),
+        from_json(mangled, org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").isNotNull.as("ok"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+           sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"),
+           min(when(!col("ok"), col("event_id"))).as("first_quarantined_id"),
+           max(when(!col("ok"), col("event_id"))).as("last_quarantined_id"))
+      .orderBy("event_type")
+  }
 }

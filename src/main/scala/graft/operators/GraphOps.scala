@@ -530,4 +530,69 @@ object GraphOps {
           .as("lift_x1e6"))
       .orderBy("antecedent", "consequent")
   }
+
+  /** k-core of the part co-purchase graph — the maximal subgraph in
+    * which every node keeps ≥ k neighbors: the DENSE-region extractor
+    * ([[graphComponents]] says connected, [[pageRank]] says central;
+    * this says embedded in a mutually-dense assortment — the classic
+    * "engaged community" cut). Iterative peel: drop every node with
+    * in-subgraph degree < k, recompute, repeat to fixpoint — the
+    * result is the unique maximal such subgraph regardless of peel
+    * order, which is what makes the synchronous distributed peel
+    * correct.
+    *
+    * Round lifecycle shared with the other iterators: per round, two
+    * semi-joins restrict the cached symmetric edge list to surviving
+    * endpoints + one degree partial agg, eager checkpoint of the
+    * survivor set, predecessor unpersisted, early exit at fixpoint
+    * (the bounded per-round driver sync is one count, the bpe-argmax
+    * contract). Peel depth is data-bounded, not corpus-bounded —
+    * each round removes EVERY sub-k node at once — with a loud
+    * 200-round guard rather than a silent cap. State: (node, deg)
+    * per survivor; nothing broadcasts.
+    */
+  def graphKcore(s: SparkSession, dir: String, k: Int = 3,
+                 reliable: Boolean = false): DataFrame = {
+    val edges = graft.Caches.cached(copurchaseEdges(s, dir))
+    kcore(edges, k, reliable)
+  }
+
+  /** The peel iterator behind [[graphKcore]] on an explicit undirected
+    * (a, b) edge list — factored so specs drive crafted graphs through
+    * the exact production loop. Output: one row per k-core member with
+    * its within-core degree.
+    */
+  private[graft] def kcore(edges: DataFrame, k: Int, reliable: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sym = graft.Caches.cached(
+      edges.select(col("a").as("src"), col("b").as("dst"))
+        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+    var alive = graft.Caches.roundCheckpoint(
+      sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+        .filter(col("core_degree") >= k), reliable)
+    var nAlive = alive.count()
+    var changed = nAlive > 0
+    var rounds = 0
+    while (changed) {
+      rounds += 1
+      require(rounds <= 200,
+        s"k-core peel did not converge in 200 rounds (|alive|=$nAlive) — " +
+          "pathological peel chain; raise the guard deliberately, not silently")
+      val deg = sym
+        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+      val next = graft.Caches.roundCheckpoint(
+        deg.filter(col("core_degree") >= k), reliable)
+      val nNext = next.count()
+      changed = nNext < nAlive && nNext > 0
+      graft.Caches.unpersistRound(alive)
+      alive = next
+      nAlive = nNext
+    }
+    val last = alive
+    graft.Caches.onClear(() => graft.Caches.unpersistRound(last))
+    alive.select(col("node").as("part_key"), col("core_degree"))
+      .orderBy("part_key")
+  }
 }

@@ -882,6 +882,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("conversion_lag_histogram: buckets cover converters exactly, powers-of-two bounds") {
+    val out = Analytics.conversionLagHistogram(spark, sf).collect()
+    // independent converter count through a window plan instead of the
+    // operator's agg-join shape
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val converters = ev.filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("s_ns", min(when(col("event_type") === "signup", col("ts_ns"))).over(w))
+      .filter(col("event_type") === "purchase" && col("ts_ns") > col("s_ns"))
+      .select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum == converters, "histogram drops or double-counts converters")
+    out.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      if (b == 0) assert(mn == 0 && mx == 0)
+      else {
+        assert(mn >= (1L << (b - 1).toInt) || b == 1,
+          s"bucket $b min $mn below 2^${b - 1}")
+        assert(mx < (1L << b.toInt), s"bucket $b max $mx reaches 2^$b")
+      }
+    }
+  }
+
   test("time_weighted_avg: telescoping duration, interval count, bounded mean") {
     val out = Analytics.timeWeightedAvg(spark, sf)
     val ev = Tables.events(spark, sf)

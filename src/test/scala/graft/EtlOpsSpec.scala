@@ -180,4 +180,43 @@ class EtlOpsSpec extends AnyFunSuite with SparkFixture {
     val out = EtlOps.dupReport(spark, sf)
     assert(out.filter(col("occurrences") <= 1).count() == 0)
   }
+
+  test("scd2_point_in_time snapshot equals the latest-change collapse of the truncated log") {
+    val snap = EtlOps.scd2PointInTime(spark, sf).cache()
+    assert(snap.count() > 0)
+    // time travel == CDC state at T: per user, the latest event with
+    // ts <= T (seconds grain, the version bound grain) is the version
+    // the snapshot must surface
+    val asofS = snap.select("asof_s").head().getLong(0)
+    val ev = Tables.events(spark, sf)
+      .filter(expr("ts_ns div 1000000000") <= asofS)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"))
+    assert(snap.count() == latest.count())
+    assert(snap.select("user_id", "event_id").exceptAll(latest).isEmpty)
+    // at most one version per user, and it genuinely covers T
+    assert(snap.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(snap.filter(col("valid_from_s") > col("asof_s")).count() == 0)
+    snap.unpersist()
+  }
+
+  test("ingest_quarantine routes exactly the mangled rows, loses none") {
+    val out = EtlOps.ingestQuarantine(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    val expect = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("e_rows"),
+           sum(when(col("event_id") % 7 === 0, 1L).otherwise(0L)).as("e_bad"))
+    val j = out.join(expect, "event_type").cache()
+    assert(j.count() == out.count())
+    assert(j.filter(col("n_rows") =!= col("e_rows")).count() == 0)
+    assert(j.filter(col("n_quarantined") =!= col("e_bad")).count() == 0)
+    assert(j.filter(col("n_ok") + col("n_quarantined") =!= col("n_rows")).count() == 0)
+    // the audit pointers land on genuinely mangled ids
+    out.collect().foreach { r =>
+      if (!r.isNullAt(4)) assert(r.getLong(4) % 7 == 0 && r.getLong(5) % 7 == 0)
+    }
+    j.unpersist(); out.unpersist()
+  }
 }

@@ -265,6 +265,45 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kcore equals the single-node peel fixpoint on random graphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 14)
+      edgeCount <- Gen.chooseNum(0, n * 3)
+      edges <- Gen.listOfN(edgeCount,
+        Gen.zip(Gen.chooseNum(0, n - 1), Gen.chooseNum(0, n - 1)))
+    } yield edges.collect { case (a, b) if a != b =>
+      (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct
+    // deterministic shapes: a triangle with a tail (core = the
+    // triangle), and a 6-cycle (2-core = everything)
+    val triangleTail = List((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val cycle = (0L to 5L).map(i => (i, (i + 1) % 6)).toList
+    (cases(graphGen, n = 5) ++ Seq(triangleTail, cycle)).zipWithIndex.foreach {
+      case (edges, i) =>
+        if (edges.nonEmpty) {
+          val k = 2
+          val got = graft.operators.GraphOps.kcore(edges.toDF("a", "b"), k)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // single-node peel to fixpoint
+          var adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+            .map { case (n, vs) => n -> vs.map(_._2).toSet }
+          var done = false
+          while (!done) {
+            val drop = adj.collect { case (n, nb) if nb.size < k => n }.toSet
+            if (drop.isEmpty) done = true
+            else adj = adj.collect {
+              case (n, nb) if !drop(n) => n -> nb.diff(drop)
+            }
+          }
+          val expect = adj.map { case (n, nb) => n -> nb.size.toLong }
+          assert(got == expect, s"case $i: edges=$edges")
+          // the survivors really are a ≥k-degree subgraph (fixpoint)
+          got.values.foreach(d => assert(d >= k))
+          graft.Caches.clear()
+        }
+    }
+  }
+
   test("isqrt is exactly floor(sqrt) across the boundary-adversarial range") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
