@@ -118,11 +118,13 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "semdedup_keep_central"   -> ((s, d) => Dedup.semdedupKeepCentral(s, d)),
     "dedup_paragraphs"        -> ((s, d) => Dedup.dedupParagraphs(s, d)),
+    "corpus_overlap_matrix"   -> ((s, d) => Dedup.corpusOverlapMatrix(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_edit_distance"    -> ((s, d) => Dedup.dedupEditDistance(s, d)),
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
+    "ann_filtered_topk"   -> ((s, d) => Similarity.annFilteredTopK(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "ann_pq_topk"         -> ((s, d) => Similarity.annPqTopK(s, d)),
@@ -2131,6 +2133,38 @@ object SparkEntry {
          ORDER BY t.total_qty DESC, o.o_orderkey
          LIMIT 100""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
+    "ann_filtered_topk" -> annFilteredOracle,
+    // string shingles where the engine groups 8-byte xxhash64 values —
+    // the hashedShingles hash-group-equals-string-group argument; the
+    // complete matrix (zero-overlap pairs included) comes from the
+    // bounded distinct-source cross
+    "corpus_overlap_matrix" ->
+      """WITH t AS (
+           SELECT source, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT source,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         d AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh),
+         ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY source),
+         shared AS (
+           SELECT x.source AS source_a, y.source AS source_b,
+                  CAST(COUNT(*) AS BIGINT) AS shared_shingles
+           FROM d x JOIN d y ON x.g = y.g AND x.source < y.source
+           GROUP BY 1, 2),
+         m AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  a.n AS n_a, b.n AS n_b
+           FROM ns a JOIN ns b ON a.source < b.source)
+         SELECT m.source_a, m.source_b,
+                COALESCE(s.shared_shingles, 0) AS shared_shingles,
+                m.n_a, m.n_b,
+                (COALESCE(s.shared_shingles, 0) * 1000000) // (m.n_a + m.n_b - COALESCE(s.shared_shingles, 0)) AS jaccard_x1e6
+         FROM m LEFT JOIN shared s USING (source_a, source_b)
+         ORDER BY m.source_a, m.source_b""",
     "kmeans_step" -> kmeansStepOracle,
     // GENUINE undirected reachability over the verified near-dup pair
     // set: reach(x, r) holds every r reachable from x through the
@@ -2383,6 +2417,28 @@ object SparkEntry {
               CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vectors
                    ELSE -((-sum_micro) // n_vectors) END AS BIGINT) AS centroid_micro
        FROM m ORDER BY cluster_id, pos"""
+  }
+
+  /** [[annBruteforceOracle]] with the probe's label as a pre-filter on
+    * the scored corpus — the oracle for the filtered-search serving
+    * shape (same expanded-sum cosine, same rank tie-break).
+    */
+  private lazy val annFilteredOracle: String = {
+    val dim = 64
+    val dot = (1 to dim).map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    val nx  = (1 to dim).map(i => s"CAST(a.embedding[$i] AS DOUBLE)*CAST(a.embedding[$i] AS DOUBLE)").mkString(" + ")
+    val ny  = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS pl FROM embeddings WHERE vec_id % 100 < 2),
+        scored AS (
+          SELECT p.probe_id, a.vec_id AS neighbor_id, a.label,
+                 CASE WHEN sqrt($nx)*sqrt($ny) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(($dot) / (sqrt($nx)*sqrt($ny)) * 1000000.0) AS BIGINT) END AS cosine_x1e6
+          FROM embeddings a JOIN p ON a.vec_id <> p.probe_id AND a.label = p.pl),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, label, cosine_x1e6 FROM ranked WHERE rank <= 10
+        ORDER BY probe_id, rank"""
   }
 
   private lazy val annBruteforceOracle: String = {

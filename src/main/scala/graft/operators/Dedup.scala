@@ -964,4 +964,51 @@ object Dedup {
           u => u("unit"))).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** Cross-corpus overlap audit: the source×source shingle-overlap
+    * matrix — how much of each corpus pair is shared text, BEFORE
+    * anyone mixes them into a training run (the between-corpus
+    * complement of the within-corpus dedup family; `decontaminate_
+    * ngram` is its train-vs-eval special case). Per unordered source
+    * pair: shared distinct 3-gram shingles, each side's distinct
+    * total, and Jaccard in exact micro-units via inclusion-exclusion.
+    *
+    * Never a corpus×corpus join: distinct (source, shingle-hash)
+    * pairs reduce each corpus to its shingle SET (one partial-agg
+    * shuffle), the shingle-grouped source set is bounded by |sources|
+    * (collect_set state ≤ the source list), and pair counts expand
+    * row-locally into a ≤|sources|² aggregate. The complete matrix —
+    * zero-overlap pairs included, that absence being the audit's
+    * point — comes from the bounded source-list cross, not from data.
+    * 8-byte xxhash64 shingles travel, never strings (the
+    * hash-group == string-group argument of [[hashedShingles]]).
+    */
+  def corpusOverlapMatrix(s: SparkSession, dir: String, shingleN: Int = 3): DataFrame = {
+    val sh = graft.Caches.cached(
+      Tables.documents(s, dir)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .select(col("source"), explode(wordNgrams(col("toks"), shingleN)).as("g"))
+        .select(col("source"), xxhash64(col("g")).as("h"))
+        .distinct())
+    val perSource = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val shared = sh.groupBy("h").agg(collect_set(col("source")).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+    val srcs = perSource.select(col("source"), col("n_shingles"))
+    val matrix = srcs.select(col("source").as("source_a"), col("n_shingles").as("n_a"))
+      .crossJoin(broadcast(
+        srcs.select(col("source").as("source_b"), col("n_shingles").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+    matrix.join(Hints.maybeBroadcast(shared), Seq("source_a", "source_b"), "left")
+      .withColumn("shared_shingles", coalesce(col("shared_shingles"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        col("n_a"), col("n_b"),
+        expr("(shared_shingles * 1000000) div (n_a + n_b - shared_shingles)")
+          .as("jaccard_x1e6"))
+      .orderBy("source_a", "source_b")
+  }
 }

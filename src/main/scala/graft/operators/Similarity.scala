@@ -72,6 +72,42 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Attribute-FILTERED vector search: per probe, exact cosine top-k
+    * among corpus vectors sharing the probe's `label` — the
+    * metadata-predicate + ANN serving shape ("nearest docs in MY
+    * language/collection"). The filter is applied BEFORE scoring
+    * (pre-filtering): post-filtering a plain top-k silently loses
+    * recall whenever fewer than k of the unfiltered neighbors match
+    * the predicate, and a selective predicate makes the pre-filtered
+    * exact scan CHEAPER than unfiltered ANN — the corpus join
+    * condition (label match) prunes candidates row-locally off the
+    * broadcast probe table, so only matching rows are scored at all.
+    * At 100 TB the same plan rides an IVF index per label partition
+    * (cell lists stored label-segmented); here the label equi-join is
+    * the partition. Output schema extends [[annBruteforceTopK]] with
+    * the label so recall against it is directly measurable per
+    * stratum.
+    */
+  def annFilteredTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = Tables.requireLabel(Tables.embeddings(s, dir))
+    val p = emb.filter(col("vec_id") % 100 < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              col("label").as("probe_label"))
+    val scored = emb
+      .join(broadcast(p), col("label") === col("probe_label") &&
+            col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
+              scoreX1e6(col("probe_emb"), col("embedding")).as("cosine_x1e6"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "label", "cosine_x1e6")
+      .orderBy("probe_id", "rank")
+  }
+
   /** Scale path: banded (OR-amplified) SRP-LSH with MULTI-PROBE on the
     * broadcast side. Corpus and probes each compute `nBands` band keys;
     * a corpus vector is a candidate for a probe iff ANY band key

@@ -475,4 +475,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       assert(clean == kept.mkString(" "), s"doc $id clean text")
     }
   }
+
+  test("corpus_overlap_matrix: complete upper triangle, set-algebra bounds, exact recompute") {
+    val out = Dedup.corpusOverlapMatrix(spark, sf).collect()
+    val sources = Tables.documents(spark, sf)
+      .select("source").distinct().collect().map(_.getString(0)).sorted
+    // one row per unordered pair, none missing, none diagonal
+    assert(out.length == sources.length * (sources.length - 1) / 2)
+    out.foreach { r =>
+      val (a, b, shared, na, nb, j) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(a < b)
+      assert(shared <= math.min(na, nb), s"($a,$b): shared $shared exceeds a side")
+      assert(j >= 0 && j <= 1000000)
+      assert(j == shared * 1000000 / (na + nb - shared))
+    }
+    // exact recompute of one pair from raw shingle sets (string-level,
+    // independent of the engine's hashed grouping)
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)))
+    def shingles(texts: Seq[String]): Set[String] = texts.flatMap { t =>
+      val toks = t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    }.toSet
+    val (sa, sb) = (sources.head, sources.last)
+    val (setA, setB) = (shingles(docs(sa).toSeq), shingles(docs(sb).toSeq))
+    val row = out.find(r => r.getString(0) == sa && r.getString(1) == sb).get
+    assert(row.getLong(2) == setA.intersect(setB).size.toLong)
+    assert(row.getLong(3) == setA.size.toLong && row.getLong(4) == setB.size.toLong)
+    graft.Caches.clear()
+  }
 }

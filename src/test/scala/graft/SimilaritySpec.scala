@@ -266,6 +266,32 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("ann_filtered_topk pre-filters by label: exact within stratum, never leaks across") {
+    val out = Similarity.annFilteredTopK(spark, sf, k = 5).cache()
+    assert(out.count() > 0)
+    // every neighbor shares its probe's label (the filter is a filter)
+    val emb = Tables.requireLabel(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("label"))
+    val probeLabels = emb.filter(col("vec_id") % 100 < 2)
+      .select(col("vec_id").as("probe_id"), col("label").as("pl"))
+    assert(out.join(probeLabels, "probe_id").filter(col("label") =!= col("pl")).count() == 0)
+    // equals the brute-force top-k restricted to the stratum: the
+    // filtered result is EXACT, not a post-filtered approximation
+    val brute = Similarity.annBruteforceTopK(spark, sf, k = Int.MaxValue)
+    val expect = brute.join(probeLabels, "probe_id")
+      .join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .filter(col("label") === col("pl"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    val expectTop = expect
+      .withColumn("frank", row_number().over(w)).filter(col("frank") <= 5)
+      .select(col("probe_id"), col("frank").as("rank"),
+              col("neighbor_id"), col("label"), col("cosine_x1e6"))
+    assert(out.exceptAll(expectTop).isEmpty && expectTop.exceptAll(out).isEmpty)
+    out.unpersist()
+    graft.Caches.clear()
+  }
+
   test("knn_graph refuses a corpus whose plan-estimated size exceeds the broadcast limit") {
     spark.conf.set(Similarity.KnnBroadcastLimitKey, "1") // 1 byte: any corpus trips it
     try {
