@@ -62,6 +62,7 @@ object SparkEntry {
     "anomaly_mad"           -> ((s, d) => Analytics.anomalyMad(s, d)),
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "conversion_lag_histogram" -> (Analytics.conversionLagHistogram _),
+    "funnel_window_depth"   -> ((s, d) => Analytics.funnelWindowDepth(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
     "window_percentile_rank" -> (Analytics.windowPercentileRank _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
@@ -125,6 +126,7 @@ object SparkEntry {
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_filtered_topk"   -> ((s, d) => Similarity.annFilteredTopK(s, d)),
+    "doc_embedding_pool"  -> ((s, d) => Similarity.docEmbeddingPool(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "ann_pq_topk"         -> ((s, d) => Similarity.annPqTopK(s, d)),
@@ -332,6 +334,32 @@ object SparkEntry {
          SELECT lag_bucket, COUNT(*) AS n_users,
                 MIN(delta_s) AS min_lag_s, MAX(delta_s) AS max_lag_s
          FROM b GROUP BY lag_bucket ORDER BY lag_bucket""",
+    "funnel_window_depth" ->
+      """WITH s1 AS (
+           SELECT user_id, MIN(epoch_ns(ts)) AS s_ns
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         s2 AS (
+           SELECT e.user_id, MIN(epoch_ns(e.ts)) AS v_ns
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'view'
+             AND epoch_ns(e.ts) > s1.s_ns
+             AND epoch_ns(e.ts) <= s1.s_ns + 604800000000000
+           GROUP BY e.user_id),
+         s3 AS (
+           SELECT e.user_id, MIN(epoch_ns(e.ts)) AS p_ns
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase'
+             AND epoch_ns(e.ts) > s2.v_ns
+             AND epoch_ns(e.ts) <= s2.v_ns + 604800000000000
+           GROUP BY e.user_id),
+         d AS (
+           SELECT s1.user_id,
+                  CASE WHEN s3.user_id IS NOT NULL THEN 3
+                       WHEN s2.user_id IS NOT NULL THEN 2
+                       ELSE 1 END AS depth
+           FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+         SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_users
+         FROM d GROUP BY depth ORDER BY depth""",
     "funnel_steps" ->
       """WITH s1 AS (
            SELECT user_id, MIN(ts) AS t1
@@ -1406,6 +1434,19 @@ object SparkEntry {
                 CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vectors
                      ELSE -((-sum_micro) // n_vectors) END AS BIGINT) AS centroid_micro
          FROM s ORDER BY label, pos""",
+    // embedding_centroids' exact micro-sum arithmetic on the doc key
+    // (vec_id div 4 — the chunk-encoding layout), same TRUNC-division
+    // sign handling
+    "doc_embedding_pool" ->
+      """WITH p AS (SELECT unnest(range(1, 65)) AS pos),
+         s AS (SELECT vec_id // 4 AS doc_key, p.pos AS pos,
+                 COUNT(*) AS n_chunks,
+                 CAST(SUM(CAST(FLOOR(1000000 * CAST(embedding[p.pos] AS DOUBLE)) AS BIGINT)) AS BIGINT) AS sum_micro
+               FROM embeddings CROSS JOIN p GROUP BY 1, 2)
+         SELECT doc_key, CAST(pos AS BIGINT) AS pos, n_chunks, sum_micro,
+                CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_chunks
+                     ELSE -((-sum_micro) // n_chunks) END AS BIGINT) AS pooled_micro
+         FROM s ORDER BY doc_key, pos""",
     "dedup_semantic_clusters" ->
       """WITH RECURSIVE
          pairs AS (

@@ -1431,6 +1431,45 @@ object Analytics {
       .orderBy("lag_bucket")
   }
 
+  /** Windowed funnel depth (the ClickHouse `windowFunnel` shape): how
+    * far each user advances through signup → view → purchase where
+    * each step must land within `windowSec` of the PREVIOUS step —
+    * the time-bounded strictness [[funnelSteps]] deliberately omits
+    * (its steps may be months apart; a campaign analysis wants the
+    * chain to happen while the intent is live). First qualifying
+    * occurrence per step, ns-precision comparisons, depth 1..3
+    * summarized as bounded counts.
+    *
+    * Plan: one partial agg per step frontier + two user-co-partitioned
+    * joins carrying only (user, frontier-ns) — the funnel never
+    * windows the raw stream and never self-joins it; the depth rollup
+    * is a ≤3-key agg. Late steps outside the window simply fail the
+    * range predicate — no watermark machinery needed in batch.
+    */
+  def funnelWindowDepth(s: SparkSession, dir: String,
+                        windowSec: Long = 7 * 86400L): DataFrame = {
+    require(windowSec > 0, s"windowSec $windowSec must be positive")
+    val horizon = windowSec * 1000000000L
+    val ev = Tables.events(s, dir)
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts_ns").as("s_ns"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_ns").as("v_ns"))
+      .join(s1, Seq("user_id"))
+      .filter(col("v_ns") > col("s_ns") && col("v_ns") <= col("s_ns") + lit(horizon))
+      .groupBy("user_id").agg(min("v_ns").as("v_ns"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns").as("p_ns"))
+      .join(s2, Seq("user_id"))
+      .filter(col("p_ns") > col("v_ns") && col("p_ns") <= col("v_ns") + lit(horizon))
+      .groupBy("user_id").agg(min("p_ns").as("p_ns"))
+    s1.join(s2.select(col("user_id"), lit(true).as("hit2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), lit(true).as("hit3")), Seq("user_id"), "left")
+      .select(when(col("hit3"), 3L).when(col("hit2"), 2L).otherwise(1L).as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
   /** Time-weighted average of the event `value` per user — the
     * sensor/price-series mean where each reading holds until the next
     * one, so irregular sampling doesn't bias toward burst periods:

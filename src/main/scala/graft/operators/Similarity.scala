@@ -564,6 +564,36 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** Mean-pooled document embeddings from chunk embeddings — the
+    * pooling step between chunk-level encoding and doc-level retrieval
+    * (long docs embed as chunks; search/cluster/dedup often want ONE
+    * vector per doc). Chunks align to docs by the deterministic
+    * `vec_id div chunksPerDoc` layout the corpus was encoded with;
+    * pooling is [[graft.functions.VecSumMicro]]'s exact integral
+    * micro-sums TRUNC-divided by the chunk count — the
+    * [[embeddingCentroids]] arithmetic on a corpus-scaling key.
+    *
+    * That key difference is the plan point: label-keyed centroids
+    * could tolerate any agg shape, but doc-keyed pooling at 100 TB
+    * must partial-aggregate (one long[dim] state per (partition, doc)
+    * merging through ObjectHashAggregate) and must NOT collect or
+    * broadcast anything — and doesn't. Per-dim rows out (posexplode),
+    * the family's array-output convention.
+    */
+  def docEmbeddingPool(s: SparkSession, dir: String, chunksPerDoc: Int = 4): DataFrame = {
+    require(chunksPerDoc > 0, s"chunksPerDoc $chunksPerDoc must be positive")
+    GraftFunctions.ensureRegistered(s)
+    Tables.embeddings(s, dir)
+      .groupBy(expr(s"vec_id div $chunksPerDoc").as("doc_key"))
+      .agg(count(lit(1)).as("n_chunks"),
+           call_function("graft_vec_sum_micro", col("embedding")).as("sums"))
+      .select(col("doc_key"), col("n_chunks"), posexplode(col("sums")))
+      .select(col("doc_key"), (col("pos") + 1).cast("long").as("pos"),
+              col("n_chunks"), col("col").as("sum_micro"),
+              expr("col div n_chunks").as("pooled_micro"))
+      .orderBy("doc_key", "pos")
+  }
+
   /** ONE exact k-means iteration (Lloyd step) — assignment + centroid
     * update — over the embedding corpus, seeded deterministically by
     * the k lowest vec_ids. The MLlib path ([[annIvfTopK]]'s coarse

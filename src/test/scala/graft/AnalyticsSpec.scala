@@ -882,6 +882,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("funnel_window_depth: conserves signup users, tightens monotonically with the window") {
+    def counts(winSec: Long): Map[Long, Long] =
+      Analytics.funnelWindowDepth(spark, sf, windowSec = winSec).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wide = counts(3650L * 86400)   // effectively unbounded window
+    val narrow = counts(3600L)         // 1 hour
+    val signupUsers = Tables.events(spark, sf)
+      .filter(col("event_type") === "signup").select("user_id").distinct().count()
+    // every signup user lands in exactly one depth, any window
+    assert(wide.values.sum == signupUsers && narrow.values.sum == signupUsers)
+    // a narrower window can only DEMOTE users: cumulative deep counts shrink
+    assert(narrow.getOrElse(3L, 0L) <= wide.getOrElse(3L, 0L))
+    assert(narrow.getOrElse(3L, 0L) + narrow.getOrElse(2L, 0L) <=
+           wide.getOrElse(3L, 0L) + wide.getOrElse(2L, 0L))
+    // the unbounded window reproduces the unconstrained chained funnel
+    val ev = Tables.events(spark, sf)
+    val s1 = ev.filter(col("event_type") === "signup").groupBy("user_id").agg(min("ts_ns").as("s"))
+    val s2 = ev.filter(col("event_type") === "view").join(s1, "user_id")
+      .filter(col("ts_ns") > col("s")).groupBy("user_id").agg(min("ts_ns").as("v"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts_ns") > col("v")).select("user_id").distinct()
+    assert(wide.getOrElse(3L, 0L) == s3.count())
+    assert(wide.getOrElse(3L, 0L) + wide.getOrElse(2L, 0L) == s2.count())
+  }
+
   test("conversion_lag_histogram: buckets cover converters exactly, powers-of-two bounds") {
     val out = Analytics.conversionLagHistogram(spark, sf).collect()
     // independent converter count through a window plan instead of the

@@ -266,6 +266,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("doc_embedding_pool conserves the corpus micro-sums against the centroid operator") {
+    val pool = Similarity.docEmbeddingPool(spark, sf).cache()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    // every chunk pooled exactly once
+    assert(pool.groupBy("doc_key").agg(max("n_chunks")).collect()
+      .map(_.getLong(1)).sum == nVecs)
+    // per-dimension corpus totals agree with the label-keyed centroid
+    // operator's — two different groupings of the SAME exact sums
+    val byDoc = pool.groupBy("pos").agg(sum("sum_micro").as("t1"))
+    val byLabel = Similarity.embeddingCentroids(spark, sf)
+      .groupBy("pos").agg(sum("sum_micro").as("t2"))
+    assert(byDoc.join(byLabel, "pos").filter(col("t1") =!= col("t2")).count() == 0)
+    // pooled value is the TRUNC-divided mean: |pooled·n − sum| < n
+    assert(pool.filter(
+      abs(col("pooled_micro") * col("n_chunks") - col("sum_micro")) >= col("n_chunks"))
+      .count() == 0)
+    pool.unpersist()
+  }
+
   test("ann_filtered_topk pre-filters by label: exact within stratum, never leaks across") {
     val out = Similarity.annFilteredTopK(spark, sf, k = 5).cache()
     assert(out.count() > 0)
