@@ -108,6 +108,7 @@ object SparkEntry {
     "q4_priority_exists" -> (Analytics.q4PriorityExists _),
     "q5_region_volume"   -> (Analytics.q5RegionVolume _),
     "q10_returned_revenue" -> (Analytics.q10ReturnedRevenue _),
+    "q7_nation_volume"     -> (Analytics.q7NationVolume _),
     "q18_large_orders"   -> ((s, d) => Analytics.q18LargeOrders(s, d)),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
@@ -160,6 +161,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
     "mm_chunk_text"   -> ((s, d) => graft.multimodal.Multimodal.mmChunkText(s, d)),
     "mm_chunk_roundtrip" -> ((s, d) => graft.multimodal.Multimodal.mmChunkRoundtrip(s, d)),
+    "mm_payload_dedup" -> (graft.multimodal.Multimodal.mmPayloadDedup _),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
@@ -2147,6 +2149,30 @@ object SparkEntry {
            AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY n.n_name
          ORDER BY revenue DESC, n.n_name""",
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+                CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS volume
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+         JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+         WHERE n1.n_name <> n2.n_name
+         GROUP BY 1, 2, 3
+         ORDER BY cust_nation, supp_nation, l_year""",
+    "mm_payload_dedup" ->
+      """WITH d AS (
+           SELECT doc_id, md5(text) AS body_digest,
+                  CAST(octet_length(encode(text)) AS BIGINT) AS body_bytes
+           FROM documents),
+         r AS (SELECT body_digest, MIN(doc_id) AS rep_doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_copies
+               FROM d GROUP BY body_digest)
+         SELECT d.doc_id, d.body_digest, d.body_bytes, r.rep_doc_id, r.n_copies,
+                d.doc_id <> r.rep_doc_id AS is_dup
+         FROM d JOIN r USING (body_digest) ORDER BY d.doc_id""",
     "q10_returned_revenue" ->
       """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
                 CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue

@@ -137,6 +137,33 @@ object Multimodal {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** SURVEY §2 `mm_payload_dedup`: exact dedup over the binary BODY
+    * bytes (everything after the 21-byte header) — the "same media
+    * file uploaded twice under different ids" cut, the binary-column
+    * member of the dedup family (its text siblings normalize before
+    * hashing; media dedup is BYTE-exact by definition: one changed
+    * byte is a different asset). Digest computed map-side on the
+    * binary slice (`md5` over the raw bytes — no decode, stays in
+    * codegen), so only 32-char digests ever shuffle, never blob
+    * bodies — at 100 TB the shuffle is ~fifty bytes per asset
+    * regardless of asset size. Keeper = min doc_id per digest via one
+    * digest-keyed partial agg joined back on the digest (the
+    * dedup_exact_hash shape on a binary source).
+    */
+  def mmPayloadDedup(s: SparkSession, dir: String): DataFrame = {
+    val body = expr("substring(payload, 22, 2147483647)")
+    val digests = synthesizePayloads(s, dir)
+      .select(col("doc_id"), md5(body).as("body_digest"),
+              length(body).cast("long").as("body_bytes"))
+    val reps = digests.groupBy("body_digest")
+      .agg(min("doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+    digests.join(reps, Seq("body_digest"))
+      .select(col("doc_id"), col("body_digest"), col("body_bytes"),
+              col("rep_doc_id"), col("n_copies"),
+              (col("doc_id") =!= col("rep_doc_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** SURVEY §2 `mm_chunk_roundtrip`: the INVERSE of [[mmChunkText]],
     * proving chunking is lossless — each document's fixed-window
     * chunks are scattered by the shuffle, regrouped by doc, sorted by

@@ -151,6 +151,40 @@ object Analytics {
       .limit(20)
   }
 
+  /** TPC-H Q7 shape: cross-border trade volume between every
+    * customer-nation / supplier-nation pair by ship year — the
+    * two-dimension-table star join. The fact table joins orders on
+    * its key (the one big-big shuffle), then picks up customer,
+    * supplier, and BOTH nation legs through size-guarded broadcasts —
+    * at any scale the plan shuffles lineitem+orders once and
+    * broadcasts everything else; the group key space is
+    * |nations|²×years, bounded, so the aggregate partial-combines to
+    * almost nothing map-side. Same-nation trade is filtered out
+    * (domestic rows are Q7's explicit exclusion); revenue through the
+    * decimal-exact [[graft.functions.OracleSafe.sum4]].
+    */
+  def q7NationVolume(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Hints.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Hints.maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(Hints.maybeBroadcast(n1), col("c_nationkey") === col("cn_key"))
+      .join(Hints.maybeBroadcast(n2), col("s_nationkey") === col("sn_key"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"),
+               year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .orderBy("cust_nation", "supp_nation", "l_year")
+  }
+
   /** TPC-H Q18 shape: large-quantity orders (the HAVING-on-aggregate
     * semi-filter). The detail table first collapses to per-order
     * quantity totals — partial aggregation makes the shuffle carry

@@ -882,6 +882,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q7_nation_volume covers exactly the cross-nation lineitems") {
+    val out = Analytics.q7NationVolume(spark, sf)
+    // total cross-border revenue recomputed through a different join
+    // order (dims first, then the fact), decimal-exact both roads
+    val c = Tables.customer(spark, sf).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey").join(c, col("o_custkey") === col("c_custkey"))
+    val direct = Tables.lineitem(spark, sf)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .agg(graft.functions.OracleSafe.sum4(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("t"))
+      .head().getDouble(0)
+    val total = out.agg(sum("volume")).head().getDouble(0)
+    assert(math.abs(total - direct) < 1e-6 * math.max(1.0, math.abs(direct)),
+      s"cross-border totals diverge: $total vs $direct")
+    // no domestic rows leak through
+    assert(out.filter(col("cust_nation") === col("supp_nation")).count() == 0)
+  }
+
   test("funnel_window_depth: conserves signup users, tightens monotonically with the window") {
     def counts(winSec: Long): Map[Long, Long] =
       Analytics.funnelWindowDepth(spark, sf, windowSec = winSec).collect()

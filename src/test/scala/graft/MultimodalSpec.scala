@@ -128,4 +128,22 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(corpus.join(src, "doc_id")
       .filter(col("body_md5") =!= col("want_md5")).count() == 0)
   }
+
+  test("mm_payload_dedup groups exactly the byte-identical bodies") {
+    val out = Multimodal.mmPayloadDedup(spark, sf).cache()
+    val docs = Tables.documents(spark, sf)
+    assert(out.count() == docs.count(), "every payload verdicted once")
+    // the digest groups are exactly the raw-text equality groups
+    val byText = docs.groupBy("text")
+      .agg(min("doc_id").as("want_rep"), count(lit(1)).as("want_copies"))
+    val joined = out.join(docs.select("doc_id", "text"), "doc_id")
+      .join(byText, "text")
+    assert(joined.filter(col("rep_doc_id") =!= col("want_rep") ||
+                         col("n_copies") =!= col("want_copies")).count() == 0)
+    // representatives are never dups; dup flags match the group size
+    assert(out.filter(col("doc_id") === col("rep_doc_id") && col("is_dup")).count() == 0)
+    assert(out.filter(col("is_dup")).count() ==
+           out.count() - out.select("body_digest").distinct().count())
+    out.unpersist()
+  }
 }
