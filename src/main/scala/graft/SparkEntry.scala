@@ -121,6 +121,7 @@ object SparkEntry {
     "semdedup_keep_central"   -> ((s, d) => Dedup.semdedupKeepCentral(s, d)),
     "dedup_paragraphs"        -> ((s, d) => Dedup.dedupParagraphs(s, d)),
     "corpus_overlap_matrix"   -> ((s, d) => Dedup.corpusOverlapMatrix(s, d)),
+    "dedup_lsh_eval"          -> ((s, d) => Dedup.dedupLshEval(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_edit_distance"    -> ((s, d) => Dedup.dedupEditDistance(s, d)),
@@ -128,6 +129,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_filtered_topk"   -> ((s, d) => Similarity.annFilteredTopK(s, d)),
     "doc_embedding_pool"  -> ((s, d) => Similarity.docEmbeddingPool(s, d)),
+    "ann_recall_report"   -> ((s, d) => Similarity.annRecallReport(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
     "ann_pq_topk"         -> ((s, d) => Similarity.annPqTopK(s, d)),

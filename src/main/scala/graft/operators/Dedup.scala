@@ -965,6 +965,54 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** LSH candidate-recall evaluation — the quality monitor a
+    * production approximate-dedup pipeline runs CONTINUOUSLY: what
+    * fraction of the true near-dup pairs does the banding actually
+    * surface as candidates, and how many candidates does it spend to
+    * get them. The verify stage already makes LSH dedup PRECISE (every
+    * candidate is exact-scored before any verdict); recall is the one
+    * property banding can silently lose as the corpus drifts, and
+    * this operator prices it against ground truth on a deterministic
+    * probe sample (every `sampleMod`-th doc vs the whole corpus — the
+    * full all-pairs truth is n² by definition and exists only at
+    * evaluation sample scale; the ANN family's probe-subset pattern).
+    *
+    * Output: one row — true pairs, candidates touching the sample,
+    * hits, recall and candidate-efficiency in micro-units. All counts
+    * are 1-row partial aggs crossJoin-broadcast together; the truth
+    * side joins the sample's shingle arrays through the size guard.
+    */
+  def dedupLshEval(s: SparkSession, dir: String,
+                   nPerms: Int = 258, nBands: Int = 86,
+                   tauX1000: Long = 500, sampleMod: Int = 20): DataFrame = {
+    require(nPerms % nBands == 0, "nPerms must divide into nBands")
+    require(sampleMod > 0, "sampleMod must be positive")
+    GraftFunctions.ensureRegistered(s)
+    val hashed = hashedShingles(s, dir, 2)
+    val bands = hashed.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
+        .as(Seq("band_idx", "band_hash")))
+    val candTouching = candidatePairs(bands, "doc_id")
+      .filter(col("a") % sampleMod === 0 || col("b") % sampleMod === 0)
+    val sampleSh = hashed.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id").as("pa"), col("hs").as("sh_a"))
+    val truth = hashed.select(col("doc_id").as("pb"), col("hs").as("sh_b"))
+      .join(Hints.maybeBroadcast(sampleSh), col("pa") =!= col("pb"))
+      .filter(jaccardX1000(col("sh_a"), col("sh_b")) >= tauX1000)
+      .select(least(col("pa"), col("pb")).as("a"),
+              greatest(col("pa"), col("pb")).as("b"))
+      .distinct()
+    val hits = candTouching.join(truth, Seq("a", "b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true_pairs"))
+      .crossJoin(broadcast(candTouching.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+      .select(col("n_true_pairs"), col("n_candidates"), col("n_hits"),
+        when(col("n_true_pairs") > 0,
+          expr("(n_hits * 1000000) div n_true_pairs")).as("recall_x1e6"),
+        when(col("n_candidates") > 0,
+          expr("(n_hits * 1000000) div n_candidates")).as("efficiency_x1e6"))
+  }
+
   /** Cross-corpus overlap audit: the source×source shingle-overlap
     * matrix — how much of each corpus pair is shared text, BEFORE
     * anyone mixes them into a training run (the between-corpus

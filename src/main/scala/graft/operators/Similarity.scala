@@ -564,6 +564,38 @@ object Similarity {
       .orderBy("label", "pos")
   }
 
+  /** ANN recall report — every approximate tier scored against the
+    * exact brute-force baseline in one query: recall@k per tier
+    * (LSH multi-probe, IVF, PQ, IVF-PQ), the number a serving team
+    * watches as corpora and index parameters drift. Each tier's
+    * (probe, neighbor) set left-semi-joins the exact set and reduces
+    * to a 1-row count; four bounded rows union into the report.
+    * Trained model state (PQ codebooks, IVF quantizer) comes from the
+    * session memo ([[graft.Caches]].model), so the report prices the
+    * SERVING indexes — the same ones the ann_* keys use, not a
+    * refit. Micro-unit recall; rows-only for the driver (candidate-
+    * set-dependent, like the tiers themselves), floor-asserted in
+    * SimilaritySpec consistently with each tier's own spec.
+    */
+  def annRecallReport(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val exact = graft.Caches.cached(
+      annBruteforceTopK(s, dir, k).select("probe_id", "neighbor_id"))
+    val nExpected = exact.agg(count(lit(1)).as("n_expected"))
+    def tierRow(name: String, df: DataFrame): DataFrame =
+      df.select("probe_id", "neighbor_id")
+        .join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nExpected))
+        .select(lit(name).as("tier"), col("n_hits"), col("n_expected"),
+          when(col("n_expected") > 0,
+            expr("(n_hits * 1000000) div n_expected")).as("recall_x1e6"))
+    tierRow("ivf", annIvfTopK(s, dir, k))
+      .unionAll(tierRow("ivfpq", annIvfPqTopK(s, dir, k)))
+      .unionAll(tierRow("lsh", annLshTopK(s, dir, k)))
+      .unionAll(tierRow("pq", annPqTopK(s, dir, k)))
+      .orderBy("tier")
+  }
+
   /** Mean-pooled document embeddings from chunk embeddings — the
     * pooling step between chunk-level encoding and doc-level retrieval
     * (long docs embed as chunks; search/cluster/dedup often want ONE

@@ -476,6 +476,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dedup_lsh_eval: count algebra holds and banding recalls the fixture's true pairs") {
+    val r = Dedup.dedupLshEval(spark, sf).head()
+    val (nTrue, nCand, nHits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTrue > 0, "fixture must contain sample-touching true near-dup pairs")
+    assert(nHits <= nTrue && nHits <= nCand, "hits bounded by both sides")
+    assert(r.getLong(3) == nHits * 1000000L / nTrue)
+    assert(r.getLong(4) == nHits * 1000000L / nCand)
+    // 86 bands × 3 rows at tau=0.5 collide with probability ≈ 1 — on
+    // the crafted fixture the banding must surface essentially every
+    // true pair (the property the continuous monitor exists to watch)
+    assert(r.getLong(3) >= 900000L, s"candidate recall ${r.getLong(3)} collapsed")
+    graft.Caches.clear()
+  }
+
   test("corpus_overlap_matrix: complete upper triangle, set-algebra bounds, exact recompute") {
     val out = Dedup.corpusOverlapMatrix(spark, sf).collect()
     val sources = Tables.documents(spark, sf)

@@ -266,6 +266,25 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("ann_recall_report reproduces each tier's spec floor in one query") {
+    val rows = Similarity.annRecallReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
+    // the same floors the per-tier tests assert, through the report road
+    val floors = Map("lsh" -> 800000L, "ivf" -> 750000L,
+                     "pq" -> 600000L, "ivfpq" -> 450000L)
+    rows.foreach { case (tier, (hits, expected, recall)) =>
+      assert(expected > 0 && hits <= expected, s"$tier counts inconsistent")
+      assert(recall == hits * 1000000L / expected, s"$tier recall arithmetic")
+      assert(recall >= floors(tier), s"$tier recall $recall below floor ${floors(tier)}")
+    }
+    // deterministic: the report is a pure function of corpus + memoized indexes
+    val again = Similarity.annRecallReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows == again)
+    graft.Caches.clear()
+  }
+
   test("doc_embedding_pool conserves the corpus micro-sums against the centroid operator") {
     val pool = Similarity.docEmbeddingPool(spark, sf).cache()
     val nVecs = Tables.embeddings(spark, sf).count()
