@@ -994,11 +994,33 @@ object Dedup {
         .as(Seq("band_idx", "band_hash")))
     val candTouching = candidatePairs(bands, "doc_id")
       .filter(col("a") % sampleMod === 0 || col("b") % sampleMod === 0)
-    val sampleSh = hashed.filter(col("doc_id") % sampleMod === 0)
-      .select(col("doc_id").as("pa"), col("hs").as("sh_a"))
-    val truth = hashed.select(col("doc_id").as("pb"), col("hs").as("sh_b"))
-      .join(Hints.maybeBroadcast(sampleSh), col("pa") =!= col("pb"))
-      .filter(jaccardX1000(col("sh_a"), col("sh_b")) >= tauX1000)
+    // EXACT truth via the inverted-index similarity join, not a
+    // sample×corpus nested loop: sample postings ⋈ corpus postings on
+    // the shingle hash, common-shingle counts per pair, then
+    // j = floor(1000·c/(na+nb−c)) — the same IEEE op sequence as
+    // [[jaccardX1000]] (shingle arrays are distinct by construction,
+    // so |∩| IS the posting-match count). Pairs sharing zero shingles
+    // — the overwhelming majority — never materialize at all, where
+    // the nested loop paid an O(|A|+|B|) intersection for each
+    // (measured 12.8 s → 2.5 s at sf0.1). One posting-keyed shuffle +
+    // one pair-keyed partial agg; posting-join fan-out is
+    // Σ_shingle df_sample·df_corpus — sample-bounded on one side, and
+    // the 100 TB dial is dropping ultra-hot shingles from the INDEX
+    // side (a documented recall trade this exact evaluator refuses).
+    val sampleSizes = hashed.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id").as("pa"), size(col("hs")).cast("long").as("na"))
+    val samplePost = hashed.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id").as("pa"), explode(col("hs")).as("h"))
+    val corpusPost = hashed
+      .select(col("doc_id").as("pb"), size(col("hs")).cast("long").as("nb"),
+              explode(col("hs")).as("h"))
+    val truth = corpusPost
+      .join(Hints.maybeBroadcast(samplePost), Seq("h"))
+      .filter(col("pa") =!= col("pb"))
+      .groupBy("pa", "pb", "nb").agg(count(lit(1)).as("c"))
+      .join(Hints.maybeBroadcast(sampleSizes), Seq("pa"))
+      .filter(floor(lit(1000.0) * col("c") / (col("na") + col("nb") - col("c")))
+                .cast("long") >= tauX1000)
       .select(least(col("pa"), col("pb")).as("a"),
               greatest(col("pa"), col("pb")).as("b"))
       .distinct()
