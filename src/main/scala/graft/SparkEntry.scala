@@ -1197,7 +1197,9 @@ object SparkEntry {
                   COUNT(*) AS n_intervals
            FROM iv GROUP BY user_id)
          SELECT user_id, num_cent_s, dur_s, n_intervals,
-                CASE WHEN dur_s > 0 THEN num_cent_s // dur_s END AS twa_cents
+                CASE WHEN dur_s <= 0 THEN NULL
+                     WHEN num_cent_s >= 0 THEN num_cent_s // dur_s
+                     ELSE -((-num_cent_s) // dur_s) END AS twa_cents
          FROM g ORDER BY user_id""",
     "stream_topk_trending" ->
       """WITH c AS (

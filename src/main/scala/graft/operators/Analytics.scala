@@ -1516,7 +1516,10 @@ object Analytics {
     * at 100 TB. All arithmetic integral: value in cents, Δt in whole
     * seconds (both engines derive them from the same epoch-ns), the
     * weighted sum a cents·seconds long (≤2^50 at any plausible user
-    * history), and the average its div quotient. A user's LAST event
+    * history), and the average its div quotient — TRUNC division
+    * (Spark `div` rounds toward zero; DuckDB's `//` floors, so the
+    * oracle spells out the sign handling — negative weighted sums
+    * would otherwise diverge by one cent). A user's LAST event
     * has no successor ⇒ no interval; single-event users therefore
     * have no rows, and a zero total duration (all events in one
     * second) yields a null average, never a divide-by-zero.

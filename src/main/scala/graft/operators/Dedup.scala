@@ -985,7 +985,8 @@ object Dedup {
   def dedupLshEval(s: SparkSession, dir: String,
                    nPerms: Int = 258, nBands: Int = 86,
                    tauX1000: Long = 500, sampleMod: Int = 20): DataFrame = {
-    require(nPerms % nBands == 0, "nPerms must divide into nBands")
+    require(nPerms % nBands == 0,
+      s"nBands ($nBands) must divide nPerms ($nPerms) evenly")
     require(sampleMod > 0, "sampleMod must be positive")
     GraftFunctions.ensureRegistered(s)
     val hashed = hashedShingles(s, dir, 2)

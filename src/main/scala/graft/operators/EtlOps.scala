@@ -212,6 +212,12 @@ object EtlOps {
     */
   def cascadeDelete(junction: DataFrame, deletes: Seq[(String, DataFrame)]): DataFrame = {
     require(deletes.nonEmpty, "cascadeDelete needs at least one (fk, deletedKeys) pair")
+    // one probe column per FK: two batches for the same FK must be
+    // unioned by the caller — a duplicate name would otherwise alias
+    // two __del_<fk> columns and fail ambiguously at analysis time
+    require(deletes.map(_._1).distinct.size == deletes.size,
+      s"duplicate FK names in cascadeDelete: ${deletes.map(_._1).mkString(", ")} — " +
+        "union the tombstone batches per FK before cascading")
     val tagged = deletes.foldLeft(junction) { case (acc, (fk, dels)) =>
       val keyCol = dels.columns.head
       val probe = dels.select(col(keyCol).cast(junction.schema(fk).dataType)
@@ -240,10 +246,11 @@ object EtlOps {
     * the oracle is closed-form over the testdata.
     */
   def cdcCascadeDelete(s: SparkSession, dir: String): DataFrame = {
-    val junction = Tables.lineitem(s, dir)
-      .groupBy("l_orderkey", "l_partkey")
-      .agg(min("l_linenumber").as("cast_order"),
-           count(lit(1)).as("n_lines"))
+    // THE junction the audit claims to cascade into — junctionBuild
+    // itself, not a re-derivation that could silently diverge from it
+    // (its trailing orderBy is optimization-neutral under the probe
+    // joins: EliminateSorts drops it)
+    val junction = junctionBuild(s, dir)
     val delOrders = Tables.orders(s, dir)
       .filter(col("o_orderkey") % 10 === 7).select("o_orderkey")
     val delParts = Tables.part(s, dir)

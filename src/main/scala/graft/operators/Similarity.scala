@@ -38,9 +38,17 @@ object Similarity {
   val KnnBroadcastLimitKey = "spark.graft.knnBroadcastLimit"
   val KnnBroadcastLimitDefault = "1g"
 
+  /** THE probe-batch predicate: every ANN tier and the recall
+    * comparisons against the exact baseline select probes through this
+    * one definition — a drifted copy would silently score different
+    * probe sets across tiers.
+    */
+  private def probeBatch(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 100 < 2)
+
   /** Deterministic probe subset — stands in for a query batch. */
   private def probes(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 100 < 2)
+    probeBatch(emb)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
 
   /** Exact cosine — the codegen'd Catalyst expression
@@ -91,7 +99,7 @@ object Similarity {
   def annFilteredTopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val emb = Tables.requireLabel(Tables.embeddings(s, dir))
-    val p = emb.filter(col("vec_id") % 100 < 2)
+    val p = probeBatch(emb)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
               col("label").as("probe_label"))
     val scored = emb
