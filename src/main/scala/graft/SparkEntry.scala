@@ -60,6 +60,7 @@ object SparkEntry {
     "rolling_active_users"  -> ((s, d) => Analytics.rollingActiveUsers(s, d)),
     "anomaly_zscore"        -> ((s, d) => Analytics.anomalyZscore(s, d)),
     "anomaly_mad"           -> ((s, d) => Analytics.anomalyMad(s, d)),
+    "anomaly_tukey"         -> ((s, d) => Analytics.anomalyTukey(s, d)),
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "conversion_lag_histogram" -> (Analytics.conversionLagHistogram _),
     "funnel_window_depth"   -> ((s, d) => Analytics.funnelWindowDepth(s, d)),
@@ -427,6 +428,28 @@ object SparkEntry {
          SELECT d.event_id, d.event_type, d.cents, d.adev_cents, md.mad_cents,
                 (d.adev_cents * 100 > 300 * md.mad_cents) AS is_outlier
          FROM d JOIN md USING (event_type) ORDER BY event_id""",
+    // explicit ⌈n/4⌉ / ⌈3n/4⌉ rank picks rather than quantile_disc —
+    // the quartile convention is the operator's own, mirrored exactly
+    "anomaly_tukey" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents FROM events),
+         r AS (
+           SELECT event_type, event_id, cents,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY cents, event_id) AS BIGINT) AS rk,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM e),
+         q AS (
+           SELECT event_type,
+                  MIN(CASE WHEN rk = (n + 3) // 4 THEN cents END) AS q1_cents,
+                  MIN(CASE WHEN rk = (3 * n + 3) // 4 THEN cents END) AS q3_cents
+           FROM r GROUP BY event_type)
+         SELECT e.event_id, e.event_type, e.cents, q.q1_cents, q.q3_cents,
+                q.q3_cents - q.q1_cents AS iqr_cents,
+                (e.cents * 100 < q.q1_cents * 100 - 150 * (q.q3_cents - q.q1_cents)
+                 OR e.cents * 100 > q.q3_cents * 100 + 150 * (q.q3_cents - q.q1_cents)) AS is_outlier
+         FROM e JOIN q USING (event_type) ORDER BY e.event_id""",
     "rolling_active_users" ->
       """WITH du AS (
            SELECT DISTINCT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day, user_id

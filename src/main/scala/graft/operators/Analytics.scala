@@ -522,6 +522,49 @@ object Analytics {
         (col("adev_cents") * 100 > lit(kX100) * col("mad_cents")).as("is_outlier"))
   }
 
+  /** Tukey IQR-fence outlier flags — the third member of the outlier
+    * family ([[anomalyZscore]] assumes normality, [[anomalyMad]]
+    * resists the outliers themselves; Tukey's fences are the boxplot
+    * rule every monitoring dashboard draws): flag values outside
+    * [Q1 − k·IQR, Q3 + k·IQR], k=1.5. Discrete quartiles at ranks
+    * ⌈n/4⌉ and ⌈3n/4⌉ of the (cents, event_id) total order — actual
+    * data values, integral, engine-exact; fences compared at ×100 so
+    * k=1.5 stays in integer arithmetic.
+    *
+    * ONE [[DistRank.withPrefix]] pass yields both quartile rows
+    * (where MAD needs two — deviation re-ranking), a bounded per-type
+    * pivot picks them out, and the fences broadcast back: never a
+    * per-type window sorting a corpus-scaling event type in one task.
+    */
+  def anomalyTukey(s: SparkSession, dir: String, kX100: Long = 150): DataFrame =
+    tukeyFlags(Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents")), kX100)
+      .orderBy("event_id")
+
+  /** [[anomalyTukey]]'s core over an explicit (event_id, event_type,
+    * cents) frame — factored for crafted-quartile specs. */
+  def tukeyFlags(eIn: DataFrame, kX100: Long): DataFrame = {
+    val e = graft.Caches.cached(eIn)
+    val quartiles = DistRank.withPrefix(e, Seq("event_type"),
+        Seq(col("cents"), col("event_id")), lit(1L), "__rk",
+        groupTotalOut = Some("__n"))
+      .filter(col("__rk") === expr("(__n + 3) div 4") ||
+              col("__rk") === expr("(3 * __n + 3) div 4"))
+      .groupBy("event_type")
+      .agg(min(when(col("__rk") === expr("(__n + 3) div 4"), col("cents")))
+             .as("q1_cents"),
+           min(when(col("__rk") === expr("(3 * __n + 3) div 4"), col("cents")))
+             .as("q3_cents"))
+    e.join(Hints.maybeBroadcast(quartiles), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("q1_cents"), col("q3_cents"),
+        (col("q3_cents") - col("q1_cents")).as("iqr_cents"),
+        (col("cents") * 100 < col("q1_cents") * 100 - lit(kX100) * (col("q3_cents") - col("q1_cents")) ||
+         col("cents") * 100 > col("q3_cents") * 100 + lit(kX100) * (col("q3_cents") - col("q1_cents")))
+          .as("is_outlier"))
+  }
+
   /** Per-event percentile STANDING within its type — percent_rank as
     * a feature column (the "is this purchase big FOR ITS KIND"
     * normalizer a scoring pipeline joins back onto events). The

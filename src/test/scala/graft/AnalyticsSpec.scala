@@ -882,6 +882,31 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("anomaly_tukey: crafted quartiles, fences, and the spike the fences catch") {
+    import spark.implicits._
+    // one type, values 1..9 plus a spike: n=10 → Q1 at rank 3, Q3 at
+    // rank 7 (ceil conventions), IQR known, only the spike flagged
+    val rows = ((1L to 9L).map(v => (v, "t", v)) :+ ((100L, "t", 10000L)))
+      .toDF("event_id", "event_type", "cents")
+    val out = graft.operators.Analytics.tukeyFlags(rows, 150)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    // n=10: q1 rank (10+3)/4=3 → 3; q3 rank (33)/4=8 → 8
+    out.values.foreach { case (q1, q3, iqr, _) =>
+      assert(q1 == 3L && q3 == 8L && iqr == 5L)
+    }
+    // fences ×100: lo = 300 − 750 = −450, hi = 800 + 750 = 1550 →
+    // values 1..9 (100..900) inside, the 10000-cent spike out
+    assert(out(100L)._4)
+    (1L to 9L).foreach(id => assert(!out(id)._4, s"value $id wrongly flagged"))
+    // corpus invariants: Q1 ≤ Q3 everywhere; flags are a strict minority
+    val corpus = Analytics.anomalyTukey(spark, sf).cache()
+    assert(corpus.filter(col("q1_cents") > col("q3_cents")).count() == 0)
+    assert(corpus.filter(col("is_outlier")).count() < corpus.count() / 4)
+    corpus.unpersist()
+    graft.Caches.clear()
+  }
+
   test("q7_nation_volume covers exactly the cross-nation lineitems") {
     val out = Analytics.q7NationVolume(spark, sf)
     // total cross-border revenue recomputed through a different join
