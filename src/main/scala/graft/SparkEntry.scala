@@ -1733,21 +1733,34 @@ object SparkEntry {
     "zorder_key" -> zorderOracle,
     "graph_label_prop" -> labelPropOracle,
     "hilbert_key" -> hilbertOracle,
+    // Every output column explicitly CAST (windowed SUM and its //
+    // quotient are HUGEINT in DuckDB — the driver hashes typed
+    // values); both divisions spell Spark's toward-zero `div` via the
+    // sign CASE (// floors — they diverge on negatives; precedent:
+    // the embedding_centroids oracle).
     "compaction_plan" ->
       """WITH f AS (
-           SELECT (epoch_ns(ts) // 1000000000) // 86400 * 86400 AS day_s,
+           SELECT CAST(CASE WHEN epoch_ns(ts) >= 0
+                    THEN (epoch_ns(ts) // 1000000000) // 86400
+                    ELSE -(((-epoch_ns(ts)) // 1000000000) // 86400)
+                  END * 86400 AS BIGINT) AS day_s,
                   CAST(COUNT(*) AS BIGINT) AS n_rows
            FROM events GROUP BY 1),
          p AS (
            SELECT day_s, n_rows,
-                  COALESCE(SUM(n_rows) OVER (ORDER BY day_s
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    // 50000 AS bin
-           FROM f)
+                  CAST(COALESCE(SUM(n_rows) OVER (ORDER BY day_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS rows_before
+           FROM f),
+         b AS (
+           SELECT day_s, n_rows,
+                  CAST(CASE WHEN rows_before >= 0 THEN rows_before // 50000
+                       ELSE -((-rows_before) // 50000) END AS BIGINT) AS bin
+           FROM p)
          SELECT day_s, n_rows, bin,
-                COUNT(*) OVER (PARTITION BY bin) AS bin_files,
+                CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files,
                 CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows
-         FROM p ORDER BY day_s""",
+         FROM b ORDER BY day_s""",
     "bm25_rank" -> bm25Oracle,
     // Positional bigrams via a correlated lateral range (start index
     // 1..len-1); c1 is the bigram-HEAD marginal (sum of c2 over w2),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.plans.GraftFunctions
@@ -103,29 +102,31 @@ object LayoutOps {
     *
     * This is a MANIFEST-level operator: its input is one row per
     * file, its cost O(files), never O(rows) — at 100 TB the plan runs
-    * over table metadata. The prefix window rides the global file
-    * order, bounded by the file count (calendar days here), not the
-    * corpus; a multi-million-file manifest would swap in
-    * [[graft.operators.DistRank.withPrefix]], the repo's standard
-    * prefix-at-scale form. Here the manifest is simulated from the
-    * events table (one "file" per event day, rows as the size proxy —
-    * the driver testdata ships one physical parquet per table, so
-    * day-grain stands in for the file listing); per-bin file counts
-    * and row totals ride along so the plan doubles as the rewrite
-    * job's work list.
+    * over table metadata. The ordered prefix rides
+    * [[graft.operators.DistRank.withPrefix]] (the repo's standard
+    * prefix-at-scale form: range-partitioned, no task ever sorts more
+    * than one partition's slice), so a multi-million-file manifest
+    * never funnels through a single-task global window — the same
+    * code path serves the 30-day simulated manifest and the real
+    * thing. Here the manifest is simulated from the events table (one
+    * "file" per event day, rows as the size proxy — the driver
+    * testdata ships one physical parquet per table, so day-grain
+    * stands in for the file listing); per-bin file counts and row
+    * totals ride along so the plan doubles as the rewrite job's work
+    * list.
     */
   def compactionPlan(s: SparkSession, dir: String, targetRows: Long = 50000): DataFrame = {
     require(targetRows > 0, s"targetRows $targetRows must be positive")
     val files = Tables.events(s, dir)
       .groupBy(expr("(ts_ns div 1000000000) div 86400 * 86400").as("day_s"))
       .agg(count(lit(1)).as("n_rows"))
-    val wPrefix = Window.orderBy("day_s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // exclusive prefix → bin id; coalesce(…, 0) covers the first file
-    val planned = files
-      .withColumn("rows_before", coalesce(sum(col("n_rows")).over(wPrefix), lit(0L)))
-      .withColumn("bin", expr(s"rows_before div $targetRows"))
-      .drop("rows_before")
+    // Exclusive prefix = inclusive DistRank prefix − own n_rows (day_s
+    // is unique after the groupBy, so the sort is a total order);
+    // bin = rows_before div target.
+    val planned = DistRank
+      .withPrefix(files, Nil, Seq(col("day_s")), col("n_rows"), "rows_incl")
+      .withColumn("bin", expr(s"(rows_incl - n_rows) div $targetRows"))
+      .drop("rows_incl")
     val binTotals = planned.groupBy("bin")
       .agg(count(lit(1)).as("bin_files"), sum("n_rows").as("bin_rows"))
     planned.join(Hints.maybeBroadcast(binTotals), Seq("bin"))

@@ -424,10 +424,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       "backlog_over_time" -> "day-grain cumsum, frame = distinct days",
       // suffix-min over the per-size min-price frame: bounded by the
       // p_size domain, not the catalog (Analytics.skylinePareto)
-      "skyline_pareto" -> "suffix-min over distinct p_size values",
-      // manifest-grain prefix: one row per FILE (event day here) —
-      // O(files) metadata, never O(rows) (LayoutOps.compactionPlan)
-      "compaction_plan" -> "file-manifest prefix, frame = distinct days")
+      "skyline_pareto" -> "suffix-min over distinct p_size values")
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Repartition, Window => LWindow}
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val shapes = fn(spark, sf).queryExecution.optimizedPlan.collect {
