@@ -93,14 +93,21 @@ object Bench {
     // replace the full-sweep record a reader compares rounds with; it
     // lands in BENCH_LOCAL_FILTERED.json. Clean full runs always claim
     // the canonical file.
+    // The same guard protects BOTH record files: a degraded run may
+    // only claim a file whose current record is itself degraded (or
+    // absent) — otherwise it is diverted to the _DEGRADED sibling.
+    def guarded(clean: String, diverted: String): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(clean)
+      if (degraded && java.nio.file.Files.exists(p)
+          && !java.nio.file.Files.readString(p).contains("\"degraded\":true"))
+        java.nio.file.Paths.get(diverted)
+      else p
+    }
     val canonical = java.nio.file.Paths.get("BENCH_LOCAL.json")
     val target =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
-        java.nio.file.Paths.get("BENCH_LOCAL_FILTERED.json")
-      else if (degraded && java.nio.file.Files.exists(canonical)
-          && !java.nio.file.Files.readString(canonical).contains("\"degraded\":true"))
-        java.nio.file.Paths.get("BENCH_LOCAL_DEGRADED.json")
-      else canonical
+        guarded("BENCH_LOCAL_FILTERED.json", "BENCH_LOCAL_FILTERED_DEGRADED.json")
+      else guarded("BENCH_LOCAL.json", "BENCH_LOCAL_DEGRADED.json")
     // Keep the previous record before the first flush overwrites it: a
     // degraded-environment run (round 10: 50 env-broken queries) would
     // otherwise destroy the only clean local record while still being

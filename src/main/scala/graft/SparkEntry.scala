@@ -30,6 +30,7 @@ object SparkEntry {
     "scd2_build"          -> (EtlOps.scd2Build _),
     "scd2_point_in_time"  -> (EtlOps.scd2PointInTime _),
     "ingest_quarantine"   -> (EtlOps.ingestQuarantine _),
+    "backfill_column"     -> (EtlOps.backfillColumn _),
     // Data quality / table lifecycle
     "table_diff"      -> ((s, d) => QualityOps.tableDiff(s, d)),
     "fk_orphans"      -> (QualityOps.fkOrphans _),
@@ -321,6 +322,22 @@ object SparkEntry {
                 MIN(CASE WHEN NOT ok THEN event_id END) AS first_quarantined_id,
                 MAX(CASE WHEN NOT ok THEN event_id END) AS last_quarantined_id
          FROM p GROUP BY event_type ORDER BY event_type""",
+    // Backfill: delta wins, non-delta keys keep base NULLs; flag only
+    // rows the delta actually filled. FLOOR(x*100) on the same IEEE
+    // double both sides; every output column CAST (dtype-stable hash).
+    "backfill_column" ->
+      """WITH base AS (
+           SELECT event_id, user_id, event_type,
+                  CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+           FROM events),
+         delta AS (
+           SELECT event_id, value AS new_value FROM events
+           WHERE event_id % 7 = 0 AND event_id % 3 = 0)
+         SELECT b.event_id, b.user_id, b.event_type,
+                CAST(FLOOR(COALESCE(d.new_value, b.value) * 100) AS BIGINT) AS value_cents,
+                CAST(CASE WHEN d.new_value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS backfilled
+         FROM base b LEFT JOIN delta d ON d.event_id = b.event_id
+         ORDER BY b.event_id""",
     "conversion_lag_histogram" ->
       """WITH s AS (
            SELECT user_id, MIN(epoch_ns(ts)) AS s_ns

@@ -367,19 +367,25 @@ object EtlOps {
     * quarantined id range as the reprocessing pointer. One row-local
     * parse projection + one bounded-key partial agg — the parse never
     * shuffles, the report is type-cardinality-sized. Parse verdict is
-    * field-level (`k` extracted non-null): identical under either
-    * null-struct or null-field malformed-row semantics, and matching
-    * the oracle's json_valid gate because every intact payload carries
-    * `k`.
+    * DOCUMENT-level: PERMISSIVE `from_json` routes any unparseable
+    * payload into a corrupt-record column, so ok = "parsed as a JSON
+    * document" exactly like the oracle's json_valid — a valid payload
+    * with a missing/null field is OK, not quarantined (the field-proxy
+    * gate this replaces depended on every intact payload carrying a
+    * non-null `k`). A NULL payload quarantines (json_valid(NULL) is
+    * not true), guarded explicitly because from_json maps NULL input
+    * to a null struct, not a corrupt record.
     */
   def ingestQuarantine(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val mangled = when(col("event_id") % 7 === 0,
         expr("substring(props, 1, length(props) - 1)"))
       .otherwise(col("props"))
+    val parsed = from_json(mangled,
+      org.apache.spark.sql.types.StructType.fromDDL("k INT, _corrupt STRING"),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
     ev.select(col("event_type"), col("event_id"),
-        from_json(mangled, org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-          .getField("k").isNotNull.as("ok"))
+        (mangled.isNotNull && parsed.getField("_corrupt").isNull).as("ok"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),
            sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
@@ -387,5 +393,63 @@ object EtlOps {
            min(when(!col("ok"), col("event_id"))).as("first_quarantined_id"),
            max(when(!col("ok"), col("event_id"))).as("last_quarantined_id"))
       .orderBy("event_type")
+  }
+
+  /** Targeted one-column backfill — the reference's enrich-later
+    * pattern (02_etl.py:66-69 loads `runtime_minutes` as NULL at
+    * ingest, a later pass fills it): merge a (key, value) delta into
+    * the base touching ONLY `column`. A delta value wins over whatever
+    * the base holds (the reference's backfill is an UPDATE by id);
+    * keys absent from the delta keep their base value — including
+    * NULL, the not-yet-enriched marker. Idempotent: rerunning the same
+    * delta is a no-op.
+    *
+    * Contract: `delta` carries exactly one row per key (the enrich
+    * job's output; collapse with [[upsert]] first if it can replay).
+    * Scale shape: ONE left join, broadcast when the delta batch is
+    * small ([[Hints.maybeBroadcast]] — an enrich batch usually is),
+    * falling back to a hash join keyed like any other big join. The
+    * base is never rewritten column-by-row; untouched columns stream
+    * through the join projection unchanged.
+    *
+    * `flagOut`, if set, adds a boolean marking rows the delta actually
+    * filled (a delta row carrying NULL provides nothing and is not a
+    * fill).
+    */
+  def backfill(base: DataFrame, delta: DataFrame, keys: Seq[String],
+               column: String, flagOut: Option[String] = None): DataFrame = {
+    require(keys.nonEmpty, "backfill needs at least one key column")
+    require(!keys.contains(column),
+      s"backfill column `$column` cannot also be a key")
+    val fill = "__graft_fill"
+    val d = delta.select((keys.map(col) :+ col(column).as(fill)): _*)
+    val joined = base.join(Hints.maybeBroadcast(d), keys, "left")
+      .withColumn(column, coalesce(col(fill), col(column)))
+    flagOut.fold(joined)(f => joined.withColumn(f, col(fill).isNotNull))
+      .drop(fill)
+  }
+
+  /** Demonstration query for [[backfill]] on the events table: rows
+    * with event_id % 7 == 0 are "loaded without the column" (value
+    * masked NULL — the reference's deferred runtime_minutes), and the
+    * enrich batch later supplies true values for the subset of them
+    * with event_id % 3 == 0. The result fills exactly that subset,
+    * preserves NULL for the rest (still awaiting enrichment), and
+    * touches no other column. value surfaces as floor-cents BIGINT —
+    * the repo's dtype-stable money convention.
+    */
+  def backfillColumn(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("value"))
+    val delta = ev
+      .filter(col("event_id") % 7 === 0 && col("event_id") % 3 === 0)
+      .select(col("event_id"), col("value"))
+    backfill(base, delta, Seq("event_id"), "value", Some("backfilled"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_cents"),
+        col("backfilled").cast("long").as("backfilled"))
+      .orderBy("event_id")
   }
 }

@@ -219,4 +219,39 @@ class EtlOpsSpec extends AnyFunSuite with SparkFixture {
     }
     j.unpersist(); out.unpersist()
   }
+
+  test("backfill fills only delta keys, preserves NULLs and other columns, idempotent") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "x", Option.empty[Double]),   // awaiting enrichment, delta has it
+      (2L, "y", Option.empty[Double]),   // awaiting enrichment, no delta row
+      (3L, "z", Some(5.0)),              // already loaded; delta overrides (UPDATE-by-id)
+      (4L, "w", Some(7.0))               // untouched
+    ).toDF("k", "other", "v")
+    val delta = Seq((1L, Some(1.5)), (3L, Some(9.0)), (5L, Some(2.0)))
+      .toDF("k", "v") // key 5 is absent from base: left join must drop it
+    val once = EtlOps.backfill(base, delta, Seq("k"), "v", Some("filled"))
+    val rows = once.orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(1.5), None, Some(9.0), Some(7.0)))
+    assert(rows.map(_.getBoolean(3)).toSeq == Seq(true, false, true, false))
+    // other columns stream through untouched
+    assert(rows.map(_.getString(1)).toSeq == Seq("x", "y", "z", "w"))
+    // idempotent: re-applying the same delta changes nothing
+    val twice = EtlOps.backfill(once.drop("filled"), delta, Seq("k"), "v")
+    assert(twice.exceptAll(once.drop("filled")).count() == 0)
+    assert(once.drop("filled").exceptAll(twice).count() == 0)
+  }
+
+  test("backfill: a delta row carrying NULL provides nothing and is not a fill") {
+    import spark.implicits._
+    val base  = Seq((1L, Some(3.0)), (2L, Option.empty[Double])).toDF("k", "v")
+    val delta = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double])).toDF("k", "v")
+    val out = EtlOps.backfill(base, delta, Seq("k"), "v", Some("filled"))
+      .orderBy("k").collect()
+    assert(!out(0).isNullAt(1) && out(0).getDouble(1) == 3.0) // base value survives
+    assert(out(1).isNullAt(1))                                // still awaiting enrichment
+    assert(out.map(_.getBoolean(2)).toSeq == Seq(false, false))
+  }
 }
