@@ -1559,7 +1559,11 @@ object SparkEntry {
     // crafted near-dup pairs sit well above tau, where SRP collision
     // probability is ≈1, so the hash-match holds; a regenerated fixture
     // with pairs at the threshold edge could flag a false mismatch —
-    // that would indict the fixture margin, not the operator.
+    // that would indict the fixture margin, not the operator. The
+    // grazing strip itself is fixture-proofed in DedupSpec
+    // ("catches threshold-GRAZING pairs"): 12 independent pairs at
+    // cosine ≈ 0.902 are asserted equal to the exact brute-force
+    // verdict, pinning banding recall at the threshold edge.
     "dedup_incremental_embedding" ->
       """WITH scored AS (
            SELECT d.vec_id AS vec_id, b.vec_id AS base_id

@@ -437,6 +437,79 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("dedup_incremental_embedding catches threshold-GRAZING pairs (cosine 0.900-0.905)") {
+    // The oracle-parity exposure this pins (SparkEntry scaladoc on the
+    // dedup_incremental_embedding oracle): the engine's SRP banding has
+    // ~2% per-pair miss probability for pairs sitting ON the tau=0.9
+    // threshold, while the DuckDB oracle is exact — the testdata's
+    // crafted pairs sit well above tau, so a hash mismatch has never
+    // been possible, but a REGENERATED fixture with grazing pairs
+    // could flag one. This spec builds 12 pairs at cosine ≈ 0.902
+    // (inside the [0.90, 0.905] grazing strip after float32 rounding)
+    // in 12 independent directions and asserts the engine equals the
+    // exact brute-force verdict — any banding miss on any pair fails
+    // loudly. Collision under the FIXED deterministic plane matrix is
+    // deterministic, so this pins the current recall behavior: a
+    // change to the SRP seed, plane matrix, band slicing, or bucket
+    // valve that degrades grazing recall breaks here, not in the
+    // driver's oracle gate.
+    import spark.implicits._
+    import graft.plans.GraftFunctions
+    GraftFunctions.ensureRegistered(spark)
+    val dim = 64
+    val rng = new scala.util.Random(20260814L)
+    def unit(): Array[Double] = {
+      val a = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val target = 0.902
+    val rows = (0 until 12).flatMap { i =>
+      val u = unit()
+      val raw = unit()
+      val proj = raw.zip(u).map { case (r, b) => r * b }.sum
+      val wRaw = raw.zip(u).map { case (r, b) => r - proj * b }
+      val wn = math.sqrt(wRaw.map(x => x * x).sum)
+      val w = wRaw.map(_ / wn)
+      val v = u.zip(w).map { case (b, ww) =>
+        target * b + math.sqrt(1 - target * target) * ww }
+      val baseId = 10L * i + 1          // base partition: id % 10 != 0
+      val deltaId = 10L * (i + 100)     // delta partition: id % 10 == 0
+      Seq(baseId -> u.map(_.toFloat), deltaId -> v.map(_.toFloat))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-graze").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    // every pair really is inside the grazing strip after f32 rounding
+    val emb = Tables.embeddings(spark, dir).cache()
+    val cosines = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").as("emb_d"))
+      .join(emb.filter(col("vec_id") % 10 =!= 0)
+              .select(col("vec_id").as("base_id"), col("embedding").as("emb_b")),
+            col("base_id") === col("vec_id") - 999) // deltaId 10(i+100) ↔ baseId 10i+1
+      .select(call_function("graft_cosine", col("emb_d"), col("emb_b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(cosines.length == 12 && cosines.forall(c => c >= 0.900 && c <= 0.905),
+      s"fixture drifted out of the grazing strip: ${cosines.mkString(", ")}")
+    val out = Dedup.dedupIncrementalEmbedding(spark, dir).cache()
+    // exact brute-force (the oracle's form) over the same fixture
+    val brute = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding").as("emb_d"))
+      .crossJoin(emb.filter(col("vec_id") % 10 =!= 0)
+                   .select(col("vec_id").as("base_id"), col("embedding").as("emb_b")))
+      .filter(call_function("graft_cosine", col("emb_d"), col("emb_b")) >= 0.9)
+      .groupBy("vec_id").agg(min("base_id").as("rep_base_id"))
+    val expect = emb.select("vec_id").filter(col("vec_id") % 10 === 0)
+      .join(brute, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("rep_base_id").isNotNull.as("is_near_dup"),
+              col("rep_base_id"))
+    assert(out.exceptAll(expect).count() == 0 && expect.exceptAll(out).count() == 0,
+      "banding missed a grazing pair the exact oracle catches")
+    // and the grazing pairs ARE the dup set: all 12 deltas flagged
+    assert(out.filter(col("is_near_dup")).count() == 12)
+    out.unpersist(); emb.unpersist()
+    graft.Caches.clear()
+  }
+
   test("dedup_paragraphs strips the shared unit, keeps unique units in order") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-para").toString
