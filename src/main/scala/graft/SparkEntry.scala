@@ -130,6 +130,7 @@ object SparkEntry {
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_filtered_topk"   -> ((s, d) => Similarity.annFilteredTopK(s, d)),
+    "ann_filtered_ivf"    -> ((s, d) => Similarity.annFilteredIvf(s, d)),
     "doc_embedding_pool"  -> ((s, d) => Similarity.docEmbeddingPool(s, d)),
     "ann_recall_report"   -> ((s, d) => Similarity.annRecallReport(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),

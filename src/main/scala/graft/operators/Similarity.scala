@@ -116,6 +116,66 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** Label-segmented IVF — the 100 TB serving form [[annFilteredTopK]]'s
+    * own doc names: the inverted lists are keyed (cell, label), so a
+    * filtered probe reads ONLY its probed cells' slice of its own
+    * label stratum and scores nothing else. Composes the existing IVF
+    * machinery ([[ivfAssigned]] — shared memoized quantizer, trained
+    * label-blind on the full corpus exactly like the unfiltered tier)
+    * with the label predicate IN THE JOIN KEY: the broadcast-hash
+    * probe join matches on (cell, label), which is the Spark plan of
+    * a segmented-list read — candidates outside the probe's stratum
+    * are rejected at the hash lookup, before any cosine runs.
+    *
+    * Pre-filtering, like the exact tier: post-filtering an unfiltered
+    * top-k loses recall whenever < k unfiltered neighbors share the
+    * label. Approximate BY CONTRACT (rows-only key): recall vs
+    * [[annFilteredTopK]] ≈ the probed fraction on the adversarially
+    * near-uniform test corpus; SimilaritySpec floors it and pins
+    * full-probe equality (nProbeCells = nCells reproduces the exact
+    * filtered result bit-for-bit — the segmentation itself loses
+    * nothing, only cell pruning does).
+    *
+    * Output schema matches [[annFilteredTopK]] so per-stratum recall
+    * is directly measurable.
+    */
+  def annFilteredIvf(s: SparkSession, dir: String, k: Int = 10,
+                     nCells: Int = 16, nProbeCells: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = graft.Caches.cached(
+      Tables.requireLabel(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("embedding"), col("label")))
+    val (assigned, centroids) = ivfAssigned(emb, nCells, dir)
+    val centers = s.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("cell", "centroid")
+    val cellRank = Window.partitionBy("probe_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probeCells = probeBatch(emb)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+              col("label").as("probe_label"))
+      .crossJoin(broadcast(centers))
+      .select(col("probe_id"), col("probe_emb"), col("probe_label"), col("cell"),
+              scoreX1e6(col("probe_emb"), col("centroid")).as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(cellRank))
+      .filter(col("cell_rank") <= nProbeCells)
+      .select(col("probe_id"), col("probe_emb"), col("probe_label"),
+              col("cell").as("p_cell"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    assigned
+      .join(broadcast(probeCells),
+            col("cell") === col("p_cell") && col("label") === col("probe_label"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
+              scoreX1e6(col("probe_emb"), col("embedding")).as("cosine_x1e6"))
+      // no distinct(): cells partition the corpus (see annIvfTopK)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "label", "cosine_x1e6")
+      .orderBy("probe_id", "rank")
+  }
+
   /** Scale path: banded (OR-amplified) SRP-LSH with MULTI-PROBE on the
     * broadcast side. Corpus and probes each compute `nBands` band keys;
     * a corpus vector is a candidate for a probe iff ANY band key
@@ -183,7 +243,9 @@ object Similarity {
         .setFeaturesCol("features").setPredictionCol("cell")
         .fit(withVec)
     }
-    (model.transform(withVec).select(col("vec_id"), col("embedding"), col("cell")),
+    // drop, not select: pass-through columns (e.g. the label a
+    // segmented index keeps alongside each posting) survive assignment
+    (model.transform(withVec).drop("features"),
      model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 

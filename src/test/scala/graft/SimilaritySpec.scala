@@ -330,6 +330,35 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("ann_filtered_ivf probing every cell equals the exact filtered tier; never leaks labels") {
+    // The segmentation loses nothing — only cell pruning does: with
+    // all cells probed the label-segmented IVF reproduces the exact
+    // pre-filtered result bit-for-bit.
+    val exact = Similarity.annFilteredTopK(spark, sf)
+    val all = Similarity.annFilteredIvf(spark, sf, nCells = 8, nProbeCells = 8)
+    assert(exact.exceptAll(all).count() == 0 && all.exceptAll(exact).count() == 0)
+    // and at the default pruning dial, neighbors still never cross strata
+    val out = Similarity.annFilteredIvf(spark, sf).cache()
+    val probeLabels = Tables.requireLabel(Tables.embeddings(spark, sf))
+      .filter(col("vec_id") % 100 < 2)
+      .select(col("vec_id").as("probe_id"), col("label").as("pl"))
+    assert(out.join(probeLabels, "probe_id").filter(col("label") =!= col("pl")).count() == 0)
+    out.unpersist()
+    graft.Caches.clear()
+  }
+
+  test("ann_filtered_ivf recalls >= 70% of the exact filtered top-k at the default dial") {
+    // Same adversarially-uniform-corpus caveat as the unfiltered IVF
+    // floor: recall ≈ the probed fraction (8/16); the bound leaves
+    // KMeans-drift headroom, the all-cells test above pins exactness.
+    val exact = Similarity.annFilteredTopK(spark, sf).select("probe_id", "neighbor_id")
+    val ivf = Similarity.annFilteredIvf(spark, sf).select("probe_id", "neighbor_id")
+    val nExact = exact.count()
+    val hit = exact.intersect(ivf).count()
+    assert(nExact > 0 && hit.toDouble / nExact >= 0.70, s"recall ${hit.toDouble / nExact}")
+    graft.Caches.clear()
+  }
+
   test("knn_graph refuses a corpus whose plan-estimated size exceeds the broadcast limit") {
     spark.conf.set(Similarity.KnnBroadcastLimitKey, "1") // 1 byte: any corpus trips it
     try {
