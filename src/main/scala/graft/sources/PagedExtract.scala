@@ -89,12 +89,20 @@ object PagedExtract {
     var attempt = 0
     while (true) {
       try return fetchPage(page)
-      catch { case e: Exception =>
-        attempt += 1
-        if (attempt > maxRetries)
+      catch {
+        // same fail-fast classification as the distributed commit
+        // loop: a permanent upstream answer aborts without retries
+        // (the landed prefix is intact either way)
+        case e: HttpTransport.PermanentFetchError =>
           throw new RuntimeException(
-            s"page $page failed after $maxRetries retries (landed prefix is intact)", e)
-        sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x, ...
+            s"page $page failed permanently (no retry: upstream answered) — " +
+            "landed prefix is intact", e)
+        case e: Exception =>
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new RuntimeException(
+              s"page $page failed after $maxRetries retries (landed prefix is intact)", e)
+          sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x, ...
       }
     }
     None // unreachable
@@ -253,6 +261,12 @@ object PagedExtract {
             fs.delete(tmp, false)
           done = true
         } catch {
+          // A transport-classified PERMANENT answer (HTTP 4xx — see
+          // HttpTransport) fails the unit fast: retrying re-asks a
+          // question the upstream already answered, burning backoff
+          // budget against an endpoint that said no.
+          case e: HttpTransport.PermanentFetchError =>
+            lastErr = e; attempt = maxRetries + 1
           // NonFatal excludes InterruptedException: a killed or
           // cancelled task must STOP fetching, not treat the
           // interrupt as one more transient upstream error.

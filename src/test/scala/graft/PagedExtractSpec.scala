@@ -253,4 +253,121 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(3) == i / 64 + 1, s"doc ${docs(i)} page")
     }
   }
+
+  // ----------------------------------------------------------------
+  // real-HTTP adapter (localhost stub server — no external network)
+  // ----------------------------------------------------------------
+
+  import graft.sources.HttpTransport
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+  /** Stub HTTP upstream on an ephemeral localhost port. `route` maps
+    * (unit, server-side attempt#) → (status, body); every request is
+    * bearer-checked (wrong/missing token → 401, which the adapter must
+    * classify PERMANENT — so an auth regression fails the whole
+    * landing loudly, not via a counter).
+    */
+  private def withStubServer(run: String, token: String)
+                            (route: (Int, Int) => (Int, String))
+                            (body: String => Unit): Unit = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (x: HttpExchange) => {
+      try {
+        val auth = Option(x.getRequestHeaders.getFirst("Authorization"))
+        val unit = x.getRequestURI.getQuery.stripPrefix("u=").toInt
+        val attempt = FetchLog.bump(run, unit)
+        val (code, payload) =
+          if (!auth.contains(s"Bearer $token")) (401, "")
+          else route(unit, attempt)
+        val bytes = payload.getBytes("UTF-8")
+        x.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
+        if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+        x.close()
+      } catch { case _: Throwable =>
+        // best-effort 500 (headers may already be sent, or the client
+        // may have timed out and closed the socket)
+        try x.sendResponseHeaders(500, -1L) catch { case _: Throwable => () }
+        x.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("HTTP page adapter: bearer auth lands through the shared loop; 503/429 retried, 404 fails fast") {
+    val run = "http_pages"
+    withStubServer(run, token = "sekrit") {
+      case (7, _) => (404, "")                       // permanent: gone
+      case (3, 1) => (503, "")                       // transient: first ask only
+      case (5, 1) => (429, "")                       // transient: rate limit
+      case (p, _) => (200, (0 until 2)
+        .map(i => s"""{"id":${(p - 1) * 2 + i},"page":$p}""").mkString("\n"))
+    } { baseUrl =>
+      val cfg = HttpTransport.HttpConfig(baseUrl, bearerToken = Some("sekrit"))
+      val api = new HttpTransport.HttpPageApi(cfg, 10, p => s"/pages?u=$p")
+      val dir = newDir()
+      val report = PagedExtract.land(spark, api, dir, maxRetries = 3, backoffMs = 1)
+      assert(report.landed == Seq(1, 2, 3, 4, 5, 6, 8, 9, 10))
+      assert(report.failed.map(_._1) == Seq(7))
+      assert(report.failed.head._2.contains("HTTP 404"),
+        s"failure must carry the status: ${report.failed.head._2}")
+      // classification drove the SHARED commit loop's retry budget:
+      // transient pages re-asked once, the permanent page exactly once
+      // despite maxRetries=3
+      assert(FetchLog.count(run, 3) == 2 && FetchLog.count(run, 5) == 2)
+      assert(FetchLog.count(run, 7) == 1, "4xx must not be retried")
+      assert(FetchLog.count(run, 1) == 1)
+      // landed bodies round-trip through the normal distributed read
+      val rows = PagedExtract.readLanded(spark, dir, schema)
+      assert(rows.count() == 18)
+      assert(rows.filter(org.apache.spark.sql.functions.col("page") === 3).count() == 2)
+    }
+  }
+
+  test("HTTP keyed adapter: read timeout is transient (retried), wrong token is permanent") {
+    import spark.implicits._
+    val run = "http_keys"
+    withStubServer(run, token = "sekrit") {
+      case (2, 1) => Thread.sleep(400); (200, "late")  // client times out first ask
+      case (k, _) => (200, (0 until 2)
+        .map(i => s"""{"parent":$k,"detail":${k * 10 + i}}""").mkString("\n"))
+    } { baseUrl =>
+      val cfg = HttpTransport.HttpConfig(baseUrl, bearerToken = Some("sekrit"),
+        readTimeoutMs = 100)
+      val api = new HttpTransport.HttpKeyedApi(cfg, k => s"/key?u=$k")
+      val dir = newDir()
+      val report = PagedExtract.landKeyed(spark, Seq(1L, 2L, 3L).toDF("k"), api, dir,
+        maxRetries = 3, backoffMs = 1)
+      assert(report.ok && report.landed == Seq(1L, 2L, 3L))
+      assert(FetchLog.count(run, 2) >= 2, "timed-out fetch must be retried")
+      assert(PagedExtract.readLandedKeys(spark, dir, kschema).count() == 6)
+
+      // Same server, wrong token: every key 401s — permanent, so each
+      // is asked exactly once and the run reports every key failed.
+      val badCfg = HttpTransport.HttpConfig(baseUrl, bearerToken = Some("wrong"))
+      val badApi = new HttpTransport.HttpKeyedApi(badCfg, k => s"/key?u=$k")
+      val bad = PagedExtract.landKeyed(spark, Seq(21L, 22L).toDF("k"), badApi, newDir(),
+        maxRetries = 3, backoffMs = 1)
+      assert(!bad.ok && bad.failed.map(_._1) == Seq(21L, 22L))
+      assert(bad.failed.forall(_._2.contains("HTTP 401")))
+      Seq(21, 22).foreach(k =>
+        assert(FetchLog.count(run, k) == 1, s"401 on key $k must not be retried"))
+    }
+  }
+
+  test("serial extract fails fast on a permanent upstream answer — zero backoff sleeps") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val dir = newDir()
+    val e = intercept[RuntimeException] {
+      PagedExtract.extract(
+        page => if (page <= 2) Some(Seq(s"""{"p":$page}"""))
+                else throw new HttpTransport.PermanentFetchError("HTTP 404 from GET /p?u=3"),
+        dir, maxRetries = 5, sleep = sleeps += _)
+    }
+    assert(e.getMessage.contains("permanently") && sleeps.isEmpty)
+    // the landed prefix survives the abort
+    assert(PagedExtract.landedPages(spark, dir) == Set(1, 2))
+  }
 }
