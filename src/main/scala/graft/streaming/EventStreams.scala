@@ -296,9 +296,18 @@ object EventStreams {
     * (max is order-insensitive), so replayed partitions and unordered
     * micro-batches converge to the same state — the idempotence that
     * makes the operator safe behind an at-least-once source. State is
-    * one fixed-size register per LIVE key, sharded by key across the
-    * state store: 100 TB of change history costs |keys| registers,
-    * never the log.
+    * one fixed-size register per key EVER SEEN — tombstoned keys
+    * deliberately keep theirs: the 'D' register is what absorbs a
+    * late replay of an older 'U' for that key (drop the register and
+    * the replay RESURRECTS the deleted row). Sharded by key across
+    * the state store: 100 TB of change history costs |keys| registers,
+    * never the log. A deployment with unbounded key churn bounds that
+    * by retiring registers past its replay horizon — watermark +
+    * GroupStateTimeout.EventTimeTimeout, trading resurrection-safety
+    * inside the horizon for state that tracks live keys; this
+    * operator keeps NoTimeout because its contract is exact
+    * convergence under arbitrary replay (StreamingSpec shuffles and
+    * replays batches and asserts state equals the batch collapse).
     */
   def cdcState(changes: Dataset[Ev]): Dataset[CdcOut] = {
     import changes.sparkSession.implicits._
