@@ -112,6 +112,10 @@ object SparkEntry {
     "q10_returned_revenue" -> (Analytics.q10ReturnedRevenue _),
     "q7_nation_volume"     -> (Analytics.q7NationVolume _),
     "q18_large_orders"   -> ((s, d) => Analytics.q18LargeOrders(s, d)),
+    "q6_forecast_revenue"   -> (Analytics.q6ForecastRevenue _),
+    "q14_promo_share"       -> (Analytics.q14PromoShare _),
+    "q15_top_supplier"      -> (Analytics.q15TopSupplier _),
+    "q19_discounted_revenue" -> (Analytics.q19DiscountedRevenue _),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -2248,6 +2252,50 @@ object SparkEntry {
          GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
          ORDER BY revenue DESC, c.c_custkey
          LIMIT 20""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+    // per-row micro-unit flooring (identical IEEE product both
+    // engines), ppm via HUGEINT multiply-floor-divide: sums are
+    // non-negative so // == Spark's decimal div here
+    "q14_promo_share" ->
+      """WITH r AS (
+           SELECT CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT) AS rev_micro,
+                  p.p_type
+           FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+             AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00')
+         SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_micro ELSE 0 END) AS BIGINT) AS promo_micro,
+                CAST(SUM(rev_micro) AS BIGINT) AS total_micro,
+                CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_micro ELSE 0 END) AS HUGEINT)
+                     * 1000000 // CAST(SUM(rev_micro) AS HUGEINT) AS BIGINT) AS promo_ppm
+         FROM r""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 1000000) AS BIGINT)) AS BIGINT)
+                    AS total_rev_micro
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY l_suppkey)
+         SELECT s.s_suppkey, s.s_name, rev.total_rev_micro
+         FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+         WHERE rev.total_rev_micro = (SELECT MAX(total_rev_micro) FROM rev)
+         ORDER BY s.s_suppkey""",
+    "q19_discounted_revenue" ->
+      """SELECT CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30)""",
     "q18_large_orders" ->
       """SELECT c.c_name, c.c_custkey, o.o_orderkey,
                 CAST(o.o_orderdate AS DATE) AS orderdate,

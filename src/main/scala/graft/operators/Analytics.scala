@@ -216,6 +216,119 @@ object Analytics {
       .limit(100)
   }
 
+  /** TPC-H Q6 shape: the forecast-revenue-change scan — one fact
+    * table, three range predicates, one global sum. The POINT of this
+    * query is what is absent: no join, no group key, no window — a
+    * correct plan is a parquet scan with every predicate PUSHED
+    * (shipdate range, discount band, quantity cap all reach
+    * PushedFilters; ReadSchema carries exactly the four referenced
+    * columns), a partial sum per partition, and a 1-row exchange.
+    * At 100 TB this is the query shape where pushdown is the whole
+    * performance story: row-group min/max stats skip every
+    * out-of-window month of a date-clustered table. Revenue is
+    * price×discount — exact through the DECIMAL road
+    * ([[graft.functions.OracleSafe.sum4]]).
+    */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") <  to_timestamp(lit("1997-01-01 00:00:00")) &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24.0)
+      .agg(sum4(col("l_extendedprice") * col("l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q14 shape: promo-revenue share of a month — the
+    * conditional-aggregate ratio. One month of lineitem (pushed range
+    * scan) joins the part dimension through a size-guarded broadcast;
+    * both the promo-only and total revenue accumulate in the SAME
+    * partial aggregate pass (a conditional sum is free once the rows
+    * are flowing — the anti-pattern is two scans or a self-join). The
+    * ratio is integral end to end: per-row revenue is floored to
+    * micro-units (identical IEEE product both engines, then floor —
+    * the repo's money convention), and the share is a parts-per-million
+    * BIGINT via exact DECIMAL(38) multiply-divide, never a float
+    * division whose final rounding could differ across engines.
+    */
+  def q14PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_type")
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+      .cast("long")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-01 00:00:00")) &&
+              col("l_shipdate") <  to_timestamp(lit("1997-04-01 00:00:00")))
+      .select(col("l_partkey"), rev.as("rev_micro"))
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_micro")).otherwise(0L))
+             .as("promo_micro"),
+           sum(col("rev_micro")).as("total_micro"))
+      .select(col("promo_micro"), col("total_micro"),
+        call_function("div",
+          col("promo_micro").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 1000000,
+          col("total_micro").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("promo_ppm"))
+  }
+
+  /** TPC-H Q15 shape: the top supplier by quarter revenue — an
+    * aggregate compared against ITS OWN maximum (the correlated
+    * `= (SELECT max(...))` subquery, decorrelated). Per-supplier
+    * revenue is one partial-agg shuffle over the quarter's pushed
+    * scan; the 1-row maximum then broadcasts back over the per-supplier
+    * frame (the repo's documented broadcast-1-row-total idiom — a
+    * window max over an unpartitioned frame would funnel the supplier
+    * set through one task at scale, and a self-join on the max value
+    * shuffles twice). Ties all surface, deterministically ordered —
+    * TPC-H's own spec keeps every max-revenue supplier. Revenue in
+    * exact micro-units so the equality against the max is integer,
+    * not a float compare.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+      .cast("long")
+    val perSupp = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("l_shipdate") <  to_timestamp(lit("1996-04-01 00:00:00")))
+      .select(col("l_suppkey"), rev.as("rev_micro"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("rev_micro")).as("total_rev_micro"))
+    val best = perSupp.agg(max(col("total_rev_micro")).as("max_rev_micro"))
+    perSupp.crossJoin(broadcast(best))
+      .filter(col("total_rev_micro") === col("max_rev_micro"))
+      .join(Hints.maybeBroadcast(
+              Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_micro"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19 shape: disjunctive bracket pricing — revenue over an OR
+    * of three (brand, size-range, quantity-range) conjuncts that each
+    * SPAN the join (part attributes AND lineitem attributes in one
+    * bracket). The disjunction cannot be pushed whole, and that is the
+    * query's lesson: Catalyst still derives the per-side residuals it
+    * CAN push (quantity ∈ [covering hull] on the scan side, size/brand
+    * hull on the dimension side) and evaluates the full OR row-local
+    * inside the broadcast-hash join — one pass, no fact shuffle at
+    * all when part broadcasts. The naive translation (three separate
+    * scan+join branches unioned) reads the fact table three times for
+    * identical output.
+    */
+  def q19DiscountedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    def bracket(brand: String, sizeMax: Int, qtyLo: Double, qtyHi: Double) =
+      col("p_brand") === brand &&
+      col("p_size") >= 1 && col("p_size") <= sizeMax &&
+      col("l_quantity") >= qtyLo && col("l_quantity") <= qtyHi
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket("Brand#12", 5, 1, 11) ||
+              bracket("Brand#23", 10, 10, 20) ||
+              bracket("Brand#3", 15, 20, 30))
+      .agg(sum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"))
+  }
+
   /** Projection + predicate that must reach the parquet scan
     * (PushedFilters / 3-column ReadSchema in the plan).
     */

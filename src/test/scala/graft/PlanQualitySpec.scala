@@ -25,6 +25,46 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       && !readSchema.contains("l_shipdate"), s"schema not pruned: $readSchema")
   }
 
+  // The scan's PushedFilters metadata line truncates at
+  // maxMetadataStringLength (default 100 chars) — too short to SEE all
+  // of a multi-predicate pushdown. Widen for the assertion, restore.
+  private def planFullMeta(df: => DataFrame): String = {
+    val key = "spark.sql.maxMetadataStringLength"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "4096")
+    try plan(df)
+    finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("q6: every range predicate pushed to the scan, 4-column ReadSchema, no join/window") {
+    val p = planFullMeta(Analytics.q6ForecastRevenue(spark, sf))
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)").foreach(f =>
+      assert(p.contains(f), s"predicate $f not pushed:\n$p"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+      .split("ReadSchema: ").last
+    Seq("l_orderkey", "l_returnflag", "l_tax").foreach(c =>
+      assert(!readSchema.contains(c), s"schema not pruned of $c: $readSchema"))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"Q6 must be scan+aggregate only:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no map-side partial aggregate:\n$p")
+  }
+
+  test("q19: the OR-of-brackets runs in ONE fact scan inside a broadcast join") {
+    val p = planFullMeta(Analytics.q19DiscountedRevenue(spark, sf))
+    val lineitemScans = p.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(lineitemScans == 1,
+      s"disjunction must not fan into per-bracket scans ($lineitemScans lineitem scans):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim not broadcast:\n$p")
+    // the quantity hull Catalyst CAN derive from the disjunction is pushed
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)") &&
+           p.contains("LessThanOrEqual(l_quantity,30.0)"),
+      s"covering quantity hull not pushed:\n$p")
+  }
+
   test("q3 broadcasts the customer dim and takes top-10 without a global sort") {
     val p = plan(Analytics.q3TopUnshipped(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"dim not broadcast:\n$p")
