@@ -37,6 +37,7 @@ object SparkEntry {
     "profile_columns" -> (QualityOps.profileColumns _),
     "dq_expectations" -> (QualityOps.dqExpectations _),
     "profile_drift"   -> ((s, d) => QualityOps.profileDrift(s, d)),
+    "dq_freshness"    -> ((s, d) => QualityOps.dqFreshness(s, d)),
     "customer_rfm"    -> ((s, d) => Analytics.customerRfm(s, d)),
     "stream_topk_trending" -> ((s, d) => Analytics.streamTopkTrending(s, d)),
     "gap_fill_locf"   -> ((s, d) => Analytics.gapFillLocf(s, d)),
@@ -145,6 +146,7 @@ object SparkEntry {
     "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
     "embedding_centroids" -> (Similarity.embeddingCentroids _),
+    "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "kmeans_step"         -> ((s, d) => Similarity.kmeansStep(s, d)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
@@ -165,6 +167,7 @@ object SparkEntry {
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
     "hilbert_key"       -> ((s, d) => LayoutOps.hilbertKey(s, d)),
     "compaction_plan"   -> ((s, d) => LayoutOps.compactionPlan(s, d)),
+    "partition_stats"   -> ((s, d) => LayoutOps.partitionStats(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
@@ -958,6 +961,19 @@ object SparkEntry {
          SELECT col_name, bucket, n_base, n_cur, p_base_x1e6, p_cur_x1e6,
                 CAST(SUM(ABS(p_cur_x1e6 - p_base_x1e6)) OVER (PARTITION BY col_name) // 2 AS BIGINT) AS col_tvd_x1e6
          FROM q ORDER BY col_name, bucket""",
+    // lag vs the corpus watermark in whole seconds; µs/s divisions are
+    // trunc both sides (non-negative: corpus max >= every per-type max)
+    "dq_freshness" ->
+      """WITH pt AS (
+           SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(MAX(epoch_ns(ts) // 1000) AS BIGINT) AS last_ts_us
+           FROM events GROUP BY event_type),
+         c AS (SELECT CAST(MAX(last_ts_us) AS BIGINT) AS corpus_ts_us FROM pt)
+         SELECT pt.event_type, pt.n_rows, pt.last_ts_us,
+                CAST((c.corpus_ts_us - pt.last_ts_us) // 1000000 AS BIGINT) AS lag_s,
+                (c.corpus_ts_us - pt.last_ts_us) // 1000000 > 604800 AS is_stale
+         FROM pt CROSS JOIN c
+         ORDER BY pt.event_type""",
     "dq_expectations" ->
       """WITH a AS (
            SELECT COUNT(*) AS n_rows,
@@ -1485,6 +1501,31 @@ object SparkEntry {
                 CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vectors
                      ELSE -((-sum_micro) // n_vectors) END AS BIGINT) AS centroid_micro
          FROM s ORDER BY label, pos""",
+    // Positions road again; trunc-division CASE on the centroid (sums
+    // can be negative), HUGEINT for the mean-comparison products so no
+    // corpus size overflows the verdict (engine: DECIMAL(38)).
+    "embedding_outliers" ->
+      """WITH p AS (SELECT unnest(range(1, 65)) AS pos),
+         e AS (SELECT vec_id, label, p.pos AS pos,
+                 CAST(FLOOR(1000000 * CAST(embedding[p.pos] AS DOUBLE)) AS BIGINT) AS e_micro
+               FROM embeddings CROSS JOIN p),
+         c AS (SELECT label, pos, CAST(SUM(e_micro) AS BIGINT) AS sum_micro,
+                 COUNT(*) AS n_vectors
+               FROM e GROUP BY label, pos),
+         cc AS (SELECT label, pos,
+                 CAST(CASE WHEN sum_micro >= 0 THEN sum_micro // n_vectors
+                      ELSE -((-sum_micro) // n_vectors) END AS BIGINT) AS centroid_micro
+                FROM c),
+         d AS (SELECT e.vec_id, e.label,
+                 CAST(SUM((e.e_micro - cc.centroid_micro) * (e.e_micro - cc.centroid_micro)) AS BIGINT) AS dist2
+               FROM e JOIN cc ON cc.label = e.label AND cc.pos = e.pos
+               GROUP BY e.vec_id, e.label),
+         st AS (SELECT label, COUNT(*) AS n_label, CAST(SUM(dist2) AS HUGEINT) AS sum_dist2
+                FROM d GROUP BY label)
+         SELECT d.vec_id, d.label, d.dist2,
+                CAST(d.dist2 AS HUGEINT) * st.n_label > 2 * st.sum_dist2 AS is_outlier
+         FROM d JOIN st ON st.label = d.label
+         ORDER BY d.vec_id""",
     // embedding_centroids' exact micro-sum arithmetic on the doc key
     // (vec_id div 4 — the chunk-encoding layout), same TRUNC-division
     // sign handling
@@ -1787,6 +1828,28 @@ object SparkEntry {
                 CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files,
                 CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows
          FROM b ORDER BY day_s""",
+    // day files, uid zone maps, pairwise range-overlap counts; ppm via
+    // trunc div on non-negative counts (== //); every column CAST
+    "partition_stats" ->
+      """WITH f AS (
+           SELECT CAST((epoch_ns(ts) // 1000000000) // 86400 * 86400 AS BIGINT) AS day_s,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows,
+                  CAST(MIN(user_id) AS BIGINT) AS uid_min,
+                  CAST(MAX(user_id) AS BIGINT) AS uid_max
+           FROM events GROUP BY 1),
+         ov AS (
+           SELECT a.day_s,
+                  CAST(COUNT(b.day_s) AS BIGINT) AS n_overlapping
+           FROM f a LEFT JOIN f b
+             ON a.day_s <> b.day_s
+            AND a.uid_min <= b.uid_max AND b.uid_min <= a.uid_max
+           GROUP BY a.day_s),
+         t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM f)
+         SELECT f.day_s, f.n_rows,
+                CAST(f.n_rows * 1000000 // t.total_rows AS BIGINT) AS rows_ppm,
+                f.uid_min, f.uid_max, ov.n_overlapping
+         FROM f JOIN ov ON ov.day_s = f.day_s CROSS JOIN t
+         ORDER BY f.day_s""",
     "bm25_rank" -> bm25Oracle,
     // Positional bigrams via a correlated lateral range (start index
     // 1..len-1); c1 is the bigram-HEAD marginal (sum of c2 over w2),

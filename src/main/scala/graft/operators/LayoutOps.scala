@@ -133,4 +133,42 @@ object LayoutOps {
       .select("day_s", "n_rows", "bin", "bin_files", "bin_rows")
       .orderBy("day_s")
   }
+
+  /** Partition/zone-map statistics — the layout-ANALYSIS half that
+    * tells you whether [[clusterByZorder]]-style rewrites are needed:
+    * per file (event day, as in [[compactionPlan]]), its row count
+    * and share, its `user_id` min/max — the parquet footer zone map a
+    * predicate on that column would prune with — and
+    * `n_overlapping`: how many OTHER files' [min, max] ranges
+    * intersect this one's. That count IS the clustering-effectiveness
+    * metric: on a user-clustered layout it approaches 0 and an
+    * equality predicate reads ~1 file; on arrival-order ingest (what
+    * the reference writes, and what this testdata simulates) every
+    * file spans the whole id domain, n_overlapping = files−1, and
+    * min/max stats prune NOTHING — the number that justifies the
+    * rewrite. Manifest-level like the planner: O(files) input, one
+    * bounded self-interval-join (day-grain here; a multi-million-file
+    * manifest would range-bucket the interval join the way
+    * `range_join_buckets` does), every output column integral.
+    */
+  def partitionStats(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.events(s, dir)
+      .groupBy(expr("(ts_ns div 1000000000) div 86400 * 86400").as("day_s"))
+      .agg(count(lit(1)).as("n_rows"),
+           min("user_id").as("uid_min"), max("user_id").as("uid_max"))
+    val other = files.select(col("day_s").as("o_day"),
+      col("uid_min").as("o_min"), col("uid_max").as("o_max"))
+    val overlaps = files
+      .join(Hints.maybeBroadcast(other),
+            col("day_s") =!= col("o_day") &&
+            col("uid_min") <= col("o_max") && col("o_min") <= col("uid_max"), "left")
+      .groupBy("day_s", "n_rows", "uid_min", "uid_max")
+      .agg(sum(when(col("o_day").isNotNull, 1L).otherwise(0L)).as("n_overlapping"))
+    val tot = files.agg(sum("n_rows").as("total_rows"))
+    overlaps.crossJoin(broadcast(tot))
+      .select(col("day_s"), col("n_rows"),
+              expr("(n_rows * 1000000) div total_rows").as("rows_ppm"),
+              col("uid_min"), col("uid_max"), col("n_overlapping"))
+      .orderBy("day_s")
+  }
 }

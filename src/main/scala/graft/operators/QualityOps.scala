@@ -294,4 +294,31 @@ object QualityOps {
               "p_base_x1e6", "p_cur_x1e6", "col_tvd_x1e6")
       .orderBy("col_name", "bucket")
   }
+
+  /** Data-freshness monitor — the lifecycle check [[dqExpectations]]'
+    * value rules don't cover: per event type, when did data LAST
+    * arrive, and how stale is that against the corpus watermark? A
+    * feed that silently stops (upstream outage, dropped topic,
+    * expired credential) passes every value expectation while its lag
+    * grows — this is the row that pages someone. Lag is measured
+    * against the corpus's own max timestamp, not wall clock, so the
+    * monitor is deterministic over a fixed snapshot and oracle-exact
+    * (a wall-clock variant just swaps the watermark literal in).
+    * One bounded-key partial agg + a 1-row broadcast back over the
+    * per-type frame; µs/s arithmetic all-integral.
+    */
+  def dqFreshness(s: SparkSession, dir: String,
+                  staleAfterSec: Long = 7L * 86400): DataFrame = {
+    require(staleAfterSec > 0, s"staleAfterSec $staleAfterSec must be positive")
+    val perType = Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+           max(expr("ts_ns div 1000")).as("last_ts_us"))
+    val corpus = perType.agg(max("last_ts_us").as("corpus_ts_us"))
+    perType.crossJoin(broadcast(corpus))
+      .select(col("event_type"), col("n_rows"), col("last_ts_us"),
+              expr("(corpus_ts_us - last_ts_us) div 1000000").as("lag_s"))
+      .withColumn("is_stale", col("lag_s") > staleAfterSec)
+      .orderBy("event_type")
+  }
 }

@@ -621,6 +621,50 @@ object Similarity {
     * oracle mirrors truncation explicitly (DuckDB `//` floors).
     * Dimension is locked by the first vector; mixed widths fail.
     */
+  /** Embedding-space data quality: flag vectors ABNORMALLY FAR from
+    * their label's centroid — mislabeled rows, corrupted encodes, and
+    * truncation artifacts all surface as centroid-distance outliers,
+    * and a training pipeline wants them quarantined before they pull
+    * the class manifold around. All-integer arithmetic end to end:
+    * per-position micro units ([[graft.functions.VectorFunctions]]'s
+    * `graft_vec_sum_micro` builds the centroid sums in ONE custom
+    * aggregate pass — no position explode on the engine side),
+    * squared L2 distance via the `zip_with`/`aggregate` HOFs
+    * (row-local, codegen-friendly, exact in BIGINT), and the outlier
+    * verdict `dist² · n > 2 · Σdist²` (i.e. dist² > 2× the label
+    * mean) compared in DECIMAL(38) so no corpus size can overflow it.
+    * Two broadcast joins of |labels|-bounded frames onto the cached
+    * scan; nothing wider than (vec_id, label, dist²) ever shuffles.
+    */
+  def embeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = graft.Caches.cached(
+      Tables.requireLabel(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("label"), col("embedding")))
+    val cents = emb.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+           call_function("graft_vec_sum_micro", col("embedding")).as("sums"))
+      .select(col("label").as("c_label"),
+              expr("transform(sums, s -> s div n_vectors)").as("centroid_micro"))
+    val withDist = emb.join(Hints.maybeBroadcast(cents), col("label") === col("c_label"))
+      .select(col("vec_id"), col("label"),
+        expr("""aggregate(
+                  zip_with(
+                    transform(embedding,
+                              x -> CAST(FLOOR(1000000 * CAST(x AS DOUBLE)) AS BIGINT)),
+                    centroid_micro,
+                    (e, c) -> (e - c) * (e - c)),
+                  0L, (acc, d) -> acc + d)""").as("dist2"))
+    val stats = withDist.groupBy(col("label").as("s_label"))
+      .agg(count(lit(1)).as("n_label"), sum("dist2").as("sum_dist2"))
+    withDist.join(Hints.maybeBroadcast(stats), col("label") === col("s_label"))
+      .select(col("vec_id"), col("label"), col("dist2"),
+        (col("dist2").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("n_label") >
+         col("sum_dist2").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * 2)
+          .as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   def embeddingCentroids(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     Tables.requireLabel(Tables.embeddings(s, dir))

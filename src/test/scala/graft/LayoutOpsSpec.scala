@@ -211,4 +211,25 @@ class LayoutOpsSpec extends AnyFunSuite with SparkFixture {
         s"bin $b undersized at $t without a straddling file")
     }
   }
+
+  test("partition_stats: arrival-order layout shows total zone overlap, shares sum to ~1e6") {
+    val out = graft.operators.LayoutOps.partitionStats(spark, sf).collect()
+    val nFiles = out.length
+    assert(nFiles > 1)
+    // day buckets tile the corpus
+    val ev = Tables.events(spark, sf)
+    assert(out.map(_.getLong(1)).sum == ev.count())
+    // arrival-order ingest: every day file spans ~the whole user-id
+    // domain, so every pair of zone maps overlaps — the metric that
+    // justifies clustering rewrites (clusterByZorder's property test
+    // shows the bounded-range counterpart)
+    out.foreach { r =>
+      assert(r.getLong(5) == nFiles - 1,
+        s"day ${r.getLong(0)}: expected full overlap on unclustered data, got ${r.getLong(5)}")
+      assert(r.getLong(3) <= r.getLong(4), "zone map min > max")
+    }
+    // ppm shares: each row's trunc-div share, off by at most nFiles ppm in total
+    val ppmSum = out.map(_.getLong(2)).sum
+    assert(ppmSum <= 1000000 && ppmSum > 1000000 - nFiles, s"ppm sum $ppmSum")
+  }
 }

@@ -208,4 +208,19 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
     // every (column, bucket) that occurs anywhere is present
     assert(out.length == expected.values.map { case (pb, pc, _) => (pb.keySet ++ pc.keySet).size }.sum)
   }
+
+  test("dq_freshness: watermark type has zero lag; staleness matches the lag arithmetic") {
+    val out = graft.operators.QualityOps.dqFreshness(spark, sf).collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(out.length == types)
+    // the corpus watermark is some type's own max -> at least one zero lag
+    assert(out.exists(_.getLong(3) == 0L), "no type carries the corpus watermark")
+    val corpusUs = out.map(_.getLong(2)).max
+    out.foreach { r =>
+      assert(r.getLong(3) == (corpusUs - r.getLong(2)) / 1000000,
+        s"${r.getString(0)}: lag_s inconsistent with last_ts_us")
+      assert(r.getBoolean(4) == (r.getLong(3) > 7L * 86400),
+        s"${r.getString(0)}: is_stale inconsistent with lag_s")
+    }
+  }
 }

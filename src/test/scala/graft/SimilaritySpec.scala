@@ -359,6 +359,66 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("embedding_outliers: verdict equals a plain-Scala recompute of the 2x-mean rule") {
+    val out = Similarity.embeddingOutliers(spark, sf).collect()
+    val emb = Tables.requireLabel(Tables.embeddings(spark, sf))
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("label").longValue, r.getSeq[Float](2).toArray))
+    assert(out.length == emb.length)
+    // independent integer road: micro-floor, trunc-div centroid, L2²
+    val byLabel = emb.groupBy(_._2)
+    val micro = emb.map { case (id, l, v) =>
+      (id, l, v.map(x => math.floor(1000000.0 * x).toLong)) }.toSeq
+    val cents = byLabel.map { case (l, vs) =>
+      val n = vs.length
+      val sums = vs.map(_._3.map(x => math.floor(1000000.0 * x).toLong))
+        .transpose.map(_.sum)
+      l -> sums.map(s => s / n).toArray // Scala / on Long truncates like div
+    }
+    val dists = micro.map { case (id, l, m) =>
+      (id, l, m.zip(cents(l)).map { case (e, c) => (e - c) * (e - c) }.sum)
+    }
+    val mean2 = dists.groupBy(_._2).map { case (l, ds) =>
+      l -> (ds.map(d => BigInt(d._3)).sum, ds.length) }
+    val expect = dists.map { case (id, l, d2) =>
+      val (s, n) = mean2(l)
+      (id, l, d2, BigInt(d2) * n > 2 * s)
+    }.sortBy(_._1)
+    out.sortBy(_.getLong(0)).zip(expect).foreach { case (r, (id, l, d2, flag)) =>
+      assert(r.getLong(0) == id && r.getAs[Number]("label").longValue == l)
+      assert(r.getLong(2) == d2, s"vec $id dist2")
+      assert(r.getBoolean(3) == flag, s"vec $id verdict")
+    }
+    // the mean-based fence can only ever flag a strict minority — and
+    // on this CLEAN synthetic corpus (concentrated distances) it
+    // rightly flags nothing; the crafted-corruption test below proves
+    // the positive path
+    assert(out.count(_.getBoolean(3)) < out.length / 2)
+    graft.Caches.clear()
+  }
+
+  test("embedding_outliers flags exactly the corrupted vectors on a crafted fixture") {
+    import spark.implicits._
+    val dim = 64
+    val rng = new scala.util.Random(7L)
+    // two tight clusters + one corrupted vector in each (a zeroed
+    // encode and a scale blowup — the two real-world failure shapes)
+    def near(center: Float): Array[Float] =
+      Array.fill(dim)(center + rng.nextFloat() * 0.01f)
+    val rows =
+      (0 until 20).map(i => (i.toLong, 0, near(0.5f))) ++
+      Seq((20L, 0, Array.fill(dim)(0.0f))) ++            // zeroed encode
+      (30 until 50).map(i => (i.toLong, 1, near(-0.5f))) ++
+      Seq((50L, 1, Array.fill(dim)(25.0f)))              // scale blowup
+    val dir = java.nio.file.Files.createTempDirectory("graft-outlier").toString
+    rows.toDF("vec_id", "label", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embeddingOutliers(spark, dir).collect()
+    val flagged = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(flagged == Set(20L, 50L),
+      s"expected exactly the corrupted vectors, got $flagged")
+    graft.Caches.clear()
+  }
+
   test("knn_graph refuses a corpus whose plan-estimated size exceeds the broadcast limit") {
     spark.conf.set(Similarity.KnnBroadcastLimitKey, "1") // 1 byte: any corpus trips it
     try {
