@@ -163,6 +163,8 @@ object SparkEntry {
     "mix_temperature"   -> ((s, d) => TrainingOps.mixTemperature(s, d)),
     "corpus_budget_select" -> ((s, d) => TrainingOps.corpusBudgetSelect(s, d)),
     "shard_assign_balanced" -> ((s, d) => TrainingOps.shardAssignBalanced(s, d)),
+    "corpus_epochs"        -> ((s, d) => TrainingOps.corpusEpochs(s, d)),
+    "contamination_report" -> ((s, d) => TrainingOps.contaminationReport(s, d)),
     // Data layout
     "zorder_key"        -> ((s, d) => LayoutOps.zorderKey(s, d)),
     "hilbert_key"       -> ((s, d) => LayoutOps.hilbertKey(s, d)),
@@ -1975,6 +1977,73 @@ object SparkEntry {
          SELECT doc_id, source, CAST(w AS BIGINT) AS weight_pct, bucket,
                 CAST(w // 100 + CASE WHEN bucket < w % 100 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
          FROM t ORDER BY doc_id""",
+    // full_epochs + hash-order partial-epoch prefix; all counts
+    // non-negative so // == div; every output column CAST
+    "corpus_epochs" ->
+      """WITH t AS (
+           SELECT doc_id, source, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           FROM t),
+         s AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens FROM c GROUP BY source),
+         w AS (
+           SELECT doc_id, source, n_tokens,
+                  CAST(SUM(n_tokens) OVER (PARTITION BY source
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM c)
+         SELECT w.doc_id, w.source, w.n_tokens,
+                CAST(5000 // s.src_tokens AS BIGINT) AS full_epochs,
+                w.cum_tokens,
+                w.cum_tokens <= 5000 % s.src_tokens AS in_partial,
+                CAST(5000 // s.src_tokens
+                     + CASE WHEN w.cum_tokens <= 5000 % s.src_tokens THEN 1 ELSE 0 END
+                     AS BIGINT) AS n_copies
+         FROM w JOIN s ON s.source = w.source
+         ORDER BY w.doc_id""",
+    // eval-side audit over the same distinct-shingle sets as
+    // decontaminate_ngram; the df>1024 stop-gram prune mirrored before
+    // the join (never binds on this corpus but the gate must agree)
+    "contamination_report" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+             THEN list_distinct(list_transform(range(1, len(toks) - 6),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+                       toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))
+             ELSE [array_to_string(toks, ' ')] END) AS ng
+           FROM t),
+         tr AS (SELECT doc_id AS train_doc_id, ng FROM g WHERE doc_id % 97 <> 0),
+         hot AS (SELECT ng FROM tr GROUP BY ng HAVING COUNT(*) > 1024),
+         ptr AS (SELECT * FROM tr WHERE ng NOT IN (SELECT ng FROM hot)),
+         pairs AS (
+           SELECT g.doc_id AS eval_doc_id, ptr.train_doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+           FROM g JOIN ptr USING (ng) WHERE g.doc_id % 97 = 0
+           GROUP BY g.doc_id, ptr.train_doc_id),
+         per AS (
+           SELECT eval_doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminating_docs,
+                  CAST(SUM(shared_ngrams) AS BIGINT) AS total_shared
+           FROM pairs GROUP BY eval_doc_id),
+         worst AS (
+           SELECT eval_doc_id, train_doc_id AS worst_train_doc_id,
+                  shared_ngrams AS worst_shared
+           FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_doc_id
+                        ORDER BY shared_ngrams DESC, train_doc_id) AS rn
+                 FROM pairs)
+           WHERE rn = 1)
+         SELECT e.doc_id AS eval_doc_id,
+                CAST(COALESCE(per.n_contaminating_docs, 0) AS BIGINT) AS n_contaminating_docs,
+                CAST(COALESCE(per.total_shared, 0) AS BIGINT) AS total_shared,
+                worst.worst_train_doc_id, worst.worst_shared
+         FROM (SELECT doc_id FROM t WHERE doc_id % 97 = 0) e
+         LEFT JOIN per ON per.eval_doc_id = e.doc_id
+         LEFT JOIN worst ON worst.eval_doc_id = e.doc_id
+         ORDER BY e.doc_id""",
     "decontaminate_ngram" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks

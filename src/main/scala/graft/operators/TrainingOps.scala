@@ -585,4 +585,107 @@ object TrainingOps {
               "shard_docs", "shard_tokens")
       .orderBy("doc_id")
   }
+
+  /** Epoch-replication plan — [[corpusBudgetSelect]]'s missing half:
+    * that operator answers "which docs fit UNDER a token budget"; a
+    * real mixture also has sources whose quota EXCEEDS their corpus
+    * (the high-quality source every recipe over-samples), where the
+    * answer is "repeat the whole source N times plus a partial
+    * epoch". Per source: `full_epochs = budget div src_tokens`, and
+    * the remainder selects a deterministic partial epoch by
+    * hash-order token prefix (`md5(doc_id)` order — the epoch
+    * SHUFFLE order, deliberately not the quality order: a partial
+    * epoch must be an unbiased sample of the source, not its best
+    * slice). `n_copies = full_epochs + (1 if in the partial
+    * prefix)`, so Σ n_copies·n_tokens lands within one doc of the
+    * budget — the materialization multiplier a pack/shuffle stage
+    * downstream consumes.
+    *
+    * Scale shape: one bounded-key aggregate for source totals
+    * (broadcast back), one [[DistRank.withPrefix]] pass for the
+    * hash-order running token sums — no per-source window funnel, no
+    * doc replication HERE (the plan is rows × small ints; exploding
+    * copies is the consumer's call). A source with zero tokens fails
+    * loudly: its quota is unsatisfiable, and div-by-zero on both
+    * engines is the correct refusal.
+    */
+  def corpusEpochs(s: SparkSession, dir: String,
+                   budgetPerSource: Long = 5000): DataFrame = {
+    require(budgetPerSource >= 0, s"budget $budgetPerSource must be non-negative")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+              bpeTokenCountOfNorm(normText(col("text"))).as("n_tokens"))
+    val totals = d.groupBy(col("source").as("t_source"))
+      .agg(sum("n_tokens").as("src_tokens"))
+    val ranked = DistRank.withPrefix(d, Seq("source"),
+        Seq(md5(col("doc_id").cast("string")), col("doc_id")),
+        col("n_tokens"), "cum_tokens")
+    ranked.join(Hints.maybeBroadcast(totals), col("source") === col("t_source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        expr(s"$budgetPerSource div src_tokens").as("full_epochs"),
+        col("cum_tokens"),
+        (col("cum_tokens") <= expr(s"$budgetPerSource % src_tokens")).as("in_partial"))
+      .withColumn("n_copies",
+        col("full_epochs") + when(col("in_partial"), 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  /** Contamination AUDIT — [[decontaminate]]'s eval-side twin: that
+    * operator flags which TRAIN docs to drop; this one reports, per
+    * EVAL doc, how badly it has leaked into the training corpus —
+    * how many train docs share an n-gram with it, the total shared
+    * count, and the single worst contaminator — the table a
+    * benchmark owner reads to decide whether a split is salvageable
+    * or the eval item must be retired. Shares the family's cached
+    * one-scan shingle frame (identical plan → identical
+    * [[graft.Caches.cached]] entry as `decontaminate`'s, so running
+    * both costs one n-gram build).
+    *
+    * The stop-gram valve is the scale guard: an n-gram appearing in
+    * more than `maxDf` train docs is boilerplate (license headers,
+    * navigation chrome), and joining through it would square the
+    * candidate pairs the way a hot LSH band would — pruned
+    * deterministically BEFORE the eval⋈train join, mirrored exactly
+    * in the oracle. Everything that shuffles is (gram-hash, doc_id)
+    * pairs and bounded per-pair counts.
+    */
+  def contaminationReport(s: SparkSession, dir: String, evalMod: Int = 97,
+                          n: Int = 8, maxDf: Int = 1024): DataFrame = {
+    require(evalMod > 1, s"evalMod $evalMod must exceed 1")
+    require(maxDf > 0, s"maxDf $maxDf must be positive")
+    val ngrams = graft.Caches.cached(Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.wordNgrams(col("toks"), n).as("ngs")))
+    // wordNgrams emits the per-doc DISTINCT shingle set, so each
+    // (doc, ng) row below is unique and the pair counts are set sizes
+    val grams = ngrams.select(col("doc_id"), explode(col("ngs")).as("ng"))
+    val trainG = grams.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id").as("train_doc_id"), col("ng"))
+    val hot = trainG.groupBy("ng").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("ng")
+    val prunedTrain = trainG.join(hot, Seq("ng"), "left_anti")
+    val pairs = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_doc_id"), col("ng"))
+      .join(prunedTrain, Seq("ng"))
+      .groupBy("eval_doc_id", "train_doc_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+    val per = pairs.groupBy("eval_doc_id")
+      .agg(count(lit(1)).as("n_contaminating_docs"),
+           sum("shared_ngrams").as("total_shared"))
+    val w = Window.partitionBy("eval_doc_id")
+      .orderBy(col("shared_ngrams").desc, col("train_doc_id"))
+    val worst = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eval_doc_id"), col("train_doc_id").as("worst_train_doc_id"),
+              col("shared_ngrams").as("worst_shared"))
+    ngrams.select(col("doc_id").as("eval_doc_id"))
+      .filter(col("eval_doc_id") % evalMod === 0)
+      .join(per, Seq("eval_doc_id"), "left")
+      .join(worst, Seq("eval_doc_id"), "left")
+      .select(col("eval_doc_id"),
+        coalesce(col("n_contaminating_docs"), lit(0L)).as("n_contaminating_docs"),
+        coalesce(col("total_shared"), lit(0L)).as("total_shared"),
+        col("worst_train_doc_id"), col("worst_shared"))
+      .orderBy("eval_doc_id")
+  }
 }

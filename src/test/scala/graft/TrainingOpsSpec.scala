@@ -246,4 +246,61 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     val again = TrainingOps.shardAssignBalanced(spark, sf, nShards = n).collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("corpus_epochs: copy algebra lands each source within one doc of its budget") {
+    val budget = 5000L
+    val out = TrainingOps.corpusEpochs(spark, sf, budgetPerSource = budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getBoolean(5), r.getLong(6)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (src, docs) =>
+      val srcTokens = docs.map(_._3).sum
+      val fullEpochs = budget / srcTokens
+      val remainder = budget % srcTokens
+      // every doc of a source agrees on full_epochs, and it is the div
+      assert(docs.forall(_._4 == fullEpochs), s"$src full_epochs")
+      // n_copies = full + partial-membership, nothing else
+      assert(docs.forall(d => d._7 == d._4 + (if (d._6) 1L else 0L)), s"$src copies")
+      // the partial epoch is a hash-order token PREFIX: its total is
+      // within the remainder, and the first excluded doc would overflow it
+      val partialTokens = docs.filter(_._6).map(_._3).sum
+      assert(partialTokens <= remainder, s"$src partial $partialTokens > rem $remainder")
+      val excluded = docs.filterNot(_._6)
+      if (excluded.nonEmpty) {
+        val nextCum = excluded.map(_._5).min
+        assert(nextCum > remainder, s"$src: a doc under the remainder was left out")
+      }
+      // the plan materializes to budget minus the partial fringe
+      val planned = docs.map(d => d._7 * d._3).sum
+      assert(planned == fullEpochs * srcTokens + partialTokens)
+      assert(planned <= budget)
+    }
+  }
+
+  test("contamination_report: crafted fixture — pair counts, worst pick, clean eval row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    // eval ids are multiples of 97; 8-grams are windows of 8 tokens.
+    // w1..w12 gives 5 distinct 8-grams; sharing a doc PREFIX of k+7
+    // tokens shares exactly k of them.
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    Seq(
+      (97L,  words(1, 12)),              // eval: 5 grams
+      (1L,   words(1, 12)),              // train: identical -> shares all 5
+      (2L,   words(1, 9) + " x y z"),    // train: shares grams 1-2 (prefix of 9)
+      (3L,   words(50, 61)),             // train: disjoint
+      (194L, words(100, 111))            // eval: clean — no train overlap
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val out = TrainingOps.contaminationReport(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(out.keySet == Set(97L, 194L))
+    assert(out(97L) == ((2L, 7L, Some(1L), Some(5L))),
+      s"doc 97 contamination: ${out(97L)}")   // 5 from doc 1 + 2 from doc 2
+    assert(out(194L) == ((0L, 0L, None, None)), "clean eval doc must report zeros")
+    graft.Caches.clear()
+  }
 }
