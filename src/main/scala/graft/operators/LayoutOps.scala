@@ -152,10 +152,12 @@ object LayoutOps {
     * `range_join_buckets` does), every output column integral.
     */
   def partitionStats(s: SparkSession, dir: String): DataFrame = {
-    val files = Tables.events(s, dir)
+    // one-shared-scan rule: three consumers (self-join both sides +
+    // totals) ride ONE day-grain aggregation of the raw table
+    val files = graft.Caches.cached(Tables.events(s, dir)
       .groupBy(expr("(ts_ns div 1000000000) div 86400 * 86400").as("day_s"))
       .agg(count(lit(1)).as("n_rows"),
-           min("user_id").as("uid_min"), max("user_id").as("uid_max"))
+           min("user_id").as("uid_min"), max("user_id").as("uid_max")))
     val other = files.select(col("day_s").as("o_day"),
       col("uid_min").as("o_min"), col("uid_max").as("o_max"))
     val overlaps = files

@@ -310,10 +310,12 @@ object QualityOps {
   def dqFreshness(s: SparkSession, dir: String,
                   staleAfterSec: Long = 7L * 86400): DataFrame = {
     require(staleAfterSec > 0, s"staleAfterSec $staleAfterSec must be positive")
-    val perType = Tables.events(s, dir)
+    // one-shared-scan rule: the watermark branch reuses the per-type
+    // aggregate instead of re-scanning events
+    val perType = graft.Caches.cached(Tables.events(s, dir)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"),
-           max(expr("ts_ns div 1000")).as("last_ts_us"))
+           max(expr("ts_ns div 1000")).as("last_ts_us")))
     val corpus = perType.agg(max("last_ts_us").as("corpus_ts_us"))
     perType.crossJoin(broadcast(corpus))
       .select(col("event_type"), col("n_rows"), col("last_ts_us"),

@@ -612,9 +612,11 @@ object TrainingOps {
   def corpusEpochs(s: SparkSession, dir: String,
                    budgetPerSource: Long = 5000): DataFrame = {
     require(budgetPerSource >= 0, s"budget $budgetPerSource must be non-negative")
-    val d = Tables.documents(s, dir)
+    // one-shared-scan rule: the token count (the dominant row-local
+    // cost) computes once for both the totals and the ranked pass
+    val d = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
-              bpeTokenCountOfNorm(normText(col("text"))).as("n_tokens"))
+              bpeTokenCountOfNorm(normText(col("text"))).as("n_tokens")))
     val totals = d.groupBy(col("source").as("t_source"))
       .agg(sum("n_tokens").as("src_tokens"))
     val ranked = DistRank.withPrefix(d, Seq("source"),
