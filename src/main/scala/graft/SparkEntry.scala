@@ -93,6 +93,7 @@ object SparkEntry {
     "stream_interval_join"  -> ((s, d) => Analytics.streamIntervalJoin(s, d)),
     "stream_session_window" -> (Analytics.streamSessionWindows _),
     "stream_sliding_counts" -> (Analytics.streamSlidingCounts _),
+    "stream_quarantine"     -> (Analytics.streamQuarantine _),
     "graph_pagerank"        -> ((s, d) => GraphOps.pageRank(s, d)),
     "graph_triangles"       -> (GraphOps.graphTriangles _),
     "graph_degree_stats"    -> (GraphOps.graphDegreeStats _),
@@ -1275,6 +1276,21 @@ object SparkEntry {
            FROM c)
          SELECT window_start_s, rank, event_type, n_events
          FROM r WHERE rank <= 3 ORDER BY window_start_s, rank""",
+    // day-truncated windows, same json_valid gate as ingest_quarantine
+    "stream_quarantine" ->
+      """WITH m AS (
+           SELECT CAST(epoch_ns(date_trunc('day', ts))//1000000000 AS BIGINT) AS window_start_s,
+                  event_type,
+                  CASE WHEN event_id % 7 = 0
+                       THEN substring(props, 1, length(props) - 1)
+                       ELSE props END AS payload
+           FROM events),
+         p AS (SELECT window_start_s, event_type, json_valid(payload) AS ok FROM m)
+         SELECT window_start_s, event_type,
+                CAST(COUNT(*) AS BIGINT) AS n_rows,
+                CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+                CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_windowed_counts" ->
       """SELECT epoch_ns(date_trunc('hour', ts))//1000000000 AS window_start_s,
                 event_type, COUNT(*) AS n_events,

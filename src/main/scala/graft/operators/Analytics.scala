@@ -1123,6 +1123,33 @@ object Analytics {
       .orderBy("window_start_s", "event_type")
   }
 
+  /** Batch twin of the streaming quarantine front door
+    * ([[graft.streaming.EventStreams.quarantineCounts]] — same plan,
+    * bounded source, minus the watermark node): per day window ×
+    * type, row/ok/quarantined counts under the document-level
+    * PERMISSIVE corrupt-record verdict and the deterministic
+    * every-7th-event mangle (see [[EtlOps.ingestQuarantine]], whose
+    * lifetime totals this series decomposes by day).
+    */
+  def streamQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val mangled = when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props) - 1)"))
+      .otherwise(col("props"))
+    val parsed = from_json(mangled,
+      org.apache.spark.sql.types.StructType.fromDDL("k INT, _corrupt STRING"),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+    Tables.events(s, dir)
+      .select(col("ts"), col("event_type"),
+              (mangled.isNotNull && parsed.getField("_corrupt").isNull).as("ok"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+           sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"))
+      .select(epochS(col("window.start")).as("window_start_s"),
+              col("event_type"), col("n_rows"), col("n_ok"), col("n_quarantined"))
+      .orderBy("window_start_s", "event_type")
+  }
+
   /** Batch twin of the streaming windowed heavy-hitters sketch
     * ([[graft.streaming.EventStreams.windowHeavyHitters]] — same
     * plan, bounded source). Oracle-exact per window because k=64

@@ -38,6 +38,43 @@ object EventStreams {
   /** Per-user open-session accumulator kept in the state store. */
   case class SessionState(start_s: Long, end_s: Long, n: Long, value: Double)
 
+  /** Raw ingest row (payload still unparsed) as fed to the streaming
+    * quarantine front door. */
+  case class RawEv(event_id: Long, event_type: String,
+                   ts: java.sql.Timestamp, props: String)
+
+  /** Streaming malformed-record quarantine — the CONTINUOUS form of
+    * [[graft.operators.EtlOps.ingestQuarantine]]: the same
+    * document-level PERMISSIVE corrupt-record verdict (and the same
+    * deterministic every-7th-event mangle so the corrupt path runs
+    * against the read-only testdata), aggregated per day window ×
+    * type so the quarantine RATE is a live dashboard series instead
+    * of a batch postmortem — a feed that starts shipping garbage
+    * moves this line within one micro-batch. Parse is row-local
+    * (stateless, before the shuffle); state is one count row per
+    * (day, type) key, watermark-evicted. Batch twin:
+    * Analytics.streamQuarantine (same plan on a bounded source;
+    * StreamingSpec proves stream == batch).
+    */
+  def quarantineCounts(events: DataFrame): DataFrame = {
+    val mangled = when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props) - 1)"))
+      .otherwise(col("props"))
+    val parsed = from_json(mangled,
+      org.apache.spark.sql.types.StructType.fromDDL("k INT, _corrupt STRING"),
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt"))
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("ts"), col("event_type"),
+              (mangled.isNotNull && parsed.getField("_corrupt").isNull).as("ok"))
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+           sum(when(col("ok"), 0L).otherwise(1L)).as("n_quarantined"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_rows"), col("n_ok"), col("n_quarantined"))
+  }
+
   /** Tumbling 1-hour counts + sums per event type, 2h watermark.
     * Mirrors Analytics.streamWindowedCounts (same plan on a bounded
     * source minus the watermark node).

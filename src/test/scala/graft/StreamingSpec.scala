@@ -38,6 +38,31 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming quarantine over MemoryStream equals the batch twin, across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[EventStreams.RawEv]
+    val q = EventStreams.quarantineCounts(input.toDF())
+      .writeStream.format("memory").queryName("quar_test").outputMode("complete").start()
+    try {
+      val rows = Tables.events(spark, sf)
+        .select(col("event_id"), col("event_type"), col("ts"), col("props"))
+        .as[EventStreams.RawEv].collect().toSeq
+      // two batches: per-(day, type) counts must accumulate in state
+      val (a, b) = rows.splitAt(rows.size / 2)
+      input.addData(a)
+      q.processAllAvailable()
+      input.addData(b)
+      q.processAllAvailable()
+      val streamed = spark.table("quar_test")
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+                col("event_type"), col("n_rows"), col("n_ok"), col("n_quarantined"))
+      val batch = graft.operators.Analytics.streamQuarantine(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+    } finally q.stop()
+  }
+
   test("windowed heavy hitters over MemoryStream equal the batch twin (sketch state in the store)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
