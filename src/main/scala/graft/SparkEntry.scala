@@ -102,6 +102,7 @@ object SparkEntry {
     "graph_kcore"           -> ((s, d) => GraphOps.graphKcore(s, d)),
     "assoc_rules"           -> ((s, d) => GraphOps.assocRules(s, d)),
     "graph_label_prop"      -> ((s, d) => GraphOps.labelPropagation(s, d)),
+    "graph_modularity"      -> ((s, d) => GraphOps.graphModularity(s, d)),
     "graph_bfs_hops"        -> ((s, d) => GraphOps.graphBfsHops(s, d)),
     // Join operators
     "asof_join_events"   -> (Joins.asofJoinEvents _),
@@ -171,6 +172,7 @@ object SparkEntry {
     "hilbert_key"       -> ((s, d) => LayoutOps.hilbertKey(s, d)),
     "compaction_plan"   -> ((s, d) => LayoutOps.compactionPlan(s, d)),
     "partition_stats"   -> ((s, d) => LayoutOps.partitionStats(s, d)),
+    "vacuum_plan"       -> ((s, d) => LayoutOps.vacuumPlan(s, d)),
     // Multimodal (LLM-data pipeline; decode stage stubbed — no codecs in container)
     "mm_extract_meta" -> (graft.multimodal.Multimodal.mmExtractMeta _),
     "mm_frame_sample" -> ((s, d) => graft.multimodal.Multimodal.mmFrameSample(s, d)),
@@ -1817,6 +1819,7 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_phones, n_nums, redacted FROM c ORDER BY doc_id""",
     "zorder_key" -> zorderOracle,
     "graph_label_prop" -> labelPropOracle,
+    "graph_modularity" -> graphModularityOracle,
     "hilbert_key" -> hilbertOracle,
     // Every output column explicitly CAST (windowed SUM and its //
     // quotient are HUGEINT in DuckDB — the driver hashes typed
@@ -1846,6 +1849,23 @@ object SparkEntry {
                 CAST(COUNT(*) OVER (PARTITION BY bin) AS BIGINT) AS bin_files,
                 CAST(SUM(n_rows) OVER (PARTITION BY bin) AS BIGINT) AS bin_rows
          FROM b ORDER BY day_s""",
+    // watermark = the table's own max day; age/running-reclaim all
+    // non-negative so // == div; every column CAST
+    "vacuum_plan" ->
+      """WITH f AS (
+           SELECT CAST((epoch_ns(ts) // 1000000000) // 86400 * 86400 AS BIGINT) AS day_s,
+                  CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM events GROUP BY 1),
+         w AS (SELECT CAST(MAX(day_s) AS BIGINT) AS watermark_s FROM f),
+         a AS (
+           SELECT f.day_s, f.n_rows,
+                  CAST((w.watermark_s - f.day_s) // 86400 AS BIGINT) AS age_days
+           FROM f CROSS JOIN w)
+         SELECT day_s, n_rows, age_days, age_days > 45 AS expired,
+                CAST(SUM(CASE WHEN age_days > 45 THEN n_rows ELSE 0 END)
+                     OVER (ORDER BY day_s ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS reclaim_running
+         FROM a ORDER BY day_s""",
     // day files, uid zone maps, pairwise range-overlap counts; ppm via
     // trunc div on non-negative counts (== //); every column CAST
     "partition_stats" ->
@@ -2582,8 +2602,12 @@ object SparkEntry {
     * PageRank oracle's. Tie-break (cnt desc, label) matches the
     * engine's window exactly.
     */
-  private lazy val labelPropOracle: String = {
-    val iters = 5
+  /** Shared CTE chain for the label-prop family: co-purchase edges,
+    * symmetrized adjacency, and `iters` unrolled Jacobi rounds ending
+    * at `lp<iters>`. One definition so the community assignment in
+    * `graph_label_prop` and `graph_modularity` cannot drift.
+    */
+  private def labelPropChain(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""v$i AS (
            SELECT s.dst AS node, c.label, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2598,7 +2622,7 @@ object SparkEntry {
            FROM nodes n LEFT JOIN (SELECT node, label FROM r$i WHERE rn = 1) r
              ON r.node = n.node)"""
     }.mkString(",\n")
-    s"""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
               FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
                                  AND x.l_partkey < y.l_partkey
@@ -2607,10 +2631,49 @@ object SparkEntry {
                 UNION ALL SELECT b AS src, a AS dst FROM e),
         nodes AS (SELECT DISTINCT src AS node FROM sym),
         lp0 AS (SELECT node, node AS label FROM nodes),
-        $rounds
+        $rounds"""
+  }
+
+  private lazy val labelPropOracle: String = {
+    val iters = 5
+    s"""WITH ${labelPropChain(iters)}
         SELECT node AS part_key, label AS community,
                CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
         FROM lp$iters ORDER BY part_key"""
+  }
+
+  /** Modularity over the SAME lp<iters> assignment; cross products in
+    * HUGEINT (engine: DECIMAL(38)), per-community term via the
+    * sign-safe trunc-div CASE (terms go negative on fragmented
+    * communities — // floors, Spark div truncates).
+    */
+  private lazy val graphModularityOracle: String = {
+    val iters = 5
+    s"""WITH ${labelPropChain(iters)},
+        m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m_edges FROM e),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+                FROM sym GROUP BY src),
+        dc AS (SELECT l.label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                      CAST(SUM(deg.degree) AS HUGEINT) AS degree_sum
+               FROM lp$iters l JOIN deg ON deg.node = l.node GROUP BY l.label),
+        ie AS (SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+               FROM e JOIN lp$iters la ON la.node = e.a
+                      JOIN lp$iters lb ON lb.node = e.b
+               WHERE la.label = lb.label GROUP BY la.label),
+        j AS (SELECT dc.community, dc.n_nodes, dc.degree_sum,
+                     CAST(COALESCE(ie.intra_edges, 0) AS HUGEINT) AS intra_edges,
+                     m.m_edges
+              FROM dc LEFT JOIN ie ON ie.community = dc.community CROSS JOIN m),
+        k AS (SELECT community, n_nodes, degree_sum, intra_edges,
+                     1000000000 * (4 * m_edges * intra_edges - degree_sum * degree_sum) AS num,
+                     4 * m_edges * m_edges AS den
+              FROM j)
+        SELECT community, n_nodes,
+               CAST(degree_sum AS BIGINT) AS degree_sum,
+               CAST(intra_edges AS BIGINT) AS intra_edges,
+               CAST(CASE WHEN num >= 0 THEN num // den
+                    ELSE -((-num) // den) END AS BIGINT) AS term_x1e9
+        FROM k ORDER BY community"""
   }
 
   /** Bit-arithmetic mirror of [[graft.functions.InterleaveBits]]: the

@@ -191,6 +191,56 @@ object GraphOps {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
 
+  /** Newman modularity of the [[labelPropagation]] communities — the
+    * quality score that tells you whether the propagation CONVERGED TO
+    * STRUCTURE or just fragmented: Q = Σ_c [e_c/m − (d_c/2m)²]
+    * (e_c intra-community edges, d_c community degree sum, m total
+    * edges). Emitted per community as an exact integral term,
+    * term_x1e9 = 10⁹·(4·m·e_c − d_c²) div (4·m²), computed in
+    * DECIMAL(38) so no graph size overflows the cross products —
+    * Σ terms ≈ 10⁹·Q, and a community whose term is NEGATIVE has
+    * fewer internal edges than a random cut would give it (the
+    * fragmentation signal). All bounded-key aggregates: degrees one
+    * partial-agg pass over the symmetrized edges, intra-edge counts
+    * one pair join against the (maybe-broadcast) community map, the
+    * 1-row edge total broadcast back — nothing scales beyond the
+    * community count after the shared label-prop rounds.
+    */
+  def graphModularity(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = graft.Caches.cached(copurchaseEdges(s, dir))
+    val comm = graft.Caches.cached(
+      labelPropagation(s, dir, iters)
+        .select(col("part_key").as("node"), col("community")))
+    val sym = edges.select(explode(array(
+        struct(col("a").as("node")), struct(col("b").as("node")))).as("e"))
+      .select("e.node")
+    val degC = sym.groupBy("node").agg(count(lit(1)).as("degree"))
+      .join(Hints.maybeBroadcast(comm), Seq("node"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum("degree").as("degree_sum"))
+    val intra = edges
+      .join(Hints.maybeBroadcast(
+        comm.select(col("node").as("a"), col("community").as("ca"))), Seq("a"))
+      .join(Hints.maybeBroadcast(
+        comm.select(col("node").as("b"), col("community").as("cb"))), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    degC.join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("degree_sum"), col("intra_edges"),
+        call_function("div",
+          (lit(1000000000L).cast(dec)
+             * (col("m_edges").cast(dec) * 4 * col("intra_edges").cast(dec)
+                - col("degree_sum").cast(dec) * col("degree_sum").cast(dec))),
+          col("m_edges").cast(dec) * col("m_edges").cast(dec) * 4)
+          .cast("long").as("term_x1e9"))
+      .orderBy("community")
+  }
+
   /** [[triangleCounts]] on the part co-purchase graph
     * ([[copurchaseEdges]]). */
   def graphTriangles(s: SparkSession, dir: String): DataFrame =

@@ -134,6 +134,34 @@ object LayoutOps {
       .orderBy("day_s")
   }
 
+  /** Retention VACUUM planner — the third leg of the table-maintenance
+    * trio ([[compactionPlan]] rewrites small files, [[partitionStats]]
+    * measures clustering, this one plans DELETION): files whose day
+    * falls more than `retentionDays` behind the table's own watermark
+    * (its max event day — deterministic over a snapshot, like
+    * [[QualityOps.dqFreshness]]'s lag) are marked expired, with the
+    * rows reclaimed and the running reclaim total in file order — the
+    * work list a deletion job executes and the number a storage
+    * budget review reads. Manifest-level O(files); the 1-row
+    * watermark broadcasts back; the running total rides the same
+    * bounded day-grain frame as the compaction prefix.
+    */
+  def vacuumPlan(s: SparkSession, dir: String, retentionDays: Long = 45): DataFrame = {
+    require(retentionDays >= 0, s"retentionDays $retentionDays must be non-negative")
+    val files = graft.Caches.cached(Tables.events(s, dir)
+      .groupBy(expr("(ts_ns div 1000000000) div 86400 * 86400").as("day_s"))
+      .agg(count(lit(1)).as("n_rows")))
+    val wm = files.agg(max("day_s").as("watermark_s"))
+    val flagged = files.crossJoin(broadcast(wm))
+      .select(col("day_s"), col("n_rows"),
+              expr("(watermark_s - day_s) div 86400").as("age_days"))
+      .withColumn("expired", col("age_days") > retentionDays)
+    DistRank.withPrefix(flagged, Nil, Seq(col("day_s")),
+        when(col("expired"), col("n_rows")).otherwise(0L), "reclaim_running")
+      .select("day_s", "n_rows", "age_days", "expired", "reclaim_running")
+      .orderBy("day_s")
+  }
+
   /** Partition/zone-map statistics — the layout-ANALYSIS half that
     * tells you whether [[clusterByZorder]]-style rewrites are needed:
     * per file (event day, as in [[compactionPlan]]), its row count

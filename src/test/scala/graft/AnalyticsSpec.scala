@@ -672,6 +672,52 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("graph_modularity: terms recompute from raw edges; separated triangles score high, one blob low") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // corpus-level: every community's columns recompute from the edge set
+    val edges = GraphOps.copurchaseEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comm = GraphOps.labelPropagation(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.length.toLong
+    val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.length.toLong }
+    val out = GraphOps.graphModularity(spark, sf).collect()
+    assert(out.length == comm.values.toSet.size)
+    var totalTerm = 0L
+    out.foreach { r =>
+      val c = r.getLong(0)
+      val members = comm.collect { case (n, cc) if cc == c => n }.toSet
+      assert(r.getLong(1) == members.size)
+      val dSum = members.toSeq.map(deg).sum
+      assert(r.getLong(2) == dSum, s"community $c degree_sum")
+      val eIn = edges.count { case (a, b) => members(a) && members(b) }.toLong
+      assert(r.getLong(3) == eIn, s"community $c intra_edges")
+      val num = BigInt(1000000000L) * (BigInt(4) * m * eIn - BigInt(dSum) * dSum)
+      val den = BigInt(4) * m * m
+      assert(BigInt(r.getLong(4)) == num / den, s"community $c term") // BigInt / truncates
+      totalTerm += r.getLong(4)
+    }
+    // Q is bounded in [-1, 1] by construction
+    assert(totalTerm.abs <= 1000000000L)
+    graft.Caches.clear()
+
+    // crafted shape: two clean triangles (no bridge) are near-ideal
+    // communities — Q = 2·(3/6 − (6/12)²) = 0.5 exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-mod").toString
+    val basket = Seq(Seq(1L, 2L, 3L), Seq(10L, 11L, 12L))
+    val rows = for {
+      (parts, b) <- basket.zipWithIndex; rep <- 0 until 2; p <- parts
+    } yield (b * 2L + rep + 1L, p)
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val ideal = GraphOps.graphModularity(spark, dir).collect()
+    assert(ideal.map(_.getLong(4)).sum == 500000000L,
+      "two separated triangles must score Q = 0.5 exactly")
+    assert(ideal.forall(_.getLong(3) == 3L))
+    graft.Caches.clear()
+  }
+
   test("assoc_rules: confidence and lift match a single-node basket recompute") {
     import graft.operators.GraphOps
     val out = GraphOps.assocRules(spark, sf).collect()

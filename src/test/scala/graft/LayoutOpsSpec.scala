@@ -212,6 +212,27 @@ class LayoutOpsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("vacuum_plan: expiry = age vs the table's own watermark, reclaim total telescopes") {
+    val retention = 10L
+    val out = graft.operators.LayoutOps.vacuumPlan(spark, sf, retentionDays = retention)
+      .collect()
+    assert(out.nonEmpty)
+    val watermark = out.map(_.getLong(0)).max
+    var running = 0L
+    out.foreach { r =>
+      val age = (watermark - r.getLong(0)) / 86400
+      assert(r.getLong(2) == age, s"day ${r.getLong(0)} age")
+      assert(r.getBoolean(3) == (age > retention), s"day ${r.getLong(0)} expiry")
+      if (r.getBoolean(3)) running += r.getLong(1)
+      assert(r.getLong(4) == running, s"day ${r.getLong(0)} running reclaim")
+    }
+    // the newest file is never expired; with a 30-day corpus and a
+    // 10-day retention something IS reclaimed
+    assert(!out.last.getBoolean(3))
+    assert(running > 0)
+    graft.Caches.clear()
+  }
+
   test("partition_stats: arrival-order layout shows total zone overlap, shares sum to ~1e6") {
     val out = graft.operators.LayoutOps.partitionStats(spark, sf).collect()
     val nFiles = out.length
