@@ -119,6 +119,8 @@ object SparkEntry {
     "q14_promo_share"       -> (Analytics.q14PromoShare _),
     "q15_top_supplier"      -> (Analytics.q15TopSupplier _),
     "q19_discounted_revenue" -> (Analytics.q19DiscountedRevenue _),
+    "q8_market_share"       -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q22_untapped_customers" -> (Analytics.q22UntappedCustomers _),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -2464,6 +2466,43 @@ object SparkEntry {
                 AND l.l_quantity BETWEEN 10 AND 20)
             OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
                 AND l.l_quantity BETWEEN 20 AND 30)""",
+    "q8_market_share" ->
+      """WITH asia_cust AS (
+           SELECT c.c_custkey FROM customer c
+           JOIN nation n ON n.n_nationkey = c.c_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey
+           WHERE r.r_name = 'ASIA'),
+         f AS (
+           SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                  CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT) AS rev_micro,
+                  sn.n_name AS supp_nation
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+           JOIN orders o ON o.o_orderkey = l.l_orderkey
+           JOIN asia_cust ac ON ac.c_custkey = o.o_custkey
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation sn ON sn.n_nationkey = s.s_nationkey)
+         SELECT o_year,
+                CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_micro ELSE 0 END) AS BIGINT) AS target_rev_micro,
+                CAST(SUM(rev_micro) AS BIGINT) AS total_rev_micro,
+                CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev_micro ELSE 0 END) AS HUGEINT)
+                     * 1000000 // CAST(SUM(rev_micro) AS HUGEINT) AS BIGINT) AS share_ppm
+         FROM f GROUP BY o_year ORDER BY o_year""",
+    "q22_untapped_customers" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey,
+                  CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer),
+         t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS pos_sum,
+                      CAST(COUNT(*) AS BIGINT) AS pos_n
+               FROM c WHERE bal_cents > 0)
+         SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key,
+                CAST(COUNT(*) AS BIGINT) AS n_customers,
+                CAST(SUM(c.bal_cents) AS BIGINT) AS total_bal_cents
+         FROM c CROSS JOIN t
+         WHERE c.bal_cents * t.pos_n > t.pos_sum
+           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c.c_nationkey ORDER BY nation_key""",
     "q18_large_orders" ->
       """SELECT c.c_name, c.c_custkey, o.o_orderkey,
                 CAST(o.o_orderdate AS DATE) AS orderdate,

@@ -329,6 +329,83 @@ object Analytics {
              .as("revenue"))
   }
 
+  /** TPC-H Q8 shape: national market share — of the revenue an ASIA
+    * customer market spends on STANDARD parts, what fraction does one
+    * supplier nation capture, per order year? The teaching point is
+    * the same as Q14 at five-join scale: the share's numerator and
+    * denominator accumulate in ONE conditional aggregate pass over a
+    * single fact pipeline (lineitem⋈orders is the one fact-fact
+    * shuffle; part/customer-nation-region/supplier-nation all ride
+    * size-guarded broadcasts) — the naive two-query form scans and
+    * joins everything twice to subtract. Share as ppm BIGINT via
+    * exact DECIMAL(38) multiply-divide on micro-floored revenue.
+    */
+  def q8MarketShare(s: SparkSession, dir: String,
+                    targetNation: String = "NATION_2"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val p = Tables.part(s, dir).filter(col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val n = Tables.nation(s, dir)
+      .join(Hints.maybeBroadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(Hints.maybeBroadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(Hints.maybeBroadcast(
+              Tables.nation(s, dir)
+                .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+      .cast("long")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev.as("rev_micro"))
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Hints.maybeBroadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(Hints.maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(when(col("supp_nation") === targetNation, col("rev_micro"))
+                 .otherwise(0L)).as("target_rev_micro"),
+           sum(col("rev_micro")).as("total_rev_micro"))
+      .select(col("o_year"), col("target_rev_micro"), col("total_rev_micro"),
+        call_function("div",
+          col("target_rev_micro").cast(dec) * 1000000,
+          col("total_rev_micro").cast(dec)).cast("long").as("share_ppm"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q22 shape: untapped wealthy customers — above-average
+    * account balance and NO orders, rolled up per nation. Two classic
+    * decorrelations in one query: the scalar `avg` subquery becomes a
+    * 1-row broadcast with the comparison done in INTEGERS
+    * (`bal·n > Σbal` — no float average to round differently across
+    * engines), and `NOT EXISTS (orders)` becomes a LEFT-ANTI join
+    * that shuffles only the key column — completing the
+    * (de)correlated-subquery triptych with [[q4PriorityExists]]'s
+    * semi join and [[QualityOps.fkOrphans]]'s integrity anti. The
+    * anti probe runs AFTER the balance filter: the rare rich-customer
+    * survivors probe orders, never the whole customer table.
+    */
+  def q22UntappedCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+              floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    val thr = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("pos_sum"), count(lit(1)).as("pos_n"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(Tables.orders(s, dir).select("o_custkey"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("nation_key"))
+      .agg(count(lit(1)).as("n_customers"), sum("bal_cents").as("total_bal_cents"))
+      .orderBy("nation_key")
+  }
+
   /** Projection + predicate that must reach the parquet scan
     * (PushedFilters / 3-column ReadSchema in the plan).
     */
