@@ -120,7 +120,16 @@ object SparkEntry {
     "q15_top_supplier"      -> (Analytics.q15TopSupplier _),
     "q19_discounted_revenue" -> (Analytics.q19DiscountedRevenue _),
     "q8_market_share"       -> ((s, d) => Analytics.q8MarketShare(s, d)),
-    "q22_untapped_customers" -> (Analytics.q22UntappedCustomers _),
+    "q22_untapped_customers" -> ((s, d) => Analytics.q22UntappedCustomers(s, d)),
+    "q13_order_distribution" -> (Analytics.q13OrderDistribution _),
+    "q17_small_qty_revenue"  -> (Analytics.q17SmallQuantityRevenue _),
+    "q2_min_cost_supplier"   -> (Analytics.q2MinCostSupplier _),
+    "q9_profit_by_nation"    -> (Analytics.q9ProfitByNationYear _),
+    "q11_important_parts"    -> (Analytics.q11ImportantParts _),
+    "q16_supplier_variety"   -> (Analytics.q16SupplierVariety _),
+    "q12_late_shipments"     -> ((s, d) => Analytics.q12LateShipments(s, d)),
+    "q20_dominant_suppliers" -> (Analytics.q20DominantSuppliers _),
+    "q21_waiting_suppliers"  -> (Analytics.q21WaitingSuppliers _),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -2501,7 +2510,9 @@ object SparkEntry {
                 CAST(SUM(c.bal_cents) AS BIGINT) AS total_bal_cents
          FROM c CROSS JOIN t
          WHERE c.bal_cents * t.pos_n > t.pos_sum
-           AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
          GROUP BY c.c_nationkey ORDER BY nation_key""",
     "q18_large_orders" ->
       """SELECT c.c_name, c.c_custkey, o.o_orderkey,
@@ -2516,6 +2527,149 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          ORDER BY t.total_qty DESC, o.o_orderkey
          LIMIT 100""",
+    "q13_order_distribution" ->
+      """WITH per_cust AS (
+           SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS c_count
+           FROM orders WHERE o_orderpriority NOT LIKE '1-%'
+           GROUP BY o_custkey)
+         SELECT COALESCE(p.c_count, 0) AS c_count,
+                CAST(COUNT(*) AS BIGINT) AS custdist
+         FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+         GROUP BY COALESCE(p.c_count, 0)
+         ORDER BY custdist DESC, c_count DESC""",
+    "q17_small_qty_revenue" ->
+      """WITH li AS (
+           SELECT l.l_partkey,
+                  CAST(l.l_quantity AS BIGINT) AS qty,
+                  CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) AS price_cents
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+           WHERE p.p_brand = 'Brand#23' AND p.p_size < 15),
+         stats AS (
+           SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines
+           FROM li GROUP BY l_partkey)
+         SELECT CAST(SUM(li.price_cents) AS BIGINT) AS total_cents,
+                CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+                CAST(CAST(SUM(li.price_cents) AS HUGEINT) // 7 AS BIGINT) AS avg_yearly_cents
+         FROM li JOIN stats st ON li.l_partkey = st.l_partkey
+         WHERE li.qty * 5 * st.n_lines < st.sum_qty""",
+    "q2_min_cost_supplier" ->
+      """WITH quotes AS (
+           SELECT p.p_partkey, p.p_size, l.l_suppkey, s.s_name, s.s_acctbal, n.n_name,
+                  MIN((CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT) * 10000)
+                      // CAST(l.l_quantity AS BIGINT)) AS pair_min_micro
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey
+            AND p.p_type = 'LARGE' AND p.p_size <= 15
+           JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           JOIN nation n ON n.n_nationkey = s.s_nationkey
+           JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         part_min AS (
+           SELECT p_partkey, MIN(pair_min_micro) AS min_micro
+           FROM quotes GROUP BY p_partkey)
+         SELECT q.s_acctbal, q.s_name, q.n_name, q.p_partkey, q.p_size,
+                CAST(q.pair_min_micro AS BIGINT) AS unit_micro
+         FROM quotes q JOIN part_min m
+           ON q.p_partkey = m.p_partkey AND q.pair_min_micro = m.min_micro
+         ORDER BY q.s_acctbal DESC, q.n_name, q.s_name, q.p_partkey
+         LIMIT 100""",
+    "q9_profit_by_nation" ->
+      """SELECT n.n_name AS supp_nation,
+                CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount) * 1000000) AS BIGINT)
+                         - CAST(FLOOR(p.p_retailprice * 100) AS BIGINT)
+                           * CAST(l.l_quantity AS BIGINT) * 10000) AS BIGINT) AS sum_profit_micro,
+                CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem l
+         JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         JOIN orders o ON o.o_orderkey = l.l_orderkey
+         GROUP BY n.n_name, year(o.o_orderdate)
+         ORDER BY supp_nation, o_year DESC""",
+    "q11_important_parts" ->
+      """WITH per_part AS (
+           SELECT l_partkey,
+                  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                    AS part_value_cents
+           FROM lineitem GROUP BY l_partkey),
+         t AS (SELECT CAST(SUM(part_value_cents) AS BIGINT) AS total_cents,
+                      CAST(COUNT(*) AS BIGINT) AS n_parts FROM per_part)
+         SELECT p.l_partkey AS p_partkey, p.part_value_cents
+         FROM per_part p CROSS JOIN t
+         WHERE CAST(p.part_value_cents AS HUGEINT) * t.n_parts * 2
+               > CAST(t.total_cents AS HUGEINT) * 3
+         ORDER BY p.part_value_cents DESC, p_partkey""",
+    "q16_supplier_variety" ->
+      """WITH pairs AS (
+           SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         ok AS (
+           SELECT pr.l_partkey, pr.l_suppkey FROM pairs pr
+           WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                             WHERE s.s_suppkey = pr.l_suppkey AND s.s_acctbal < 0))
+         SELECT p.p_brand, p.p_type, p.p_size,
+                CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM ok JOIN part p ON p.p_partkey = ok.l_partkey
+         WHERE p.p_brand <> 'Brand#5'
+           AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+         GROUP BY p.p_brand, p.p_type, p.p_size
+         ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""",
+    "q12_late_shipments" ->
+      """SELECT l.l_returnflag,
+                CAST(SUM(CASE WHEN o.o_orderpriority LIKE '1-%'
+                               OR o.o_orderpriority LIKE '2-%' THEN 1 ELSE 0 END) AS BIGINT)
+                  AS high_line_count,
+                CAST(SUM(CASE WHEN o.o_orderpriority LIKE '1-%'
+                               OR o.o_orderpriority LIKE '2-%' THEN 0 ELSE 1 END) AS BIGINT)
+                  AS low_line_count
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+    "q20_dominant_suppliers" ->
+      """WITH pairs AS (
+           SELECT l.l_partkey, l.l_suppkey,
+                  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+           FROM lineitem l
+           JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+           GROUP BY l.l_partkey, l.l_suppkey),
+         totals AS (
+           SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS total_qty
+           FROM pairs GROUP BY l_partkey),
+         dominant AS (
+           SELECT DISTINCT pr.l_suppkey
+           FROM pairs pr JOIN totals t ON t.l_partkey = pr.l_partkey
+           WHERE pr.pair_qty * 5 > t.total_qty)
+         SELECT s.s_suppkey, s.s_name, n.n_name
+         FROM supplier s
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         WHERE s.s_suppkey IN (SELECT l_suppkey FROM dominant)
+         ORDER BY s.s_suppkey""",
+    "q21_waiting_suppliers" ->
+      """WITH pairs AS (
+           SELECT l.l_orderkey, l.l_suppkey, MAX(l.l_shipdate) AS supp_last
+           FROM lineitem l
+           JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+           GROUP BY l.l_orderkey, l.l_suppkey),
+         per_order AS (
+           SELECT l_orderkey, MAX(supp_last) AS order_last,
+                  COUNT(*) AS n_suppliers
+           FROM pairs GROUP BY l_orderkey),
+         laggards AS (
+           SELECT p.l_orderkey,
+                  SUM(CASE WHEN p.supp_last = po.order_last THEN 1 ELSE 0 END) AS n_at_max,
+                  MAX(CASE WHEN p.supp_last = po.order_last THEN p.l_suppkey END) AS sole_suppkey
+           FROM pairs p JOIN per_order po ON po.l_orderkey = p.l_orderkey
+           WHERE po.n_suppliers >= 2
+           GROUP BY p.l_orderkey
+           HAVING SUM(CASE WHEN p.supp_last = po.order_last THEN 1 ELSE 0 END) = 1)
+         SELECT CAST(lg.sole_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                CAST(COUNT(*) AS BIGINT) AS numwait
+         FROM laggards lg JOIN supplier s ON s.s_suppkey = lg.sole_suppkey
+         GROUP BY lg.sole_suppkey, s.s_name
+         ORDER BY numwait DESC, s_suppkey
+         LIMIT 10""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
     "ann_filtered_topk" -> annFilteredOracle,
     // string shingles where the engine groups 8-byte xxhash64 values —

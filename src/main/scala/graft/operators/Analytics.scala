@@ -379,19 +379,23 @@ object Analytics {
       .orderBy("o_year")
   }
 
-  /** TPC-H Q22 shape: untapped wealthy customers — above-average
-    * account balance and NO orders, rolled up per nation. Two classic
-    * decorrelations in one query: the scalar `avg` subquery becomes a
-    * 1-row broadcast with the comparison done in INTEGERS
-    * (`bal·n > Σbal` — no float average to round differently across
-    * engines), and `NOT EXISTS (orders)` becomes a LEFT-ANTI join
-    * that shuffles only the key column — completing the
+  /** TPC-H Q22 shape: lapsed wealthy customers — above-average
+    * account balance and NO orders in the recent window (this corpus
+    * gives every customer SOME order, so the vacuous "never ordered"
+    * form is re-aimed at "gone quiet since `sinceDate`" — the shape
+    * Q22 teaches survives intact). Two classic decorrelations in one
+    * query: the scalar `avg` subquery becomes a 1-row broadcast with
+    * the comparison done in INTEGERS (`bal·n > Σbal` — no float
+    * average to round differently across engines), and `NOT EXISTS
+    * (recent orders)` becomes a LEFT-ANTI join that shuffles only the
+    * key column of a date-pruned scan — completing the
     * (de)correlated-subquery triptych with [[q4PriorityExists]]'s
     * semi join and [[QualityOps.fkOrphans]]'s integrity anti. The
     * anti probe runs AFTER the balance filter: the rare rich-customer
     * survivors probe orders, never the whole customer table.
     */
-  def q22UntappedCustomers(s: SparkSession, dir: String): DataFrame = {
+  def q22UntappedCustomers(s: SparkSession, dir: String,
+                           sinceDate: String = "1999-01-01 00:00:00"): DataFrame = {
     val cust = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"),
               floor(col("c_acctbal") * 100).cast("long").as("bal_cents"))
@@ -399,7 +403,9 @@ object Analytics {
       .agg(sum("bal_cents").as("pos_sum"), count(lit(1)).as("pos_n"))
     cust.crossJoin(broadcast(thr))
       .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
-      .join(Tables.orders(s, dir).select("o_custkey"),
+      .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= to_timestamp(lit(sinceDate)))
+              .select("o_custkey"),
             col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey").cast("long").as("nation_key"))
       .agg(count(lit(1)).as("n_customers"), sum("bal_cents").as("total_bal_cents"))
@@ -1800,5 +1806,319 @@ object Analytics {
       .withColumn("twa_cents",
         when(col("dur_s") > 0, expr("num_cent_s div dur_s")))
       .orderBy("user_id")
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution — how many
+    * customers placed 0, 1, 2, … orders? The teaching point is the
+    * AGGREGATE-BEFORE-OUTER-JOIN decorrelation: the textbook form
+    * left-joins raw orders to customers and counts per customer
+    * (shuffling every order row keyed by customer), but orders
+    * collapse to at most |customer| (o_custkey, count) rows FIRST —
+    * one partial agg — so the outer join moves a frame bounded by
+    * the dimension, not the fact. Zero-order customers surface via
+    * the LEFT join's null → coalesce 0 (the row the inner-join form
+    * silently drops). Urgent orders are excluded (the reference
+    * pattern's "special categories" predicate) BEFORE the collapse,
+    * pushed to the parquet scan.
+    */
+  def q13OrderDistribution(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(!col("o_orderpriority").startsWith("1-"))
+      .groupBy("o_custkey").agg(count(lit(1)).as("c_count"))
+    Tables.customer(s, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 shape: small-quantity-order revenue — lines of a
+    * brand's small parts whose quantity is below 20% of that part's
+    * own average. The correlated scalar subquery
+    * `l_quantity < 0.2 * (SELECT AVG(l_quantity) … WHERE l_partkey =
+    * p_partkey)` decorrelates to ONE per-part partial aggregate
+    * (Σqty, n) joined back to the same filtered line frame — and the
+    * 20%-of-average compare stays INTEGRAL by cross-multiplying:
+    * `5·qty·n < Σqty` (qty is integral by schema contract), so no
+    * float average exists to round differently across engines. Both
+    * sides of the self-join carry the part filter (20 parts at sf —
+    * broadcast), so the per-part stats frame is bounded by the
+    * filtered part list, not the catalog. Output: total revenue in
+    * cents and its yearly-average seventh (TPC-H's /7.0 kept as an
+    * exact integral div).
+    */
+  def q17SmallQuantityRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+      .select("p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+              floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "qty", "price_cents")
+    val stats = li.groupBy(col("l_partkey").as("sp_key"))
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("n_lines"))
+    li.join(Hints.maybeBroadcast(stats), col("l_partkey") === col("sp_key"))
+      .filter(col("qty") * 5 * col("n_lines") < col("sum_qty"))
+      .agg(sum("price_cents").as("total_cents"),
+           count(lit(1)).as("n_small_lines"))
+      .select(col("total_cents"), col("n_small_lines"),
+              expr("total_cents div 7").as("avg_yearly_cents"))
+  }
+
+  /** TPC-H Q2 shape: minimum-cost supplier per part — for each LARGE
+    * part up to a size cap, which EUROPE supplier has quoted the
+    * lowest unit price, with the supplier's account standing for the
+    * tie-ranked report? The correlated MIN subquery (`ps_supplycost =
+    * SELECT MIN(…) WHERE ps_partkey = p_partkey AND europe`)
+    * decorrelates to a per-part partial MIN joined back on the part
+    * key. Without a partsupp table the (part, supplier) cost relation
+    * derives from quoted lines: unit price in EXACT micro-units,
+    * `(price_cents · 10000) div qty` — integral division both engines
+    * floor identically on non-negative operands, never a double
+    * quotient whose boundary ulp could flip a MIN. The EUROPE
+    * restriction applies BEFORE the min (the subquery's own
+    * predicate), riding the 100-row supplier broadcast; ties on the
+    * min all survive, deterministically ordered.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
+      .select("p_partkey", "p_size")
+    val eurSupp = Tables.supplier(s, dir)
+      .join(Hints.maybeBroadcast(
+              Tables.nation(s, dir).join(
+                Hints.maybeBroadcast(
+                  Tables.region(s, dir).filter(col("r_name") === "EUROPE")
+                    .select("r_regionkey")),
+                col("n_regionkey") === col("r_regionkey"))
+                .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val quotes = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+              expr("(cast(floor(l_extendedprice * 100) as bigint) * 10000) div cast(l_quantity as bigint)")
+                .as("unit_micro"))
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Hints.maybeBroadcast(eurSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_size"), col("l_suppkey"),
+               col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min("unit_micro").as("pair_min_micro"))
+    val partMin = quotes.groupBy(col("p_partkey").as("mp_key"))
+      .agg(min("pair_min_micro").as("min_micro"))
+    quotes.join(Hints.maybeBroadcast(partMin),
+                col("p_partkey") === col("mp_key") &&
+                col("pair_min_micro") === col("min_micro"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+              col("p_partkey"), col("p_size"), col("pair_min_micro").as("unit_micro"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 shape: product-line profit by supplier nation and order
+    * year. Profit per line = revenue − cost, both EXACT integrals:
+    * revenue the micro-floored discounted price (the [[q8MarketShare]]
+    * convention), cost `retail_cents · qty · 10000` (retail price and
+    * integral quantity are schema-exact) standing in for the absent
+    * partsupp supplycost. ONE fact-fact shuffle (lineitem ⋈ orders on
+    * the order key); the name-filtered part list, supplier→nation map
+    * ride size-guarded broadcasts; the final agg groups a bounded
+    * (nation × year) key space with map-side partials.
+    */
+  def q9ProfitByNationYear(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+      .select("p_partkey", "p_retailprice")
+    val sup = Tables.supplier(s, dir)
+      .join(Hints.maybeBroadcast(
+              Tables.nation(s, dir).select(
+                col("n_nationkey"), col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+              col("l_quantity").cast("long").as("qty"),
+              floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 1e6)
+                .cast("long").as("rev_micro"))
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(Hints.maybeBroadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("supp_nation"),
+              year(col("o_orderdate")).cast("long").as("o_year"),
+              (col("rev_micro") -
+               floor(col("p_retailprice") * 100).cast("long") * col("qty") * 10000L)
+                .as("profit_micro"))
+      .groupBy("supp_nation", "o_year")
+      .agg(sum("profit_micro").as("sum_profit_micro"),
+           count(lit(1)).as("n_lines"))
+      .orderBy(col("supp_nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape: important-stock screen — parts whose traded
+    * value exceeds 1.5× the MEAN part value. TPC-H's own fraction is
+    * SF-scaled (0.0001/SF) precisely because a fixed fraction of the
+    * total goes vacuous as the catalog grows; anchoring to the mean
+    * (`2·val·n_parts > 3·total`) keeps the screen meaningful at ANY
+    * scale, and the compare stays INTEGRAL by cross-multiplying — no
+    * float fraction or average. The scalar subquery decorrelates to a
+    * 1-row broadcast; per-part values and the grand total are the
+    * SAME partial-aggregate pass reused (the total aggregates the
+    * per-part frame, ≤|part| rows — never a second fact scan).
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+              floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+      .groupBy("l_partkey")
+      .agg(sum("price_cents").as("part_value_cents"))
+    val total = perPart.agg(sum("part_value_cents").as("total_cents"),
+                            count(lit(1)).as("n_parts"))
+    val dec = DecimalType(38, 0)
+    perPart.crossJoin(broadcast(total))
+      // DECIMAL(38) operands: cents·n_parts crosses 2^63 at warehouse
+      // scale, and a wrapped long silently inverts the compare
+      .filter(col("part_value_cents").cast(dec) * col("n_parts") * 2 >
+              col("total_cents").cast(dec) * 3)
+      .select(col("l_partkey").as("p_partkey"), col("part_value_cents"))
+      .orderBy(col("part_value_cents").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape: supplier variety per part attribute — how many
+    * distinct suppliers have actually shipped each (brand, type, size)
+    * combination, excluding one brand and suppliers in bad standing
+    * (negative account balance — the "complaints" predicate's
+    * data-derivable twin). The raw fact collapses to DISTINCT
+    * (partkey, suppkey) pairs FIRST (one partial-deduplicating
+    * shuffle bounded by the live pair space, not line count), the
+    * bad-supplier list rides a LEFT-ANTI probe of a 6-row frame, and
+    * the count-distinct aggregates pair rows — never raw lines.
+    */
+  def q16SupplierVariety(s: SparkSession, dir: String): DataFrame = {
+    val badSupp = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" &&
+              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(s, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(Hints.maybeBroadcast(badSupp),
+            col("l_suppkey") === badSupp("s_suppkey"), "left_anti")
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q12 shape: late-shipment priority audit — among lines
+    * shipped more than `lateDays` after their order date (the
+    * commit/receipt-date lateness predicate re-expressed on the
+    * columns this schema carries), how many belong to critical
+    * (URGENT/HIGH) vs other orders, per return flag (standing in for
+    * the absent ship mode)? ONE fact-fact join (the only shuffle
+    * beyond the bounded-key agg); the priority split is a conditional
+    * count in the same aggregate pass — the Q14/Q8 one-pass
+    * numerator/denominator discipline. The lateness bound is exact
+    * timestamp arithmetic (whole-day interval on µs instants) both
+    * engines evaluate identically.
+    */
+  def q12LateShipments(s: SparkSession, dir: String, lateDays: Int = 120): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_returnflag", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+              col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("o_orderpriority").startsWith("1-") ||
+                    col("o_orderpriority").startsWith("2-"), 1L)
+                 .otherwise(0L)).as("high_line_count"),
+           sum(when(col("o_orderpriority").startsWith("1-") ||
+                    col("o_orderpriority").startsWith("2-"), 0L)
+                 .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q20 shape: dominant suppliers of a part family — suppliers
+    * who shipped MORE THAN A FIFTH of the total moved quantity of at
+    * least one name-filtered part (the excess-availability semi-join
+    * chain, re-derived from shipment history in place of partsupp
+    * availability; 20% — not TPC-H's 50% — because this corpus
+    * spreads each part across enough suppliers that no one ever
+    * crosses half). Per-(part, supplier) quantities and per-part
+    * totals are the same partial-agg frame re-aggregated (pair frame
+    * is live-pair bounded); the dominance compare is integral
+    * cross-multiplication `5·pair_qty > total_qty`; qualifying pair →
+    * DISTINCT supplier keys → LEFT-SEMI probe into the supplier dim
+    * (the `s_suppkey IN (…)` decorrelation), nation name joined for
+    * the report.
+    */
+  def q20DominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").contains("red"))
+      .select("p_partkey")
+    val pairs = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+              col("l_quantity").cast("long").as("qty"))
+      .join(Hints.maybeBroadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("qty").as("pair_qty"))
+    val totals = pairs.groupBy(col("l_partkey").as("tp_key"))
+      .agg(sum("pair_qty").as("total_qty"))
+    val dominant = pairs
+      .join(Hints.maybeBroadcast(totals), col("l_partkey") === col("tp_key"))
+      .filter(col("pair_qty") * 5 > col("total_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(Hints.maybeBroadcast(
+              Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q21 shape: the waiting-supplier audit — for finalized
+    * ('F') multi-supplier orders, which supplier UNIQUELY shipped
+    * last (the order could not close until they did)? Q21's
+    * EXISTS(another supplier) / NOT-EXISTS(another equally-late
+    * supplier) pair decorrelates to per-order aggregates over the
+    * (order, supplier) collapse: distinct-supplier count ≥ 2 is the
+    * EXISTS, and "exactly one supplier attains the order's max ship
+    * date" is the NOT EXISTS — both conditional counts in ONE
+    * order-keyed pass, no correlated probes, no window. The laggard
+    * flag joins back to the pair frame on the already-partitioned
+    * order key; per-supplier counts aggregate a ≤|supplier| key
+    * space.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    val pairs = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Hints.maybeBroadcast(fOrders), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("supp_last"))
+    val perOrder = pairs.groupBy(col("l_orderkey").as("ord_key"))
+      .agg(max("supp_last").as("order_last"),
+           count(lit(1)).as("n_suppliers"))
+    val laggards = pairs
+      .join(perOrder, col("l_orderkey") === col("ord_key"))
+      .filter(col("n_suppliers") >= 2)
+      .groupBy("l_orderkey")
+      .agg(max("order_last").as("order_last"),
+           sum(when(col("supp_last") === col("order_last"), 1L).otherwise(0L))
+             .as("n_at_max"),
+           max(when(col("supp_last") === col("order_last"), col("l_suppkey")))
+             .as("sole_suppkey"))
+      .filter(col("n_at_max") === 1)
+    laggards.groupBy(col("sole_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Hints.maybeBroadcast(
+              Tables.supplier(s, dir).select(col("s_suppkey").as("sk"), col("s_name"))),
+            col("s_suppkey") === col("sk"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(10)
   }
 }

@@ -204,4 +204,98 @@ class JoinsViewsSpec extends AnyFunSuite with SparkFixture {
     val expect = o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi").count()
     assert(total == expect)
   }
+
+  test("q13 distribution: buckets conserve the customer population, zero-bucket exact") {
+    val out = graft.operators.Analytics.q13OrderDistribution(spark, sf)
+    val nCust = Tables.customer(spark, sf).count()
+    assert(out.agg(sum("custdist")).head.getLong(0) == nCust,
+      "every customer lands in exactly one count bucket")
+    // zero bucket == customers whose every order (if any) is urgent
+    val withNonUrgent = Tables.orders(spark, sf)
+      .filter(!col("o_orderpriority").startsWith("1-"))
+      .select("o_custkey").distinct().count()
+    val zeroBucket = out.filter(col("c_count") === 0)
+      .agg(coalesce(sum("custdist"), lit(0L))).head.getLong(0)
+    assert(zeroBucket == nCust - withNonUrgent)
+  }
+
+  test("q17 small-quantity: equals the window-decorrelated recompute") {
+    val out = graft.operators.Analytics.q17SmallQuantityRevenue(spark, sf).head
+    // independent road: per-part avg via a window over the same frame
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf)
+              .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+              .select("p_partkey"),
+            col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+              floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .withColumn("sum_qty", sum("qty").over(w))
+      .withColumn("n", count(lit(1)).over(w))
+      .filter(col("qty") * 5 * col("n") < col("sum_qty"))
+    val expect = li.agg(coalesce(sum("cents"), lit(0L)), count(lit(1))).head
+    assert(out.getAs[Long]("total_cents") == expect.getLong(0))
+    assert(out.getAs[Long]("n_small_lines") == expect.getLong(1))
+  }
+
+  test("q2 min-cost: every reported row attains its part's true EUROPE minimum") {
+    val out = graft.operators.Analytics.q2MinCostSupplier(spark, sf)
+    // brute-force per-part min over the same unit-price derivation
+    val eurKeys = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val brute = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf)
+              .filter(col("p_type") === "LARGE" && col("p_size") <= 15)
+              .select("p_partkey"),
+            col("l_partkey") === col("p_partkey"))
+      .join(eurKeys, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("p_partkey"),
+              expr("(cast(floor(l_extendedprice * 100) as bigint) * 10000) div cast(l_quantity as bigint)")
+                .as("u"))
+      .groupBy("p_partkey").agg(min("u").as("true_min"))
+    val joined = out.join(brute, "p_partkey")
+    assert(joined.filter(col("unit_micro") =!= col("true_min")).count() == 0)
+  }
+
+  test("q12 late shipments: priority split conserves the late-line total") {
+    val out = graft.operators.Analytics.q12LateShipments(spark, sf)
+    val lateTotal = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"))
+      .count()
+    val split = out.agg(sum(col("high_line_count") + col("low_line_count"))).head.getLong(0)
+    assert(split == lateTotal)
+  }
+
+  test("q21 waiting suppliers: window-ranked recompute agrees on every laggard") {
+    // independent road: rank (order, supplier) last-ship times with a
+    // window; a laggard is rank-1 in a >=2-supplier order with no tie
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy(col("supp_last").desc)
+    val pairs = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+              .select("o_orderkey"),
+            col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max("l_shipdate").as("supp_last"))
+    val ranked = pairs
+      .withColumn("rk", rank().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")))
+      .withColumn("at_max", sum(when(col("rk") === 1, 1).otherwise(0)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")))
+      .filter(col("rk") === 1 && col("n") >= 2 && col("at_max") === 1)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+    val out = graft.operators.Analytics.q21WaitingSuppliers(spark, sf)
+      .select("s_suppkey", "numwait")
+    // engine output is the top-10 head of the ranked recompute
+    val expectTop = ranked.orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(out.count().toInt)
+    assert(out.exceptAll(expectTop).count() == 0 &&
+           expectTop.exceptAll(out).count() == 0)
+  }
 }
