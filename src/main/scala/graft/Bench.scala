@@ -96,11 +96,29 @@ object Bench {
     // The same guard protects BOTH record files: a degraded run may
     // only claim a file whose current record is itself degraded (or
     // absent) — otherwise it is diverted to the _DEGRADED sibling.
+    // Records are also SF-SEGREGATED: a run may only claim a file
+    // whose current record measured the SAME scale factor — an
+    // sf0.001 smoke sweep must never replace the sf0.1 record a
+    // reader compares rounds with (it did once: a degraded smoke run
+    // silently consumed the only degraded-sf0.1 diagnostic record).
+    // A different-SF run lands in its own <file>_<sfTag>.json.
+    val sfTag = java.nio.file.Paths.get(sfDir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     def guarded(clean: String, diverted: String): java.nio.file.Path = {
-      val p = java.nio.file.Paths.get(clean)
+      // this run may claim `name` iff no record is there yet, or the
+      // record there measured the same SF; otherwise the SF-suffixed
+      // sibling is the run's own file
+      def route(name: String): java.nio.file.Path = {
+        val p = java.nio.file.Paths.get(name)
+        if (!java.nio.file.Files.exists(p) ||
+            java.nio.file.Files.readString(p).contains(s""""sf":"${esc(sfDir)}""""))
+          p
+        else java.nio.file.Paths.get(name.stripSuffix(".json") + s"_$sfTag.json")
+      }
+      val p = route(clean)
       if (degraded && java.nio.file.Files.exists(p)
           && !java.nio.file.Files.readString(p).contains("\"degraded\":true"))
-        java.nio.file.Paths.get(diverted)
+        route(diverted)
       else p
     }
     val canonical = java.nio.file.Paths.get("BENCH_LOCAL.json")
