@@ -172,6 +172,9 @@ object SparkEntry {
     "seq_len_histogram" -> (TrainingOps.seqLenHistogram _),
     "pretrain_corpus"   -> ((s, d) => TrainingOps.pretrainCorpus(s, d)),
     "bpe_train"         -> ((s, d) => TrainingOps.bpeTrain(s, d)),
+    "bpe_apply"         -> ((s, d) => TrainingOps.bpeApply(s, d)),
+    "sample_importance" -> (TrainingOps.sampleImportance _),
+    "curriculum_order"  -> (TrainingOps.curriculumOrder _),
     "corpus_shuffle"    -> ((s, d) => TrainingOps.corpusShuffle(s, d)),
     "mix_temperature"   -> ((s, d) => TrainingOps.mixTemperature(s, d)),
     "corpus_budget_select" -> ((s, d) => TrainingOps.corpusBudgetSelect(s, d)),
@@ -196,6 +199,7 @@ object SparkEntry {
     "text_token_count"   -> (TextOps.textTokenCount _),
     "token_fertility_by_lang" -> (TextOps.tokenFertilityByLang _),
     "text_fingerprint"   -> (TextOps.textFingerprint _),
+    "winnowing_fingerprint" -> ((s, d) => TextOps.winnowingFingerprint(s, d)),
     "top_ngrams"         -> ((s, d) => TextOps.topNgrams(s, d)),
     "text_pii_redact"    -> (TextOps.textPiiRedact _),
     "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
@@ -2131,6 +2135,22 @@ object SparkEntry {
                 COALESCE(string_agg(CASE WHEN df.unit_df < 2 THEN u.unit END, ' ' ORDER BY u.ord), '') AS clean_text
          FROM units u JOIN df ON df.unit = u.unit
          GROUP BY u.doc_id ORDER BY u.doc_id""",
+    "sample_importance" ->
+      """WITH m AS (SELECT MAX(n_chars) AS mx FROM documents)
+         SELECT d.doc_id, d.n_chars,
+                CAST((d.n_chars * 1000000) // m.mx AS BIGINT) AS weight_ppm
+         FROM documents d CROSS JOIN m
+         WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':imp'), 1, 8) AS BIGINT)
+               * m.mx < d.n_chars * 4294967296
+         ORDER BY d.doc_id""",
+    "curriculum_order" ->
+      """SELECT doc_id, n_chars,
+                CAST(length(bin(n_chars)) AS BIGINT) AS len_bucket,
+                CAST(ROW_NUMBER() OVER (
+                       ORDER BY length(bin(n_chars)),
+                                md5(CAST(doc_id AS VARCHAR) || ':cur'),
+                                doc_id) AS BIGINT) AS curriculum_pos
+         FROM documents ORDER BY doc_id""",
     "corpus_shuffle" ->
       """WITH k AS (
            SELECT doc_id,

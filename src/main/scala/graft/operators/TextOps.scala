@@ -500,4 +500,64 @@ object TextOps {
               coalesce(col("token_id").cast("long"), lit(0L)).as("token_id"))
       .orderBy("doc_id", "pos")
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every k-char gram of the normalized text,
+    * slide a window of `w` consecutive hashes, select each window's
+    * minimum (rightmost on ties), and dedup the selections. The
+    * winnowing GUARANTEE — any match of length ≥ k+w−1 between two
+    * documents shares at least one selected fingerprint — is what
+    * makes the ~2/(w+1) density a sound plagiarism/near-dup index
+    * where uniform sampling of k-grams is not.
+    *
+    * Everything is row-local HOFs over the text column (one scan,
+    * zero shuffles, the TextOps contract): k-gram hashes via
+    * `transform(sequence(...))` + xxhash64, window minima as
+    * `array_min` over struct (hash, −i) slices (struct order gives
+    * the rightmost-min convention), dedup via `array_distinct`. The
+    * checksum (wrapping sum of selected hashes) is the compact
+    * signature a cross-corpus fingerprint join would key on.
+    * xxhash64 has no DuckDB twin, so correctness rides
+    * TextFunctionsSpec: the coverage guarantee (every window
+    * contains a selection), the density bound, selection stability
+    * under duplication, and a shared-substring collision fixture.
+    */
+  /** Core winnowing selection over any (doc_id, text) frame — exposed
+    * for the spec's crafted-document fixtures. Emits the selected
+    * fingerprint structs (hash, −position) so tests can assert the
+    * coverage guarantee and cross-document collisions on shared
+    * substrings; the registered operator projects the compact
+    * (count, checksum) signature.
+    */
+  def winnowingOver(df: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
+    val norm = normText(col("text"))
+    val nGrams = length(norm) - (k - 1)              // k-grams in the doc
+    val nWins  = nGrams - (w - 1)                    // winnowing windows
+    // (hash, -i) structs: array_min's lexicographic struct order picks
+    // the smallest hash, and among equal hashes the LARGEST i — the
+    // rightmost-min winnowing convention.
+    val grams = transform(sequence(lit(1), nGrams),
+      i => struct(xxhash64(norm.substr(i, lit(k))).as("h"),
+                  (-i).cast("long").as("ni")))
+    val selected = array_distinct(
+      transform(sequence(lit(1), nWins), j => array_min(slice(grams, j, lit(w)))))
+    df.select(col("doc_id"), greatest(nGrams, lit(0)).cast("long").as("n_kgrams"),
+      // CaseWhen evaluates the branch lazily: a doc shorter than
+      // k+w-1 never builds the (descending) sequence
+      when(nWins >= 1, selected).otherwise(array().cast("array<struct<h:bigint,ni:bigint>>"))
+        .as("fps"))
+  }
+
+  def winnowingFingerprint(s: SparkSession, dir: String,
+                           k: Int = 8, w: Int = 4): DataFrame = {
+    winnowingOver(Tables.documents(s, dir), k, w)
+      .select(col("doc_id"), col("n_kgrams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        // XOR fold: order-insensitive, never overflows under ANSI
+        aggregate(col("fps"), lit(0L), (acc, f) => acc.bitwiseXOR(f.getField("h")))
+          .as("fp_checksum"))
+      .orderBy("doc_id")
+  }
 }

@@ -690,4 +690,102 @@ object TrainingOps {
         col("worst_train_doc_id"), col("worst_shared"))
       .orderBy("eval_doc_id")
   }
+
+  /** Apply a trained BPE merge list to the corpus — the tokenize step
+    * that consumes [[bpeTrain]]'s artifact: per document, word count,
+    * post-merge token count and fertility (tokens per 1M words).
+    *
+    * The merge list is KB-scale MODEL state ([[graft.Caches.model]]
+    * memoizes it per (dir, nMerges) — train once, serve every query
+    * this session), compiled into the PLAN as `nMerges` nested
+    * row-local `aggregate` HOF rewrites (the same greedy
+    * left-to-right fold the trainer used, applied in rank order — BPE
+    * application is BY DEFINITION the training folds replayed).
+    * The scale move mirrors the trainer's: merges apply ONCE per
+    * DISTINCT word (a vocabulary-bounded frame), and documents join
+    * word→token-count through the size guard — the corpus explodes
+    * once and never carries symbol arrays through a shuffle.
+    *
+    * No oracle: SQL cannot iterate data-dependent array rewrites;
+    * TrainingMixSpec proves token counts equal a reference in-memory
+    * BPE apply word-for-word, and monotone non-increase in nMerges.
+    */
+  def bpeApply(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val mergeList: Seq[(String, String)] =
+      graft.Caches.model("bpe_merges", dir, nMerges) {
+        bpeTrain(s, dir, nMerges).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+      }
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+    val syms0: Column = expr("filter(split(word, ''), ch -> ch <> '')")
+    val symsMerged = mergeList.foldLeft(syms0) { case (syms, (l, r)) =>
+      val merged = l + r
+      aggregate(syms, array().cast("array<string>"),
+        (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+          .otherwise(concat(acc, array(x))))
+    }
+    val encoded = docWords.select("word").distinct()
+      .select(col("word"), size(symsMerged).cast("long").as("n_syms"))
+    docWords
+      .join(Hints.maybeBroadcast(encoded), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .withColumn("fertility_ppm", expr("(n_bpe_tokens * 1000000) div n_words"))
+      .orderBy("doc_id")
+  }
+
+  /** Importance (weight-proportional) sampling: keep each document
+    * with probability `n_chars / max(n_chars)` — the
+    * length-proportional inclusion a token-budgeted mix uses so that
+    * sampling UNITS (documents) don't distort sampling MASS (tokens).
+    * The acceptance test is the [[sampleSplitHash]] discipline made
+    * weighted: u = 32 bits of md5(doc_id:imp) is the deterministic
+    * uniform draw, and `u · max < n_chars · 2^32` keeps the compare
+    * INTEGRAL (never a float probability). Like every hash-keyed
+    * sample here it is reproducible across engines/partitionings and
+    * stable under backfill; the max is a 1-row broadcast. Survivors
+    * carry `weight_ppm` (inclusion probability, ppm) — the
+    * Horvitz-Thompson reweighting input downstream estimators need.
+    */
+  def sampleImportance(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val mx = d.agg(max("n_chars").as("max_chars"))
+    d.crossJoin(broadcast(mx))
+      .withColumn("u",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":imp"))), 1, 8),
+             16, 10).cast("long"))
+      .filter(col("u") * col("max_chars") < col("n_chars") * lit(4294967296L))
+      .select(col("doc_id"), col("n_chars"),
+              expr("(n_chars * 1000000) div max_chars").as("weight_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Short-to-long curriculum ordering — the classic curriculum
+    * schedule (easy examples first, difficulty ∝ length) as a global
+    * training-order index: documents sort by log2-length bucket
+    * ascending, hash-shuffled WITHIN each bucket (md5(doc_id:cur) —
+    * deterministic, so the curriculum is a pure function of the
+    * corpus), position assigned by [[DistRank.withPrefix]]'s
+    * two-stage distributed rank — never a single-task global window
+    * (the corpus-scaling sort key is exactly the trap DistRank
+    * exists for; [[corpusShuffle]] is the same shape without the
+    * difficulty key). The log2 bucket is `length(bin(n))` — an
+    * integral log both engines compute identically.
+    */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+              length(bin(col("n_chars"))).cast("long").as("len_bucket"),
+              md5(concat(col("doc_id").cast("string"), lit(":cur"))).as("tag"))
+    DistRank.withPrefix(d, Nil,
+        Seq(col("len_bucket"), col("tag"), col("doc_id")),
+        lit(1L), "curriculum_pos")
+      .select("doc_id", "n_chars", "len_bucket", "curriculum_pos")
+      .orderBy("doc_id")
+  }
 }

@@ -283,4 +283,55 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     }
     assert(got.keySet == byTerm.keySet, "every corpus term indexed")
   }
+
+  test("winnowing: coverage guarantee, density bound, determinism, edge lengths") {
+    import spark.implicits._
+    val k = 4; val w = 3
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "zxqvj"),                         // k <= len < k+w-1: grams but no window
+      (4L, "ab"),                            // len < k: no grams at all
+      (5L, "0192837465564738291001928374655647382910")  // disjoint alphabet: no common k-gram
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.winnowingOver(docs, k, w).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2).map(s => (s.getLong(0), s.getLong(1)))))
+      .toMap
+    // doc 1: selections exist, and every one of the nWins windows
+    // contains at least one selected position (the winnowing guarantee)
+    val (n1, fps1) = out(1L)
+    val nWins1 = n1 - (w - 1)
+    assert(fps1.nonEmpty && nWins1 >= 1)
+    val positions = fps1.map { case (_, ni) => -ni }.toSet // 1-based gram index
+    (1L to nWins1).foreach { j =>
+      assert((j until j + w).exists(positions.contains),
+        s"window $j of doc 1 has no selected fingerprint")
+    }
+    // density: one selection covers at most w windows
+    assert(fps1.size >= Math.ceil(nWins1.toDouble / w).toInt)
+    // determinism: the duplicate document selects identical fingerprints
+    assert(out(2L) == out(1L))
+    // edge lengths: grams-but-no-window and no-grams both yield empty
+    assert(out(3L)._1 == 2L && out(3L)._2.isEmpty)
+    assert(out(4L)._1 == 0L && out(4L)._2.isEmpty)
+    // unrelated text shares no fingerprint hash with doc 1
+    assert(out(5L)._2.map(_._1).toSet.intersect(fps1.map(_._1).toSet).isEmpty)
+  }
+
+  test("winnowing: documents sharing a long substring share a fingerprint") {
+    import spark.implicits._
+    val k = 4; val w = 3
+    // shared region of length >= k+w-1 guarantees a common selected hash
+    val shared = "unmistakable shared fragment"
+    val docs = Seq(
+      (1L, s"left padding text $shared and some tail"),
+      (2L, s"totally other prologue here $shared closing words")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.winnowingOver(docs, k, w).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](2).map(_.getLong(0)).toSet)
+      .toMap
+    assert(out(1L).intersect(out(2L)).nonEmpty,
+      "shared >= k+w-1 substring must yield a common fingerprint hash")
+  }
 }

@@ -303,4 +303,79 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     assert(out(194L) == ((0L, 0L, None, None)), "clean eval doc must report zeros")
     graft.Caches.clear()
   }
+
+  /** Reference BPE application: replay the merge list over one word,
+    * same greedy left-to-right fold as the trainer.
+    */
+  private def refApply(word: String, merges: Seq[(String, String)]): Long = {
+    var syms = word.split("").filter(_.nonEmpty).toVector
+    merges.foreach { case (l, r) =>
+      val acc = scala.collection.mutable.ArrayBuffer[String]()
+      syms.foreach { x =>
+        if (acc.nonEmpty && acc.last == l && x == r) acc(acc.size - 1) = l + r
+        else acc += x
+      }
+      syms = acc.toVector
+    }
+    syms.size.toLong
+  }
+
+  test("bpe_apply: per-doc token counts equal the reference replay; fertility integral") {
+    import graft.functions.TextFunctions
+    val merges = TrainingOps.bpeTrain(spark, sf, 10).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = TrainingOps.bpeApply(spark, sf, 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docWords = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (id, ws) => id -> ws.map(_._2).toSeq }
+    assert(out.keySet == docWords.keySet)
+    docWords.foreach { case (id, ws) =>
+      val (nWords, nTokens, fert) = out(id)
+      assert(nWords == ws.size.toLong, s"doc $id word count")
+      val expect = ws.map(refApply(_, merges)).sum
+      assert(nTokens == expect, s"doc $id: engine $nTokens != reference $expect")
+      assert(fert == nTokens * 1000000L / nWords, s"doc $id fertility")
+    }
+    // more merges can only shrink (or hold) the token total
+    val total10 = out.values.map(_._2).sum
+    val total3 = TrainingOps.bpeApply(spark, sf, 3).agg(sum("n_bpe_tokens"))
+      .head.getLong(0)
+    assert(total10 <= total3, s"10-merge total $total10 > 3-merge total $total3")
+    graft.Caches.clear()
+  }
+
+  test("sample_importance: acceptance matches a single-node recompute; max-length always kept") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val chars = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val mx = chars.map(_._2).max
+    val expect = chars.filter { case (id, n) =>
+      java.lang.Long.parseLong(md5hex(s"$id:imp").take(8), 16) * mx < n * 4294967296L
+    }.map(_._1).toSet
+    val out = TrainingOps.sampleImportance(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == expect)
+    out.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / mx, "weight_ppm")
+    }
+    // the max-length document has inclusion probability 1
+    val maxIds = chars.filter(_._2 == mx).map(_._1).toSet
+    assert(maxIds.subsetOf(out.map(_.getLong(0)).toSet),
+      "P(keep)=1 rows must always survive")
+  }
+
+  test("curriculum_order: positions are a permutation, buckets non-decreasing along the order") {
+    val out = TrainingOps.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._3).sorted.toSeq == (1L to out.length).toSeq,
+      "curriculum_pos must be a 1..n permutation")
+    val byPos = out.sortBy(_._3)
+    byPos.zip(byPos.tail).foreach { case ((_, b1, _), (_, b2, _)) =>
+      assert(b1 <= b2, "length buckets must be non-decreasing along the curriculum")
+    }
+  }
 }
