@@ -130,6 +130,7 @@ object SparkEntry {
     "q12_late_shipments"     -> ((s, d) => Analytics.q12LateShipments(s, d)),
     "q20_dominant_suppliers" -> (Analytics.q20DominantSuppliers _),
     "q21_waiting_suppliers"  -> (Analytics.q21WaitingSuppliers _),
+    "anomaly_cusum"          -> (Analytics.anomalyCusum _),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -537,6 +538,37 @@ object SparkEntry {
                 MAX(end_day) AS episode_end_day,
                 COUNT(*) AS n_intervals
          FROM e GROUP BY o_custkey, episode ORDER BY o_custkey, episode""",
+    "anomaly_cusum" ->
+      """WITH daily AS (
+           SELECT event_type,
+                  datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                  COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, MIN(day) AS d0, MAX(day) AS d1, SUM(x) AS t
+           FROM daily GROUP BY event_type),
+         spine AS (
+           SELECT event_type, t, d1 - d0 + 1 AS n,
+                  unnest(generate_series(d0, d1)) AS day
+           FROM spans),
+         filled AS (
+           SELECT s.event_type, s.day, s.t, s.n, COALESCE(d.x, 0) AS x
+           FROM spine s LEFT JOIN daily d
+             ON s.event_type = d.event_type AND s.day = d.day),
+         pre AS (
+           SELECT event_type, day, t, x,
+                  SUM(4 * n * x - 5 * t) OVER (PARTITION BY event_type ORDER BY day) AS pu,
+                  SUM(3 * t - 4 * n * x) OVER (PARTITION BY event_type ORDER BY day) AS pd
+           FROM filled),
+         cs AS (
+           SELECT event_type, day, t, x,
+                  pu - LEAST(0, MIN(pu) OVER (PARTITION BY event_type ORDER BY day)) AS su,
+                  pd - LEAST(0, MIN(pd) OVER (PARTITION BY event_type ORDER BY day)) AS sd
+           FROM pre)
+         SELECT event_type, CAST(day AS BIGINT) AS day, CAST(x AS BIGINT) AS n_events,
+                CAST(su AS BIGINT) AS cusum_up, CAST(sd AS BIGINT) AS cusum_dn,
+                su > 8 * t AS flag_surge, sd > 8 * t AS flag_drop
+         FROM cs ORDER BY event_type, day""",
     "gap_fill_days" ->
       """WITH daily AS (
            SELECT user_id,

@@ -2121,4 +2121,60 @@ object Analytics {
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(10)
   }
+
+  /** CUSUM changepoint monitor over the per-type daily event series —
+    * the SEQUENTIAL member of the outlier family ([[anomalyZscore]] /
+    * [[anomalyMad]] / [[anomalyTukey]] flag individual points; CUSUM
+    * accumulates small persistent shifts none of them sees, the
+    * Page-1954 control chart every feed monitor runs). Two one-sided
+    * statistics: S↑ₜ = max(0, S↑ₜ₋₁ + (xₜ − μ − κ)) catches surges,
+    * S↓ the mirror catches silent decays; a flag fires when either
+    * exceeds h.
+    *
+    * The max(0, …) recursion looks inherently sequential, but
+    * S↑ₜ = Pₜ − min(0, min_{j≤t} Pⱼ) for the drift-adjusted prefix
+    * sum Pₜ — two cumulative windows (running sum, running min),
+    * no iterative loop. Windows partition by event TYPE over the
+    * DAY-grain frame: partition size is calendar-bounded (days),
+    * never corpus-bounded — the daily collapse happens first (one
+    * partial-agg shuffle), and zero-event days join in from the
+    * per-type day spine ([[gapFillDays]] precedent) because a DROP
+    * is precisely a run of days the raw groupBy never emits.
+    *
+    * ALL-INTEGRAL at scale ×4n (n = spine days, T = type total):
+    * with κ = μ/4 and h = 2μ, deviation 4n·xₜ − 5T, threshold 8T —
+    * exact longs (4n·x ≤ 4·10⁴·x and prefixes ≤ 4nT ~ 10⁵·T stay
+    * far below 2⁶³ at any single-type daily volume), no float mean
+    * for engines to round apart.
+    */
+  def anomalyCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+              datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                .cast("long").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("x"))
+    val spans = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"), sum("x").as("t"))
+    val spine = spans.select(col("event_type"), col("t"),
+        (col("d1") - col("d0") + 1).as("n"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("t"), col("n"),
+              coalesce(col("x"), lit(0L)).as("x"))
+      .select(col("event_type"), col("day"), col("t"), col("x"),
+        sum(lit(4L) * col("n") * col("x") - lit(5L) * col("t")).over(w).as("pu"),
+        sum(lit(3L) * col("t") - lit(4L) * col("n") * col("x")).over(w).as("pd"))
+      .select(col("event_type"), col("day"), col("t"),
+        col("x").as("n_events"),
+        (col("pu") - least(lit(0L), min("pu").over(w))).as("cusum_up"),
+        (col("pd") - least(lit(0L), min("pd").over(w))).as("cusum_dn"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > lit(8L) * col("t")).as("flag_surge"),
+        (col("cusum_dn") > lit(8L) * col("t")).as("flag_drop"))
+      .orderBy("event_type", "day")
+  }
 }

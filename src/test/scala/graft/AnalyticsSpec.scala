@@ -1041,4 +1041,43 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out.join(single, Seq("user_id"), "left_semi").count() == 0)
     joined.unpersist()
   }
+
+  test("anomaly_cusum: crafted surge and silent drop both flagged, stable regime never") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cusum").toString
+    // type "surge": 10/day for days 0..39, then 30/day for days 40..49
+    // type "drop":  10/day for days 0..39, then SILENCE (no rows) 40..49,
+    //               then one closing event on day 50 so the spine spans the gap
+    // type "flat":  10/day throughout — must never flag
+    def day(d: Int, hh: Int, i: Int) = f"2024-01-01 00:00:00".replace(
+      "2024-01-01", java.time.LocalDate.of(2024, 1, 1).plusDays(d).toString)
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, Long, String, Double, String)]()
+    def emit(t: String, d: Int, n: Int): Unit = (1 to n).foreach { i =>
+      id += 1; rows += ((id, day(d, 0, i), 1L, t, 1.0, "{}"))
+    }
+    (0 until 40).foreach { d => emit("surge", d, 10); emit("drop", d, 10); emit("flat", d, 10) }
+    (40 until 50).foreach { d => emit("surge", d, 30); emit("flat", d, 10) }
+    emit("drop", 50, 1)
+    (50 until 51).foreach { d => emit("flat", d, 10) }
+    rows.toSeq.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.anomalyCusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(5), r.getBoolean(6)))).toMap
+    val d0 = out.keys.filter(_._1 == "flat").map(_._2).min
+    // flat: no flag anywhere
+    assert(out.filter(_._1._1 == "flat").forall { case (_, (_, su, sd)) => !su && !sd })
+    // surge: up-flag fires somewhere in the raised regime, never before it
+    val surgeFlags = out.filter(_._1._1 == "surge").map { case ((_, d), (_, su, _)) => (d - d0, su) }
+    assert(surgeFlags.filter(_._1 < 40).forall(!_._2), "no up-flag before the surge")
+    assert(surgeFlags.exists { case (d, su) => d >= 40 && su }, "surge must be flagged")
+    // drop: down-flag fires inside the silent window (zero-filled days), never before
+    val dropFlags = out.filter(_._1._1 == "drop").map { case ((_, d), (_, _, sd)) => (d - d0, sd) }
+    assert(dropFlags.filter(_._1 < 40).forall(!_._2), "no down-flag before the silence")
+    assert(dropFlags.exists { case (d, sd) => d >= 40 && sd }, "silent decay must be flagged")
+    // zero-filled days really exist in the output (the spine join worked)
+    assert(out.exists { case ((t, _), (n, _, _)) => t == "drop" && n == 0L })
+  }
 }
