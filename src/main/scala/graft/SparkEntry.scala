@@ -131,6 +131,7 @@ object SparkEntry {
     "q20_dominant_suppliers" -> (Analytics.q20DominantSuppliers _),
     "q21_waiting_suppliers"  -> (Analytics.q21WaitingSuppliers _),
     "anomaly_cusum"          -> (Analytics.anomalyCusum _),
+    "stream_cusum"           -> (Analytics.streamCusum _),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -538,6 +539,37 @@ object SparkEntry {
                 MAX(end_day) AS episode_end_day,
                 COUNT(*) AS n_intervals
          FROM e GROUP BY o_custkey, episode ORDER BY o_custkey, episode""",
+    "stream_cusum" ->
+      """WITH hourly AS (
+           SELECT event_type,
+                  epoch_ns(CAST(ts AS TIMESTAMP)) // 3600000000000 AS win,
+                  COUNT(*) AS x
+           FROM events GROUP BY 1, 2),
+         spans AS (
+           SELECT event_type, MIN(win) AS w0, MAX(win) AS w1, SUM(x) AS t
+           FROM hourly GROUP BY event_type),
+         spine AS (
+           SELECT event_type, t, w1 - w0 + 1 AS n,
+                  unnest(generate_series(w0, w1)) AS win
+           FROM spans),
+         filled AS (
+           SELECT s.event_type, s.win, s.t, s.n, COALESCE(h.x, 0) AS x
+           FROM spine s LEFT JOIN hourly h
+             ON s.event_type = h.event_type AND s.win = h.win),
+         pre AS (
+           SELECT event_type, win, t, x,
+                  SUM(4 * n * x - 5 * t) OVER (PARTITION BY event_type ORDER BY win) AS pu,
+                  SUM(3 * t - 4 * n * x) OVER (PARTITION BY event_type ORDER BY win) AS pd
+           FROM filled),
+         cs AS (
+           SELECT event_type, win, t, x,
+                  pu - LEAST(0, MIN(pu) OVER (PARTITION BY event_type ORDER BY win)) AS su,
+                  pd - LEAST(0, MIN(pd) OVER (PARTITION BY event_type ORDER BY win)) AS sd
+           FROM pre)
+         SELECT event_type, CAST(win AS BIGINT) AS win, CAST(x AS BIGINT) AS n_events,
+                CAST(su AS BIGINT) AS cusum_up, CAST(sd AS BIGINT) AS cusum_dn,
+                su > 8 * t AS flag_surge, sd > 8 * t AS flag_drop
+         FROM cs ORDER BY event_type, win""",
     "anomaly_cusum" ->
       """WITH daily AS (
            SELECT event_type,

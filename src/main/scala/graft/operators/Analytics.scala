@@ -2177,4 +2177,42 @@ object Analytics {
         (col("cusum_dn") > lit(8L) * col("t")).as("flag_drop"))
       .orderBy("event_type", "day")
   }
+
+  /** Batch twin of the streaming CUSUM rate monitor
+    * ([[graft.streaming.EventStreams.rateCusum]]): the
+    * [[anomalyCusum]] chart at the stream's HOUR-window grain —
+    * same prefix-sum/running-min decorrelation, same ×4n integral
+    * scale with the corpus-derived per-type mean as center (the
+    * reference rate a deployment would periodically re-fit the
+    * stream's fixed baseline from). StreamingSpec pins the
+    * stream == batch flag agreement on an integral-mean fixture.
+    */
+  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("win"))
+      .groupBy("event_type", "win")
+      .agg(count(lit(1)).as("x"))
+    val spans = hourly.groupBy("event_type")
+      .agg(min("win").as("w0"), max("win").as("w1"), sum("x").as("t"))
+    val spine = spans.select(col("event_type"), col("t"),
+        (col("w1") - col("w0") + 1).as("n"),
+        explode(sequence(col("w0"), col("w1"))).as("win"))
+    val w = Window.partitionBy("event_type").orderBy("win")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "win"), "left")
+      .select(col("event_type"), col("win"), col("t"), col("n"),
+              coalesce(col("x"), lit(0L)).as("x"))
+      .select(col("event_type"), col("win"), col("t"), col("x"),
+        sum(lit(4L) * col("n") * col("x") - lit(5L) * col("t")).over(w).as("pu"),
+        sum(lit(3L) * col("t") - lit(4L) * col("n") * col("x")).over(w).as("pd"))
+      .select(col("event_type"), col("win"), col("t"),
+        col("x").as("n_events"),
+        (col("pu") - least(lit(0L), min("pu").over(w))).as("cusum_up"),
+        (col("pd") - least(lit(0L), min("pd").over(w))).as("cusum_dn"))
+      .select(col("event_type"), col("win"), col("n_events"),
+        col("cusum_up"), col("cusum_dn"),
+        (col("cusum_up") > lit(8L) * col("t")).as("flag_surge"),
+        (col("cusum_dn") > lit(8L) * col("t")).as("flag_drop"))
+      .orderBy("event_type", "win")
+  }
 }

@@ -398,4 +398,74 @@ object EventStreams {
       .filter(col("rank") <= k)
       .select("window_start", "rank", "event_type", "n_events")
   }
+
+  /** One closed CUSUM window: the window's count, both chart values
+    * AFTER absorbing it, and the threshold verdicts. */
+  case class CusumOut(event_type: String, win: Long, n_events: Long,
+                      cusum_up: Long, cusum_dn: Long,
+                      flag_surge: Boolean, flag_drop: Boolean)
+
+  /** CUSUM accumulator per event type: both one-sided charts plus the
+    * currently-open window's frontier. */
+  case class CusumState(s_up: Long, s_dn: Long, open_win: Long, open_n: Long)
+
+  /** Streaming CUSUM rate monitor — the CONTINUOUS form of
+    * [[graft.operators.Analytics.anomalyCusum]]: per event type, count
+    * events into `windowSec` tumbling windows against a FIXED
+    * reference rate `baseline(type)` (the stream cannot know the
+    * corpus mean the batch chart centers on — a reference value is
+    * how deployed CUSUM charts run; re-fit it from the batch twin on
+    * whatever cadence drift reviews allow), maintaining both
+    * one-sided charts in per-type state. Same integral scale ×4
+    * (κ = B/4, h = 2B): up-deviation 4x − 5B, down 3B − 4x, flag at
+    * 8B.
+    *
+    * A window CLOSES when a later window appears in the stream (the
+    * frontier rule): all events of a window accumulate across
+    * micro-batches until then, and the walk from the old frontier to
+    * the new one feeds the charts the EMPTY windows in between —
+    * which is exactly how a silent feed trips flag_drop while every
+    * value-based expectation still passes (the [[quarantineCounts]] /
+    * dq_freshness argument, made sequential). Events older than the
+    * frontier are absorbed without effect (late replays cannot
+    * re-close a window). State is three longs + the frontier per
+    * TYPE — bounded by the type enum, the cheapest state table in
+    * this module.
+    */
+  def rateCusum(events: Dataset[Ev], windowSec: Long,
+                baseline: Map[String, Long]): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    require(windowSec > 0, s"windowSec $windowSec must be positive")
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, evs: Iterator[Ev], state: GroupState[CusumState]) =>
+          val b = baseline.getOrElse(etype, 1L)
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse {
+            val w0 = math.floorDiv(math.floorDiv(sorted.head.ts.getTime, 1000L), windowSec)
+            CusumState(0L, 0L, w0, 0L)
+          }
+          val out = Seq.newBuilder[CusumOut]
+          def close(x: Long, w: Long): Unit = {
+            val su = math.max(0L, st.s_up + (4L * x - 5L * b))
+            val sd = math.max(0L, st.s_dn + (3L * b - 4L * x))
+            out += CusumOut(etype, w, x, su, sd, su > 8L * b, sd > 8L * b)
+            st = CusumState(su, sd, w, 0L)
+          }
+          sorted.foreach { e =>
+            val w = math.floorDiv(math.floorDiv(e.ts.getTime, 1000L), windowSec)
+            if (w == st.open_win) st = st.copy(open_n = st.open_n + 1)
+            else if (w > st.open_win) {
+              close(st.open_n, st.open_win)          // the frontier window closes
+              var empty = st.open_win + 1
+              while (empty < w) { close(0L, empty); empty += 1 } // silent gap
+              st = st.copy(open_win = w, open_n = 1L)
+            } // w < frontier: late replay of a closed window — absorbed
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
