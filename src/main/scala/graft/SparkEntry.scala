@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_paragraphs"        -> ((s, d) => Dedup.dedupParagraphs(s, d)),
     "corpus_overlap_matrix"   -> ((s, d) => Dedup.corpusOverlapMatrix(s, d)),
     "dedup_lsh_eval"          -> ((s, d) => Dedup.dedupLshEval(s, d)),
+    "dedup_bloom_probe"       -> ((s, d) => Dedup.dedupBloomProbe(s, d)),
     "dedup_substring"        -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_containment"      -> ((s, d) => Dedup.dedupContainment(s, d)),
     "dedup_edit_distance"    -> ((s, d) => Dedup.dedupEditDistance(s, d)),

@@ -360,6 +360,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered incremental exact dedup — what
+    * [[dedupIncremental]]'s shuffled probe join costs at 100 TB is
+    * exactly what this removes for the clean majority of a delta: the
+    * base corpus collapses ONCE into a `graft_bloom` membership
+    * sketch (a [[graft.functions.BloomSketch]] — partial bitsets
+    * merged by bitwise OR, so the build shuffles numBits/8 bytes per
+    * partition, never keys), the KB-scale sketch broadcasts, and
+    * every delta row screens ROW-LOCALLY with the codegen'd
+    * `graft_bloom_contains` probe. Only bloom-POSITIVES (true dups +
+    * the bounded false-positive tail) enter the exact semi-join; a
+    * bloom-negative is definitively new — the no-false-negative
+    * guarantee is what makes the skip sound, the same
+    * candidate-then-verify discipline as the LSH family.
+    *
+    * Output is the self-monitoring form ([[dedupLshEval]]'s
+    * argument): per delta doc the screen verdict AND the exact one,
+    * so the realized FP rate is one aggregation away — DedupSpec
+    * asserts exact-==-unfiltered equality (soundness) and the
+    * (1−e^(−kn/m))^k FP ceiling (effectiveness).
+    */
+  def dedupBloomProbe(s: SparkSession, dir: String, deltaMod: Int = 10,
+                      numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val hashed = graft.Caches.cached(Tables.documents(s, dir)
+      .select(col("doc_id"), xxhash64(normText(col("text"))).as("h")))
+    val base = hashed.filter(col("doc_id") % deltaMod =!= 0)
+    val sketch = base.agg(
+      call_function("graft_bloom", col("h"), lit(numBits), lit(numHashes))
+        .as("bloom"))
+    val screened = hashed.filter(col("doc_id") % deltaMod === 0)
+      .crossJoin(broadcast(sketch))
+      .select(col("doc_id"), col("h"),
+        call_function("graft_bloom_contains", col("bloom"), col("h"))
+          .as("maybe_dup"))
+    // exact verification for the positives only — the negatives never
+    // reach a shuffle (left join keeps them with in_base null)
+    val positives = screened.filter(col("maybe_dup"))
+      .join(base.select(col("h")).distinct().withColumn("in_base", lit(true)),
+            Seq("h"), "left")
+      .select(col("doc_id"), col("in_base").isNotNull.as("is_dup"))
+    screened.join(positives, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("maybe_dup"),
+              coalesce(col("is_dup"), lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Incremental NEAR-dup: today's delta batch probed against the
     * accumulated corpus's MinHash band index — the continuously-
     * ingesting counterpart of [[dedupMinhashLsh]], exactly as

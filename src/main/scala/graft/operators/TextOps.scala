@@ -532,22 +532,50 @@ object TextOps {
     */
   def winnowingOver(df: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
-    val norm = normText(col("text"))
-    val nGrams = length(norm) - (k - 1)              // k-grams in the doc
-    val nWins  = nGrams - (w - 1)                    // winnowing windows
+    val emptyFps = array().cast("array<struct<h:bigint,ni:bigint>>")
+    // k-grams slice a CHAR ARRAY, not the string (`substr(i, k)` on a
+    // UTF8String counts codepoints from the start — O(i) per call,
+    // O(L²) per document), and every staged array is referenced TWICE
+    // in its consuming projection: CollapseProject inlines a non-cheap
+    // alias that is referenced only once, which would re-evaluate the
+    // whole upstream transform inside the downstream lambda — per
+    // element, O(L²) with interpreted-HOF constants (measured: one
+    // winnowing pass at sf0.1 took minutes; the second reference below
+    // is size()-derived so it is also SEMANTIC, not dead code). The §6
+    // expression-duplication pathology, third occurrence.
+    val stage1 = df
+      .select(col("doc_id"),
+        expr("filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ''), ch -> ch <> '')")
+          .as("chars"))
+      // HOF chains evaluate interpreted (no whole-stage codegen), so
+      // spread the per-row milliseconds across the session's cores —
+      // the single-row-group scan otherwise serializes the corpus
+      // through one task
+      .repartition(col("doc_id"))
     // (hash, -i) structs: array_min's lexicographic struct order picks
     // the smallest hash, and among equal hashes the LARGEST i — the
-    // rightmost-min winnowing convention.
-    val grams = transform(sequence(lit(1), nGrams),
-      i => struct(xxhash64(norm.substr(i, lit(k))).as("h"),
+    // rightmost-min winnowing convention. CaseWhen evaluates lazily:
+    // a doc shorter than k (or k+w-1) never builds the (descending)
+    // sequence.
+    val gramsExpr = transform(sequence(lit(1), size(col("chars")) - (k - 1)),
+      i => struct(xxhash64(concat_ws("", slice(col("chars"), i, lit(k)))).as("h"),
                   (-i).cast("long").as("ni")))
-    val selected = array_distinct(
-      transform(sequence(lit(1), nWins), j => array_min(slice(grams, j, lit(w)))))
-    df.select(col("doc_id"), greatest(nGrams, lit(0)).cast("long").as("n_kgrams"),
-      // CaseWhen evaluates the branch lazily: a doc shorter than
-      // k+w-1 never builds the (descending) sequence
-      when(nWins >= 1, selected).otherwise(array().cast("array<struct<h:bigint,ni:bigint>>"))
-        .as("fps"))
+    val stage2 = stage1.select(col("doc_id"),
+      (size(col("chars")) - (k - 1)).as("n_grams"),   // 2nd chars reference
+      when(size(col("chars")) >= k, gramsExpr).otherwise(emptyFps).as("grams"))
+    val winsExpr = transform(sequence(lit(1), size(col("grams")) - (w - 1)),
+      j => array_min(slice(col("grams"), j, lit(w))))
+    val stage3 = stage2.select(col("doc_id"), col("n_grams"),
+      when(size(col("grams")) >= w, winsExpr).otherwise(emptyFps).as("wins"))
+    // Adjacent dedup, NOT array_distinct: a position is re-selected
+    // only by the contiguous run of windows containing it, so
+    // duplicates are always consecutive — one O(n) pass. array_distinct
+    // over array<struct> is O(n²) with interpreted per-element
+    // equality.
+    stage3.select(col("doc_id"),
+      greatest(col("n_grams"), lit(0)).cast("long").as("n_kgrams"),
+      filter(col("wins"),
+        (x, i) => i === 0 || !(x <=> element_at(col("wins"), i))).as("fps"))
   }
 
   def winnowingFingerprint(s: SparkSession, dir: String,

@@ -717,9 +717,11 @@ object TrainingOps {
         bpeTrain(s, dir, nMerges).collect()
           .map(r => (r.getString(1), r.getString(2))).toSeq
       }
-    val docWords = Tables.documents(s, dir)
+    // referenced twice (distinct-word vocabulary, per-doc join) — one
+    // shared explode scan, the vocabEncode discipline
+    val docWords = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
+      .filter(col("word") =!= ""))
     val syms0: Column = expr("filter(split(word, ''), ch -> ch <> '')")
     val symsMerged = mergeList.foldLeft(syms0) { case (syms, (l, r)) =>
       val merged = l + r

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{CosineSim, FreqSketch, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
+import graft.functions.{BloomContains, BloomSketch, CosineSim, FreqSketch, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -88,7 +88,14 @@ object GraftFunctions {
       (args: Seq[Expression]) => FreqSketch(args(0), intArg(args, 1, "graft_freq_sketch"))),
     (FunctionIdentifier("graft_pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
-      (args: Seq[Expression]) => PqEncode(args(0), codebookArg(args, 1, "graft_pq_encode"))))
+      (args: Seq[Expression]) => PqEncode(args(0), codebookArg(args, 1, "graft_pq_encode"))),
+    (FunctionIdentifier("graft_bloom"),
+      new ExpressionInfo(classOf[BloomSketch].getName, "graft_bloom"),
+      (args: Seq[Expression]) => BloomSketch(args(0),
+        intArg(args, 1, "graft_bloom"), intArg(args, 2, "graft_bloom"))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
+      (args: Seq[Expression]) => BloomContains(args(0), args(1))))
 
   /** Idempotently register on an existing session. */
   def ensureRegistered(s: SparkSession): Unit = {

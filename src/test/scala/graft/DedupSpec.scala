@@ -594,4 +594,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(row.getLong(3) == setA.size.toLong && row.getLong(4) == setB.size.toLong)
     graft.Caches.clear()
   }
+
+  test("dedup_bloom_probe: sound (no false negatives), exact verdict matches, FP bounded") {
+    import graft.operators.Dedup
+    val out = Dedup.dedupBloomProbe(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    graft.Caches.clear()
+    // the unfiltered exact verdict on the same split
+    val exact = Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> !r.getBoolean(2)).toMap // is_dup = !is_new
+    graft.Caches.clear()
+    assert(out.keySet == exact.keySet, "same delta")
+    out.foreach { case (id, (maybe, isDup)) =>
+      assert(isDup == exact(id), s"doc $id exact verdict drifted through the prefilter")
+      if (isDup) assert(maybe, s"doc $id: a true dup escaped the bloom — false negative")
+    }
+    // realized FP rate within 3x the analytic ceiling (plus an absolute
+    // floor for the tiny-sample regime)
+    val fps = out.values.count { case (maybe, isDup) => maybe && !isDup }
+    val nBase = Tables.documents(spark, sf).filter(col("doc_id") % 10 =!= 0).count()
+    val bound = math.pow(1 - math.exp(-5.0 * nBase / (1 << 17)), 5)
+    assert(fps <= math.max(1.0, 3 * bound * out.size),
+      s"$fps false positives exceeds the (1-e^-kn/m)^k ceiling $bound over ${out.size} probes")
+  }
 }

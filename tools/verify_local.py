@@ -8,6 +8,11 @@ import json, subprocess, sys, glob, os
 import duckdb
 import pandas as pd
 
+# opt into the future fillna semantics so every per-column compare
+# doesn't print the downcasting FutureWarning (pure log noise here —
+# the compare coerces to object dtype itself)
+pd.set_option("future.no_silent_downcasting", True)
+
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = "/tmp/graft_verify"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
