@@ -203,6 +203,7 @@ object SparkEntry {
     "token_fertility_by_lang" -> (TextOps.tokenFertilityByLang _),
     "text_fingerprint"   -> (TextOps.textFingerprint _),
     "winnowing_fingerprint" -> ((s, d) => TextOps.winnowingFingerprint(s, d)),
+    "langid_confusion"   -> (TextOps.langidConfusion _),
     "top_ngrams"         -> ((s, d) => TextOps.topNgrams(s, d)),
     "text_pii_redact"    -> (TextOps.textPiiRedact _),
     "text_gopher_filter" -> ((s, d) => TextOps.textGopherFilter(s, d)),
@@ -1772,6 +1773,31 @@ object SparkEntry {
                      WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS lang_guess,
                 en_score, de_score, fr_score, es_score
          FROM s ORDER BY doc_id""",
+    "langid_confusion" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang,
+             CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_score,
+             CAST(len(list_filter(toks, x -> x IN ('der','und','die','das','ist'))) AS BIGINT) AS de_score,
+             CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','est'))) AS BIGINT) AS fr_score,
+             CAST(len(list_filter(toks, x -> x IN ('el','que','los','una','es'))) AS BIGINT) AS es_score
+           FROM t),
+         g AS (
+           SELECT lang,
+                  CASE WHEN en_score >= de_score AND en_score >= fr_score AND en_score >= es_score THEN 'en'
+                       WHEN de_score >= fr_score AND de_score >= es_score THEN 'de'
+                       WHEN fr_score >= es_score THEN 'fr' ELSE 'es' END AS lang_guess
+           FROM s),
+         c AS (
+           SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM g GROUP BY lang, lang_guess)
+         SELECT lang, lang_guess, n_docs,
+                CAST(CAST(n_docs AS HUGEINT) * 1000000
+                     // SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT) AS share_ppm
+         FROM c ORDER BY lang, lang_guess""",
     "text_quality_score" ->
       """WITH t AS (
            SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),

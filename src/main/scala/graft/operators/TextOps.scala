@@ -35,28 +35,60 @@ object TextOps {
     * tokens are that language's closed-class markers; argmax with a
     * fixed tie-break order (en > de > fr > es).
     */
-  def textLangId(s: SparkSession, dir: String): DataFrame = {
-    // Tokens projected once, then four marker counts over the attribute
-    // — the inline markerCount form would re-run the normalize+split
-    // scan per language (CollapseProject keeps multi-referenced
-    // non-cheap aliases materialized; see Dedup for the general hazard).
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  /** Appends the four marker scores and the argmax `lang_guess` to a
+    * frame carrying a `toks` ATTRIBUTE (tokens projected once — the
+    * inline markerCount form would re-run the normalize+split scan per
+    * language; CollapseProject keeps multi-referenced non-cheap
+    * aliases materialized, see Dedup for the general hazard). Shared
+    * by [[textLangId]] (per-doc output) and [[langidConfusion]] (the
+    * accuracy monitor) so the two can never disagree on the
+    * classifier.
+    */
+  private def withLangGuess(d: DataFrame, keep: Seq[Column]): DataFrame = {
     val scored = d.select(
-      col("doc_id") +:
+      keep ++
       langMarkers.map { case (lang, words) =>
         markerCountIn(col("toks"), words).as(s"${lang}_score")
       }: _*)
     val Seq(en, de, fr, es) =
       Seq("en", "de", "fr", "es").map(l => col(s"${l}_score"))
-    scored
-      .withColumn("lang_guess",
-        when(en >= de && en >= fr && en >= es, "en")
-          .when(de >= fr && de >= es, "de")
-          .when(fr >= es, "fr")
-          .otherwise("es"))
+    scored.withColumn("lang_guess",
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    withLangGuess(d, Seq(col("doc_id")))
       .select("doc_id", "lang_guess", "en_score", "de_score", "fr_score", "es_score")
       .orderBy("doc_id")
+  }
+
+  /** Language-ID confusion matrix — the accuracy monitor the labeled
+    * corpus makes free: [[textLangId]]'s guess crossed with the
+    * upstream `lang` label, per (label, guess) cell with the row share
+    * of its label in INTEGRAL ppm. This is how a production pipeline
+    * watches a heuristic classifier drift as the corpus mix shifts —
+    * the diagonal is per-language recall, off-diagonal cells name the
+    * specific confusion to fix (same monitor role as
+    * [[graft.operators.Similarity]]'s recall report for ANN). One
+    * scan, one bounded-key partial agg (|langs|² cells), share via a
+    * window over the ≤|langs|-row frame.
+    */
+  def langidConfusion(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.requireLang(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    withLangGuess(d, Seq(col("lang")))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_total",
+        sum("n_docs").over(Window.partitionBy("lang")))
+      .select(col("lang"), col("lang_guess"), col("n_docs"),
+              expr("(n_docs * 1000000) div lang_total").as("share_ppm"))
+      .orderBy("lang", "lang_guess")
   }
 
   /** Length / letter-ratio / stopword-ratio quality score. All-integer

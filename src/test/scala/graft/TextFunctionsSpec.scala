@@ -334,4 +334,29 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(out(1L).intersect(out(2L)).nonEmpty,
       "shared >= k+w-1 substring must yield a common fingerprint hash")
   }
+
+  test("langid_confusion: cells tile the corpus, shares integral, agrees with the per-doc join") {
+    import graft.operators.TextOps
+    val out = TextOps.langidConfusion(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+    assert(out.values.map(_._1).sum == docs.count(),
+      "every document lands in exactly one confusion cell")
+    // independent road: per-doc classifier output joined to the label
+    val expect = TextOps.textLangId(spark, sf).select("doc_id", "lang_guess")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang", "lang_guess").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.view.mapValues(_._1).toMap == expect, "cell counts drifted from the per-doc join")
+    // shares: integral ppm of the label row, and each label row sums to
+    // ~1e6 (short of it only by the div truncation per cell)
+    out.groupBy(_._1._1).foreach { case (lang, cells) =>
+      val total = cells.values.map(_._1).sum
+      cells.foreach { case (_, (n, ppm)) => assert(ppm == n * 1000000L / total) }
+      val ppmSum = cells.values.map(_._2).sum
+      assert(ppmSum <= 1000000L && ppmSum > 1000000L - cells.size,
+        s"$lang shares sum $ppmSum")
+    }
+  }
 }
