@@ -2147,36 +2147,49 @@ object Analytics {
     * far below 2⁶³ at any single-type daily volume), no float mean
     * for engines to round apart.
     */
-  def anomalyCusum(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .select(col("event_type"),
-              datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
-                .cast("long").as("day"))
-      .groupBy("event_type", "day")
-      .agg(count(lit(1)).as("x"))
-    val spans = daily.groupBy("event_type")
-      .agg(min("day").as("d0"), max("day").as("d1"), sum("x").as("t"))
+  /** The shared CUSUM chart over a per-(type, bucket) count collapse —
+    * one definition for the daily ([[anomalyCusum]]) and hourly
+    * ([[streamCusum]]) grains so a threshold or scaling change can
+    * never desynchronize the pair the StreamingSpec twin-test depends
+    * on. `counts` must carry (event_type, <bucket>, x) and is CACHED
+    * here: spans and the spine join both consume it (the
+    * [[gapFillDays]] one-scan discipline).
+    */
+  private def cusumChart(counts: DataFrame, bucket: String): DataFrame = {
+    val c = graft.Caches.cached(counts)
+    val spans = c.groupBy("event_type")
+      .agg(min(bucket).as("b0"), max(bucket).as("b1"), sum("x").as("t"))
     val spine = spans.select(col("event_type"), col("t"),
-        (col("d1") - col("d0") + 1).as("n"),
-        explode(sequence(col("d0"), col("d1"))).as("day"))
-    val w = Window.partitionBy("event_type").orderBy("day")
+        (col("b1") - col("b0") + 1).as("n"),
+        explode(sequence(col("b0"), col("b1"))).as(bucket))
+    val w = Window.partitionBy("event_type").orderBy(bucket)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"), col("t"), col("n"),
+    spine.join(c, Seq("event_type", bucket), "left")
+      .select(col("event_type"), col(bucket), col("t"), col("n"),
               coalesce(col("x"), lit(0L)).as("x"))
-      .select(col("event_type"), col("day"), col("t"), col("x"),
+      .select(col("event_type"), col(bucket), col("t"), col("x"),
         sum(lit(4L) * col("n") * col("x") - lit(5L) * col("t")).over(w).as("pu"),
         sum(lit(3L) * col("t") - lit(4L) * col("n") * col("x")).over(w).as("pd"))
-      .select(col("event_type"), col("day"), col("t"),
+      .select(col("event_type"), col(bucket), col("t"),
         col("x").as("n_events"),
         (col("pu") - least(lit(0L), min("pu").over(w))).as("cusum_up"),
         (col("pd") - least(lit(0L), min("pd").over(w))).as("cusum_dn"))
-      .select(col("event_type"), col("day"), col("n_events"),
+      .select(col("event_type"), col(bucket), col("n_events"),
         col("cusum_up"), col("cusum_dn"),
         (col("cusum_up") > lit(8L) * col("t")).as("flag_surge"),
         (col("cusum_dn") > lit(8L) * col("t")).as("flag_drop"))
-      .orderBy("event_type", "day")
+      .orderBy("event_type", bucket)
   }
+
+  def anomalyCusum(s: SparkSession, dir: String): DataFrame =
+    cusumChart(
+      Tables.events(s, dir)
+        .select(col("event_type"),
+                datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                  .cast("long").as("day"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("x")),
+      "day")
 
   /** Batch twin of the streaming CUSUM rate monitor
     * ([[graft.streaming.EventStreams.rateCusum]]): the
@@ -2187,32 +2200,11 @@ object Analytics {
     * stream's fixed baseline from). StreamingSpec pins the
     * stream == batch flag agreement on an integral-mean fixture.
     */
-  def streamCusum(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
-      .select(col("event_type"), expr("ts_ns div 3600000000000").as("win"))
-      .groupBy("event_type", "win")
-      .agg(count(lit(1)).as("x"))
-    val spans = hourly.groupBy("event_type")
-      .agg(min("win").as("w0"), max("win").as("w1"), sum("x").as("t"))
-    val spine = spans.select(col("event_type"), col("t"),
-        (col("w1") - col("w0") + 1).as("n"),
-        explode(sequence(col("w0"), col("w1"))).as("win"))
-    val w = Window.partitionBy("event_type").orderBy("win")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("event_type", "win"), "left")
-      .select(col("event_type"), col("win"), col("t"), col("n"),
-              coalesce(col("x"), lit(0L)).as("x"))
-      .select(col("event_type"), col("win"), col("t"), col("x"),
-        sum(lit(4L) * col("n") * col("x") - lit(5L) * col("t")).over(w).as("pu"),
-        sum(lit(3L) * col("t") - lit(4L) * col("n") * col("x")).over(w).as("pd"))
-      .select(col("event_type"), col("win"), col("t"),
-        col("x").as("n_events"),
-        (col("pu") - least(lit(0L), min("pu").over(w))).as("cusum_up"),
-        (col("pd") - least(lit(0L), min("pd").over(w))).as("cusum_dn"))
-      .select(col("event_type"), col("win"), col("n_events"),
-        col("cusum_up"), col("cusum_dn"),
-        (col("cusum_up") > lit(8L) * col("t")).as("flag_surge"),
-        (col("cusum_dn") > lit(8L) * col("t")).as("flag_drop"))
-      .orderBy("event_type", "win")
-  }
+  def streamCusum(s: SparkSession, dir: String): DataFrame =
+    cusumChart(
+      Tables.events(s, dir)
+        .select(col("event_type"), expr("ts_ns div 3600000000000").as("win"))
+        .groupBy("event_type", "win")
+        .agg(count(lit(1)).as("x")),
+      "win")
 }

@@ -384,22 +384,36 @@ object Dedup {
                       numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
     require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
     graft.plans.GraftFunctions.ensureRegistered(s)
+    // TWO hashes with distinct jobs: xxhash64 feeds the bloom (the
+    // sketch needs a 64-bit integer key), but the EXACT verification
+    // joins on the family's sha2-256 content hash — at the
+    // multi-billion-doc scale this operator targets, 64-bit birthday
+    // collisions are expected, and a verify keyed on the screen's own
+    // hash would inherit them as false "exact" dups ([[dedupExactHash]]
+    // / [[dedupIncremental]] define duplication by sha2-256).
     val hashed = graft.Caches.cached(Tables.documents(s, dir)
-      .select(col("doc_id"), xxhash64(normText(col("text"))).as("h")))
+      .select(col("doc_id"),
+              xxhash64(normText(col("text"))).as("h"),
+              sha2(normText(col("text")), 256).as("content_hash")))
     val base = hashed.filter(col("doc_id") % deltaMod =!= 0)
     val sketch = base.agg(
       call_function("graft_bloom", col("h"), lit(numBits), lit(numHashes))
         .as("bloom"))
-    val screened = hashed.filter(col("doc_id") % deltaMod === 0)
-      .crossJoin(broadcast(sketch))
-      .select(col("doc_id"), col("h"),
-        call_function("graft_bloom_contains", col("bloom"), col("h"))
-          .as("maybe_dup"))
+    // cached: both the positives branch and the final join consume the
+    // screen — without it the sketch build and the whole-delta probe
+    // execute twice
+    val screened = graft.Caches.cached(
+      hashed.filter(col("doc_id") % deltaMod === 0)
+        .crossJoin(broadcast(sketch))
+        .select(col("doc_id"), col("content_hash"),
+          call_function("graft_bloom_contains", col("bloom"), col("h"))
+            .as("maybe_dup")))
     // exact verification for the positives only — the negatives never
     // reach a shuffle (left join keeps them with in_base null)
     val positives = screened.filter(col("maybe_dup"))
-      .join(base.select(col("h")).distinct().withColumn("in_base", lit(true)),
-            Seq("h"), "left")
+      .join(base.select(col("content_hash")).distinct()
+              .withColumn("in_base", lit(true)),
+            Seq("content_hash"), "left")
       .select(col("doc_id"), col("in_base").isNotNull.as("is_dup"))
     screened.join(positives, Seq("doc_id"), "left")
       .select(col("doc_id"), col("maybe_dup"),

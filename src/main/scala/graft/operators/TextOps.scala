@@ -547,8 +547,11 @@ object TextOps {
     * zero shuffles, the TextOps contract): k-gram hashes via
     * `transform(sequence(...))` + xxhash64, window minima as
     * `array_min` over struct (hash, −i) slices (struct order gives
-    * the rightmost-min convention), dedup via `array_distinct`. The
-    * checksum (wrapping sum of selected hashes) is the compact
+    * the rightmost-min convention), dedup via an adjacent-compare
+    * filter (NOT `array_distinct` — see [[winnowingOver]]'s O(n²)
+    * note; adjacency suffices because a position is re-selected only
+    * by consecutive windows). The checksum (XOR fold of selected
+    * hashes — order-insensitive, ANSI-overflow-proof) is the compact
     * signature a cross-corpus fingerprint join would key on.
     * xxhash64 has no DuckDB twin, so correctness rides
     * TextFunctionsSpec: the coverage guarantee (every window

@@ -420,51 +420,80 @@ object EventStreams {
     * (κ = B/4, h = 2B): up-deviation 4x − 5B, down 3B − 4x, flag at
     * 8B.
     *
-    * A window CLOSES when a later window appears in the stream (the
-    * frontier rule): all events of a window accumulate across
-    * micro-batches until then, and the walk from the old frontier to
-    * the new one feeds the charts the EMPTY windows in between —
-    * which is exactly how a silent feed trips flag_drop while every
-    * value-based expectation still passes (the [[quarantineCounts]] /
-    * dq_freshness argument, made sequential). Events older than the
-    * frontier are absorbed without effect (late replays cannot
-    * re-close a window). State is three longs + the frontier per
-    * TYPE — bounded by the type enum, the cheapest state table in
-    * this module.
+    * A window CLOSES two ways. (1) A later window of the same type
+    * appears in the stream (the frontier rule) — the walk from old to
+    * new frontier feeds the charts the EMPTY windows in between. (2)
+    * The GLOBAL event-time watermark passes the open window's end
+    * (EventTimeTimeout): other types' events advance the watermark,
+    * so a feed that dies PERMANENTLY still has its silence walked and
+    * flag_drop fires — without the timeout a dead key is simply never
+    * invoked again and the monitor advertised for exactly that case
+    * never speaks. That is the dq_freshness argument made sequential:
+    * a silently-dead feed passes every value expectation while this
+    * chart pages someone.
+    *
+    * Events older than the watermark never reach the operator, and
+    * events older than the frontier are absorbed without effect —
+    * late replays cannot re-close a window. Redelivery of the OPEN
+    * window's events does recount them: exactly-once window counts
+    * under an at-least-once source require the watermarked
+    * [[dedupIds]] stage upstream (the standard dedup-then-aggregate
+    * topology; this operator deliberately keeps three longs + a
+    * frontier per TYPE rather than an id set per window). State is
+    * bounded by the type enum — the cheapest state table in this
+    * module.
     */
   def rateCusum(events: Dataset[Ev], windowSec: Long,
                 baseline: Map[String, Long]): Dataset[CusumOut] = {
     import events.sparkSession.implicits._
     require(windowSec > 0, s"windowSec $windowSec must be positive")
     events
+      .withWatermark("ts", "2 hours")
       .groupByKey(_.event_type)
       .flatMapGroupsWithState[CusumState, CusumOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (etype: String, evs: Iterator[Ev], state: GroupState[CusumState]) =>
           val b = baseline.getOrElse(etype, 1L)
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse {
-            val w0 = math.floorDiv(math.floorDiv(sorted.head.ts.getTime, 1000L), windowSec)
-            CusumState(0L, 0L, w0, 0L)
-          }
           val out = Seq.newBuilder[CusumOut]
-          def close(x: Long, w: Long): Unit = {
-            val su = math.max(0L, st.s_up + (4L * x - 5L * b))
-            val sd = math.max(0L, st.s_dn + (3L * b - 4L * x))
-            out += CusumOut(etype, w, x, su, sd, su > 8L * b, sd > 8L * b)
-            st = CusumState(su, sd, w, 0L)
+          def closeFrontier(st: CusumState): CusumState = {
+            val su = math.max(0L, st.s_up + (4L * st.open_n - 5L * b))
+            val sd = math.max(0L, st.s_dn + (3L * b - 4L * st.open_n))
+            out += CusumOut(etype, st.open_win, st.open_n, su, sd,
+                            su > 8L * b, sd > 8L * b)
+            CusumState(su, sd, st.open_win + 1, 0L)
           }
-          sorted.foreach { e =>
-            val w = math.floorDiv(math.floorDiv(e.ts.getTime, 1000L), windowSec)
-            if (w == st.open_win) st = st.copy(open_n = st.open_n + 1)
-            else if (w > st.open_win) {
-              close(st.open_n, st.open_win)          // the frontier window closes
-              var empty = st.open_win + 1
-              while (empty < w) { close(0L, empty); empty += 1 } // silent gap
-              st = st.copy(open_win = w, open_n = 1L)
-            } // w < frontier: late replay of a closed window — absorbed
-          }
+          var st =
+            if (state.hasTimedOut) {
+              // watermark moved past the open window with no new data
+              // for this key: close every fully-elapsed window (the
+              // dead-feed path — all of them empty past the frontier)
+              var s0 = state.get
+              val wmWin = math.floorDiv(
+                state.getCurrentWatermarkMs() / 1000L, windowSec)
+              while (s0.open_win < wmWin) s0 = closeFrontier(s0)
+              s0
+            } else {
+              val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+              var s0 = state.getOption.getOrElse {
+                val w0 = math.floorDiv(
+                  math.floorDiv(sorted.head.ts.getTime, 1000L), windowSec)
+                CusumState(0L, 0L, w0, 0L)
+              }
+              sorted.foreach { e =>
+                val w = math.floorDiv(math.floorDiv(e.ts.getTime, 1000L), windowSec)
+                if (w == s0.open_win) s0 = s0.copy(open_n = s0.open_n + 1)
+                else if (w > s0.open_win) {
+                  while (s0.open_win < w) s0 = closeFrontier(s0) // frontier + gap
+                  s0 = s0.copy(open_n = 1L)
+                } // w < frontier: late replay of a closed window — absorbed
+              }
+              s0
+            }
           state.update(st)
+          // re-arm: fire when the watermark passes the open window's
+          // end ((open_win+1)·windowSec > current watermark by the
+          // close loop above, so the timestamp is always valid)
+          state.setTimeoutTimestamp((st.open_win + 1) * windowSec * 1000L)
           out.result().iterator
       }
   }

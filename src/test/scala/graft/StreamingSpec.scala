@@ -379,39 +379,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
-  test("rateCusum: cross-batch windows, silent-gap drop, batch-twin flag agreement") {
+  test("rateCusum: cross-batch windows, DEAD-feed drop via watermark timeout, twin agreement") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     // integral means by construction so the stream's fixed baseline can
     // equal the batch twin's corpus mean EXACTLY:
-    //  "s": 10/hr hours 0..19 then 30/hr hours 20..24  -> mean 14 over n=25
-    //  "d": 10/hr hours 0..19, SILENCE 20..28, 10 @ 29 -> mean  7 over n=30
+    //  "s": 10/hr hours 0..19 then 30/hr hours 20..24 -> mean 14 over n=25
+    //  "d": 10/hr hours 0..19 then DEAD FOREVER        -> mean 10 over n=20
+    //  "wm": lone late events whose only job is advancing the GLOBAL
+    //        watermark so the dead feed's windows can time out
     var id = 0L
     def evs(t: String, hour: Int, n: Int): Seq[Ev] = (1 to n).map { i =>
       id += 1
       Ev(id, 1L, t, new Timestamp((hour * 3600L + i) * 1000L), 1.0)
     }
-    val rows = ((0 until 20).flatMap(h => evs("s", h, 10) ++ evs("d", h, 10)) ++
-                (20 until 25).flatMap(h => evs("s", h, 30)) ++
-                evs("d", 29, 10)).sortBy(_.ts.getTime)
+    val sdRows = ((0 until 20).flatMap(h => evs("s", h, 10) ++ evs("d", h, 10)) ++
+                  (20 until 25).flatMap(h => evs("s", h, 30))).sortBy(_.ts.getTime)
     val input = MemoryStream[Ev]
-    val q = EventStreams.rateCusum(input.toDS(), 3600L, Map("s" -> 14L, "d" -> 7L))
+    val q = EventStreams.rateCusum(input.toDS(), 3600L, Map("s" -> 14L, "d" -> 10L))
       .writeStream.format("memory").queryName("cusum_stream").outputMode("append").start()
     try {
-      // three batches split mid-window: counts must accumulate across
+      // two batches split mid-window: counts must accumulate across
       // batches until a later window closes the frontier
-      val (b1, rest) = rows.splitAt(rows.length / 3)
-      val (b2, b3) = rest.splitAt(rest.length / 2)
-      Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+      val (b1, b2) = sdRows.splitAt(sdRows.length / 2)
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      // watermark drivers: no further "d" (or "s") data ever arrives,
+      // yet their windows must keep closing as the watermark moves
+      input.addData(evs("wm", 30, 1)); q.processAllAvailable()
+      input.addData(evs("wm", 45, 1)); q.processAllAvailable()
       // replay of an already-closed window must be absorbed silently
+      // (older than the watermark by now — dropped before the operator)
       input.addData(b1.take(5)); q.processAllAvailable()
       val got = spark.table("cusum_stream").as[EventStreams.CusumOut].collect()
         .map(o => (o.event_type, o.win) -> o).toMap
       assert(got.size == spark.table("cusum_stream").count().toInt,
         "a closed window must be emitted exactly once")
-      // batch twin on the same rows written as an events table
+      // batch twin on the s/d rows written as an events table
       val dir = java.nio.file.Files.createTempDirectory("graft_scusum").toString
-      rows.toDF().withColumnRenamed("value", "v")
+      sdRows.toDF().withColumnRenamed("value", "v")
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
                 col("v").as("value"), lit("{}").as("props"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -419,22 +424,24 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         .map(r => (r.getString(0), r.getLong(1)) ->
           ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6))))
         .toMap
-      val n = Map("s" -> 25L, "d" -> 30L)
-      // every batch window except each type's last (still open in the
-      // stream) was emitted, counts agree, flags agree, and the chart
-      // values differ by exactly the batch's xn scale factor
+      graft.Caches.clear()
+      val n = Map("s" -> 25L, "d" -> 20L)
+      // every twin window was closed by data or by the watermark
+      // timeout; counts agree, flags agree, and the chart values
+      // differ by exactly the batch's xn scale factor
       twin.foreach { case ((t, w), (x, bu, bd, fs, fd)) =>
-        val isOpenFrontier = w == twin.keys.filter(_._1 == t).map(_._2).max
-        if (!isOpenFrontier) {
-          val o = got.getOrElse((t, w), fail(s"window ($t,$w) never emitted"))
-          assert(o.n_events == x, s"($t,$w) count")
-          assert(o.cusum_up * n(t) == bu && o.cusum_dn * n(t) == bd,
-            s"($t,$w) chart values must match at the xn scale")
-          assert(o.flag_surge == fs && o.flag_drop == fd, s"($t,$w) flags")
-        }
+        val o = got.getOrElse((t, w), fail(s"window ($t,$w) never emitted"))
+        assert(o.n_events == x, s"($t,$w) count")
+        assert(o.cusum_up * n(t) == bu && o.cusum_dn * n(t) == bd,
+          s"($t,$w) chart values must match at the xn scale")
+        assert(o.flag_surge == fs && o.flag_drop == fd, s"($t,$w) flags")
       }
-      // the silent gap really tripped the drop chart
-      assert(got.exists { case ((t, _), o) => t == "d" && o.n_events == 0 && o.flag_drop })
+      // THE dead-feed guarantee: "d" received no event after hour 19,
+      // yet its empty windows were walked and the drop chart fired —
+      // only the watermark timeout can have done this
+      assert(got.exists { case ((t, w), o) =>
+        t == "d" && w >= 20 && o.n_events == 0 && o.flag_drop },
+        "a permanently-dead feed must trip flag_drop via the watermark timeout")
       // and the surge regime tripped the up chart
       assert(got.exists { case ((t, w), o) => t == "s" && w >= 20 && o.flag_surge })
     } finally q.stop()
