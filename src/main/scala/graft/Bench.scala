@@ -18,7 +18,16 @@ package graft
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Canonicalize (toRealPath) so the SAME dataset addressed via a
+    // relative path / trailing slash / symlink writes and compares one
+    // "sf" spelling — a raw-string compare once diverted a canonical
+    // run to the _<sfTag>.json sibling over a spelling difference.
+    val sfDir = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+      (if (java.nio.file.Files.exists(p)) p.toRealPath()
+       else p.toAbsolutePath.normalize).toString
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus, appName = "graft-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -109,11 +118,23 @@ object Bench {
       // record there measured the same SF; otherwise the SF-suffixed
       // sibling is the run's own file
       def route(name: String): java.nio.file.Path = {
+        def sameSf(p: java.nio.file.Path): Boolean =
+          !java.nio.file.Files.exists(p) ||
+            java.nio.file.Files.readString(p).contains(s""""sf":"${esc(sfDir)}"""")
         val p = java.nio.file.Paths.get(name)
-        if (!java.nio.file.Files.exists(p) ||
-            java.nio.file.Files.readString(p).contains(s""""sf":"${esc(sfDir)}""""))
-          p
-        else java.nio.file.Paths.get(name.stripSuffix(".json") + s"_$sfTag.json")
+        if (sameSf(p)) p
+        else {
+          val sib = java.nio.file.Paths.get(name.stripSuffix(".json") + s"_$sfTag.json")
+          if (sameSf(sib)) sib
+          else {
+            // leaf-name collision: a DIFFERENT parent dir with the same
+            // leaf (e.g. /a/sf0.1 vs /b/sf0.1) owns the sibling —
+            // disambiguate with a short hash of the canonical path
+            val h = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(sfDir.getBytes("UTF-8")).take(3).map("%02x".format(_)).mkString
+            java.nio.file.Paths.get(name.stripSuffix(".json") + s"_${sfTag}_$h.json")
+          }
+        }
       }
       val p = route(clean)
       if (degraded && java.nio.file.Files.exists(p)

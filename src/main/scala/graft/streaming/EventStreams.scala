@@ -405,9 +405,13 @@ object EventStreams {
                       cusum_up: Long, cusum_dn: Long,
                       flag_surge: Boolean, flag_drop: Boolean)
 
-  /** CUSUM accumulator per event type: both one-sided charts plus the
-    * currently-open window's frontier. */
-  case class CusumState(s_up: Long, s_dn: Long, open_win: Long, open_n: Long)
+  /** CUSUM accumulator per event type: both one-sided charts, the last
+    * CLOSED window, and the still-open windows' counts. The map is
+    * bounded by the watermark delay: a window stays open only until
+    * the watermark passes its end, so at most
+    * ceil(delay/windowSec)+1 entries per key. */
+  case class CusumState(s_up: Long, s_dn: Long, last_closed: Long,
+                        counts: Map[Long, Long])
 
   /** Streaming CUSUM rate monitor — the CONTINUOUS form of
     * [[graft.operators.Analytics.anomalyCusum]]: per event type, count
@@ -420,28 +424,39 @@ object EventStreams {
     * (κ = B/4, h = 2B): up-deviation 4x − 5B, down 3B − 4x, flag at
     * 8B.
     *
-    * A window CLOSES two ways. (1) A later window of the same type
-    * appears in the stream (the frontier rule) — the walk from old to
-    * new frontier feeds the charts the EMPTY windows in between. (2)
-    * The GLOBAL event-time watermark passes the open window's end
-    * (EventTimeTimeout): other types' events advance the watermark,
-    * so a feed that dies PERMANENTLY still has its silence walked and
-    * flag_drop fires — without the timeout a dead key is simply never
-    * invoked again and the monitor advertised for exactly that case
-    * never speaks. That is the dq_freshness argument made sequential:
-    * a silently-dead feed passes every value expectation while this
-    * chart pages someone.
+    * A window CLOSES only when the GLOBAL event-time watermark passes
+    * its end — never earlier. Until then its count accumulates in
+    * state, so an out-of-order event that is behind the newest window
+    * but still inside the watermark delay lands in its own window's
+    * count rather than being dropped (the frontier rule an earlier
+    * revision used closed a window at the first later-window event
+    * and silently under-counted exactly that disorder). Both paths
+    * walk the same close loop: the per-batch data path (the watermark
+    * advanced between triggers) and EventTimeTimeout (other types'
+    * events advance the watermark, so a feed that dies PERMANENTLY
+    * still has its silence walked and flag_drop fires). Emission
+    * latency is therefore the watermark delay — the price of
+    * disorder-correct counts, same trade windowedCounts makes. That
+    * is the dq_freshness argument made sequential: a silently-dead
+    * feed passes every value expectation while this chart pages
+    * someone.
     *
-    * Events older than the watermark never reach the operator, and
-    * events older than the frontier are absorbed without effect —
-    * late replays cannot re-close a window. Redelivery of the OPEN
-    * window's events does recount them: exactly-once window counts
-    * under an at-least-once source require the watermarked
-    * [[dedupIds]] stage upstream (the standard dedup-then-aggregate
-    * topology; this operator deliberately keeps three longs + a
-    * frontier per TYPE rather than an id set per window). State is
-    * bounded by the type enum — the cheapest state table in this
-    * module.
+    * After the dead-feed page is delivered — an EMPTY window trips
+    * flag_drop with nothing newer buffered — the key's state is
+    * DROPPED and the timeout not re-armed (classic CUSUM
+    * reset-after-alarm): a feed left dead indefinitely emits nothing
+    * further and cannot overflow the chart; when data returns the
+    * chart restarts fresh from the returning window.
+    *
+    * Events older than the watermark never reach the operator
+    * (late replays of closed windows cannot re-close them);
+    * redelivery of an OPEN window's events does recount them:
+    * exactly-once window counts under an at-least-once source require
+    * the watermarked [[dedupIds]] stage upstream (the standard
+    * dedup-then-aggregate topology; this operator deliberately keeps
+    * two longs + a bounded window map per TYPE rather than an id set
+    * per window). State is bounded by the type enum × the watermark
+    * horizon — still the cheapest state table in this module.
     */
   def rateCusum(events: Dataset[Ev], windowSec: Long,
                 baseline: Map[String, Long]): Dataset[CusumOut] = {
@@ -455,45 +470,64 @@ object EventStreams {
         (etype: String, evs: Iterator[Ev], state: GroupState[CusumState]) =>
           val b = baseline.getOrElse(etype, 1L)
           val out = Seq.newBuilder[CusumOut]
-          def closeFrontier(st: CusumState): CusumState = {
-            val su = math.max(0L, st.s_up + (4L * st.open_n - 5L * b))
-            val sd = math.max(0L, st.s_dn + (3L * b - 4L * st.open_n))
-            out += CusumOut(etype, st.open_win, st.open_n, su, sd,
-                            su > 8L * b, sd > 8L * b)
-            CusumState(su, sd, st.open_win + 1, 0L)
-          }
+          // 1. fold new events into their windows' open counts — any
+          // order, any window newer than the last closed one; disorder
+          // inside the watermark delay lands correctly by construction
           var st =
-            if (state.hasTimedOut) {
-              // watermark moved past the open window with no new data
-              // for this key: close every fully-elapsed window (the
-              // dead-feed path — all of them empty past the frontier)
-              var s0 = state.get
-              val wmWin = math.floorDiv(
-                state.getCurrentWatermarkMs() / 1000L, windowSec)
-              while (s0.open_win < wmWin) s0 = closeFrontier(s0)
-              s0
-            } else {
-              val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-              var s0 = state.getOption.getOrElse {
-                val w0 = math.floorDiv(
-                  math.floorDiv(sorted.head.ts.getTime, 1000L), windowSec)
-                CusumState(0L, 0L, w0, 0L)
-              }
-              sorted.foreach { e =>
-                val w = math.floorDiv(math.floorDiv(e.ts.getTime, 1000L), windowSec)
-                if (w == s0.open_win) s0 = s0.copy(open_n = s0.open_n + 1)
-                else if (w > s0.open_win) {
-                  while (s0.open_win < w) s0 = closeFrontier(s0) // frontier + gap
-                  s0 = s0.copy(open_n = 1L)
-                } // w < frontier: late replay of a closed window — absorbed
+            if (state.hasTimedOut) state.get
+            else {
+              val ws = evs.map(e =>
+                math.floorDiv(math.floorDiv(e.ts.getTime, 1000L), windowSec)).toSeq
+              // Long.MinValue = "nothing closed yet": until a window
+              // actually elapses, even an event EARLIER than the first
+              // seen window must still fold (it is inside the
+              // watermark or Spark would have dropped it)
+              var s0 = state.getOption.getOrElse(
+                CusumState(0L, 0L, Long.MinValue, Map.empty))
+              ws.foreach { w =>
+                if (w > s0.last_closed) // else: replay of a closed window — absorbed
+                  s0 = s0.copy(counts =
+                    s0.counts.updated(w, s0.counts.getOrElse(w, 0L) + 1L))
               }
               s0
             }
-          state.update(st)
-          // re-arm: fire when the watermark passes the open window's
-          // end ((open_win+1)·windowSec > current watermark by the
-          // close loop above, so the timestamp is always valid)
-          state.setTimeoutTimestamp((st.open_win + 1) * windowSec * 1000L)
+          // 2. close, oldest first, every window whose end the
+          // watermark has passed — gaps close as count 0 (the
+          // dead-feed path is this same loop with nothing buffered).
+          // The FIRST window ever closed is the key's first window
+          // with data — the batch twin's spine starts at min(bucket)
+          // for the same reason. An event behind that first close is
+          // necessarily behind the watermark too (we close only
+          // watermark-elapsed windows), so absorption loses nothing
+          // Spark would have delivered.
+          val wmWin = math.floorDiv(
+            state.getCurrentWatermarkMs() / 1000L, windowSec)
+          def nextToClose(s: CusumState): Long =
+            if (s.last_closed != Long.MinValue) s.last_closed + 1
+            else if (s.counts.nonEmpty) s.counts.keysIterator.min
+            else Long.MaxValue
+          var dead = false
+          while (!dead && nextToClose(st) < wmWin) {
+            val w = nextToClose(st)
+            val x = st.counts.getOrElse(w, 0L)
+            val su = math.max(0L, st.s_up + (4L * x - 5L * b))
+            val sd = math.max(0L, st.s_dn + (3L * b - 4L * x))
+            out += CusumOut(etype, w, x, su, sd, su > 8L * b, sd > 8L * b)
+            st = CusumState(su, sd, w, st.counts - w)
+            // dead-feed alarm delivered (empty window tripped the drop
+            // chart, nothing newer buffered): reset-after-alarm
+            dead = x == 0L && sd > 8L * b && st.counts.isEmpty
+          }
+          if (dead) state.remove()
+          else {
+            state.update(st)
+            // re-arm: fire when the watermark passes the oldest still-
+            // unclosed window's end. The close loop left nextToClose
+            // ≥ wmWin, so the timestamp is strictly ahead of the
+            // current watermark; and a persisted state always has
+            // either a close or a buffered count, so it is finite.
+            state.setTimeoutTimestamp((nextToClose(st) + 1) * windowSec * 1000L)
+          }
           out.result().iterator
       }
   }

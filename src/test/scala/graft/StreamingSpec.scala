@@ -444,6 +444,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         "a permanently-dead feed must trip flag_drop via the watermark timeout")
       // and the surge regime tripped the up chart
       assert(got.exists { case ((t, w), o) => t == "s" && w >= 20 && o.flag_surge })
+      // RESET-AFTER-ALARM: the drop page is delivered exactly once and
+      // the dead key then goes silent — the hour-45 watermark advance
+      // (15 more elapsed windows) must NOT have kept walking "d"
+      val dWins = got.keys.collect { case ("d", w) => w }
+      assert(dWins.max == 22, // w20 +30, w21 +60, w22 +90 > 8B=80 → alarm
+        s"state must be dropped at the first empty flag_drop window, got max ${dWins.max}")
+      assert(got.count { case ((t, _), o) => t == "d" && o.flag_drop } == 1,
+        "exactly one drop page per death")
+    } finally q.stop()
+  }
+
+  test("rateCusum: out-of-order event inside the watermark is counted, not dropped") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // The ADVICE r13 scenario: 10:05 arrives before 09:55. Under the
+    // old frontier rule the 10:05 event closed hour-window 9 and the
+    // 09:55 event was absorbed as a 'late replay' despite being well
+    // inside the 2-hour watermark. Windows must now close only by
+    // watermark passage, with both counts intact.
+    def ev(id: Long, sec: Long) = Ev(id, 1L, "x", new Timestamp(sec * 1000L), 1.0)
+    val input = MemoryStream[Ev]
+    val q = EventStreams.rateCusum(input.toDS(), 3600L, Map("x" -> 1L))
+      .writeStream.format("memory").queryName("cusum_ooo").outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, 10 * 3600 + 300)));  q.processAllAvailable() // 10:05
+      input.addData(Seq(ev(2, 9 * 3600 + 3300))); q.processAllAvailable() // 09:55 — behind, in-watermark
+      // watermark driver: push the global watermark past both windows
+      input.addData(Seq(Ev(3, 1L, "wm", new Timestamp(14 * 3600 * 1000L), 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Ev(4, 1L, "wm", new Timestamp(15 * 3600 * 1000L), 1.0)))
+      q.processAllAvailable()
+      val got = spark.table("cusum_ooo").as[EventStreams.CusumOut].collect()
+        .filter(_.event_type == "x").map(o => o.win -> o.n_events).toMap
+      assert(got.get(9).contains(1L), s"hour-9 window lost its in-watermark event: $got")
+      assert(got.get(10).contains(1L), s"hour-10 window miscounted: $got")
+      // and no window before the first event was ever walked
+      assert(!got.keys.exists(_ < 9), s"spurious pre-data windows: $got")
     } finally q.stop()
   }
 }
