@@ -446,6 +446,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     } finally Caches.clear() // an assert failure must not leak the cached frames
   }
 
+  test("copurchase substrate memo: materialized table equals the defining plan; second call is a memo hit") {
+    import graft.operators.GraphOps
+    val fromPlan = GraphOps.pairSupportsPlan(spark, sf, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val first = GraphOps.copurchasePairSupports(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(first.sameElements(fromPlan),
+      "parquet-materialized substrate must be bit-identical to its defining plan")
+    val misses = Caches.modelMissCount
+    val second = GraphOps.copurchasePairSupports(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(Caches.modelMissCount == misses,
+      "second substrate call must not re-derive (model-tier memo hit)")
+    assert(second.sameElements(fromPlan))
+    Caches.clear()
+    // the memo deliberately SURVIVES the per-query clear (on-disk
+    // derived table, not block-manager state)
+    GraphOps.copurchasePairSupports(spark, sf).head()
+    assert(Caches.modelMissCount == misses,
+      "substrate must survive Caches.clear without re-deriving")
+  }
+
   test("graph_degree_stats: histogram mass equals 2|E| and vertex count; witnesses bound the keys") {
     import graft.operators.GraphOps
     val hist = GraphOps.graphDegreeStats(spark, sf).collect()
