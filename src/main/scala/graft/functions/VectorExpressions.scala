@@ -294,3 +294,187 @@ object PqEncode {
       s"graft_pq_encode: vector dim $dim != nSub($nSub) x subDim($subDim) — " +
       "the codebook was trained for a different embedding width")
 }
+
+/** Fused integer squared-L2: Σ_i (floor(1e6·x_i) − c_i)² in LONG
+  * arithmetic, for an array<float> embedding against an array<long>
+  * micro-unit centroid — the distance kernel of
+  * [[graft.operators.Similarity.embeddingOutliers]] and
+  * [[graft.operators.Dedup.semdedupKeepCentral]]. Bit-identical to
+  * the transform/zip_with/aggregate HOF chain it replaces (the
+  * micro-scaling is the same `(long) floor(1000000.0 * (double) x)`,
+  * and integer accumulation is order-exact), but one primitive loop
+  * inside whole-stage codegen instead of dim lambda evaluations and
+  * two intermediate arrays per row. Length mismatch FAILS the task
+  * (the HOF form would null-pad via zip_with and return null — a
+  * silent wrong-centroid signal this kernel refuses to produce).
+  *
+  * Overflow headroom: |floor(1e6·x) − c| ≤ ~4e6 for unit-scale
+  * embeddings → per-term ≤ 1.6e13; dim ≤ 5·10⁵ stays far under 2⁶³.
+  */
+case class L2SqMicro(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq expects (array<float>, array<long>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_l2sq"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val c = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (c.numElements() != n) throw L2SqMicro.dimError(n, c.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = math.floor(1000000.0 * x.getFloat(i).toDouble).toLong - c.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          throw graft.functions.L2SqMicro.dimError($n, $b.numElements());
+        }
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          long $d = (long) java.lang.Math.floor(1000000.0 * (double) $a.getFloat($i))
+                    - $b.getLong($i);
+          $acc += $d * $d;
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqMicro =
+    copy(left = l, right = r)
+}
+
+object L2SqMicro {
+  def dimError(dim: Int, centDim: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_l2sq: embedding has $dim dims but the centroid has $centDim — " +
+        "mixed widths mean the centroid was built for a different corpus")
+}
+
+/** Fused k-means assignment: cid of the seed centroid nearest (by
+  * squared L2, double arithmetic) to an array<float> vector — the
+  * assignment kernel of [[graft.operators.Similarity.kmeansStep]].
+  * Seeds ride the plan as a constant (codegen reference object, the
+  * [[PqEncode]] codebook move), never as per-row data.
+  *
+  * BIT-COMPATIBLE with the array_min(transform(seeds, struct(d2,
+  * cid))) HOF it replaces: distances accumulate left-to-right in
+  * double from float-widened operands, seeds are scanned in
+  * ascending-cid order with a `Double.compare < 0` strict improve —
+  * so ties keep the LOWEST cid and a NaN distance sorts last,
+  * exactly the struct ordering array_min applies. Length mismatch
+  * fails loudly (the HOF would null-pad).
+  */
+case class KmeansAssign(child: Expression, cids: Array[Long],
+                        cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cids.nonEmpty && cids.length == cents.length,
+    "graft_kmeans_assign needs parallel non-empty cid/centroid arrays")
+  private val dim = cents(0).length
+  require(cents.forall(_.length == dim),
+    "graft_kmeans_assign seed matrix must be rectangular")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_kmeans_assign expects array<float>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_kmeans_assign"
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    if (vec.numElements() != dim)
+      throw KmeansAssign.dimError(vec.numElements(), dim)
+    var best = 0
+    var bestD = Double.NaN
+    var k = 0
+    while (k < cids.length) {
+      val c = cents(k)
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        val t = vec.getFloat(j).toDouble - c(j)
+        d += t * t
+        j += 1
+      }
+      if (k == 0 || java.lang.Double.compare(d, bestD) < 0) { bestD = d; best = k }
+      k += 1
+    }
+    cids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidsRef = ctx.addReferenceObj("kmCids", cids, "long[]")
+    val centsRef = ctx.addReferenceObj("kmCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val k = ctx.freshName("k"); val c = ctx.freshName("c")
+      val d = ctx.freshName("d"); val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      s"""
+        if ($vec.numElements() != $dim) {
+          throw graft.functions.KmeansAssign.dimError($vec.numElements(), $dim);
+        }
+        int $best = 0;
+        double $bestD = Double.NaN;
+        for (int $k = 0; $k < ${cids.length}; $k++) {
+          double[] $c = $centsRef[$k];
+          double $d = 0.0;
+          for (int $j = 0; $j < $dim; $j++) {
+            double $t = (double) $vec.getFloat($j) - $c[$j];
+            $d += $t * $t;
+          }
+          if ($k == 0 || java.lang.Double.compare($d, $bestD) < 0) {
+            $bestD = $d; $best = $k;
+          }
+        }
+        ${ev.value} = $cidsRef[$best];
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KmeansAssign =
+    copy(child = newChild)
+
+  // Value equality over the seed arrays (the PqEncode discipline) so
+  // canonicalization/CSE can dedupe identical assignment calls.
+  override def equals(other: Any): Boolean = other match {
+    case p: KmeansAssign =>
+      child == p.child &&
+        java.util.Arrays.equals(cids, p.cids) &&
+        java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], p.cents.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + java.util.Arrays.hashCode(cids)) +
+      java.util.Arrays.deepHashCode(cents.asInstanceOf[Array[AnyRef]])
+}
+
+object KmeansAssign {
+  def dimError(dim: Int, seedDim: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_kmeans_assign: vector has $dim dims but seeds have $seedDim — " +
+        "the seed matrix was built for a different embedding width")
+}

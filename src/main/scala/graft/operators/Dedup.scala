@@ -947,7 +947,8 @@ object Dedup {
     * Scale shape: clustering is the shared CC iterator; the centroid
     * aggregate shuffles one fixed-width state per (partition, cluster);
     * the centroid table (|clusters| rows) joins back size-guard-
-    * broadcast; the distance is a row-local fused lambda; one
+    * broadcast; the distance is the codegen'd `graft_l2sq` kernel
+    * ([[graft.functions.L2SqMicro]], row-local); one
     * cluster-keyed window picks the argmin. Nothing corpus-broadcast,
     * nothing driver-side.
     */
@@ -967,13 +968,8 @@ object Dedup {
               expr("transform(sum_micro, s -> s div n_members)").as("centroid_micro"))
     val d = members.join(Hints.maybeBroadcast(cents), "component")
       .select(col("vec_id"), col("component"),
-        expr("""aggregate(
-                  zip_with(
-                    transform(embedding,
-                              x -> CAST(FLOOR(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)),
-                    centroid_micro,
-                    (x, c) -> (x - c) * (x - c)),
-                  0L, (acc, v) -> acc + v)""").as("center_dist"))
+        call_function("graft_l2sq", col("embedding"), col("centroid_micro"))
+          .as("center_dist"))
     val w = Window.partitionBy("component").orderBy(col("center_dist"), col("vec_id"))
     d.withColumn("is_kept", row_number().over(w) === 1)
       .select("vec_id", "component", "center_dist", "is_kept")

@@ -629,8 +629,9 @@ object Similarity {
     * per-position micro units ([[graft.functions.VectorFunctions]]'s
     * `graft_vec_sum_micro` builds the centroid sums in ONE custom
     * aggregate pass — no position explode on the engine side),
-    * squared L2 distance via the `zip_with`/`aggregate` HOFs
-    * (row-local, codegen-friendly, exact in BIGINT), and the outlier
+    * squared L2 distance via the fused codegen'd `graft_l2sq`
+    * kernel ([[graft.functions.L2SqMicro]] — one primitive loop,
+    * row-local, exact in BIGINT), and the outlier
     * verdict `dist² · n > 2 · Σdist²` (i.e. dist² > 2× the label
     * mean) compared in DECIMAL(38) so no corpus size can overflow it.
     * Two broadcast joins of |labels|-bounded frames onto the cached
@@ -648,13 +649,7 @@ object Similarity {
               expr("transform(sums, s -> s div n_vectors)").as("centroid_micro"))
     val withDist = emb.join(Hints.maybeBroadcast(cents), col("label") === col("c_label"))
       .select(col("vec_id"), col("label"),
-        expr("""aggregate(
-                  zip_with(
-                    transform(embedding,
-                              x -> CAST(FLOOR(1000000 * CAST(x AS DOUBLE)) AS BIGINT)),
-                    centroid_micro,
-                    (e, c) -> (e - c) * (e - c)),
-                  0L, (acc, d) -> acc + d)""").as("dist2"))
+        call_function("graft_l2sq", col("embedding"), col("centroid_micro")).as("dist2"))
     val stats = withDist.groupBy(col("label").as("s_label"))
       .agg(count(lit(1)).as("n_label"), sum("dist2").as("sum_dist2"))
     withDist.join(Hints.maybeBroadcast(stats), col("label") === col("s_label"))
@@ -761,10 +756,12 @@ object Similarity {
     * of the CC/PageRank/BPE family). Clusters left empty by the
     * assignment drop out (the caller reseeds — standard Lloyd).
     *
-    * The per-seed fold is a HOF (k·dim lambda evals per row); the
-    * codegen upgrade path when assignment dominates at real scale is
-    * a fused L2 expression, exactly as [[graft.functions.CosineSim]]
-    * did for cosine.
+    * Assignment is the fused codegen'd `graft_kmeans_assign`
+    * ([[graft.functions.KmeansAssign]]): the seed matrix rides the
+    * plan as a constant and the k·dim argmin runs as one primitive
+    * loop inside whole-stage codegen — bit-compatible with the
+    * array_min-over-HOF-distances construction it replaced
+    * (spec-pinned in SimilaritySpec).
     */
   def kmeansStep(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
     GraftFunctions.ensureRegistered(s)
@@ -775,17 +772,11 @@ object Similarity {
       .sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
     require(seeds.nonEmpty, "no seed vectors with vec_id < k")
-    val seedCol = array(seeds.map { case (id, v) =>
-      struct(lit(id).as("cid"), array(v.map(lit(_)): _*).as("c"))
-    }: _*)
     val assigned = emb.select(col("vec_id"), col("embedding"),
-        array_min(transform(seedCol, sd => struct(
-          aggregate(
-            zip_with(col("embedding"), sd.getField("c"),
-              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
-            lit(0.0), (acc, t) => acc + t).as("d2"),
-          sd.getField("cid").as("cid")))).as("best"))
-      .select(col("vec_id"), col("embedding"), col("best.cid").as("cluster_id"))
+        call_function("graft_kmeans_assign", col("embedding"),
+          typedLit(seeds.map(_._1).toSeq),
+          typedLit(seeds.map(_._2.toSeq).toSeq))
+          .as("cluster_id"))
     assigned.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_vectors"),
            call_function("graft_vec_sum_micro", col("embedding")).as("sums"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomContains, BloomSketch, CosineSim, FreqSketch, HilbertIndex, InterleaveBits, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
+import graft.functions.{BloomContains, BloomSketch, CosineSim, FreqSketch, HilbertIndex, InterleaveBits, KmeansAssign, L2SqMicro, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -47,6 +47,28 @@ object GraftFunctions {
         }
       case other => throw new IllegalArgumentException(
         s"$name expects a foldable codebook literal at position $i, got $other")
+    }
+
+  /** k-means seed matrix bound at plan build: two FOLDABLE literals
+    * (typedLit array<bigint> cids, typedLit array<array<double>>
+    * centroids) evaluated once into the parallel primitive arrays the
+    * codegen references — the same model-as-plan-constant move as
+    * [[codebookArg]].
+    */
+  private def seedsArg(args: Seq[Expression], i: Int,
+                       name: String): (Array[Long], Array[Array[Double]]) =
+    (args(i), args(i + 1)) match {
+      case (cs, ms) if cs.foldable && ms.foldable &&
+          cs.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          ms.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+        val cids = cs.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+        val outer = ms.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val cents = Array.tabulate(outer.numElements())(k => outer.getArray(k).toDoubleArray())
+        (cids, cents)
+      case (a, b) => throw new IllegalArgumentException(
+        s"$name expects foldable (array<bigint> cids, array<array<double>> centroids) " +
+          s"literals at positions $i/${i + 1}, got ($a, $b)")
     }
 
   /** (identifier, info, builder) triples for both injection routes. */
@@ -95,7 +117,16 @@ object GraftFunctions {
         intArg(args, 1, "graft_bloom"), intArg(args, 2, "graft_bloom"))),
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
-      (args: Seq[Expression]) => BloomContains(args(0), args(1))))
+      (args: Seq[Expression]) => BloomContains(args(0), args(1))),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2SqMicro].getName, "graft_l2sq"),
+      (args: Seq[Expression]) => L2SqMicro(args(0), args(1))),
+    (FunctionIdentifier("graft_kmeans_assign"),
+      new ExpressionInfo(classOf[KmeansAssign].getName, "graft_kmeans_assign"),
+      (args: Seq[Expression]) => {
+        val (cids, cents) = seedsArg(args, 1, "graft_kmeans_assign")
+        KmeansAssign(args(0), cids, cents)
+      }))
 
   /** Idempotently register on an existing session. */
   def ensureRegistered(s: SparkSession): Unit = {

@@ -136,6 +136,78 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("graft_l2sq is bit-identical to the transform/zip_with/aggregate HOF it replaced") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    // crafted per-row centroid: the micro-scaled reverse of the vector
+    // (guaranteed same length, exercises negative deltas)
+    val withCent = emb.select(col("vec_id"), col("embedding"),
+      expr("""transform(reverse(embedding),
+                x -> CAST(FLOOR(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT))""")
+        .as("centroid_micro"))
+    val both = withCent.select(col("vec_id"),
+      call_function("graft_l2sq", col("embedding"), col("centroid_micro")).as("fused"),
+      expr("""aggregate(
+                zip_with(
+                  transform(embedding,
+                            x -> CAST(FLOOR(1000000.0 * CAST(x AS DOUBLE)) AS BIGINT)),
+                  centroid_micro,
+                  (e, c) -> (e - c) * (e - c)),
+                0L, (acc, d) -> acc + d)""").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"vec ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // interpreted eval path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val vec = Seq(0.5f, -1.25f, 0.0f)
+    val cent = Seq(400000L, -1250000L, 7L)
+    val fused = graft.functions.L2SqMicro(
+      Literal.create(vec, ArrayType(FloatType)),
+      Literal.create(cent, ArrayType(LongType))).eval(null)
+    assert(fused == (100000L * 100000L + 0L + 49L))
+    // length mismatch fails loudly rather than null-padding
+    intercept[Exception] {
+      spark.range(1).select(call_function("graft_l2sq",
+        typedLit(Seq(0.5f, 1.0f)), typedLit(Seq(1L)))).collect()
+    }
+  }
+
+  test("graft_kmeans_assign matches the array_min HOF argmin, ties to lowest cid") {
+    GraftFunctions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val seedCol = array(seeds.map { case (id, v) =>
+      struct(lit(id).as("cid"), array(v.map(lit(_)): _*).as("c"))
+    }: _*)
+    val both = emb.limit(300).select(col("vec_id"),
+        call_function("graft_kmeans_assign", col("embedding"),
+          typedLit(seeds.map(_._1).toSeq),
+          typedLit(seeds.map(_._2.toSeq).toSeq)).as("fused"),
+        array_min(transform(seedCol, sd => struct(
+          aggregate(
+            zip_with(col("embedding"), sd.getField("c"),
+              (x, c) => (x.cast("double") - c) * (x.cast("double") - c)),
+            lit(0.0), (acc, t) => acc + t).as("d2"),
+          sd.getField("cid").as("cid")))).getField("cid").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"vec ${r.getLong(0)}: fused assign ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // tie case: two identical seeds — the LOWEST cid must win (the
+    // struct-ordering contract of the array_min form)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val tied = graft.functions.KmeansAssign(
+      Literal.create(Seq(1.0f, 2.0f), ArrayType(FloatType)),
+      Array(3L, 7L), Array(Array(1.0, 2.0), Array(1.0, 2.0))).eval(null)
+    assert(tied == 3L, "equal distances must keep the lowest cid")
+  }
+
   test("PqEncode equality is structural over the codebook, not reference-based") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types._
