@@ -164,6 +164,9 @@ object SparkEntry {
     "embedding_centroids" -> (Similarity.embeddingCentroids _),
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "kmeans_step"         -> ((s, d) => Similarity.kmeansStep(s, d)),
+    "kmeans_fit"          -> ((s, d) => Similarity.kmeansFit(s, d)),
+    "ann_ivf_allprobe"    -> ((s, d) =>
+      Similarity.annIvfTopK(s, d, nProbeCells = 16)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -2782,6 +2785,9 @@ object SparkEntry {
          ORDER BY numwait DESC, s_suppkey
          LIMIT 10""",
     "ann_bruteforce_topk" -> annBruteforceOracle,
+    // probing EVERY cell makes IVF ≡ brute force — the identity the
+    // spec proves, here also witnessed by the driver's DuckDB hash
+    "ann_ivf_allprobe" -> annBruteforceOracle,
     "ann_filtered_topk" -> annFilteredOracle,
     // string shingles where the engine groups 8-byte xxhash64 values —
     // the hashedShingles hash-group-equals-string-group argument; the

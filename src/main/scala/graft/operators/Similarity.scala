@@ -136,11 +136,19 @@ object Similarity {
     * filtered result bit-for-bit — the segmentation itself loses
     * nothing, only cell pruning does).
     *
+    * Default dial 10/16 — higher than the unfiltered tier's 8/16:
+    * the standard filtered-search nprobe uplift. A label stratum's
+    * per-cell lists are 1/|labels| as dense, so the true filtered
+    * top-k spreads across more cells than the unfiltered top-k, and
+    * the balanced Lloyd quantizer ([[ivfAssigned]]) deliberately
+    * gives no few-giant-cells shortcut — each probed cell buys ~1/16
+    * of the stratum, so the recall floor prices out at ten cells.
+    *
     * Output schema matches [[annFilteredTopK]] so per-stratum recall
     * is directly measurable.
     */
   def annFilteredIvf(s: SparkSession, dir: String, k: Int = 10,
-                     nCells: Int = 16, nProbeCells: Int = 8): DataFrame = {
+                     nCells: Int = 16, nProbeCells: Int = 10): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val emb = graft.Caches.cached(
       Tables.requireLabel(Tables.embeddings(s, dir))
@@ -223,30 +231,44 @@ object Similarity {
     * corpora; production corpora with real cluster structure run far
     * tighter dials (nProbeCells ≪ nCells).
     */
-  /** Shared IVF coarse quantizer: k-means (MLlib, fixed seed) cell
+  /** Shared IVF coarse quantizer: graft's own Lloyd loop
+    * ([[lloydFit]], deterministic lowest-vec_id seeding) — cell
     * assignment plus the centroid matrix. Centroids live on the driver
-    * by construction (nCells × dim — sample-trained model state, not
-    * data). Backs [[annIvfTopK]] and [[knnGraphIvf]]. The fitted
-    * model is memoized for the session via [[graft.Caches.model]]
-    * keyed on (dir, nCells): the seeded fit is a pure function of the
-    * corpus, so reuse is bit-identical and repeat invocations skip
-    * straight to the row-local assignment stage (train-once,
-    * serve-many — the real index contract).
+    * by construction (nCells × dim — trained model state, not data).
+    * Backs [[annIvfTopK]], [[annFilteredIvf]], [[knnGraphIvf]] and
+    * [[annIvfpqTopK]]. The fit is memoized for the session via
+    * [[graft.Caches.model]] keyed on (dir, nCells): the seeded fit is
+    * a pure function of the corpus, so reuse is bit-identical and
+    * repeat invocations skip straight to the row-local assignment
+    * stage (train-once, serve-many — the real index contract).
+    * Assignment is the codegen'd `graft_kmeans_assign` with cell
+    * indexes 0..nCells-1 standing in for the Lloyd cluster ids.
+    *
+    * Seeding is maxmin ([[maxminSeeds]]), and that choice is about
+    * SCALE, not recall: the fit converges to near-uniform cell
+    * occupancy (measured 21-41 per cell at k=16 on the test corpus,
+    * where the previous MLlib k-means|| fit gave 1-60), so the
+    * (cell,)-keyed candidate shuffle has no hot partitions and a
+    * probed cell's cost is predictable — at a fixed probe fraction a
+    * SKEWED quantizer actually scores higher recall (its giant cells
+    * cover more mass per probe) but pays for it with exactly the
+    * skew that kills distributed scans; the probe dials price the
+    * difference explicitly instead.
     */
   private def ivfAssigned(emb: DataFrame, nCells: Int,
                           dir: String): (DataFrame, Array[Array[Float]]) = {
-    val withVec = emb.withColumn("features",
-      org.apache.spark.ml.functions.array_to_vector(col("embedding")))
-    val model = graft.Caches.model("ivf_quantizer", dir, nCells) {
-      new org.apache.spark.ml.clustering.KMeans()
-        .setK(nCells).setSeed(42L).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("cell")
-        .fit(withVec)
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val fit = graft.Caches.model("ivf_quantizer", dir, nCells) {
+      lloydFit(emb, nCells, maxIters = 10, seedMaxmin = true)
     }
-    // drop, not select: pass-through columns (e.g. the label a
+    val cents = fit.centroidMicro.map(_.map(_ / 1e6))
+    // withColumn, not select: pass-through columns (e.g. the label a
     // segmented index keeps alongside each posting) survive assignment
-    (model.transform(withVec).drop("features"),
-     model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    val assigned = emb.withColumn("cell",
+      call_function("graft_kmeans_assign", col("embedding"),
+        typedLit(fit.cids.indices.map(_.toLong)),
+        typedLit(cents.map(_.toSeq).toSeq)).cast("int"))
+    (assigned, cents.map(_.map(_.toFloat)))
   }
 
   def annIvfTopK(s: SparkSession, dir: String, k: Int = 10,
@@ -784,6 +806,170 @@ object Similarity {
       .select(col("cluster_id"), (col("pos") + 1).cast("long").as("pos"),
               col("n_vectors"), col("col").as("sum_micro"),
               expr("col div n_vectors").as("centroid_micro"))
+      .orderBy("cluster_id", "pos")
+  }
+
+  /** Result of a full Lloyd run: parallel cluster-id / integral-
+    * centroid / final-membership arrays plus how it stopped. KB-scale
+    * driver state (k·dim longs) — model, not data.
+    */
+  private[graft] final case class LloydResult(
+      cids: Array[Long], centroidMicro: Array[Array[Long]],
+      nVectors: Array[Long], iters: Int, converged: Boolean)
+
+  /** Full Lloyd loop over the embedding corpus — [[kmeansStep]]
+    * iterated to convergence under the driver-sync-per-round contract
+    * of the CC/PageRank/BPE family. Every quantity is integral or a
+    * pure function of integral state, so the whole trajectory is
+    * deterministic and replayable:
+    *
+    * - seeds: the k lowest vec_ids; a seed's initial centroid is its
+    *   embedding micro-scaled (`floor(1e6·x)` per position).
+    * - assignment: the codegen'd `graft_kmeans_assign` argmin against
+    *   `centroid_micro / 1e6` doubles (ties → lowest cid) — row-local
+    *   against a plan-constant seed matrix, zero shuffle.
+    * - update: [[graft.functions.VecSumMicro]] exact integral sums,
+    *   one partial-aggregated groupBy collecting k·dim longs to the
+    *   driver per round; `centroid_micro = sum_micro div n` (toward-
+    *   zero, Spark's `div`).
+    * - empty clusters: re-seeded from the corpus vectors farthest
+    *   (codegen'd `graft_l2sq`) from their own cluster's UPDATED
+    *   centroid — ranked (dist² desc, vec_id asc), matched to empty
+    *   cids in ascending-cid order. Standard Lloyd farthest-point
+    *   re-seed, made deterministic.
+    * - convergence: every centroid_micro array exactly equal to the
+    *   previous round's (long equality — no float tolerance) and no
+    *   re-seed fired. Stops early; `maxIters` caps.
+    *
+    * Scale shape: per round one corpus scan (assignment fused into
+    * the scan stage) and one k-row aggregate; driver traffic is the
+    * k·dim centroid matrix — the same bounded-sync economics as
+    * PageRank's rank vector. The corpus never shuffles.
+    */
+  /** Deterministic Gonzalez farthest-point seeding: anchor = the
+    * lowest vec_id's vector; each subsequent seed is the corpus
+    * vector MAXIMIZING its minimum `graft_l2sq` distance to the
+    * already-chosen set (ties → lowest vec_id). k−1 corpus scans,
+    * each a row-local `least(...)` over ≤k codegen'd kernels against
+    * plan-literal seeds — the spread-out init Lloyd needs when ids
+    * carry no spatial information (lowest-id seeds can start
+    * clumped, collapsing cells the loop never recovers; spread seeds
+    * are what make IVF cell occupancy — and thus recall at a fixed
+    * probe fraction — balanced).
+    */
+  private def maxminSeeds(emb: DataFrame, k: Int): Array[Array[Long]] = {
+    def toMicro(r: org.apache.spark.sql.Row): Array[Long] =
+      r.getSeq[Float](1).map(x => math.floor(1000000.0 * x.toDouble).toLong).toArray
+    val anchor = emb.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(1).collect()
+    require(anchor.nonEmpty, "empty corpus")
+    val chosen = scala.collection.mutable.ArrayBuffer(toMicro(anchor(0)))
+    while (chosen.size < k) {
+      val d2s = chosen.map(c =>
+        call_function("graft_l2sq", col("embedding"), typedLit(c.toSeq)))
+      val minD2 = if (d2s.size == 1) d2s.head else least(d2s.toSeq: _*)
+      val far = emb.select(col("vec_id"), col("embedding"), minD2.as("min_d2"))
+        .orderBy(col("min_d2").desc, col("vec_id")).limit(1).collect()
+      chosen += toMicro(far(0))
+    }
+    chosen.toArray
+  }
+
+  private[graft] def lloydFit(emb: DataFrame, k: Int, maxIters: Int,
+                              seedMaxmin: Boolean = false): LloydResult = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val s = emb.sparkSession
+    GraftFunctions.ensureRegistered(s)
+    val (cids, seedMicro) =
+      if (seedMaxmin) (Array.tabulate(k)(_.toLong), maxminSeeds(emb, k))
+      else {
+        val seeds = emb.filter(col("vec_id") < k)
+          .select(col("vec_id"), col("embedding")).collect()
+          .sortBy(_.getLong(0))
+          .map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(x => math.floor(1000000.0 * x.toDouble).toLong).toArray))
+        require(seeds.nonEmpty, "no seed vectors with vec_id < k")
+        (seeds.map(_._1), seeds.map(_._2))
+      }
+    var micro = seedMicro
+    var nVec = Array.fill[Long](cids.length)(0L)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      iters += 1
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+        call_function("graft_kmeans_assign", col("embedding"),
+          typedLit(cids.toSeq),
+          typedLit(micro.map(_.map(_ / 1e6).toSeq).toSeq)).as("cluster_id"))
+      val stats = assigned.groupBy("cluster_id")
+        .agg(count(lit(1)).as("n"),
+             call_function("graft_vec_sum_micro", col("embedding")).as("sums"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getSeq[Long](2).toArray))
+        .toMap
+      val next = cids.map(c => stats.get(c).map { case (n, sums) =>
+        (n, sums.map(sm => if (sm >= 0) sm / n else -((-sm) / n)))
+      })
+      val emptyCids = cids.zip(next).collect { case (c, None) => c }
+      val updated = cids.indices.map(i => next(i).map(_._2).getOrElse(micro(i))).toArray
+      val reseeded: Map[Long, Array[Long]] =
+        if (emptyCids.isEmpty) Map.empty
+        else {
+          // farthest-from-own-updated-centroid re-seed, deterministic
+          val centsDf = s.createDataFrame(
+            cids.zip(updated).map { case (c, m) => (c, m.toSeq) }.toSeq)
+            .toDF("cluster_id", "centroid_micro")
+          val far = assigned.join(broadcast(centsDf), "cluster_id")
+            .select(col("vec_id"), col("embedding"),
+              call_function("graft_l2sq", col("embedding"), col("centroid_micro")).as("d2"))
+            .orderBy(col("d2").desc, col("vec_id"))
+            .limit(emptyCids.length).collect()
+          require(far.length == emptyCids.length,
+            s"corpus too small to re-seed ${emptyCids.length} empty clusters")
+          emptyCids.sorted.zip(far).map { case (c, r) =>
+            c -> r.getSeq[Float](1)
+              .map(x => math.floor(1000000.0 * x.toDouble).toLong).toArray
+          }.toMap
+        }
+      val newMicro = cids.indices.map(i =>
+        reseeded.getOrElse(cids(i), updated(i))).toArray
+      converged = reseeded.isEmpty &&
+        cids.indices.forall(i => java.util.Arrays.equals(newMicro(i), micro(i)))
+      nVec = cids.indices.map(i => next(i).map(_._1).getOrElse(0L)).toArray
+      micro = newMicro
+    }
+    LloydResult(cids, micro, nVec, iters, converged)
+  }
+
+  /** Registered full-Lloyd operator: [[lloydFit]]'s final state as a
+    * per-(cluster, dim) frame — `kmeans_step` run to fixpoint. The
+    * output is pure model state (k·dim rows built driver-side, the
+    * same bounded object the IVF tiers memoize); its correctness
+    * claim is the ==single-node-Lloyd spec in SimilaritySpec, plus
+    * the live identity that [[annIvfTopK]]'s quantizer IS this fit
+    * (`Caches.model` shared key).
+    *
+    * `n_vectors` is the membership of the final assignment round; on
+    * a converged run that assignment is already the fixpoint of the
+    * reported centroids (the round that proved convergence re-derived
+    * them exactly).
+    */
+  def kmeansFit(s: SparkSession, dir: String, k: Int = 8,
+                maxIters: Int = 20): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = graft.Caches.cached(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val fit = lloydFit(emb, k, maxIters)
+    val rows = for {
+      i <- fit.cids.indices
+      pos <- 1 to fit.centroidMicro(i).length
+    } yield (fit.cids(i), pos.toLong, fit.nVectors(i),
+             fit.centroidMicro(i)(pos - 1), fit.iters.toLong, fit.converged)
+    s.createDataFrame(rows.toSeq)
+      .toDF("cluster_id", "pos", "n_vectors", "centroid_micro",
+            "n_iters", "converged")
       .orderBy("cluster_id", "pos")
   }
 

@@ -175,6 +175,85 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(total == emb.count())
   }
 
+  test("kmeans_fit equals a plain single-node Lloyd run bit-for-bit") {
+    val k = 8; val maxIters = 20
+    val out = Similarity.kmeansFit(spark, sf, k = k, maxIters = maxIters)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getBoolean(5)))
+    graft.Caches.clear()
+    // reference: the operator's exact contract, re-implemented on
+    // collected arrays with no Spark in the loop
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val byId = emb.toMap
+    val dim = emb.head._2.length
+    def toMicro(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(1000000.0 * x.toDouble).toLong)
+    val cids = emb.filter(_._1 < k).map(_._1)
+    var micro = emb.filter(_._1 < k).map(p => toMicro(p._2))
+    var nVec = Array.fill[Long](cids.length)(0L)
+    var iters = 0
+    var converged = false
+    while (iters < maxIters && !converged) {
+      iters += 1
+      val cents = micro.map(_.map(_ / 1e6))
+      val assign = emb.map { case (vid, v) =>
+        var best = 0; var bestD = Double.NaN
+        for (i <- cids.indices) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = v(j).toDouble - cents(i)(j); d += t * t; j += 1 }
+          if (i == 0 || java.lang.Double.compare(d, bestD) < 0) { bestD = d; best = i }
+        }
+        (vid, best)
+      }
+      val byCluster = assign.groupBy(_._2)
+      val next = cids.indices.map { i =>
+        byCluster.get(i).map { members =>
+          val sums = Array.fill[Long](dim)(0L)
+          members.foreach { case (vid, _) =>
+            val m = toMicro(byId(vid))
+            var j = 0; while (j < dim) { sums(j) += m(j); j += 1 }
+          }
+          (members.length.toLong, sums.map(_ / members.length))
+        }
+      }
+      val emptyIdx = cids.indices.filter(i => next(i).isEmpty)
+      val updated = cids.indices.map(i => next(i).map(_._2).getOrElse(micro(i))).toArray
+      val reseeded: Map[Int, Array[Long]] =
+        if (emptyIdx.isEmpty) Map.empty
+        else {
+          val far = assign.map { case (vid, ci) =>
+            val m = toMicro(byId(vid))
+            var d2 = 0L
+            var j = 0
+            while (j < dim) { val t = m(j) - updated(ci)(j); d2 += t * t; j += 1 }
+            (vid, d2)
+          }.sortBy { case (vid, d2) => (-d2, vid) }.take(emptyIdx.length)
+          emptyIdx.sorted.zip(far).map { case (i, (vid, _)) =>
+            i -> toMicro(byId(vid))
+          }.toMap
+        }
+      val newMicro = cids.indices.map(i =>
+        reseeded.getOrElse(i, updated(i))).toArray
+      converged = reseeded.isEmpty &&
+        cids.indices.forall(i => java.util.Arrays.equals(newMicro(i), micro(i)))
+      nVec = cids.indices.map(i => next(i).map(_._1).getOrElse(0L)).toArray
+      micro = newMicro
+    }
+    val expected = for {
+      i <- cids.indices
+      pos <- 1 to dim
+    } yield (cids(i), pos.toLong, nVec(i), micro(i)(pos - 1),
+             iters.toLong, converged)
+    assert(out.length == expected.length)
+    out.sortBy(r => (r._1, r._2)).zip(expected.sortBy(r => (r._1, r._2)))
+      .foreach { case (got, want) => assert(got == want, s"got $got want $want") }
+    info(s"lloyd converged=$converged after $iters iters")
+  }
+
   test("knn_graph: every vector present with k contiguous ranks") {
     val out = Similarity.knnGraph(spark, sf, k = 5).cache()
     val n = Tables.embeddings(spark, sf).count()
