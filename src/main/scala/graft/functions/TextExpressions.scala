@@ -440,3 +440,160 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Fused winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003) over a
+  * normalized text string: k-codepoint-gram xxhash64 (seed 42, the
+  * same bytes Spark's `xxhash64(concat_ws("", slice(chars, i, k)))`
+  * hashes) → sliding window-of-`w` minimum with the rightmost-min tie
+  * convention → adjacent dedup — ONE primitive pass per row
+  * (byte-offset walk + hash array + monotonic deque) in place of the
+  * interpreted transform/array_min-over-slices/filter HOF chain it
+  * replaces, which evaluated O(L·w) interpreted lambdas per document.
+  * Bit-compatible selection, pinned by TextFunctionsSpec's parity
+  * test against the HOF road.
+  *
+  * Output: struct<n_kgrams, fps: array<struct<h, ni>>> where
+  * `ni = -(1-based gram index)` — exactly the struct the HOF road
+  * staged, so array_min's lexicographic order argument carries over.
+  *
+  * The deque pops `>=`: a later equal hash evicts an earlier one, so
+  * the window min lands on the LARGEST index among ties — the
+  * rightmost-min convention `array_min` over (h, −i) structs encodes.
+  */
+case class GraftWinnow(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = GraftWinnow.outType
+  override def prettyName: String = "graft_winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftWinnow.core(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.GraftWinnow.core($str, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftWinnow =
+    copy(child = newChild)
+}
+
+object GraftWinnow {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.Platform
+
+  val fpType: StructType = StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("ni", LongType, nullable = false)))
+  val outType: StructType = StructType(Seq(
+    StructField("n_kgrams", LongType, nullable = false),
+    StructField("fps", ArrayType(fpType, containsNull = false), nullable = false)))
+  val sigType: StructType = StructType(Seq(
+    StructField("n_kgrams", LongType, nullable = false),
+    StructField("n_fingerprints", LongType, nullable = false),
+    StructField("fp_checksum", LongType, nullable = false)))
+
+  /** (n_kgrams, selected gram hashes, selected 0-based gram indexes). */
+  private def select(s: UTF8String, k: Int, w: Int): (Long, Array[Long], Array[Int]) = {
+    val nChars = s.numChars()
+    val nGrams = nChars - (k - 1)
+    val nKgrams = math.max(nGrams, 0).toLong
+    if (nGrams < 1 || nGrams - (w - 1) < 1)
+      return (nKgrams, Array.emptyLongArray, Array.emptyIntArray)
+    // codepoint byte offsets, then one xxhash64 per k-codepoint gram
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val offs = new Array[Int](nChars + 1)
+    var i = 0; var b = 0
+    while (i < nChars) {
+      offs(i) = b
+      b += UTF8String.numBytesForFirstByte(Platform.getByte(base, off + b))
+      i += 1
+    }
+    offs(nChars) = s.numBytes()
+    val hashes = new Array[Long](nGrams)
+    var g = 0
+    while (g < nGrams) {
+      hashes(g) = XXH64.hashUnsafeBytes(base, off + offs(g), offs(g + k) - offs(g), 42L)
+      g += 1
+    }
+    // sliding-window minimum, monotonic deque; >= pop = rightmost tie
+    val dq = new Array[Int](nGrams)
+    var h = 0; var t = 0
+    val selH = new Array[Long](nGrams - (w - 1))
+    val selI = new Array[Int](nGrams - (w - 1))
+    var nSel = 0
+    var prevSel = -1
+    var j = 0
+    while (j < nGrams) {
+      while (t > h && hashes(dq(t - 1)) >= hashes(j)) t -= 1
+      dq(t) = j; t += 1
+      val winStart = j - (w - 1)
+      if (winStart >= 0) {
+        while (dq(h) < winStart) h += 1
+        val sel = dq(h)
+        if (sel != prevSel) { selH(nSel) = hashes(sel); selI(nSel) = sel; nSel += 1; prevSel = sel }
+      }
+      j += 1
+    }
+    (nKgrams, java.util.Arrays.copyOf(selH, nSel), java.util.Arrays.copyOf(selI, nSel))
+  }
+
+  /** struct<n_kgrams, fps> — the spec-facing full selection. */
+  def core(s: UTF8String, k: Int, w: Int): InternalRow = {
+    val (nKgrams, selH, selI) = select(s, k, w)
+    val fps = new Array[Any](selH.length)
+    var i = 0
+    while (i < selH.length) {
+      fps(i) = new GenericInternalRow(Array[Any](selH(i), -(selI(i) + 1).toLong))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nKgrams, new GenericArrayData(fps)))
+  }
+
+  /** struct<n_kgrams, n_fingerprints, fp_checksum> — the compact
+    * signature, no per-fingerprint allocation at all.
+    */
+  def sig(s: UTF8String, k: Int, w: Int): InternalRow = {
+    val (nKgrams, selH, _) = select(s, k, w)
+    var xor = 0L
+    var i = 0
+    while (i < selH.length) { xor ^= selH(i); i += 1 }
+    new GenericInternalRow(Array[Any](nKgrams, selH.length.toLong, xor))
+  }
+}
+
+/** [[GraftWinnow]] projected to the compact (count, XOR-checksum)
+  * signature without materializing the fingerprint array — the
+  * registered `winnowing_fingerprint` hot path.
+  */
+case class GraftWinnowSig(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow_sig expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = GraftWinnow.sigType
+  override def prettyName: String = "graft_winnow_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftWinnow.sig(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.GraftWinnow.sig($str, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftWinnowSig =
+    copy(child = newChild)
+}

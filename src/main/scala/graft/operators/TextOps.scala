@@ -543,84 +543,65 @@ object TextOps {
     * makes the ~2/(w+1) density a sound plagiarism/near-dup index
     * where uniform sampling of k-grams is not.
     *
-    * Everything is row-local HOFs over the text column (one scan,
-    * zero shuffles, the TextOps contract): k-gram hashes via
-    * `transform(sequence(...))` + xxhash64, window minima as
-    * `array_min` over struct (hash, −i) slices (struct order gives
-    * the rightmost-min convention), dedup via an adjacent-compare
-    * filter (NOT `array_distinct` — see [[winnowingOver]]'s O(n²)
-    * note; adjacency suffices because a position is re-selected only
-    * by consecutive windows). The checksum (XOR fold of selected
-    * hashes — order-insensitive, ANSI-overflow-proof) is the compact
-    * signature a cross-corpus fingerprint join would key on.
-    * xxhash64 has no DuckDB twin, so correctness rides
-    * TextFunctionsSpec: the coverage guarantee (every window
-    * contains a selection), the density bound, selection stability
-    * under duplication, and a shared-substring collision fixture.
+    * The whole selection is the fused codegen'd kernel
+    * [[graft.functions.GraftWinnow]] — k-gram hashing, window minima
+    * and adjacent dedup as ONE primitive pass per row (byte-offset
+    * walk + hash array + monotonic deque) — replacing the interpreted
+    * transform/array_min-over-slices/filter HOF chain (O(L·w)
+    * interpreted lambda evals per document; see §6's
+    * expression-duplication pathology for why the HOF form was also
+    * fragile to stage). Normalization (whitespace collapse, trim,
+    * lower) stays in the plan as native codegen'd expressions. One
+    * scan, zero shuffles beyond the parallelism repartition — the
+    * TextOps contract. The checksum (XOR fold of selected hashes —
+    * order-insensitive, ANSI-overflow-proof) is the compact signature
+    * a cross-corpus fingerprint join would key on. xxhash64 has no
+    * DuckDB twin, so correctness rides TextFunctionsSpec: kernel ==
+    * the HOF road bit-for-bit on the corpus, the coverage guarantee
+    * (every window contains a selection), the density bound,
+    * selection stability under duplication, and a shared-substring
+    * collision fixture.
     */
   /** Core winnowing selection over any (doc_id, text) frame — exposed
     * for the spec's crafted-document fixtures. Emits the selected
     * fingerprint structs (hash, −position) so tests can assert the
     * coverage guarantee and cross-document collisions on shared
     * substrings; the registered operator projects the compact
-    * (count, checksum) signature.
+    * (count, checksum) signature through [[graft.functions
+    * .GraftWinnowSig]], which never materializes the array.
     */
   def winnowingOver(df: DataFrame, k: Int, w: Int): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
-    val emptyFps = array().cast("array<struct<h:bigint,ni:bigint>>")
-    // k-grams slice a CHAR ARRAY, not the string (`substr(i, k)` on a
-    // UTF8String counts codepoints from the start — O(i) per call,
-    // O(L²) per document), and every staged array is referenced TWICE
-    // in its consuming projection: CollapseProject inlines a non-cheap
-    // alias that is referenced only once, which would re-evaluate the
-    // whole upstream transform inside the downstream lambda — per
-    // element, O(L²) with interpreted-HOF constants (measured: one
-    // winnowing pass at sf0.1 took minutes; the second reference below
-    // is size()-derived so it is also SEMANTIC, not dead code). The §6
-    // expression-duplication pathology, third occurrence.
-    val stage1 = df
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
+    // coalesce: a null text must fingerprint like an empty one (the
+    // pre-kernel HOF road's CaseWhen produced (0, []) there too)
+    winnowNorm(df)
       .select(col("doc_id"),
-        expr("filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ''), ch -> ch <> '')")
-          .as("chars"))
-      // HOF chains evaluate interpreted (no whole-stage codegen), so
-      // spread the per-row milliseconds across the session's cores —
-      // the single-row-group scan otherwise serializes the corpus
-      // through one task
-      .repartition(col("doc_id"))
-    // (hash, -i) structs: array_min's lexicographic struct order picks
-    // the smallest hash, and among equal hashes the LARGEST i — the
-    // rightmost-min winnowing convention. CaseWhen evaluates lazily:
-    // a doc shorter than k (or k+w-1) never builds the (descending)
-    // sequence.
-    val gramsExpr = transform(sequence(lit(1), size(col("chars")) - (k - 1)),
-      i => struct(xxhash64(concat_ws("", slice(col("chars"), i, lit(k)))).as("h"),
-                  (-i).cast("long").as("ni")))
-    val stage2 = stage1.select(col("doc_id"),
-      (size(col("chars")) - (k - 1)).as("n_grams"),   // 2nd chars reference
-      when(size(col("chars")) >= k, gramsExpr).otherwise(emptyFps).as("grams"))
-    val winsExpr = transform(sequence(lit(1), size(col("grams")) - (w - 1)),
-      j => array_min(slice(col("grams"), j, lit(w))))
-    val stage3 = stage2.select(col("doc_id"), col("n_grams"),
-      when(size(col("grams")) >= w, winsExpr).otherwise(emptyFps).as("wins"))
-    // Adjacent dedup, NOT array_distinct: a position is re-selected
-    // only by the contiguous run of windows containing it, so
-    // duplicates are always consecutive — one O(n) pass. array_distinct
-    // over array<struct> is O(n²) with interpreted per-element
-    // equality.
-    stage3.select(col("doc_id"),
-      greatest(col("n_grams"), lit(0)).cast("long").as("n_kgrams"),
-      filter(col("wins"),
-        (x, i) => i === 0 || !(x <=> element_at(col("wins"), i))).as("fps"))
+        call_function("graft_winnow", col("norm"), lit(k), lit(w)).as("wn"))
+      .select(col("doc_id"), col("wn.n_kgrams").as("n_kgrams"),
+              col("wn.fps").as("fps"))
   }
+
+  /** Shared normalization stage: codegen'd whitespace-collapse +
+    * trim + lower, then a doc_id repartition so per-row kernel work
+    * spreads across cores even off a single-row-group scan.
+    */
+  private def winnowNorm(df: DataFrame): DataFrame = df
+    .select(col("doc_id"),
+      coalesce(lower(trim(regexp_replace(col("text"), "\\s+", " "))), lit(""))
+        .as("norm"))
+    .repartition(col("doc_id"))
 
   def winnowingFingerprint(s: SparkSession, dir: String,
                            k: Int = 8, w: Int = 4): DataFrame = {
-    winnowingOver(Tables.documents(s, dir), k, w)
-      .select(col("doc_id"), col("n_kgrams"),
-        size(col("fps")).cast("long").as("n_fingerprints"),
-        // XOR fold: order-insensitive, never overflows under ANSI
-        aggregate(col("fps"), lit(0L), (acc, f) => acc.bitwiseXOR(f.getField("h")))
-          .as("fp_checksum"))
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k, w=$w")
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    winnowNorm(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        call_function("graft_winnow_sig", col("norm"), lit(k), lit(w)).as("sig"))
+      .select(col("doc_id"), col("sig.n_kgrams").as("n_kgrams"),
+              col("sig.n_fingerprints").as("n_fingerprints"),
+              col("sig.fp_checksum").as("fp_checksum"))
       .orderBy("doc_id")
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomContains, BloomSketch, CosineSim, FreqSketch, HilbertIndex, InterleaveBits, KmeansAssign, L2SqMicro, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
+import graft.functions.{BloomContains, BloomSketch, CosineSim, FreqSketch, GraftWinnow, GraftWinnowSig, HilbertIndex, InterleaveBits, KmeansAssign, L2SqMicro, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -118,6 +118,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (args: Seq[Expression]) => BloomContains(args(0), args(1))),
+    (FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[GraftWinnow].getName, "graft_winnow"),
+      (args: Seq[Expression]) => GraftWinnow(args(0),
+        intArg(args, 1, "graft_winnow"), intArg(args, 2, "graft_winnow"))),
+    (FunctionIdentifier("graft_winnow_sig"),
+      new ExpressionInfo(classOf[GraftWinnowSig].getName, "graft_winnow_sig"),
+      (args: Seq[Expression]) => GraftWinnowSig(args(0),
+        intArg(args, 1, "graft_winnow_sig"), intArg(args, 2, "graft_winnow_sig"))),
     (FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2SqMicro].getName, "graft_l2sq"),
       (args: Seq[Expression]) => L2SqMicro(args(0), args(1))),

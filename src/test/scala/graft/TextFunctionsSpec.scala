@@ -335,6 +335,58 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
       "shared >= k+w-1 substring must yield a common fingerprint hash")
   }
 
+  test("graft_winnow kernel equals the HOF winnowing road bit-for-bit on the corpus; sig agrees") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val k = 8; val w = 4
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // the pre-kernel HOF road, reconstructed verbatim as the parity oracle
+    val emptyFps = array().cast("array<struct<h:bigint,ni:bigint>>")
+    val stage1 = docs.select(col("doc_id"),
+        expr("filter(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ''), ch -> ch <> '')")
+          .as("chars"))
+      .repartition(col("doc_id"))
+    val gramsExpr = transform(sequence(lit(1), size(col("chars")) - (k - 1)),
+      i => struct(xxhash64(concat_ws("", slice(col("chars"), i, lit(k)))).as("h"),
+                  (-i).cast("long").as("ni")))
+    val stage2 = stage1.select(col("doc_id"),
+      (size(col("chars")) - (k - 1)).as("n_grams"),
+      when(size(col("chars")) >= k, gramsExpr).otherwise(emptyFps).as("grams"))
+    val winsExpr = transform(sequence(lit(1), size(col("grams")) - (w - 1)),
+      j => array_min(slice(col("grams"), j, lit(w))))
+    val stage3 = stage2.select(col("doc_id"), col("n_grams"),
+      when(size(col("grams")) >= w, winsExpr).otherwise(emptyFps).as("wins"))
+    val hof = stage3.select(col("doc_id"),
+      greatest(col("n_grams"), lit(0)).cast("long").as("n_kgrams"),
+      filter(col("wins"),
+        (x, i) => i === 0 || !(x <=> element_at(col("wins"), i))).as("fps"))
+    val kernel = graft.operators.TextOps.winnowingOver(docs, k, w)
+    assert(kernel.exceptAll(hof).count() == 0 && hof.exceptAll(kernel).count() == 0,
+      "fused kernel must reproduce the HOF selection exactly")
+    // the sig expression agrees with the full kernel's projection
+    val viaFull = kernel.select(col("doc_id"), col("n_kgrams"),
+      size(col("fps")).cast("long").as("n_fingerprints"),
+      aggregate(col("fps"), lit(0L), (acc, f) => acc.bitwiseXOR(f.getField("h")))
+        .as("fp_checksum"))
+    val viaSig = graft.operators.TextOps.winnowingFingerprint(spark, sf, k, w)
+    assert(viaSig.exceptAll(viaFull).count() == 0 && viaFull.exceptAll(viaSig).count() == 0,
+      "graft_winnow_sig must equal the full kernel's (count, checksum) projection")
+    // interpreted eval agrees with codegen on a crafted row (incl. multi-byte)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.InternalRow
+    val expr1 = graft.functions.GraftWinnow(Literal("héllo wörld héllo wörld"), 4, 3)
+    val viaEval = expr1.eval(null).asInstanceOf[InternalRow]
+    val viaDf = spark.range(1)
+      .select(call_function("graft_winnow", lit("héllo wörld héllo wörld"), lit(4), lit(3)))
+      .queryExecution.executedPlan.executeCollect()(0).getStruct(0, 2)
+    assert(viaEval.getLong(0) == viaDf.getLong(0))
+    val (ae, ad) = (viaEval.getArray(1), viaDf.getArray(1))
+    assert(ae.numElements() == ad.numElements() && ae.numElements() > 0)
+    (0 until ae.numElements()).foreach { i =>
+      assert(ae.getStruct(i, 2).getLong(0) == ad.getStruct(i, 2).getLong(0))
+      assert(ae.getStruct(i, 2).getLong(1) == ad.getStruct(i, 2).getLong(1))
+    }
+  }
+
   test("langid_confusion: cells tile the corpus, shares integral, agrees with the per-doc join") {
     import graft.operators.TextOps
     val out = TextOps.langidConfusion(spark, sf).collect()
