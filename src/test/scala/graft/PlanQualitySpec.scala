@@ -517,6 +517,72 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SinglePartition"), s"single-partition exchange:\n$p")
   }
 
+  test("all 22 TPC-H plans match their pinned shape: joins, scans, top-k, partial aggs") {
+    // The q6/q19/q3 spot checks generalized: every TPC-H key's physical
+    // plan is pinned to its expected operator shape. (bhj, smj, top,
+    // semi, anti) are EXACT — more shuffle joins means a dim stopped
+    // broadcasting; fewer means a fact silently slipped under the
+    // broadcast threshold (fine at sf0.001, fatal at scale — the
+    // fact-fact pairs are planned shuffled BY CONSTRUCTION via the
+    // size guard, so the count is scale-representative). Per-table
+    // scan counts are exact too: a disjunction or self-comparison
+    // fanning into extra scans is the classic silent plan regression.
+    // CartesianProduct is banned outright; BroadcastNestedLoopJoin is
+    // allowed only where a 1-row scalar aggregate joins back (q11's
+    // HAVING threshold, q22's average balance).
+    final case class Shape(bhj: Int, smj: Int, top: Int, semi: Int,
+                           anti: Int, bnlj: Int, scans: Map[String, Int])
+    val shapes = Map(
+      "q1_pricing_summary"     -> Shape(0, 0, 0, 0, 0, 0, Map("lineitem" -> 1)),
+      "q2_min_cost_supplier"   -> Shape(6, 3, 1, 0, 0, 0, Map("lineitem" -> 2, "supplier" -> 2, "part" -> 2, "nation" -> 2, "region" -> 2)),
+      "q3_top_unshipped"       -> Shape(2, 0, 1, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1, "customer" -> 1)),
+      "q4_priority_exists"     -> Shape(1, 0, 0, 1, 0, 0, Map("lineitem" -> 1, "orders" -> 1)),
+      "q5_region_volume"       -> Shape(5, 0, 0, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1, "customer" -> 1, "supplier" -> 1, "nation" -> 1, "region" -> 1)),
+      "q6_forecast_revenue"    -> Shape(0, 0, 0, 0, 0, 0, Map("lineitem" -> 1)),
+      "q7_nation_volume"       -> Shape(5, 0, 0, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1, "customer" -> 1, "supplier" -> 1, "nation" -> 2)),
+      "q8_market_share"        -> Shape(6, 1, 0, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1, "customer" -> 1, "supplier" -> 1, "part" -> 1, "nation" -> 2, "region" -> 1)),
+      "q9_profit_by_nation"    -> Shape(4, 0, 0, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1, "supplier" -> 1, "part" -> 1, "nation" -> 1)),
+      "q10_returned_revenue"   -> Shape(3, 0, 1, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1, "customer" -> 1, "nation" -> 1)),
+      "q11_important_parts"    -> Shape(0, 0, 0, 0, 0, 1, Map("lineitem" -> 2)),
+      "q12_late_shipments"     -> Shape(1, 0, 0, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1)),
+      "q13_order_distribution" -> Shape(1, 0, 0, 0, 0, 0, Map("orders" -> 1, "customer" -> 1)),
+      "q14_promo_share"        -> Shape(1, 0, 0, 0, 0, 0, Map("lineitem" -> 1, "part" -> 1)),
+      "q15_top_supplier"       -> Shape(2, 0, 0, 0, 0, 0, Map("lineitem" -> 2, "supplier" -> 1)),
+      "q16_supplier_variety"   -> Shape(2, 0, 0, 0, 1, 0, Map("lineitem" -> 1, "supplier" -> 1, "part" -> 1)),
+      "q17_small_qty_revenue"  -> Shape(2, 1, 0, 0, 0, 0, Map("lineitem" -> 2, "part" -> 2)),
+      "q18_large_orders"       -> Shape(2, 0, 1, 0, 0, 0, Map("lineitem" -> 1, "orders" -> 1, "customer" -> 1)),
+      "q19_discounted_revenue" -> Shape(1, 0, 0, 0, 0, 0, Map("lineitem" -> 1, "part" -> 1)),
+      "q20_dominant_suppliers" -> Shape(3, 2, 0, 1, 0, 0, Map("lineitem" -> 2, "supplier" -> 1, "part" -> 2, "nation" -> 1)),
+      "q21_waiting_suppliers"  -> Shape(3, 1, 1, 0, 0, 0, Map("lineitem" -> 2, "orders" -> 2, "supplier" -> 1)),
+      "q22_untapped_customers" -> Shape(1, 0, 0, 0, 1, 1, Map("orders" -> 1, "customer" -> 2)))
+    val allTables = Seq("lineitem", "orders", "customer", "supplier",
+                        "part", "nation", "region")
+    val problems = shapes.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val lines = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString.linesIterator.toSeq
+      def c(pat: String) = lines.count(_.contains(pat))
+      val got = Shape(c("BroadcastHashJoin"), c("SortMergeJoin") + c("ShuffledHashJoin"),
+        c("TakeOrderedAndProject"), c("LeftSemi"), c("LeftAnti"),
+        c("BroadcastNestedLoopJoin"),
+        allTables.map(t => t -> lines.count(l =>
+          l.contains("Scan parquet") && l.contains(s"/$t"))).filter(_._2 > 0).toMap)
+      val errs = Seq(
+        (got.bhj != want.bhj) -> s"broadcast joins ${got.bhj} != ${want.bhj}",
+        (got.smj != want.smj) -> s"shuffle joins ${got.smj} != ${want.smj}",
+        (got.top != want.top) -> s"TakeOrderedAndProject ${got.top} != ${want.top}",
+        (got.semi != want.semi) -> s"semi joins ${got.semi} != ${want.semi}",
+        (got.anti != want.anti) -> s"anti joins ${got.anti} != ${want.anti}",
+        (got.bnlj != want.bnlj) -> s"nested-loop joins ${got.bnlj} != ${want.bnlj}",
+        (c("CartesianProduct") != 0) -> "CartesianProduct present",
+        (got.scans != want.scans) -> s"scan counts ${got.scans} != ${want.scans}",
+        (c("partial_") == 0) -> "no map-side partial aggregation")
+        .collect { case (true, msg) => msg }
+      if (errs.nonEmpty) Some(s"$name: ${errs.mkString("; ")}") else None
+    }
+    graft.Caches.clear()
+    assert(problems.isEmpty, s"TPC-H plan shapes drifted:\n${problems.mkString("\n")}")
+  }
+
   test("events loader preserves predicate pushdown under the ns-timestamp rewrite") {
     val p = plan(Tables.events(spark, sf).filter(col("event_type") === "purchase")
       .select("event_id", "user_id"))
