@@ -339,12 +339,11 @@ object EventStreams {
     * the replay RESURRECTS the deleted row). Sharded by key across
     * the state store: 100 TB of change history costs |keys| registers,
     * never the log. A deployment with unbounded key churn bounds that
-    * by retiring registers past its replay horizon — watermark +
-    * GroupStateTimeout.EventTimeTimeout, trading resurrection-safety
-    * inside the horizon for state that tracks live keys; this
-    * operator keeps NoTimeout because its contract is exact
-    * convergence under arbitrary replay (StreamingSpec shuffles and
-    * replays batches and asserts state equals the batch collapse).
+    * by retiring registers past its replay horizon —
+    * [[cdcStateEvicting]] is exactly that variant; this operator
+    * keeps NoTimeout because its contract is exact convergence under
+    * arbitrary replay (StreamingSpec shuffles and replays batches
+    * and asserts state equals the batch collapse).
     */
   def cdcState(changes: Dataset[Ev]): Dataset[CdcOut] = {
     import changes.sparkSession.implicits._
@@ -365,6 +364,73 @@ object EventStreams {
             Iterator(CdcOut(uid, latest.event_id, latest.ts_us, latest.op,
               latest.op != "D", latest.value))
           } else Iterator.empty
+      }
+  }
+
+  /** Far-future timeout pin (9999-12-31T23:59:59.999Z): a live CDC
+    * register must never time out, but EventTimeTimeout offers no
+    * per-key "unset" — a key that was tombstoned and then re-upserted
+    * would otherwise keep its old eviction clock. Pinning live
+    * registers here is the unset.
+    */
+  private val NeverMs = 253402300799999L
+
+  /** [[cdcState]] with a REPLAY-HORIZON: identical register semantics
+    * (latest-wins by (ts_us, event_id), tombstones absorb late
+    * replays of older upserts), but tombstoned registers RETIRE once
+    * the watermark passes `horizonSec` past their event time —
+    * EventTimeTimeout doing for CDC state what [[rateCusum]]'s
+    * dead-feed reset does for its charts. The trade is explicit and
+    * the deployment picks it: [[cdcState]]'s NoTimeout converges
+    * under ARBITRARY replay but its state tracks every key ever seen;
+    * this variant's state tracks live keys plus a `horizonSec` tail
+    * of tombstones, and a replay older than an already-evicted
+    * tombstone would resurrect the row — sound exactly when the
+    * source's redelivery window (Kafka retention, checkpoint
+    * recovery depth) is inside the horizon, which is the bound a real
+    * deployment has anyway. Eviction is state-only (emits nothing:
+    * the delete row was already emitted when the tombstone landed).
+    *
+    * Live registers are pinned to [[NeverMs]] — re-upserting a
+    * tombstoned key must CANCEL its eviction clock, and re-arming on
+    * every invocation is the only unset the API offers. The tombstone
+    * arm is clamped strictly ahead of the current watermark (the
+    * [[rateCusum]] discipline): a tombstone already past its horizon
+    * when it lands retires at the next watermark advance, not via an
+    * IllegalArgumentException.
+    */
+  def cdcStateEvicting(changes: Dataset[Ev], horizonSec: Long = 86400L,
+                       delay: String = "1 hour"): Dataset[CdcOut] = {
+    require(horizonSec > 0, s"horizonSec must be positive, got $horizonSec")
+    import changes.sparkSession.implicits._
+    changes
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcLatest, CdcOut](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[CdcLatest]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = evs.map { e =>
+              CdcLatest(epochMicros(e.ts), e.event_id,
+                if (e.event_type == "error") "D" else "U", e.value)
+            }
+            val latest = (state.getOption.iterator ++ incoming)
+              .maxBy(c => (c.ts_us, c.event_id))
+            val moved = !state.getOption.contains(latest)
+            if (moved) state.update(latest)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              if (latest.op == "D")
+                math.max(latest.ts_us / 1000L + horizonSec * 1000L, wm + 1L)
+              else NeverMs)
+            if (moved)
+              Iterator(CdcOut(uid, latest.event_id, latest.ts_us, latest.op,
+                latest.op != "D", latest.value))
+            else Iterator.empty
+          }
       }
   }
 

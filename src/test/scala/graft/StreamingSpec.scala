@@ -349,6 +349,55 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cdcStateEvicting: in-horizon replays absorbed, tombstones retire past the horizon, live keys never do") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val t0 = 1700000000L
+    def ev(id: Long, user: Long, typ: String, sec: Long, v: Double) =
+      Ev(id, user, typ, new Timestamp(sec * 1000), v)
+    val input = MemoryStream[Ev]
+    val q = EventStreams.cdcStateEvicting(input.toDS(),
+        horizonSec = 3600, delay = "0 seconds")
+      .writeStream.format("memory").queryName("cdc_evict").outputMode("update").start()
+    try {
+      def stateRows: Long = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0).numRowsTotal
+      input.addData(Seq(ev(1, 1, "click", t0, 1.0), ev(2, 2, "click", t0, 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(3, 1, "error", t0 + 10, 0.0)))
+      q.processAllAvailable()
+      // the tombstone emitted its delete row; both registers held
+      assert(spark.table("cdc_evict").filter(!col("is_live")).count() == 1)
+      assert(stateRows == 2)
+      // in-horizon replay ordered BELOW the tombstone (same ts, lower
+      // event_id, at the watermark so the late filter passes it):
+      // absorbed by the register, no output, no state movement
+      val outBefore = spark.table("cdc_evict").count()
+      input.addData(Seq(ev(2, 1, "click", t0 + 10, 9.0)))
+      q.processAllAvailable()
+      assert(spark.table("cdc_evict").count() == outBefore,
+        "replay older than the tombstone must be absorbed silently")
+      assert(stateRows == 2)
+      // advance event time far past the horizon; the next batch carries
+      // the advanced watermark and retires user 1's tombstone —
+      // state-only (no output row), while user 2's live register stays
+      input.addData(Seq(ev(10, 2, "click", t0 + 4000, 3.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(11, 2, "click", t0 + 4001, 3.0)))
+      q.processAllAvailable()
+      assert(stateRows == 1, "tombstone past the horizon must be evicted")
+      val u1 = spark.table("cdc_evict").filter(col("user_id") === 1)
+      assert(u1.count() == 2, "eviction must not emit a row")
+      // the retired key upserts afresh like any new key
+      input.addData(Seq(ev(12, 1, "click", t0 + 4002, 7.0)))
+      q.processAllAvailable()
+      assert(stateRows == 2)
+      val back = spark.table("cdc_evict")
+        .filter(col("user_id") === 1 && col("last_event_id") === 12).collect()
+      assert(back.length == 1 && back(0).getAs[Boolean]("is_live"))
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on gap and on event-time timeout") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
