@@ -76,6 +76,15 @@ object Bench {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors  = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val flaky   = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Self-adjudication (r14 verdict): any key whose min-of-passes
+    // exceeds 2x its previous canonical record gets extra passes
+    // BEFORE the record is written, and the record annotates what
+    // happened — a host-steal outlier (the r12 bitmap_overlap
+    // 4.13->0.45 s precedent) self-corrects in-run instead of costing
+    // a round of "weak" adjudication, while a real regression stays
+    // elevated through the re-measure and the annotation says so.
+    val remeasureExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE", "2").toInt
+    val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -90,8 +99,9 @@ object Bench {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val fs = flaky.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
+      val rs = remeasured.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
     // A degraded run never overwrites a canonical record unless that
     // record is itself stamped degraded — it lands in
@@ -143,6 +153,17 @@ object Bench {
       else p
     }
     val canonical = java.nio.file.Paths.get("BENCH_LOCAL.json")
+    // Baseline record for self-adjudication: the canonical file when it
+    // measured THIS SF, else the SF-suffixed sibling — never a
+    // _DEGRADED record (a contended baseline would mask regressions by
+    // inflating the 2x bar). Read before the first flush replaces it.
+    val canonicalPathForBaseline: java.nio.file.Path = {
+      def sameSf(p: java.nio.file.Path): Boolean =
+        java.nio.file.Files.exists(p) &&
+          java.nio.file.Files.readString(p).contains(s""""sf":"${esc(sfDir)}"""")
+      if (sameSf(canonical)) canonical
+      else java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json")
+    }
     val target =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
         guarded("BENCH_LOCAL_FILTERED.json", "BENCH_LOCAL_FILTERED_DEGRADED.json")
@@ -189,11 +210,30 @@ object Bench {
     // so a partial record can never masquerade as a round total.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Per-key baselines for self-adjudication: the current canonical
+    // record (read BEFORE this run's first flush replaces it), same-SF
+    // only — cross-SF ratios are meaningless. The values-only parse is
+    // safe because query keys are identifiers (no ':'/',' inside).
+    val baseline: Map[String, Double] = {
+      val p = canonicalPathForBaseline
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = java.nio.file.Files.readString(p)
+        if (!s.contains(s""""sf":"${esc(sfDir)}"""")) Map.empty
+        else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s)
+          .map(_.group(1).split(",").flatMap(kv => kv.split(":") match {
+            case Array(k, v) =>
+              scala.util.Try(
+                k.trim.stripPrefix("\"").stripSuffix("\"") -> v.trim.toDouble).toOption
+            case _ => None
+          }).toMap).getOrElse(Map.empty)
+      }
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       val passErrors = scala.collection.mutable.ArrayBuffer.empty[String]
-      val passTimes = (1 to passes).flatMap { _ =>
+      def timedPass(): Option[Double] = {
         Caches.clear()
         val t0 = System.nanoTime()
         try {
@@ -209,10 +249,26 @@ object Bench {
           None
         }
       }
+      val passTimes = (1 to passes).flatMap(_ => timedPass())
       // A query counts as FAILED only when every pass failed; a query
       // that failed some passes but produced a timing is FLAKY —
       // reported separately so n_failed never contradicts a valid min.
-      timings(name) = if (passTimes.isEmpty) -1.0 else passTimes.min
+      var best = if (passTimes.isEmpty) -1.0 else passTimes.min
+      // Self-adjudication: > 2x the previous canonical min triggers
+      // extra passes before the record is written; the annotation
+      // records first/final/baseline so a reader can tell host steal
+      // (final back near baseline) from a real regression (elevated
+      // through the re-measure) without another round.
+      baseline.get(name).filter(_ > 0).foreach { base =>
+        if (best > 2.0 * base && remeasureExtra > 0) {
+          val extra = (1 to remeasureExtra).flatMap(_ => timedPass())
+          val newBest = (best +: extra).min
+          remeasured(name) =
+            f"first=$best%.3f final=$newBest%.3f baseline=$base%.3f extra_passes=$remeasureExtra"
+          best = newBest
+        }
+      }
+      timings(name) = best
       if (passTimes.isEmpty) passErrors.headOption.foreach(errors(name) = _)
       else passErrors.headOption.foreach(flaky(name) = _)
       flush(partial = true)
