@@ -167,6 +167,10 @@ object SparkEntry {
     "kmeans_fit"          -> ((s, d) => Similarity.kmeansFit(s, d)),
     "ann_ivf_allprobe"    -> ((s, d) =>
       Similarity.annIvfTopK(s, d, nProbeCells = 16)),
+    "ann_filtered_allprobe" -> ((s, d) =>
+      Similarity.annFilteredIvf(s, d, nProbeCells = 16)),
+    "knn_graph_allprobe"  -> ((s, d) =>
+      Similarity.knnGraphIvf(s, d, nProbeCells = 16)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -2787,7 +2791,10 @@ object SparkEntry {
     "ann_bruteforce_topk" -> annBruteforceOracle,
     // probing EVERY cell makes IVF ≡ brute force — the identity the
     // spec proves, here also witnessed by the driver's DuckDB hash
+    // (and likewise for the filtered and kNN-graph IVF tiers below)
     "ann_ivf_allprobe" -> annBruteforceOracle,
+    "ann_filtered_allprobe" -> annFilteredOracle,
+    "knn_graph_allprobe" -> knnGraphOracle,
     "ann_filtered_topk" -> annFilteredOracle,
     // string shingles where the engine groups 8-byte xxhash64 values —
     // the hashedShingles hash-group-equals-string-group argument; the
