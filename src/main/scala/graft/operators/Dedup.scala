@@ -106,12 +106,24 @@ object Dedup {
     * position (measured 16× slower at sf0.1). Hashed-shingle Jaccard
     * equals string-shingle Jaccard up to a ~2⁻⁶⁴-per-pair collision.
     */
-  private def hashedShingles(s: SparkSession, dir: String, shingleN: Int): DataFrame =
-    graft.Caches.cached(
+  private[graft] def hashedShingles(s: SparkSession, dir: String, shingleN: Int): DataFrame = {
+    // MATERIALIZED once per (canonical dir, shingleN) and read back as
+    // parquet on later calls ([[graft.Substrate]]): eight dedup keys
+    // consume this signature table per sweep, and the scaladoc's "100 TB
+    // analogue of persisting a signature table" is now literal — the
+    // tokenize+shingle+hash derivation runs once per ingest, not per
+    // query. xxhash64 over integer-free strings → bit-exact round-trip.
+    // The per-query cache below still collapses the MULTIPLE references
+    // within one operator into one in-memory scan.
+    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val path = graft.Substrate.materialized("shingles", Seq(realDir, shingleN)) {
       Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
-        .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs")))
+        .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+    }
+    graft.Caches.cached(s.read.parquet(path))
+  }
 
   /** Candidate pairs (a < b) from an exploded (id, band_idx, band_hash)
     * table: ONE shuffle groups ids per bucket (a self-join formulation

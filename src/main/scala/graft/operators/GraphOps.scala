@@ -196,19 +196,10 @@ object GraphOps {
   private[graft] def copurchasePairSupports(s: SparkSession, dir: String,
                                             minSupport: Int = 2): DataFrame = {
     val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
-    val path = graft.Caches.model("copurchase_pairs", realDir, minSupport) {
-      val base = java.nio.file.Paths.get(
-        sys.props.getOrElse("graft.substrate.dir", sys.props("java.io.tmpdir")))
-        .resolve("graft-substrate")
-      java.nio.file.Files.createDirectories(base)
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$realDir|$minSupport".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val out = base.resolve(s"copurchase_$md").toString
-      pairSupportsPlan(s, dir, minSupport).write.mode("overwrite").parquet(out)
-      out
-    }
-    s.read.parquet(path)
+    s.read.parquet(graft.Substrate.materialized(
+      "copurchase", Seq(realDir, minSupport)) {
+      pairSupportsPlan(s, dir, minSupport)
+    })
   }
 
   /** The substrate's defining plan (see [[copurchasePairSupports]],

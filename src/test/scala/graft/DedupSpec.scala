@@ -10,6 +10,30 @@ import graft.functions.TextFunctions._
   */
 class DedupSpec extends AnyFunSuite with SparkFixture {
 
+  test("hashed-shingle substrate memo: parquet table equals the in-line derivation; survives Caches.clear") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val fromPlan = Tables.documents(spark, sf)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        Dedup.wordNgrams(col("toks"), 3).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val first = Dedup.hashedShingles(spark, sf, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(first.length == fromPlan.length)
+    first.zip(fromPlan).foreach { case (a, b) => assert(a == b,
+      "parquet-materialized shingle table must be bit-identical to its derivation") }
+    val misses = Caches.modelMissCount
+    Caches.clear()
+    // the memo deliberately survives the per-query clear (on-disk
+    // derived signature table, not block-manager state)
+    Dedup.hashedShingles(spark, sf, 3).head()
+    assert(Caches.modelMissCount == misses,
+      "substrate must survive Caches.clear without re-deriving")
+    Caches.clear()
+  }
+
   test("wordNgrams produces n-1 fewer shingles; short docs fall back to one") {
     import spark.implicits._
     val df = Seq("a b c d", "a b").toDF("text")
@@ -386,7 +410,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     // brute force in-engine: every delta doc scored against every base
     // doc on the same hashed shingles, no LSH, no bucket cap
     val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.wordNgrams(col("toks"), 3).as("sh"))
       .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs")).cache()
     val delta = docs.filter(col("doc_id") % 10 === 0)
