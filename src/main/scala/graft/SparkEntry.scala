@@ -171,6 +171,7 @@ object SparkEntry {
       Similarity.annFilteredIvf(s, d, nProbeCells = 16)),
     "knn_graph_allprobe"  -> ((s, d) =>
       Similarity.knnGraphIvf(s, d, nProbeCells = 16)),
+    "ann_sq8_topk"        -> ((s, d) => Similarity.annSq8TopK(s, d)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -2794,6 +2795,7 @@ object SparkEntry {
     // (and likewise for the filtered and kNN-graph IVF tiers below)
     "ann_ivf_allprobe" -> annBruteforceOracle,
     "ann_filtered_allprobe" -> annFilteredOracle,
+    "ann_sq8_topk" -> annSq8Oracle,
     "knn_graph_allprobe" -> knnGraphOracle,
     "ann_filtered_topk" -> annFilteredOracle,
     // string shingles where the engine groups 8-byte xxhash64 values —
@@ -3143,6 +3145,37 @@ object SparkEntry {
           SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
           FROM scored)
         SELECT probe_id, rank, neighbor_id, label, cosine_x1e6 FROM ranked WHERE rank <= 10
+        ORDER BY probe_id, rank"""
+  }
+
+  /** The SQ8 serving tier fully oracle-checked: int8 quantization
+    * (floor(127·x/max|x|), the [[Similarity.embeddingQuantize]] rule)
+    * and the asymmetric float-probe × code cosine both expand to
+    * exact-double SQL — GREATEST over 64 abs terms for the scale, a
+    * 64-column code CTE, and the same expanded-sum/left-assoc trick
+    * as [[annBruteforceOracle]]. The scale cancels in cosine, so the
+    * oracle scores codes directly, like the engine kernel.
+    */
+  private lazy val annSq8Oracle: String = {
+    val dim = 64
+    val scale = (1 to dim).map(i => s"ABS(CAST(embedding[$i] AS DOUBLE))").mkString("GREATEST(", ", ", ")")
+    val codeCols = (1 to dim).map(i =>
+      s"CASE WHEN scale > 0 THEN FLOOR(127.0 * CAST(embedding[$i] AS DOUBLE) / scale) ELSE 0.0 END AS c$i").mkString(", ")
+    val dot = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*c.c$i").mkString(" + ")
+    val np  = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    val nc  = (1 to dim).map(i => s"c.c$i*c.c$i").mkString(" + ")
+    s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 < 2),
+        sc AS (SELECT vec_id, embedding, $scale AS scale FROM embeddings),
+        c AS (SELECT vec_id, $codeCols FROM sc),
+        scored AS (
+          SELECT p.probe_id, c.vec_id AS neighbor_id,
+                 CASE WHEN sqrt($np)*sqrt($nc) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(($dot) / (sqrt($np)*sqrt($nc)) * 1000000.0) AS BIGINT) END AS cosine_x1e6
+          FROM c JOIN p ON c.vec_id <> p.probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= 10
         ORDER BY probe_id, rank"""
   }
 

@@ -478,3 +478,68 @@ object KmeansAssign {
       s"graft_kmeans_assign: vector has $dim dims but seeds have $seedDim — " +
         "the seed matrix was built for a different embedding width")
 }
+
+/** cosine(probe, int8-quantized corpus vector) — the scoring kernel
+  * of the scalar-quantization serving tier
+  * ([[graft.operators.Similarity.annSq8TopK]]): one fused loop of
+  * float-probe × byte-code products in double. The dequantization
+  * scale CANCELS in cosine (cos is invariant to positive scaling of
+  * one argument), so the stored form is pure codes — one byte per
+  * dimension, no per-vector scale read on the scoring path at all.
+  * Accumulation order and zero-norm handling match [[CosineSim]]
+  * exactly (left-to-right double adds; 0.0, never NaN), so the
+  * DuckDB oracle's expanded-sum SQL reproduces the scores
+  * bit-for-bit.
+  */
+case class CosineSq8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine_sq8 expects (array<float>, array<tinyint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine_sq8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getByte(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val den = math.sqrt(nx) * math.sqrt(ny)
+    if (den == 0.0) 0.0 else dot / den
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val x = ctx.freshName("x")
+      val y = ctx.freshName("y"); val den = ctx.freshName("den")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.getFloat($i);
+          double $y = (double) $b.getByte($i);
+          $dot += $x * $y; $nx += $x * $x; $ny += $y * $y;
+        }
+        double $den = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        ${ev.value} = ($den == 0.0) ? 0.0 : $dot / $den;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSq8 =
+    copy(left = l, right = r)
+}

@@ -628,6 +628,61 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Scalar-quantization (int8) ANN serving tier — the FAISS
+    * IndexScalarQuantizer/SQ8 shape completing the memory-tier family
+    * next to [[annPqTopK]]: the corpus stores ONE BYTE per dimension
+    * (4× smaller than float32 — what shuffles, spills, and caches at
+    * 100 TB), quantized by [[embeddingQuantize]]'s exact rule
+    * (`floor(127·x/max|x|)`, the max-magnitude element pinned to
+    * ±127), and probes score asymmetrically: full-float query against
+    * the codes via the fused [[graft.functions.CosineSq8]] kernel.
+    * The dequantization scale cancels in cosine, so the scoring path
+    * never reads it — pure codes.
+    *
+    * The quantized corpus is a [[graft.Substrate]] table (parquet,
+    * once per canonical dir — the stored index a real deployment
+    * writes at ingest); scoring is the brute-force plan shape
+    * (broadcast probes, map-side partial top-k) over 1/4 the bytes.
+    *
+    * UNLIKE the other approximate tiers this one is fully
+    * ORACLE-CHECKED: quantization and scoring are both expressible in
+    * ANSI SQL (floor/greatest/expanded sums — same double-exactness
+    * trick as the brute-force oracle), so the DuckDB hash witnesses
+    * the exact scores, not just a recall floor. SimilaritySpec adds
+    * the recall-vs-exact floor and the kernel==cast-road parity.
+    */
+  def annSq8TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir)
+    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val codesPath = graft.Substrate.materialized("sq8codes", Seq(realDir)) {
+      // scale staged as an attribute: referenced twice downstream and
+      // from inside the quantize lambda — inlining it would re-run the
+      // array_max per element (the §6 expression-duplication trap)
+      emb.select(col("vec_id"), col("embedding"),
+          array_max(transform(col("embedding"), v => abs(v))).cast("double").as("scale"))
+        .select(col("vec_id"),
+          when(col("scale") > 0,
+            transform(col("embedding"),
+              v => floor(lit(127.0) * v.cast("double") / col("scale")).cast("byte")))
+            .otherwise(transform(col("embedding"), _ => lit(0).cast("byte")))
+            .as("codes"))
+    }
+    val codes = s.read.parquet(codesPath)
+    val scored = codes
+      .join(broadcast(probes(emb)), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        floor(call_function("graft_cosine_sq8", col("probe_emb"), col("codes")) * 1e6)
+          .cast("long").as("cosine_x1e6"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine_x1e6")
+      .orderBy("probe_id", "rank")
+  }
+
   /** Per-label embedding centroids via the custom
     * [[graft.functions.VecSumMicro]] AGGREGATE: one groupBy whose
     * per-group state is a single long[dim] of exact micro-unit sums —

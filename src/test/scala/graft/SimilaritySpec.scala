@@ -175,6 +175,49 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(total == emb.count())
   }
 
+  test("ann_sq8_topk: high recall vs exact, kernel == cast-road, codes tie to embedding_quantize") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val bf = Similarity.annBruteforceTopK(spark, sf).select("probe_id", "neighbor_id")
+    val sq8 = Similarity.annSq8TopK(spark, sf)
+    val nBf = bf.count()
+    val hit = bf.intersect(sq8.select("probe_id", "neighbor_id")).count()
+    // int8 keeps ~7 bits of mantissa per dim — far gentler than PQ's
+    // 6 bits per 4-dim subspace; the floor leaves reorder headroom only
+    assert(nBf > 0 && hit.toDouble / nBf >= 0.85, s"recall ${hit.toDouble / nBf}")
+    // deterministic: pure function of the corpus
+    val again = Similarity.annSq8TopK(spark, sf)
+    assert(sq8.exceptAll(again).count() == 0 && again.exceptAll(sq8).count() == 0)
+    // the fused byte kernel equals scoring the codes cast back to float
+    // through the plain cosine kernel (scale cancellation made visible)
+    val emb = Tables.embeddings(spark, sf)
+    val withScale = emb.select(col("vec_id"), col("embedding"),
+      array_max(transform(col("embedding"), v => abs(v))).cast("double").as("scale"))
+    val codes = withScale.select(col("vec_id"), col("embedding"),
+      when(col("scale") > 0,
+        transform(col("embedding"),
+          v => floor(lit(127.0) * v.cast("double") / col("scale")).cast("byte")))
+        .otherwise(transform(col("embedding"), _ => lit(0).cast("byte"))).as("codes"))
+    val parity = codes.limit(200).select(
+        floor(call_function("graft_cosine_sq8", col("embedding"), col("codes")) * 1e6)
+          .cast("long").as("fused"),
+        floor(call_function("graft_cosine", col("embedding"),
+          col("codes").cast("array<float>")) * 1e6).cast("long").as("cast_road"))
+      .collect()
+    assert(parity.nonEmpty)
+    parity.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // the stored codes obey embedding_quantize's exact contract:
+    // recomputed min/max/checksum match that operator's output
+    val fromCodes = codes.select(col("vec_id"),
+        expr("aggregate(zip_with(transform(codes, c -> CAST(c AS BIGINT)), sequence(1, size(codes)), (q, i) -> q * CAST(i AS BIGINT)), 0L, (a, x) -> a + x)").as("q_checksum"),
+        expr("CAST(array_min(codes) AS BIGINT)").as("q_min"),
+        expr("CAST(array_max(codes) AS BIGINT)").as("q_max"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val fromOp = Similarity.embeddingQuantize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fromCodes == fromOp,
+      "sq8 codes must match embedding_quantize's checksum/min/max exactly")
+  }
+
   test("kmeans_fit equals a plain single-node Lloyd run bit-for-bit") {
     val k = 8; val maxIters = 20
     val out = Similarity.kmeansFit(spark, sf, k = k, maxIters = maxIters)
