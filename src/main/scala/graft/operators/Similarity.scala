@@ -752,7 +752,7 @@ object Similarity {
 
   /** ANN recall report — every approximate tier scored against the
     * exact brute-force baseline in one query: recall@k per tier
-    * (LSH multi-probe, IVF, PQ, IVF-PQ), the number a serving team
+    * (LSH multi-probe, IVF, PQ, IVF-PQ, SQ8), the number a serving team
     * watches as corpora and index parameters drift. Each tier's
     * (probe, neighbor) set left-semi-joins the exact set and reduces
     * to a 1-row count; four bounded rows union into the report.
@@ -779,6 +779,7 @@ object Similarity {
       .unionAll(tierRow("ivfpq", annIvfPqTopK(s, dir, k)))
       .unionAll(tierRow("lsh", annLshTopK(s, dir, k)))
       .unionAll(tierRow("pq", annPqTopK(s, dir, k)))
+      .unionAll(tierRow("sq8", annSq8TopK(s, dir, k)))
       .orderBy("tier")
   }
 

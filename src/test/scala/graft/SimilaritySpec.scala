@@ -391,10 +391,10 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
   test("ann_recall_report reproduces each tier's spec floor in one query") {
     val rows = Similarity.annRecallReport(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(rows.keySet == Set("ivf", "ivfpq", "lsh", "pq"))
+    assert(rows.keySet == Set("ivf", "ivfpq", "lsh", "pq", "sq8"))
     // the same floors the per-tier tests assert, through the report road
     val floors = Map("lsh" -> 800000L, "ivf" -> 750000L,
-                     "pq" -> 600000L, "ivfpq" -> 450000L)
+                     "pq" -> 600000L, "ivfpq" -> 450000L, "sq8" -> 850000L)
     rows.foreach { case (tier, (hits, expected, recall)) =>
       assert(expected > 0 && hits <= expected, s"$tier counts inconsistent")
       assert(recall == hits * 1000000L / expected, s"$tier recall arithmetic")
