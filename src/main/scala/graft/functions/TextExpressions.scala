@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -596,4 +596,156 @@ case class GraftWinnowSig(child: Expression, k: Int, w: Int)
 
   override protected def withNewChildInternal(newChild: Expression): GraftWinnowSig =
     copy(child = newChild)
+}
+
+/** Fused distinct-set overlap of two array<long> (or array<string>)
+  * columns — the exact
+  * verification kernel of the dedup family: |A∩B|, |A∪B|, and
+  * floor(1000·J) in ONE sorted-merge pass (copy + primitive sort +
+  * dup-skipping merge), replacing the interpreted
+  * `array_intersect`/`array_union` pair that built two hash sets per
+  * candidate pair (three, where the intersection was also needed
+  * separately). Distinct-set semantics match Spark's builtins
+  * exactly — duplicates inside either array count once. The Jaccard
+  * division reproduces the HOF road's double arithmetic
+  * (`1000.0 · inter / union`) bit-for-bit; an empty union yields 0
+  * (the builtin road hits NaN there — a case shingled corpora never
+  * produce, pinned in the spec).
+  */
+case class SetOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if lt == rt && (lt == LongType || lt == StringType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(NullType, _), ArrayType(NullType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_set_overlap expects two array<long> or two array<string>, got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = SetOverlap.outType
+  override def prettyName: String = "graft_set_overlap"
+
+  private def isString: Boolean = left.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (isString)
+      SetOverlap.coreString(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SetOverlap.coreLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isString) "coreString" else "coreLong"
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SetOverlap.$fn($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SetOverlap =
+    copy(left = l, right = r)
+}
+
+object SetOverlap {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  val outType: StructType = StructType(Seq(
+    StructField("inter", LongType, nullable = false),
+    StructField("uni", LongType, nullable = false),
+    StructField("j_x1000", LongType, nullable = false)))
+
+  private def result(inter: Long, uni: Long): InternalRow = {
+    val jx = if (uni == 0) 0L else math.floor(1000.0 * inter / uni).toLong
+    new GenericInternalRow(Array[Any](inter, uni, jx))
+  }
+
+  /** Distinct-set overlap of two long arrays: sorted-merge with
+    * dup-skip. A null ELEMENT counts as one distinct value per side
+    * (the builtins' convention).
+    */
+  def coreLong(a: ArrayData, b: ArrayData): InternalRow = {
+    def extract(x: ArrayData): (Array[Long], Boolean) = {
+      val n = x.numElements()
+      val out = new Array[Long](n)
+      var m = 0; var hasNull = false
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) hasNull = true
+        else { out(m) = x.getLong(i); m += 1 }
+        i += 1
+      }
+      (java.util.Arrays.copyOf(out, m), hasNull)
+    }
+    val (pa, nullA) = extract(a); val (pb, nullB) = extract(b)
+    java.util.Arrays.sort(pa); java.util.Arrays.sort(pb)
+    var i = 0; var j = 0
+    var inter = 0L; var uni = 0L
+    while (i < pa.length && j < pb.length) {
+      val va = pa(i); val vb = pb(j)
+      if (va == vb) {
+        inter += 1; uni += 1
+        while (i < pa.length && pa(i) == va) i += 1
+        while (j < pb.length && pb(j) == vb) j += 1
+      } else if (va < vb) {
+        uni += 1
+        while (i < pa.length && pa(i) == va) i += 1
+      } else {
+        uni += 1
+        while (j < pb.length && pb(j) == vb) j += 1
+      }
+    }
+    while (i < pa.length) { uni += 1; val v = pa(i); while (i < pa.length && pa(i) == v) i += 1 }
+    while (j < pb.length) { uni += 1; val v = pb(j); while (j < pb.length && pb(j) == v) j += 1 }
+    if (nullA && nullB) inter += 1
+    if (nullA || nullB) uni += 1
+    result(inter, uni)
+  }
+
+  /** String form: binary-order sort + merge over UTF8Strings — the
+    * same distinct-set counts array_intersect/union produce.
+    */
+  def coreString(a: ArrayData, b: ArrayData): InternalRow = {
+    def extract(x: ArrayData): (Array[UTF8String], Boolean) = {
+      val n = x.numElements()
+      val out = new Array[UTF8String](n)
+      var m = 0; var hasNull = false
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i)) hasNull = true
+        else { out(m) = x.getUTF8String(i); m += 1 }
+        i += 1
+      }
+      (java.util.Arrays.copyOf(out, m), hasNull)
+    }
+    val (pa, nullA) = extract(a); val (pb, nullB) = extract(b)
+    java.util.Arrays.sort(pa.asInstanceOf[Array[AnyRef]])
+    java.util.Arrays.sort(pb.asInstanceOf[Array[AnyRef]])
+    var i = 0; var j = 0
+    var inter = 0L; var uni = 0L
+    while (i < pa.length && j < pb.length) {
+      val va = pa(i); val vb = pb(j)
+      val c = va.compareTo(vb)
+      if (c == 0) {
+        inter += 1; uni += 1
+        while (i < pa.length && pa(i).compareTo(va) == 0) i += 1
+        while (j < pb.length && pb(j).compareTo(vb) == 0) j += 1
+      } else if (c < 0) {
+        uni += 1
+        while (i < pa.length && pa(i).compareTo(va) == 0) i += 1
+      } else {
+        uni += 1
+        while (j < pb.length && pb(j).compareTo(vb) == 0) j += 1
+      }
+    }
+    while (i < pa.length) { uni += 1; val v = pa(i); while (i < pa.length && pa(i).compareTo(v) == 0) i += 1 }
+    while (j < pb.length) { uni += 1; val v = pb(j); while (j < pb.length && pb(j).compareTo(v) == 0) j += 1 }
+    if (nullA && nullB) inter += 1
+    if (nullA || nullB) uni += 1
+    result(inter, uni)
+  }
 }

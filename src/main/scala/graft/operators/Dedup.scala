@@ -87,7 +87,10 @@ object Dedup {
     * (integer output: engine-neutral, no float-compare hazards).
     */
   def jaccardX1000(a: Column, b: Column): Column =
-    floor(lit(1000.0) * size(array_intersect(a, b)) / size(array_union(a, b))).cast("long")
+    // fused sorted-merge kernel — one pass for |∩|, |∪| and the
+    // division, vs two interpreted set builds ([[graft.functions
+    // .SetOverlap]]; bit-identical to the array_intersect/union road)
+    call_function("graft_set_overlap", a, b).getField("j_x1000")
 
   /** The ONE corpus-wide text scan the LSH dedup family shares:
     * (doc_id, hs) where hs = xxhash64 of each distinct word n-gram
@@ -706,12 +709,16 @@ object Dedup {
     // intersection by each side's own shingle count. The J-floor filter
     // keeps the per-doc aggregation off the sub-threshold candidate mass
     // (and matches the oracle's all-pairs J ≥ τ scope).
+    // ONE overlap kernel pass per pair, projected to an attribute so
+    // the inter and J extracts below share it (two references — the
+    // CollapseProject rule)
     val scored = cand.join(shA, "a").join(shB, "b")
       .select(col("a"), col("b"),
-              size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+              call_function("graft_set_overlap", col("sh_a"), col("sh_b")).as("ov"),
               size(col("sh_a")).cast("long").as("na"),
-              size(col("sh_b")).cast("long").as("nb"),
-              jaccardX1000(col("sh_a"), col("sh_b")).as("j"))
+              size(col("sh_b")).cast("long").as("nb"))
+      .select(col("a"), col("b"), col("ov.inter").as("inter"),
+              col("na"), col("nb"), col("ov.j_x1000").as("j"))
       .filter(col("j") >= tauJX1000)
     val both = scored.select(explode(array(
         struct(col("a").as("doc_id"), col("b").as("partner"),

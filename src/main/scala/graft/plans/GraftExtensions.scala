@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
-import graft.functions.{BloomContains, BloomSketch, CosineSim, CosineSq8, FreqSketch, GraftWinnow, GraftWinnowSig, HilbertIndex, InterleaveBits, KmeansAssign, L2SqMicro, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
+import graft.functions.{BloomContains, BloomSketch, CosineSim, CosineSq8, FreqSketch, GraftWinnow, GraftWinnowSig, SetOverlap, HilbertIndex, InterleaveBits, KmeansAssign, L2SqMicro, MinHashBands, MinHashSig, OphMinHashBands, PqEncode, SimHash64, SrpSignature, VecSumMicro}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -118,6 +118,9 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomContains].getName, "graft_bloom_contains"),
       (args: Seq[Expression]) => BloomContains(args(0), args(1))),
+    (FunctionIdentifier("graft_set_overlap"),
+      new ExpressionInfo(classOf[SetOverlap].getName, "graft_set_overlap"),
+      (args: Seq[Expression]) => SetOverlap(args(0), args(1))),
     (FunctionIdentifier("graft_cosine_sq8"),
       new ExpressionInfo(classOf[CosineSq8].getName, "graft_cosine_sq8"),
       (args: Seq[Expression]) => CosineSq8(args(0), args(1))),

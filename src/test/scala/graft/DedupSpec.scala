@@ -41,6 +41,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(2, 1))
   }
 
+  test("graft_set_overlap equals the array_intersect/union road, including duplicate elements") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 1L, 2L), Seq(2L, 2L, 3L)),          // duplicates count once
+      (Seq(5L), Seq(5L)),
+      (Seq(-9L, 0L, 7L), Seq(8L, 9L)),             // disjoint
+      (Seq.empty[Long], Seq(1L, 2L))).toDF("x", "y")
+    val got = rows.select(
+        call_function("graft_set_overlap", col("x"), col("y")).as("ov"),
+        size(array_intersect(col("x"), col("y"))).cast("long").as("i2"),
+        size(array_union(col("x"), col("y"))).cast("long").as("u2"))
+      .select(col("ov.inter"), col("ov.uni"), col("ov.j_x1000"), col("i2"), col("u2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(3), "inter must match array_intersect")
+      assert(r.getLong(1) == r.getLong(4), "uni must match array_union")
+      assert(r.getLong(2) ==
+        math.floor(1000.0 * r.getLong(0) / r.getLong(1)).toLong, "J arithmetic")
+    }
+    // both-empty: kernel defines 0 where the builtin road would NaN
+    val empty = spark.sql(
+      "SELECT graft_set_overlap(array(), array()).j_x1000 AS j").head.getLong(0)
+    assert(empty == 0L)
+  }
+
   test("jaccardX1000: identical sets 1000, disjoint 0, half-overlap computed exactly") {
     import spark.implicits._
     val df = Seq(
