@@ -139,6 +139,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"    -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_soft_weight"      -> ((s, d) => Dedup.dedupSoftWeight(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "semdedup_keep_central"   -> ((s, d) => Dedup.semdedupKeepCentral(s, d)),
     "dedup_paragraphs"        -> ((s, d) => Dedup.dedupParagraphs(s, d)),
@@ -2904,6 +2905,35 @@ object SparkEntry {
            SELECT s.a AS doc_id, c.r FROM sym s JOIN reach c ON s.b = c.doc_id)
          SELECT doc_id, MIN(r) AS rep_doc_id, MIN(r) <> doc_id AS is_dup
          FROM reach GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_soft_weight" ->
+      """WITH RECURSIVE
+         t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800),
+         sym AS (
+           SELECT a, b FROM pairs
+           UNION ALL
+           SELECT b AS a, a AS b FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT doc_id, doc_id AS r FROM documents
+           UNION
+           SELECT s.a AS doc_id, c.r FROM sym s JOIN reach c ON s.b = c.doc_id),
+         comp AS (SELECT doc_id, MIN(r) AS rep_doc_id FROM reach GROUP BY doc_id),
+         cs AS (SELECT rep_doc_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY rep_doc_id)
+         SELECT comp.doc_id, comp.rep_doc_id, cs.cluster_size,
+                CAST(FLOOR(1000.0 / cs.cluster_size) AS BIGINT) AS weight_x1000
+         FROM comp JOIN cs USING (rep_doc_id) ORDER BY comp.doc_id""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Exact-double brute-force ANN oracle. DuckDB's

@@ -566,6 +566,33 @@ object Dedup {
     connectedComponents(ids, verified, "doc_id")
   }
 
+  /** Soft dedup: keep EVERY document but down-weight members of a
+    * near-dup cluster by its size — `weight_x1000 =
+    * floor(1000 / cluster_size)` — the unbiased alternative to
+    * dropping duplicates: the expected token distribution matches the
+    * hard-deduplicated corpus while no document (and none of the
+    * in-cluster variation) is lost. Clusters are the MinHash-LSH
+    * verified transitive components of [[dedupClusters]] (same
+    * params, same component loop), so the two keys cannot drift.
+    *
+    * Shape at 100 TB: one COUNT shuffle keyed by the component
+    * representative (three longs per row — text never enters) + one
+    * join back on the rep; a rounding error next to the component
+    * iteration that precedes it.
+    */
+  def dedupSoftWeight(s: SparkSession, dir: String,
+                      nPerms: Int = 64, nBands: Int = 16,
+                      shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+    val comp = dedupClusters(s, dir, nPerms, nBands, shingleN, tauX1000)
+      .select(col("doc_id"), col("rep_doc_id"))
+    val sizes = comp.groupBy("rep_doc_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "rep_doc_id")
+      .select(col("doc_id"), col("rep_doc_id"), col("cluster_size"),
+              floor(lit(1000.0) / col("cluster_size")).cast("long").as("weight_x1000"))
+      .orderBy("doc_id")
+  }
+
   /** 64-bit SimHash over the token multiset + 4×16-bit hamming-band
     * bucketing; candidates verified with bit_count(xor) ≤ 3. A pair
     * within hamming distance d is guaranteed to agree on ≥ one of

@@ -287,6 +287,29 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("dedup_soft_weight: one row per doc, weight = floor(1000/size), sizes count the dedupClusters components") {
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sizes = clusters.values.groupBy(identity).map { case (rep, g) => rep -> g.size.toLong }
+    val got = Dedup.dedupSoftWeight(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == clusters.keys.toSeq.sorted, "one row per doc, ordered")
+    got.foreach { case (doc, rep, size, wx) =>
+      assert(rep == clusters(doc), s"rep drifted from dedupClusters for $doc")
+      assert(size == sizes(rep), s"cluster_size wrong for $doc")
+      assert(wx == math.floor(1000.0 / size).toLong, s"weight arithmetic for $doc")
+    }
+    // the unbiasedness identity: per-cluster weights sum within 1/1000
+    // rounding of exactly 1 document's weight-mass
+    got.groupBy(_._2).foreach { case (_, members) =>
+      val sum = members.map(_._4).sum
+      assert(sum <= 1000L && sum > 1000L - members.length,
+        s"cluster weight mass $sum out of range for size ${members.length}")
+    }
+    assert(got.filter(_._3 == 1L).forall(_._4 == 1000L), "singletons keep full weight")
+    graft.Caches.clear()
+  }
+
   test("dedup_keep_best on the corpus: one winner per cluster, winner maximizes (quality, -doc_id)") {
     import graft.operators.TextOps
     val clusters = Dedup.dedupClusters(spark, sf).collect()
