@@ -140,6 +140,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_soft_weight"      -> ((s, d) => Dedup.dedupSoftWeight(s, d)),
+    "split_leakage"          -> ((s, d) => Dedup.splitLeakage(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "semdedup_keep_central"   -> ((s, d) => Dedup.semdedupKeepCentral(s, d)),
     "dedup_paragraphs"        -> ((s, d) => Dedup.dedupParagraphs(s, d)),
@@ -2934,6 +2935,46 @@ object SparkEntry {
          SELECT comp.doc_id, comp.rep_doc_id, cs.cluster_size,
                 CAST(FLOOR(1000.0 / cs.cluster_size) AS BIGINT) AS weight_x1000
          FROM comp JOIN cs USING (rep_doc_id) ORDER BY comp.doc_id""",
+    "split_leakage" ->
+      """WITH
+         t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800),
+         sp AS (
+           SELECT doc_id,
+                  CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 80
+                       THEN 'train' ELSE 'test' END AS split
+           FROM documents),
+         lab AS (
+           SELECT LEAST(sa.split, sb.split) AS split_a,
+                  GREATEST(sa.split, sb.split) AS split_b, p.a, p.b
+           FROM pairs p JOIN sp sa ON p.a = sa.doc_id JOIN sp sb ON p.b = sb.doc_id),
+         np AS (SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                FROM lab GROUP BY split_a, split_b),
+         nd AS (SELECT split_a, split_b, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+                FROM (SELECT split_a, split_b, a AS doc FROM lab
+                      UNION ALL SELECT split_a, split_b, b AS doc FROM lab)
+                GROUP BY split_a, split_b),
+         ss AS (SELECT DISTINCT split FROM sp),
+         combos AS (SELECT s1.split AS split_a, s2.split AS split_b
+                    FROM ss s1 CROSS JOIN ss s2 WHERE s1.split <= s2.split)
+         SELECT c.split_a, c.split_b,
+                CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+                CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+         FROM combos c
+         LEFT JOIN np ON c.split_a = np.split_a AND c.split_b = np.split_b
+         LEFT JOIN nd ON c.split_a = nd.split_a AND c.split_b = nd.split_b
+         ORDER BY c.split_a, c.split_b""",
   ).map { case (k, v) => k -> v.stripMargin.replaceAll("\\s+", " ").trim }
 
   /** Exact-double brute-force ANN oracle. DuckDB's

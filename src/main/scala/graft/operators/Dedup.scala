@@ -1185,4 +1185,55 @@ object Dedup {
           .as("jaccard_x1e6"))
       .orderBy("source_a", "source_b")
   }
+
+  /** Split-leakage audit: near-dup pairs that CROSS the train/test
+    * boundary of [[TrainingOps.sampleSplitHash]]'s deterministic
+    * hash split — the held-out set silently containing paraphrases of
+    * training documents is the leak `decontaminate_ngram` can't see
+    * (that key matches verbatim n-grams against an EXTERNAL eval set;
+    * this one finds whole near-dup documents across an internal
+    * split). Per unordered split pair: verified-pair count and the
+    * distinct documents involved — the complete matrix, zero rows
+    * included (a train-test cell at 0 being exactly what the audit
+    * wants to prove), from the bounded split-list cross.
+    *
+    * Shape at 100 TB: pairs come from the shared LSH
+    * candidate-then-verify path (never all-pairs); split labels join
+    * by doc_id as longs+enum, the summary is ≤|splits|² rows. The
+    * same verified-edge set as [[dedupClusters]], so the two audits
+    * cannot disagree about what a near-dup is.
+    */
+  def splitLeakage(s: SparkSession, dir: String,
+                   nPerms: Int = 64, nBands: Int = 16,
+                   shingleN: Int = 3, tauX1000: Long = 800,
+                   trainPct: Int = 80): DataFrame = {
+    val (_, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, shingleN, tauX1000)
+    val sp = TrainingOps.sampleSplitHash(s, dir, trainPct)
+      .select(col("doc_id"), col("split"))
+    // referenced by both aggregates below — cached, or the LSH verify
+    // pipeline runs twice
+    val lab = graft.Caches.cached(verified
+      .join(sp.select(col("doc_id").as("a"), col("split").as("s_a")), "a")
+      .join(sp.select(col("doc_id").as("b"), col("split").as("s_b")), "b")
+      .select(least(col("s_a"), col("s_b")).as("split_a"),
+              greatest(col("s_a"), col("s_b")).as("split_b"),
+              col("a"), col("b")))
+    val nPairs = lab.groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = lab
+      .select(col("split_a"), col("split_b"),
+              explode(array(col("a"), col("b"))).as("doc"))
+      .groupBy("split_a", "split_b")
+      .agg(countDistinct(col("doc")).as("n_docs"))
+    val splits = sp.select(col("split")).distinct()
+    val combos = splits.select(col("split").as("split_a"))
+      .crossJoin(broadcast(splits.select(col("split").as("split_b"))))
+      .filter(col("split_a") <= col("split_b"))
+    combos.join(
+        Hints.maybeBroadcast(nPairs.join(nDocs, Seq("split_a", "split_b"))),
+        Seq("split_a", "split_b"), "left")
+      .select(col("split_a"), col("split_b"),
+              coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+              coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("split_a", "split_b")
+  }
 }

@@ -310,6 +310,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("split_leakage: matrix equals a driver-side all-pairs recompute, complete with zero cells") {
+    import graft.operators.TrainingOps
+    val sh = Dedup.hashedShingles(spark, sf, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val splits = TrainingOps.sampleSplitHash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ids = sh.keys.toSeq.sorted
+    val pairs = for {
+      i <- ids; j <- ids if i < j
+      inter = (sh(i) & sh(j)).size; uni = (sh(i) | sh(j)).size
+      if uni > 0 && math.floor(1000.0 * inter / uni).toLong >= 800L
+    } yield (i, j)
+    val byCombo = pairs.groupBy { case (i, j) =>
+      val (x, y) = (splits(i), splits(j))
+      if (x <= y) (x, y) else (y, x)
+    }
+    val combos = for {
+      x <- splits.values.toSeq.distinct.sorted
+      y <- splits.values.toSeq.distinct.sorted if x <= y
+    } yield (x, y)
+    val expected = combos.map { c =>
+      val ps = byCombo.getOrElse(c, Seq.empty)
+      (c._1, c._2, ps.size.toLong,
+       ps.flatMap(p => Seq(p._1, p._2)).distinct.size.toLong)
+    }
+    val got = Dedup.splitLeakage(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    graft.Caches.clear()
+  }
+
   test("dedup_keep_best on the corpus: one winner per cluster, winner maximizes (quality, -doc_id)") {
     import graft.operators.TextOps
     val clusters = Dedup.dedupClusters(spark, sf).collect()
