@@ -16,10 +16,14 @@ import graft.functions.{BloomContains, BloomSketch, CosineSim, CosineSq8, FreqSk
   * invoking `SparkEntry.queries` directly).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach { case (ident, info, builder) =>
       ext.injectFunction((ident, info, builder))
     }
+    // User-code fusion: paired size(array_intersect)/size(array_union)
+    // over one pair rewrite to a single SetOverlap kernel pass.
+    ext.injectOptimizerRule(_ => FuseSetOverlap)
+  }
 }
 
 object GraftFunctions {

@@ -589,4 +589,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]"),
       s"event_type filter not pushed:\n$p")
   }
+
+  test("FuseSetOverlap: paired intersect/union sizes fuse to one kernel, lone ones stay builtin") {
+    // parquet-backed input, or ConvertToLocalRelation folds the probe away
+    val base = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      split(col("text"), " ").as("x"),
+      split(reverse(col("text")), " ").as("y"))
+    // the classic user-written Jaccard shape — both builtins over one pair
+    val fused = base.select(
+      col("doc_id"), col("x"), col("y"),
+      size(array_intersect(col("x"), col("y"))).as("i"),
+      size(array_union(col("x"), col("y"))).as("u"))
+    val op = fused.queryExecution.optimizedPlan.toString
+    assert(op.contains("graft_set_overlap"), s"kernel absent:\n$op")
+    assert(!op.contains("array_intersect") && !op.contains("array_union"),
+      s"builtin road survived the fusion:\n$op")
+    // values identical to a driver-side distinct-set recompute
+    fused.collect().foreach { r =>
+      val (a, b) = (r.getSeq[String](1).toSet, r.getSeq[String](2).toSet)
+      assert(r.getInt(3) == (a & b).size && r.getInt(4) == (a | b).size,
+        s"fused counts drifted for doc ${r.getLong(0)}")
+    }
+    // a lone intersect has no second set build to save — no rewrite
+    val lone = base.select(size(array_intersect(col("x"), col("y"))).as("i"))
+    val lp = lone.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("graft_set_overlap") && lp.contains("array_intersect"),
+      s"lone intersect should stay builtin:\n$lp")
+    // SQL road fuses identically
+    base.createOrReplaceTempView("fuse_probe")
+    val sqlRoad = spark.sql(
+      """SELECT size(array_intersect(x, y)) AS i, size(array_union(x, y)) AS u
+         FROM fuse_probe""")
+    assert(sqlRoad.queryExecution.optimizedPlan.toString.contains("graft_set_overlap"))
+  }
 }
