@@ -206,6 +206,11 @@ object SparkEntry {
     "mm_chunk_text"   -> ((s, d) => graft.multimodal.Multimodal.mmChunkText(s, d)),
     "mm_chunk_roundtrip" -> ((s, d) => graft.multimodal.Multimodal.mmChunkRoundtrip(s, d)),
     "mm_payload_dedup" -> (graft.multimodal.Multimodal.mmPayloadDedup _),
+    // Multimodal REAL-codec loop (JDK-native PNG / WAV; deterministic
+    // pixels/samples so the arithmetic oracle certifies encode→decode)
+    "mm_image_decode" -> (graft.multimodal.Multimodal.mmImageDecode _),
+    "mm_image_resize" -> ((s, d) => graft.multimodal.Multimodal.mmImageResize(s, d)),
+    "mm_audio_decode" -> (graft.multimodal.Multimodal.mmAudioDecode _),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
@@ -2466,6 +2471,54 @@ object SparkEntry {
                 CAST(octet_length(payload) AS BIGINT) AS n_bytes,
                 CAST(CONCAT('0x', substr(md5(decode(payload)), 1, 6)) AS BIGINT) AS content_feature
          FROM h ORDER BY doc_id""",
+    // The real-codec keys' oracles reproduce the deterministic pixel /
+    // sample arithmetic WITHOUT any codec: Spark's numbers pass through
+    // genuine PNG (ImageIO) / WAV (javax.sound) encode+decode, so a
+    // hash match certifies the codec round trip bit-exactly.
+    "mm_image_decode" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 7) % 25 AS h
+           FROM documents),
+         px AS (
+           SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM dims)
+         SELECT doc_id, w AS width, h AS height, w * h AS n_pixels,
+                CAST(SUM((doc_id*7919 + (3*p)  *104729) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((doc_id*7919 + (3*p+1)*104729) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((doc_id*7919 + (3*p+2)*104729) % 256) AS BIGINT) AS sum_b,
+                CAST(1000 * SUM((doc_id*7919 + (3*p)  *104729) % 256
+                              + (doc_id*7919 + (3*p+1)*104729) % 256
+                              + (doc_id*7919 + (3*p+2)*104729) % 256)
+                     // (3 * w * h) AS BIGINT) AS mean_rgb_x1000
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    "mm_image_resize" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 7) % 25 AS h
+           FROM documents),
+         q AS (
+           SELECT doc_id, w, h, unnest(range(0, 64)) AS q FROM dims),
+         px AS (
+           SELECT doc_id, w, h,
+                  (((q // 8) * h) // 8) * w + ((q % 8) * w) // 8 AS p
+           FROM q)
+         SELECT doc_id, w AS src_w, h AS src_h,
+                CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+                CAST(SUM((doc_id*7919 + (3*p)  *104729) % 256) AS BIGINT) AS sum_r,
+                CAST(SUM((doc_id*7919 + (3*p+1)*104729) % 256) AS BIGINT) AS sum_g,
+                CAST(SUM((doc_id*7919 + (3*p+2)*104729) % 256) AS BIGINT) AS sum_b
+         FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    "mm_audio_decode" ->
+      """WITH n AS (
+           SELECT doc_id, 400 + (doc_id * 13) % 1600 AS n FROM documents),
+         s AS (
+           SELECT doc_id, n,
+                  ((doc_id*31 + unnest(range(0, n))*7) % 2048) - 1024 AS v
+           FROM n)
+         SELECT doc_id, n AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+                CAST(n * 125 AS BIGINT) AS duration_us,
+                CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+                CAST(SUM(v * v) AS BIGINT) AS energy
+         FROM s GROUP BY doc_id, n ORDER BY doc_id""",
     "salted_join_skew" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,
                 CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

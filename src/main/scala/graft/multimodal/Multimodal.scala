@@ -266,4 +266,252 @@ object Multimodal {
       }
       .toDF()
   }
+
+  // --------------------------------------------------------------------
+  // REAL codecs (JDK-native, zero extra dependencies): the md5 stub
+  // above predates the observation that the JDK itself ships a PNG
+  // codec (javax.imageio — pure-Java PNGImageReader/Writer, headless)
+  // and a WAV codec (javax.sound.sampled). The keys below run the full
+  // encode → binary column → DECODE → feature-extract loop through
+  // those codecs, so the decode stage is no longer a stub: the bytes
+  // on the wire are genuine PNG (zlib-compressed scanlines) / RIFF
+  // WAVE PCM, and the features come exclusively from what the decoder
+  // parsed back out. Correctness leans on lossless codecs: pixels and
+  // samples are deterministic integer functions of doc_id that the
+  // DuckDB oracle reproduces arithmetically WITHOUT any codec — a hash
+  // match therefore certifies the whole encode/decode round trip.
+  //
+  // These mapPartitions sites are the module's declared codec
+  // boundary (see [[MediaCodec]]): a codec is a black-box library
+  // call, the one thing Catalyst expressions cannot express. Each is
+  // row-local (no shuffle of blob bytes), streams a partition's blobs
+  // through per-partition state, and at 100 TB is a pure map stage
+  // whose parallelism is the file-split count.
+  // --------------------------------------------------------------------
+
+  /** Deterministic channel byte shared by the builders and (as plain
+    * arithmetic) the DuckDB oracles: value of flat channel index `j`
+    * of doc `docId`. Constants sized so every intermediate product
+    * fits BIGINT in both engines.
+    */
+  private[multimodal] def chanVal(docId: Long, j: Long): Int =
+    ((docId * 7919L + j * 104729L) % 256L).toInt
+
+  /** Per-doc image dims: 8..32 px a side (small on purpose — the test
+    * corpus carries thousands of images; dimension arithmetic, not
+    * image size, is what the oracle checks).
+    */
+  private[multimodal] def imgW(docId: Long): Int = (8L + docId % 25L).toInt
+  private[multimodal] def imgH(docId: Long): Int = (8L + (docId * 7L) % 25L).toInt
+
+  /** A (doc, blob) row — the module's binary-column currency. */
+  case class MediaPayload(doc_id: Long, payload: Array[Byte])
+
+  /** Features extracted from a DECODED image. */
+  case class ImageMeta(doc_id: Long, width: Long, height: Long,
+                       n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+                       mean_rgb_x1000: Long)
+
+  /** Features of the nearest-neighbour-resized decoded image. */
+  case class ResizeMeta(doc_id: Long, src_w: Long, src_h: Long,
+                        out_w: Long, out_h: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Features extracted from a DECODED audio clip. */
+  case class AudioMeta(doc_id: Long, n_samples: Long, sample_rate: Long,
+                       duration_us: Long, sum_abs: Long, peak_abs: Long,
+                       energy: Long)
+
+  /** Build one REAL PNG blob per document: deterministic RGB pixels
+    * (pixel p channels = [[chanVal]](3p), (3p+1), (3p+2)) encoded
+    * through `javax.imageio.ImageIO` — the bytes start with the
+    * 8-byte PNG signature and inflate back losslessly. Row-local
+    * encode; only (id, blob) rows flow on.
+    */
+  def buildPngPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = imgW(id); val h = imgH(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = chanVal(id, 3L * p); val g = chanVal(id, 3L * p + 1)
+              val b = chanVal(id, 3L * p + 2)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              p += 1; x += 1
+            }
+            y += 1
+          }
+          val bo = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bo),
+            s"no JDK PNG writer available (doc $id)")
+          MediaPayload(id, bo.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** Decode each PNG payload with the JDK codec and return the decoded
+    * pixel grid — the per-partition decode loop the feature keys
+    * share. Throws with the doc id on an undecodable blob (a corrupt
+    * asset should be quarantined UPSTREAM by `mm_payload_dedup`-style
+    * digests; silently skipping here would fake coverage).
+    */
+  private def decodePng(id: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"payload of doc $id is not a decodable image")
+    img
+  }
+
+  /** SURVEY §2 `mm_image_decode`: binary PNG column → REAL JDK decode
+    * → per-image channel statistics (the feature-extract stage of an
+    * image-training pipeline, e.g. mean-pixel filtering). Every output
+    * number is read from the DECODED image — dims from the decoder's
+    * own header parse, channel sums from the inflated pixels — so the
+    * DuckDB oracle (same sums via pure arithmetic, no codec) certifies
+    * the encode→decode loop end to end. Integral mean (×1000 floor)
+    * keeps the hash engine-neutral.
+    */
+  def mmImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildPngPayloads(s, dir).as[MediaPayload]
+      .mapPartitions { it =>
+        it.map { mp =>
+          val img = decodePng(mp.doc_id, mp.payload)
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImageMeta(mp.doc_id, w, h, n, sr, sg, sb,
+            1000L * (sr + sg + sb) / (3L * n))
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** SURVEY §2 `mm_image_resize`: decode → nearest-neighbour resize to
+    * a fixed `outW`×`outH` thumbnail → channel stats of the RESIZED
+    * grid (the normalize-to-model-input step; NN with floor index
+    * mapping `src_x = x·w div outW` — deterministic integer
+    * arithmetic, unlike platform-varying interpolated scaling, so the
+    * oracle replays the exact index math). Resize is row-local on the
+    * decoded pixels; blobs never shuffle.
+    */
+  def mmImageResize(s: SparkSession, dir: String,
+                    outW: Int = 8, outH: Int = 8): DataFrame = {
+    require(outW > 0 && outH > 0, "resize dims must be positive")
+    import s.implicits._
+    buildPngPayloads(s, dir).as[MediaPayload]
+      .mapPartitions { it =>
+        it.map { mp =>
+          val img = decodePng(mp.doc_id, mp.payload)
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y * h / outH
+            var x = 0
+            while (x < outW) {
+              val rgb = img.getRGB(x * w / outW, sy)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ResizeMeta(mp.doc_id, w, h, outW, outH, sr, sg, sb)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Per-doc PCM sample count (400..1999) and the deterministic int16
+    * sample value at index `i` — shared by the WAV builder and (as
+    * arithmetic) the oracle.
+    */
+  private[multimodal] def wavN(docId: Long): Int = (400L + (docId * 13L) % 1600L).toInt
+  private[multimodal] def wavSample(docId: Long, i: Long): Int =
+    (((docId * 31L + i * 7L) % 2048L) - 1024L).toInt
+  private val WavRate = 8000
+
+  /** Build one REAL RIFF/WAVE blob per document: deterministic mono
+    * PCM16 samples behind a spec-complete WAV header (the encoder —
+    * 44 bytes of RIFF framing + little-endian samples, written
+    * byte-exactly; `javax.sound` is kept for the DECODE side so the
+    * two directions exercise independent implementations).
+    */
+  def buildWavPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = wavN(id)
+          val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)              // PCM, mono
+            .putInt(WavRate).putInt(WavRate * 2)  // byte rate = rate·block
+            .putShort(2).putShort(16)             // block align, bits
+            .put("data".getBytes("US-ASCII")).putInt(2 * n)
+          var i = 0
+          while (i < n) { bb.putShort(wavSample(id, i).toShort); i += 1 }
+          MediaPayload(id, bb.array())
+        }
+      }
+      .toDF()
+  }
+
+  /** SURVEY §2 `mm_audio_decode`: binary WAV column → REAL JDK decode
+    * (`javax.sound.sampled.AudioSystem` parses the RIFF header and
+    * streams the PCM frames) → per-clip audio features: duration (µs,
+    * from the DECODER's frame count and sample rate), total/peak
+    * amplitude, energy (Σs² — the loudness/silence screen an audio
+    * pipeline filters on). The format fields are asserted against what
+    * the decoder parsed (16-bit mono 8 kHz), and every sample is read
+    * back through the codec — the arithmetic oracle certifies the
+    * loop. Energy bound: 2000·1024² ≪ 2⁶³, exact in both engines.
+    */
+  def mmAudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildWavPayloads(s, dir).as[MediaPayload]
+      .mapPartitions { it =>
+        it.map { mp =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(mp.payload))
+          val f = ais.getFormat
+          require(f.getSampleRate == WavRate.toFloat && f.getSampleSizeInBits == 16 &&
+            f.getChannels == 1 && !f.isBigEndian,
+            s"doc ${mp.doc_id}: decoder parsed unexpected format $f")
+          val n = ais.getFrameLength.toInt
+          val body = ais.readAllBytes()
+          require(body.length == 2 * n, s"doc ${mp.doc_id}: short read")
+          var sumAbs = 0L; var peak = 0L; var energy = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((body(2 * i) & 0xff) | (body(2 * i + 1) << 8)).toShort.toLong
+            val a = math.abs(v)
+            sumAbs += a; if (a > peak) peak = a; energy += v * v
+            i += 1
+          }
+          AudioMeta(mp.doc_id, n, WavRate.toLong,
+            n.toLong * 1000000L / WavRate, sumAbs, peak, energy)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
 }

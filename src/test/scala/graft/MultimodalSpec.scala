@@ -129,6 +129,92 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .filter(col("body_md5") =!= col("want_md5")).count() == 0)
   }
 
+  // ---- real-codec loop (JDK PNG / WAV) -------------------------------
+  // The expected features below are INDEPENDENT re-implementations of
+  // the deterministic pixel/sample arithmetic (not calls into the
+  // operator's own helpers), so a match certifies the full
+  // encode→decode→extract loop against a second implementation.
+
+  private def expChan(id: Long, j: Long): Long = (id * 7919L + j * 104729L) % 256L
+
+  test("mm_image_decode: decoded channel stats equal the pixel arithmetic; payloads are real PNG") {
+    val out = Multimodal.mmImageDecode(spark, sf).cache()
+    val rows = out.orderBy("doc_id").limit(40).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8L + id % 25L; val h = 8L + (id * 7L) % 25L
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == w * h)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var p = 0L
+      while (p < w * h) {
+        sr += expChan(id, 3 * p); sg += expChan(id, 3 * p + 1); sb += expChan(id, 3 * p + 2)
+        p += 1
+      }
+      assert(r.getLong(4) == sr && r.getLong(5) == sg && r.getLong(6) == sb,
+        s"doc $id channel sums diverge from pixel arithmetic")
+      assert(r.getLong(7) == 1000L * (sr + sg + sb) / (3L * w * h))
+    }
+    assert(out.count() == Tables.documents(spark, sf).count())
+    out.unpersist()
+    // the wire bytes are genuine PNG: 8-byte signature on every payload
+    val sigBad = Multimodal.buildPngPayloads(spark, sf)
+      .filter(!substring(col("payload"), 1, 8)
+        .eqNullSafe(lit(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))))
+    assert(sigBad.count() == 0, "a payload is not a PNG")
+  }
+
+  test("mm_image_resize: NN thumbnail stats equal the floor-index arithmetic") {
+    val rows = Multimodal.mmImageResize(spark, sf).orderBy("doc_id").limit(40).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8L + id % 25L; val h = 8L + (id * 7L) % 25L
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      assert(r.getLong(3) == 8L && r.getLong(4) == 8L)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0L
+      while (y < 8) {
+        val sy = y * h / 8
+        var x = 0L
+        while (x < 8) {
+          val p = sy * w + x * w / 8
+          sr += expChan(id, 3 * p); sg += expChan(id, 3 * p + 1); sb += expChan(id, 3 * p + 2)
+          x += 1
+        }
+        y += 1
+      }
+      assert(r.getLong(5) == sr && r.getLong(6) == sg && r.getLong(7) == sb,
+        s"doc $id resize sums diverge from NN index arithmetic")
+    }
+  }
+
+  test("mm_audio_decode: decoded PCM features equal the sample arithmetic; payloads are real RIFF/WAVE") {
+    val out = Multimodal.mmAudioDecode(spark, sf).cache()
+    val rows = out.orderBy("doc_id").limit(40).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 400L + (id * 13L) % 1600L
+      assert(r.getLong(1) == n && r.getLong(2) == 8000L)
+      assert(r.getLong(3) == n * 1000000L / 8000L)
+      var sumAbs = 0L; var peak = 0L; var energy = 0L
+      var i = 0L
+      while (i < n) {
+        val v = ((id * 31L + i * 7L) % 2048L) - 1024L
+        val a = math.abs(v)
+        sumAbs += a; if (a > peak) peak = a; energy += v * v
+        i += 1
+      }
+      assert(r.getLong(4) == sumAbs && r.getLong(5) == peak && r.getLong(6) == energy,
+        s"doc $id audio features diverge from sample arithmetic")
+    }
+    assert(out.count() == Tables.documents(spark, sf).count())
+    out.unpersist()
+    val sigBad = Multimodal.buildWavPayloads(spark, sf)
+      .filter(substring(col("payload"), 1, 4) =!= lit("RIFF".getBytes("US-ASCII")) ||
+              substring(col("payload"), 9, 4) =!= lit("WAVE".getBytes("US-ASCII")))
+    assert(sigBad.count() == 0, "a payload is not RIFF/WAVE")
+  }
+
   test("mm_payload_dedup groups exactly the byte-identical bodies") {
     val out = Multimodal.mmPayloadDedup(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
