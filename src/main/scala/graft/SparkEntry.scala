@@ -65,6 +65,7 @@ object SparkEntry {
     "anomaly_tukey"         -> ((s, d) => Analytics.anomalyTukey(s, d)),
     "funnel_steps"          -> ((s, d) => Analytics.funnelSteps(s, d)),
     "conversion_lag_histogram" -> (Analytics.conversionLagHistogram _),
+    "attribution_last_touch" -> ((s, d) => Analytics.attributionLastTouch(s, d)),
     "funnel_window_depth"   -> ((s, d) => Analytics.funnelWindowDepth(s, d)),
     "percentile_value"      -> (Analytics.percentileValue _),
     "window_percentile_rank" -> (Analytics.windowPercentileRank _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.dedupEmbeddingCosine(s, d)),
     "dedup_clusters"         -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_soft_weight"      -> ((s, d) => Dedup.dedupSoftWeight(s, d)),
+    "dedup_rate_by_source"   -> ((s, d) => Dedup.dedupRateBySource(s, d)),
     "split_leakage"          -> ((s, d) => Dedup.splitLeakage(s, d)),
     "dedup_semantic_clusters" -> ((s, d) => Dedup.dedupSemanticClusters(s, d)),
     "semdedup_keep_central"   -> ((s, d) => Dedup.semdedupKeepCentral(s, d)),
@@ -403,6 +405,32 @@ object SparkEntry {
          SELECT lag_bucket, COUNT(*) AS n_users,
                 MIN(delta_s) AS min_lag_s, MAX(delta_s) AS max_lag_s
          FROM b GROUP BY lag_bucket ORDER BY lag_bucket""",
+    "attribution_last_touch" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         w AS (
+           SELECT *,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+               OVER win AS lt_type,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN ts_ns END IGNORE NULLS)
+               OVER win AS lt_ns
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         p AS (
+           SELECT COALESCE(CASE WHEN lt_ns >= ts_ns - 604800000000000 THEN lt_type END,
+                           'none') AS channel,
+                  cents
+           FROM w WHERE event_type = 'purchase'),
+         a AS (
+           SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                  CAST(SUM(cents) AS BIGINT) AS revenue_cents
+           FROM p GROUP BY channel)
+         SELECT channel, n_purchases, revenue_cents,
+                CAST(1000000 * n_purchases // (SELECT SUM(n_purchases) FROM a) AS BIGINT) AS share_ppm
+         FROM a ORDER BY channel""",
     "funnel_window_depth" ->
       """WITH s1 AS (
            SELECT user_id, MIN(epoch_ns(ts)) AS s_ns
@@ -2988,6 +3016,39 @@ object SparkEntry {
          SELECT comp.doc_id, comp.rep_doc_id, cs.cluster_size,
                 CAST(FLOOR(1000.0 / cs.cluster_size) AS BIGINT) AS weight_x1000
          FROM comp JOIN cs USING (rep_doc_id) ORDER BY comp.doc_id""",
+    "dedup_rate_by_source" ->
+      """WITH RECURSIVE
+         t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         pairs AS (
+           SELECT a.doc_id AS a, b.doc_id AS b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(FLOOR(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh))) AS BIGINT) >= 800),
+         sym AS (
+           SELECT a, b FROM pairs
+           UNION ALL
+           SELECT b AS a, a AS b FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT doc_id, doc_id AS r FROM documents
+           UNION
+           SELECT s.a AS doc_id, c.r FROM sym s JOIN reach c ON s.b = c.doc_id),
+         comp AS (SELECT doc_id, MIN(r) AS rep FROM reach GROUP BY doc_id),
+         cs AS (SELECT c.rep, COUNT(DISTINCT d.source) AS n_sources
+                FROM comp c JOIN documents d USING (doc_id) GROUP BY c.rep)
+         SELECT d.source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN c.rep <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                CAST(SUM(CASE WHEN cs.n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source,
+                CAST(1000000 * SUM(CASE WHEN c.rep <> d.doc_id THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS dup_ppm
+         FROM documents d JOIN comp c USING (doc_id) JOIN cs ON cs.rep = c.rep
+         GROUP BY d.source ORDER BY d.source""",
     "split_leakage" ->
       """WITH
          t AS (

@@ -1731,6 +1731,63 @@ object Analytics {
       .orderBy("lag_bucket")
   }
 
+  /** Last-touch marketing attribution — the channel-credit report the
+    * funnel family feeds: every purchase is credited to the LATEST
+    * preceding touch event (view/click) of the same user, but only if
+    * that touch landed within `lookbackDays` of the purchase;
+    * purchases with no in-window touch report as the 'none' channel
+    * (organic / out-of-window — the number that tells you how much
+    * revenue the touch log cannot explain). Output per channel:
+    * conversions, revenue in EXACT CENTS (the [[customerRfm]]
+    * floor(100·value) convention — order-independent longs), and the
+    * integral ppm share of conversions.
+    *
+    * Plan: one user-keyed shuffle; the running last-touch is a
+    * streamable ROWS frame over (ts_ns, event_id) — the same total
+    * order DuckDB replays, so a touch and purchase on a tied
+    * timestamp resolve identically in both engines. The channel
+    * rollup is a ≤|touch types|+1-key partial agg, and the share
+    * denominator is a broadcast 1-row total (never an unpartitioned
+    * window). At 100 TB the only data-sized stage is the user
+    * partition sort feeding the frame.
+    */
+  def attributionLastTouch(s: SparkSession, dir: String,
+                           lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays > 0, s"lookbackDays $lookbackDays must be positive")
+    attributionOver(
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents")),
+      lookbackDays * 86400L * 1000000000L)
+  }
+
+  /** [[attributionLastTouch]]'s body over an explicit event frame
+    * (user_id, event_id, ts_ns, event_type, cents) — factored so
+    * specs can drive crafted fixtures (in-window / expired / missing
+    * touches, tied timestamps) against hand-computed credit.
+    */
+  def attributionOver(events: DataFrame, lookbackNs: Long): DataFrame = {
+    val isTouch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val attributed = events
+      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("lt_ns", last(when(isTouch, col("ts_ns")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        coalesce(when(col("lt_ns") >= col("ts_ns") - lookbackNs, col("lt_type")),
+                 lit("none")).as("channel"),
+        col("cents"))
+    val perChannel = attributed.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+    val total = attributed.agg(count(lit(1)).as("n_total"))
+    perChannel.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_purchases"), col("revenue_cents"),
+              expr("1000000 * n_purchases div n_total").as("share_ppm"))
+      .orderBy("channel")
+  }
+
   /** Windowed funnel depth (the ClickHouse `windowFunnel` shape): how
     * far each user advances through signup → view → purchase where
     * each step must land within `windowSec` of the PREVIOUS step —

@@ -593,6 +593,42 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-SOURCE near-dup audit — the mixing-table report a corpus
+    * build reads before weighting sources ([[graft.operators
+    * .TrainingOps]]' mix keys consume sources as units; this is the
+    * health column next to each row): how much of each source is
+    * near-duplicated (cluster members beyond the keeper → `n_dropped`,
+    * `dup_ppm`), and how much of it collides with OTHER sources
+    * (`n_cross_source` = docs whose cluster spans >1 source — the
+    * contamination axis `corpus_overlap_matrix` measures pairwise,
+    * rolled up to the per-source rate). Clusters are
+    * [[dedupClusters]]' verified transitive components at the same
+    * parameters, so the audit cannot drift from the dedup it audits.
+    *
+    * Shape at 100 TB: after the shared component loop, one
+    * COUNT-DISTINCT-source shuffle keyed by cluster representative
+    * (two longs + a short source string per row), one rep-keyed join
+    * back, one ~|sources|-group rollup. Text never enters a shuffle.
+    */
+  def dedupRateBySource(s: SparkSession, dir: String,
+                        nPerms: Int = 64, nBands: Int = 16,
+                        shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
+    val comp = dedupClusters(s, dir, nPerms, nBands, shingleN, tauX1000)
+      .select(col("doc_id"), col("rep_doc_id"), col("is_dup"))
+    val docs = comp.join(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    val clusterSources = docs.groupBy("rep_doc_id")
+      .agg(countDistinct(col("source")).as("n_sources"))
+    docs.join(clusterSources, "rep_doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dropped"),
+           sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_cross_source"))
+      .select(col("source"), col("n_docs"), col("n_dropped"), col("n_cross_source"),
+              expr("1000000 * n_dropped div n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
   /** 64-bit SimHash over the token multiset + 4×16-bit hamming-band
     * bucketing; candidates verified with bit_count(xor) ≤ 3. A pair
     * within hamming distance d is guaranteed to agree on ≥ one of

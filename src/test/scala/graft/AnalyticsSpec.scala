@@ -1102,4 +1102,51 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     // zero-filled days really exist in the output (the spine join worked)
     assert(out.exists { case ((t, _), (n, _, _)) => t == "drop" && n == 0L })
   }
+
+  test("attribution: in-window/expired/missing touches and tied timestamps credit correctly") {
+    import spark.implicits._
+    val day = 86400L * 1000000000L
+    // (user, event_id, ts_ns, type, cents)
+    val events = Seq(
+      // u1: click then purchase 1 day later — credited to click
+      (1L, 10L, 10 * day, "click", 0L), (1L, 11L, 11 * day, "purchase", 100L),
+      // u2: view 10 days before purchase — expired at 7-day lookback → none
+      (2L, 20L, 10 * day, "view", 0L), (2L, 21L, 20 * day, "purchase", 200L),
+      // u3: no touch at all → none
+      (3L, 30L, 10 * day, "purchase", 400L),
+      // u4: view long ago, click in window — LAST touch wins
+      (4L, 40L, 1 * day, "view", 0L), (4L, 41L, 19 * day, "click", 0L),
+      (4L, 42L, 20 * day, "purchase", 800L),
+      // u5: touch TIED with the purchase timestamp, smaller event_id →
+      // precedes in the (ts_ns, event_id) total order → credited
+      (5L, 50L, 30 * day, "view", 0L), (5L, 51L, 30 * day, "purchase", 1600L),
+      // u6: tied timestamp but touch has the LARGER event_id → follows
+      // the purchase in the total order → not a preceding touch → none
+      (6L, 61L, 30 * day, "purchase", 3200L), (6L, 62L, 30 * day, "click", 0L),
+      // u7: touch exactly AT the lookback boundary (ts - lookback) counts
+      (7L, 70L, 13 * day, "view", 0L), (7L, 71L, 20 * day, "purchase", 6400L))
+      .toDF("user_id", "event_id", "ts_ns", "event_type", "cents")
+    val out = Analytics.attributionOver(events, 7 * day)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("click") == ((2L, 900L, 285714L)))          // u1, u4
+    assert(out("view") == ((2L, 8000L, 285714L)))          // u5, u7
+    assert(out("none") == ((3L, 3800L, 428571L)))          // u2, u3, u6
+    assert(out.values.map(_._1).sum == 7L, "every purchase credited exactly once")
+  }
+
+  test("attribution on the corpus: conservation and share algebra") {
+    val out = Analytics.attributionLastTouch(spark, sf).cache()
+    val rows = out.collect()
+    val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    val nP = purchases.count()
+    assert(rows.map(_.getLong(1)).sum == nP, "conversions partition the purchases")
+    val revenue = purchases
+      .agg(sum(floor(col("value") * 100).cast("long"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == revenue, "revenue is conserved across channels")
+    // integral floor shares: sum in (1e6 - #channels, 1e6]
+    val shares = rows.map(_.getLong(3)).sum
+    assert(shares > 1000000L - rows.length && shares <= 1000000L)
+    assert(rows.map(_.getString(0)).forall(Set("view", "click", "none")))
+    out.unpersist()
+  }
 }

@@ -721,4 +721,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(fps <= math.max(1.0, 3 * bound * out.size),
       s"$fps false positives exceeds the (1-e^-kn/m)^k ceiling $bound over ${out.size} probes")
   }
+
+  test("dedup_rate_by_source reconciles with the clusters it audits") {
+    val out = Dedup.dedupRateBySource(spark, sf).cache()
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+    val clusters = Dedup.dedupClusters(spark, sf).cache()
+    // every source reported once, with its exact doc count
+    val wantCounts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotRows = out.collect()
+    assert(gotRows.map(_.getString(0)).toSet == wantCounts.keySet)
+    gotRows.foreach { r =>
+      assert(r.getLong(1) == wantCounts(r.getString(0)))
+      // ppm is the integral floor of the drop rate
+      assert(r.getLong(4) == 1000000L * r.getLong(2) / r.getLong(1))
+      // cross-source docs and drops are both bounded by the source size
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+    }
+    // drop totals reconcile with the cluster verdicts
+    assert(gotRows.map(_.getLong(2)).sum == clusters.filter(col("is_dup")).count())
+    // cross-source totals reconcile with an independent cluster-span count
+    val span = clusters.join(docs, "doc_id")
+      .groupBy("rep_doc_id").agg(countDistinct(col("source")).as("ns"), count(lit(1)).as("sz"))
+    val wantCross = span.filter(col("ns") > 1).agg(sum("sz")).head().getLong(0)
+    assert(gotRows.map(_.getLong(3)).sum == wantCross)
+    clusters.unpersist(); out.unpersist()
+  }
 }
