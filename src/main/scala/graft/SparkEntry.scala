@@ -133,6 +133,7 @@ object SparkEntry {
     "q21_waiting_suppliers"  -> (Analytics.q21WaitingSuppliers _),
     "anomaly_cusum"          -> (Analytics.anomalyCusum _),
     "stream_cusum"           -> (Analytics.streamCusum _),
+    "stream_attribution"     -> ((s, d) => Analytics.streamAttribution(s, d)),
     // Dedup family (LLM-data pipeline)
     "dedup_exact_hash"       -> (Dedup.dedupExactHash _),
     "dedup_minhash_lsh"      -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
@@ -615,6 +616,25 @@ object SparkEntry {
                 CAST(su AS BIGINT) AS cusum_up, CAST(sd AS BIGINT) AS cusum_dn,
                 su > 8 * t AS flag_surge, sd > 8 * t AS flag_drop
          FROM cs ORDER BY event_type, win""",
+    "stream_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+         w AS (
+           SELECT *,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+               OVER win AS lt_type,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN ts_ns END IGNORE NULLS)
+               OVER win AS lt_ns
+           FROM e
+           WINDOW win AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, ts_ns // 1000 AS ts_us,
+                COALESCE(CASE WHEN lt_ns >= ts_ns - 604800000000000 THEN lt_type END,
+                         'none') AS channel,
+                cents
+         FROM w WHERE event_type = 'purchase' ORDER BY user_id, event_id""",
     "anomaly_cusum" ->
       """WITH daily AS (
            SELECT event_type,

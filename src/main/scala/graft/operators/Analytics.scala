@@ -1768,17 +1768,8 @@ object Analytics {
     * touches, tied timestamps) against hand-computed credit.
     */
   def attributionOver(events: DataFrame, lookbackNs: Long): DataFrame = {
-    val isTouch = col("event_type").isin("view", "click")
-    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val attributed = events
-      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
-      .withColumn("lt_ns", last(when(isTouch, col("ts_ns")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "purchase")
-      .select(
-        coalesce(when(col("lt_ns") >= col("ts_ns") - lookbackNs, col("lt_type")),
-                 lit("none")).as("channel"),
-        col("cents"))
+    val attributed = attributionCreditsOver(events, lookbackNs)
+      .select("channel", "cents")
     val perChannel = attributed.groupBy("channel")
       .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
     val total = attributed.agg(count(lit(1)).as("n_total"))
@@ -1786,6 +1777,48 @@ object Analytics {
       .select(col("channel"), col("n_purchases"), col("revenue_cents"),
               expr("1000000 * n_purchases div n_total").as("share_ppm"))
       .orderBy("channel")
+  }
+
+  /** The per-PURCHASE credit log both attribution forms share: one row
+    * per purchase with its credited channel — [[attributionOver]]
+    * rolls it up per channel; the streaming twin
+    * ([[graft.streaming.EventStreams.attributionCredits]]) emits
+    * exactly these rows continuously. Factored so the credit rule
+    * (latest preceding touch in the (ts_ns, event_id) total order,
+    * within the lookback, else 'none') exists ONCE.
+    */
+  def attributionCreditsOver(events: DataFrame, lookbackNs: Long): DataFrame = {
+    val isTouch = col("event_type").isin("view", "click")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("lt_ns", last(when(isTouch, col("ts_ns")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        coalesce(when(col("lt_ns") >= col("ts_ns") - lookbackNs, col("lt_type")),
+                 lit("none")).as("channel"),
+        col("cents"))
+  }
+
+  /** Batch twin of the streaming credit log
+    * ([[graft.streaming.EventStreams.attributionCredits]]): the same
+    * per-purchase credit rows [[attributionCreditsOver]] defines, at
+    * the stream's µs output grain. StreamingSpec pins stream == batch
+    * row-for-row, including disorder inside the watermark.
+    */
+  def streamAttribution(s: SparkSession, dir: String,
+                        lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays > 0, s"lookbackDays $lookbackDays must be positive")
+    attributionCreditsOver(
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents")),
+      lookbackDays * 86400L * 1000000000L)
+      .select(col("user_id"), col("event_id"),
+              expr("ts_ns div 1000").as("ts_us"), col("channel"), col("cents"))
+      .orderBy("user_id", "event_id")
   }
 
   /** Windowed funnel depth (the ClickHouse `windowFunnel` shape): how

@@ -434,6 +434,114 @@ object EventStreams {
       }
   }
 
+  /** One settled purchase's channel credit. µs grain for the same
+    * reason as [[CdcOut]]: the batch twin's (ts_ns, event_id) order
+    * must be reproducible downstream.
+    */
+  case class CreditOut(user_id: Long, event_id: Long, ts_us: Long,
+                       channel: String, cents: Long)
+
+  /** The last-touch register: latest settled touch of the user. */
+  case class Touch(ts_us: Long, event_id: Long, channel: String)
+
+  /** An event buffered until the watermark settles its order. */
+  case class PendingEv(ts_us: Long, event_id: Long,
+                       event_type: String, cents: Long)
+
+  /** Per-user attribution state: the touch register plus the
+    * still-unsettled buffer. The buffer is bounded by the watermark
+    * delay (only events newer than the watermark wait); the register
+    * lives at most `lookback` past its own event time.
+    */
+  case class AttribState(touch: Option[Touch], buf: List[PendingEv])
+
+  /** Streaming last-touch attribution — the CONTINUOUS form of
+    * [[graft.operators.Analytics.attributionLastTouch]]'s credit log
+    * (the rollup is a downstream aggregation; the credit decision is
+    * the stateful part): per user, each purchase is credited to the
+    * latest PRECEDING view/click within `lookbackSec`, in the
+    * (event-time, event_id) total order — the marketing pipeline's
+    * real-time revenue-by-channel feed.
+    *
+    * Credit needs its inputs IN ORDER (a purchase must see exactly
+    * the touches before it), so events buffer in per-user state until
+    * the global watermark passes them — only then can no earlier
+    * event still arrive (the [[rateCusum]] discipline applied to a
+    * sequence rule instead of a counting rule; emission latency = the
+    * watermark delay, the price of disorder-correct credit). Settled
+    * events replay oldest-first: touches advance the register
+    * MONOTONICALLY in the total order (a boundary-row replay can
+    * never move it backwards), purchases read it through the lookback
+    * test and emit exactly once (Append mode).
+    *
+    * State is self-retiring without a dedicated horizon knob: the
+    * buffer drains to the watermark, and the register is dropped once
+    * the watermark passes `touch + lookback` — beyond that point no
+    * admissible purchase could still credit it (anything later is out
+    * of window by definition), so eviction is exact, not a trade. The
+    * EventTimeTimeout re-arm (clamped strictly ahead of the current
+    * watermark) walks both: a user whose feed dies still settles
+    * buffered purchases and retires the register as OTHER users'
+    * events advance the watermark. At 100 TB: state is per ACTIVE
+    * user (delay window of events + 3 longs), sharded by user across
+    * the state store — the same scaling story as [[sessionize]].
+    */
+  def attributionCredits(events: Dataset[Ev], lookbackSec: Long = 7 * 86400L,
+                         delay: String = "2 hours"): Dataset[CreditOut] = {
+    require(lookbackSec > 0, s"lookbackSec must be positive, got $lookbackSec")
+    import events.sparkSession.implicits._
+    val lookbackUs = lookbackSec * 1000000L
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "click" ||
+                   e.event_type == "purchase")
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, CreditOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[AttribState]) =>
+          var st = state.getOption.getOrElse(AttribState(None, Nil))
+          if (!state.hasTimedOut) {
+            val inc = evs.map(e => PendingEv(epochMicros(e.ts), e.event_id,
+              e.event_type, math.floor(e.value * 100).toLong)).toList
+            st = st.copy(buf = st.buf ::: inc)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // settle: only events strictly behind the watermark have a
+          // final position — anything else could still be preceded
+          val (ripe, pending) = st.buf.partition(_.ts_us < wmUs)
+          val out = Seq.newBuilder[CreditOut]
+          ripe.sortBy(p => (p.ts_us, p.event_id)).foreach { p =>
+            if (p.event_type == "purchase") {
+              val ch = st.touch match {
+                case Some(t) if t.ts_us >= p.ts_us - lookbackUs => t.channel
+                case _ => "none"
+              }
+              out += CreditOut(uid, p.event_id, p.ts_us, ch, p.cents)
+            } else if (st.touch.forall(t =>
+                t.ts_us < p.ts_us ||
+                (t.ts_us == p.ts_us && t.event_id < p.event_id))) {
+              st = st.copy(touch = Some(Touch(p.ts_us, p.event_id, p.event_type)))
+            }
+          }
+          st = st.copy(buf = pending)
+          val registerDead = st.touch.forall(t => wmUs > t.ts_us + lookbackUs)
+          if (st.buf.isEmpty && registerDead) state.remove()
+          else {
+            state.update(st)
+            // re-arm at the next thing the watermark must pass: the
+            // oldest buffered event (settle it) or the register's
+            // expiry (retire it); clamped ahead of the watermark so
+            // the arm is always legal
+            val armUs =
+              if (st.buf.nonEmpty) st.buf.iterator.map(_.ts_us).min
+              else st.touch.get.ts_us + lookbackUs
+            state.setTimeoutTimestamp(
+              math.max(armUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.result().iterator
+      }
+  }
+
   /** Tumbling 1-hour counts per event type — the aggregation half of
     * the trending-topics pattern. Ranking is NOT expressible inside a
     * streaming aggregation (a rank window over an updating aggregate

@@ -532,4 +532,88 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(!got.keys.exists(_ < 9), s"spurious pre-data windows: $got")
     } finally q.stop()
   }
+
+  test("attributionCredits: disorder-correct credit, exactly-once emission, twin agreement") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val h = 3600L
+    def ev(id: Long, uid: Long, t: String, sec: Long, v: Double = 0.0) =
+      Ev(id, uid, t, new Timestamp(sec * 1000L), v)
+    // u1: click at h1, purchase at h2 (in a 24h lookback) — but the
+    //     PURCHASE ARRIVES FIRST: credit must wait for the watermark
+    //     and still read 'click' (the order-settling guarantee)
+    // u2: view at h1, purchase 3 DAYS later — expired → 'none'
+    // u3: purchase with no touch ever → 'none'
+    // u4: view then a LATER click before the purchase — last touch wins
+    val rows = Seq(
+      ev(11L, 1L, "purchase", 2 * h, 5.0),  // arrives before its touch
+      ev(10L, 1L, "click", 1 * h),
+      ev(20L, 2L, "view", 1 * h),
+      ev(21L, 2L, "purchase", 73 * h, 7.0),
+      ev(30L, 3L, "purchase", 10 * h, 11.0),
+      ev(40L, 4L, "view", 1 * h), ev(41L, 4L, "click", 2 * h),
+      ev(42L, 4L, "purchase", 3 * h, 13.0))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.attributionCredits(input.toDS(), lookbackSec = 86400L)
+      .writeStream.format("memory").queryName("attrib_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1 carries the out-of-order pair; later batches only move
+      // the watermark (no further data for any credited user — the
+      // EventTimeTimeout must settle u2/u3's buffered purchases)
+      input.addData(rows); q.processAllAvailable()
+      input.addData(Seq(ev(90L, 99L, "view", 80 * h)));  q.processAllAvailable()
+      input.addData(Seq(ev(91L, 99L, "view", 200 * h))); q.processAllAvailable()
+      input.addData(Seq(ev(92L, 99L, "view", 400 * h))); q.processAllAvailable()
+      val got = spark.table("attrib_stream").as[EventStreams.CreditOut].collect()
+      assert(got.length == got.map(_.event_id).distinct.length,
+        "every purchase credited at most once")
+      val byId = got.map(o => o.event_id -> o).toMap
+      assert(byId(11L).channel == "click" && byId(11L).cents == 500L,
+        "in-window credit must survive the purchase arriving before its touch")
+      assert(byId(21L).channel == "none", "expired touch must not be credited")
+      assert(byId(30L).channel == "none", "touchless purchase is organic")
+      assert(byId(42L).channel == "click", "the LATEST preceding touch wins")
+      assert(got.length == 4, s"exactly the four purchases credit: $got")
+      // twin agreement on the same rows written as an events table
+      val dir = java.nio.file.Files.createTempDirectory("graft_sattr").toString
+      rows.toDF().withColumnRenamed("value", "v")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+                col("v").as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val twin = graft.operators.Analytics.streamAttribution(spark, dir, lookbackDays = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getString(3), r.getLong(4))).toSet
+      graft.Caches.clear()
+      assert(got.map(o => (o.user_id, o.event_id, o.ts_us, o.channel, o.cents)).toSet == twin,
+        "stream credit log must equal the batch twin row-for-row")
+    } finally q.stop()
+  }
+
+  test("attributionCredits: tied timestamps follow the (ts, event_id) total order; state retires") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(id: Long, uid: Long, t: String, sec: Long, v: Double = 0.0) =
+      Ev(id, uid, t, new Timestamp(sec * 1000L), v)
+    // u5: touch TIED with the purchase, smaller event_id → credited
+    // u6: tied but touch has the larger event_id → follows → 'none'
+    val rows = Seq(
+      ev(50L, 5L, "view", 100L), ev(51L, 5L, "purchase", 100L, 3.0),
+      ev(61L, 6L, "purchase", 100L, 9.0), ev(62L, 6L, "click", 100L))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.attributionCredits(input.toDS(), lookbackSec = 3600L)
+      .writeStream.format("memory").queryName("attrib_ties")
+      .outputMode("append").start()
+    try {
+      input.addData(rows); q.processAllAvailable()
+      // push the watermark far past everything (touch + lookback):
+      // buffered purchases settle AND every register retires
+      input.addData(Seq(ev(90L, 99L, "view", 500000L))); q.processAllAvailable()
+      input.addData(Seq(ev(91L, 99L, "view", 900000L))); q.processAllAvailable()
+      val got = spark.table("attrib_ties").as[EventStreams.CreditOut].collect()
+        .map(o => o.event_id -> o.channel).toMap
+      assert(got(51L) == "view", "tied touch with the smaller event_id precedes")
+      assert(got(61L) == "none", "tied touch with the larger event_id follows")
+    } finally q.stop()
+  }
 }
