@@ -558,12 +558,26 @@ object Dedup {
     * doc labeled with the smallest doc_id in its connected component of
     * the verified-pair graph ([[connectedComponents]] over the same
     * verified edges [[dedupMinhashLsh]] judges one-hop).
+    *
+    * MATERIALIZED once per (canonical dir, params) and read back as
+    * parquet on later calls ([[graft.Substrate]], the co-purchase-memo
+    * pattern): the cluster map is the substrate FOUR keys resolve
+    * policies over (`dedup_clusters`, `dedup_keep_best`,
+    * `dedup_soft_weight`, `dedup_rate_by_source`), and a production
+    * dedup pipeline persists its cluster assignment once per ingest —
+    * the iterative component loop is the single most expensive line in
+    * the family, exactly what must not re-run per policy query. Pure
+    * deterministic longs + a bool → bit-exact round trip.
     */
   def dedupClusters(s: SparkSession, dir: String,
                     nPerms: Int = 64, nBands: Int = 16,
                     shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
-    val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, shingleN, tauX1000)
-    connectedComponents(ids, verified, "doc_id")
+    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    s.read.parquet(graft.Substrate.materialized(
+      "dedup_clusters", Seq(realDir, nPerms, nBands, shingleN, tauX1000)) {
+      val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, shingleN, tauX1000)
+      connectedComponents(ids, verified, "doc_id")
+    }).orderBy("doc_id")
   }
 
   /** Soft dedup: keep EVERY document but down-weight members of a
@@ -1006,8 +1020,16 @@ object Dedup {
   def dedupSemanticClusters(s: SparkSession, dir: String,
                             nBands: Int = 8, bitsPerBand: Int = 6,
                             tau: Double = 0.9): DataFrame = {
-    val (ids, verified) = embeddingVerifiedPairs(s, dir, nBands, bitsPerBand, tau)
-    connectedComponents(ids, verified, "vec_id")
+    // Materialized per (canonical dir, params) like [[dedupClusters]]
+    // — the semantic cluster map is likewise resolved by more than one
+    // policy key (`dedup_semantic_clusters`, `semdedup_keep_central`)
+    // and is a pure deterministic function of its inputs (longs+bool).
+    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    s.read.parquet(graft.Substrate.materialized(
+      "semantic_clusters", Seq(realDir, nBands, bitsPerBand, tau)) {
+      val (ids, verified) = embeddingVerifiedPairs(s, dir, nBands, bitsPerBand, tau)
+      connectedComponents(ids, verified, "vec_id")
+    }).orderBy("vec_id")
   }
 
   /** SemDeDup's actual KEEP rule, completing the semantic family:
