@@ -214,6 +214,8 @@ object SparkEntry {
     "mm_image_decode" -> (graft.multimodal.Multimodal.mmImageDecode _),
     "mm_image_resize" -> ((s, d) => graft.multimodal.Multimodal.mmImageResize(s, d)),
     "mm_audio_decode" -> (graft.multimodal.Multimodal.mmAudioDecode _),
+    "mm_image_phash"  -> (graft.multimodal.Multimodal.mmImagePhash _),
+    "mm_phash_pairs"  -> ((s, d) => graft.multimodal.Multimodal.mmPhashPairs(s, d)),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
@@ -2567,6 +2569,66 @@ object SparkEntry {
                 CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
                 CAST(SUM(v * v) AS BIGINT) AS energy
          FROM s GROUP BY doc_id, n ORDER BY doc_id""",
+    // aHash oracles: the variant corpus (every doc_id%5==0 is a
+    // brightness-edited near-dup of doc_id-1), 8x8 NN thumbnail,
+    // integer grayscale and mean threshold — all replayed codec-free,
+    // so the hash match certifies decode+thumbnail+threshold.
+    "mm_image_phash" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS src,
+                  (doc_id % 5 = 0 AND doc_id > 0) AS is_variant
+           FROM documents),
+         dims AS (SELECT doc_id, src, is_variant, 8 + src % 25 AS w, 8 + (src * 7) % 25 AS h FROM base),
+         grid AS (SELECT doc_id, src, is_variant, w, h, unnest(range(0, 64)) AS q FROM dims),
+         px AS (SELECT doc_id, src, is_variant, q,
+                       (((q // 8) * h) // 8) * w + ((q % 8) * w) // 8 AS p FROM grid),
+         chan AS (
+           SELECT doc_id, q,
+                  LEAST(255, (src*7919 + (3*p)*104729) % 256
+                             + CASE WHEN is_variant AND p % 2 = 0 THEN 32 ELSE 0 END) AS r,
+                  (src*7919 + (3*p+1)*104729) % 256 AS g,
+                  (src*7919 + (3*p+2)*104729) % 256 AS b
+           FROM px),
+         gray AS (SELECT doc_id, q, (r + g + b) // 3 AS v FROM chan),
+         m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM gray GROUP BY doc_id),
+         bits AS (
+           SELECT g.doc_id,
+                  CAST(SUM(CASE WHEN g.q < 32 AND g.v > m.mean THEN 1::BIGINT << g.q ELSE 0 END) AS BIGINT) AS phash_hi,
+                  CAST(SUM(CASE WHEN g.q >= 32 AND g.v > m.mean THEN 1::BIGINT << (g.q - 32) ELSE 0 END) AS BIGINT) AS phash_lo
+           FROM gray g JOIN m USING (doc_id) GROUP BY g.doc_id)
+         SELECT doc_id, phash_hi, phash_lo FROM bits ORDER BY doc_id""",
+    "mm_phash_pairs" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 AND doc_id > 0 THEN doc_id - 1 ELSE doc_id END AS src,
+                  (doc_id % 5 = 0 AND doc_id > 0) AS is_variant
+           FROM documents),
+         dims AS (SELECT doc_id, src, is_variant, 8 + src % 25 AS w, 8 + (src * 7) % 25 AS h FROM base),
+         grid AS (SELECT doc_id, src, is_variant, w, h, unnest(range(0, 64)) AS q FROM dims),
+         px AS (SELECT doc_id, src, is_variant, q,
+                       (((q // 8) * h) // 8) * w + ((q % 8) * w) // 8 AS p FROM grid),
+         chan AS (
+           SELECT doc_id, q,
+                  LEAST(255, (src*7919 + (3*p)*104729) % 256
+                             + CASE WHEN is_variant AND p % 2 = 0 THEN 32 ELSE 0 END) AS r,
+                  (src*7919 + (3*p+1)*104729) % 256 AS g,
+                  (src*7919 + (3*p+2)*104729) % 256 AS b
+           FROM px),
+         gray AS (SELECT doc_id, q, (r + g + b) // 3 AS v FROM chan),
+         m AS (SELECT doc_id, SUM(v) // 64 AS mean FROM gray GROUP BY doc_id),
+         bits AS (
+           SELECT g.doc_id,
+                  CAST(SUM(CASE WHEN g.q < 32 AND g.v > m.mean THEN 1::BIGINT << g.q ELSE 0 END) AS BIGINT) AS phash_hi,
+                  CAST(SUM(CASE WHEN g.q >= 32 AND g.v > m.mean THEN 1::BIGINT << (g.q - 32) ELSE 0 END) AS BIGINT) AS phash_lo
+           FROM gray g JOIN m USING (doc_id) GROUP BY g.doc_id)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+                CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                     + bit_count(xor(a.phash_lo, b.phash_lo)) AS BIGINT) AS hamming
+         FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+               + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3
+         ORDER BY a, b""",
     "salted_join_skew" ->
       """SELECT c.c_mktsegment, COUNT(*) AS n_events,
                 CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

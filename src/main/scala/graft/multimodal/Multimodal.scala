@@ -438,6 +438,141 @@ object Multimodal {
       .toDF().orderBy("doc_id")
   }
 
+  // ---- perceptual image dedup (the multimodal member of the dedup
+  // family, through the REAL codec loop) --------------------------------
+
+  /** Variant source doc: every doc_id % 5 == 0 (except 0) is a
+    * NEAR-DUPLICATE of doc_id − 1 — same pixels with +32 on the R
+    * channel of every even pixel (a brightness-band edit; the
+    * re-encoded-with-a-filter asset an exact byte digest like
+    * [[mmPayloadDedup]] can never match). Shared by the variant
+    * builder and, as plain arithmetic, the DuckDB oracles.
+    */
+  private[multimodal] def phashSrc(docId: Long): Long =
+    if (docId % 5L == 0L && docId > 0L) docId - 1L else docId
+  private[multimodal] def isVariant(docId: Long): Boolean =
+    docId % 5L == 0L && docId > 0L
+
+  /** Build the variant corpus as REAL PNGs: base docs carry their own
+    * deterministic pixels, variant docs their base's pixels plus the
+    * R-channel edit. Row-local encode, (id, blob) rows only.
+    */
+  def buildPngVariantPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val src = phashSrc(id); val variant = isVariant(id)
+          val w = imgW(src); val h = imgH(src)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = math.min(255,
+                chanVal(src, 3L * p) + (if (variant && p % 2 == 0) 32 else 0))
+              val g = chanVal(src, 3L * p + 1); val b = chanVal(src, 3L * p + 2)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              p += 1; x += 1
+            }
+            y += 1
+          }
+          val bo = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bo),
+            s"no JDK PNG writer available (doc $id)")
+          MediaPayload(id, bo.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** A decoded image's 64-bit aHash, split into two positive 32-bit
+    * halves (one signed BIGINT would overflow DuckDB's `1 << 63`). */
+  case class PhashRow(doc_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** SURVEY §2 `mm_image_phash`: perceptual hash (aHash) of each REAL
+    * PNG — decode through the JDK codec, nearest-neighbour 8×8
+    * thumbnail (the [[mmImageResize]] index map), integer grayscale
+    * `(r+g+b) div 3`, bit i = cell i brighter than the integral mean
+    * — the signature under which a brightness-edited re-encode of the
+    * same image lands a few bits away while byte digests see two
+    * unrelated blobs. Every number is integer arithmetic the DuckDB
+    * oracle replays codec-free, so the hash match certifies
+    * decode+thumbnail+threshold end to end. Row-local; 16 bytes/image
+    * shuffle onward, never pixels.
+    */
+  def mmImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildPngVariantPayloads(s, dir).as[MediaPayload]
+      .mapPartitions { it =>
+        it.map { mp =>
+          val img = decodePng(mp.doc_id, mp.payload)
+          val w = img.getWidth; val h = img.getHeight
+          val gray = new Array[Long](64)
+          var sum = 0L
+          var q = 0
+          while (q < 64) {
+            val sy = (q / 8) * h / 8; val sx = (q % 8) * w / 8
+            val rgb = img.getRGB(sx, sy)
+            val v = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3L
+            gray(q) = v; sum += v; q += 1
+          }
+          val mean = sum / 64L
+          var hi = 0L; var lo = 0L
+          q = 0
+          while (q < 64) {
+            if (gray(q) > mean) {
+              if (q < 32) hi |= 1L << q else lo |= 1L << (q - 32)
+            }
+            q += 1
+          }
+          PhashRow(mp.doc_id, hi, lo)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** SURVEY §2 `mm_phash_pairs`: image near-dup pairs by perceptual
+    * hash — 4×16-bit hamming banding over the aHash (the
+    * [[graft.operators.Dedup.dedupSimhash]] cover: distance ≤ 3
+    * guarantees agreement on ≥ 1 of 4 bands, so banded + verified
+    * EQUALS all-pairs hamming ≤ 3 exactly — which is why the DuckDB
+    * all-pairs oracle can hash-verify a banded plan), candidates
+    * verified with `bit_count(xor)` on both halves. At 100 TB the
+    * plan is the dedup family's shape on image payloads: 16-byte
+    * signatures bucket and shuffle, pixels stay in their scan.
+    */
+  def mmPhashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding covers hamming <= 3 exactly; got $maxHamming")
+    val sig = graft.Caches.cached(mmImagePhash(s, dir))
+    val bands = sig.select(
+        col("doc_id"),
+        explode(array(
+          struct(lit(0).as("band_idx"), col("phash_hi").bitwiseAND(lit(0xFFFFL)).as("band_hash")),
+          struct(lit(1).as("band_idx"), shiftright(col("phash_hi"), 16).bitwiseAND(lit(0xFFFFL)).as("band_hash")),
+          struct(lit(2).as("band_idx"), col("phash_lo").bitwiseAND(lit(0xFFFFL)).as("band_hash")),
+          struct(lit(3).as("band_idx"), shiftright(col("phash_lo"), 16).bitwiseAND(lit(0xFFFFL)).as("band_hash")))).as("bd"))
+      .select(col("doc_id"), col("bd.band_idx"), col("bd.band_hash"))
+    // No hot-bucket valve: this key's CONTRACT is the exact d<=3 cover
+    // (what lets an all-pairs oracle hash-verify a banded plan), and a
+    // dropped bucket would silently break it. The squared growth a
+    // valve guards against is bounded by near-dup density here — and
+    // the output IS those pairs, so the work is irreducible. A
+    // deployment on an adversarial corpus would reintroduce the LSH
+    // cap and accept the documented recall trade.
+    val cand = graft.operators.Dedup.candidatePairs(bands, "doc_id", maxBucket = Int.MaxValue)
+    val sigA = sig.select(col("doc_id").as("a"), col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+    val sigB = sig.select(col("doc_id").as("b"), col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+    cand.join(sigA, "a").join(sigB, "b")
+      .select(col("a"), col("b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+         bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a", "b")
+  }
+
   /** Per-doc PCM sample count (400..1999) and the deterministic int16
     * sample value at index `i` — shared by the WAV builder and (as
     * arithmetic) the oracle.

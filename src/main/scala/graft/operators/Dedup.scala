@@ -137,8 +137,8 @@ object Dedup {
     * to be a dedup signal (a stopword-like band), and the cap is what
     * stops a degenerate corpus from exploding a 100 TB job.
     */
-  private def candidatePairs(bands: DataFrame, id: String,
-                             maxBucket: Int = 1024): DataFrame = {
+  private[graft] def candidatePairs(bands: DataFrame, id: String,
+                                    maxBucket: Int = 1024): DataFrame = {
     bands
       .groupBy("band_idx", "band_hash")
       .agg(collect_list(col(id)).as("ids"))

@@ -215,6 +215,58 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(sigBad.count() == 0, "a payload is not RIFF/WAVE")
   }
 
+  test("mm_image_phash: decoded aHash equals an independent arithmetic recompute") {
+    // independent re-implementation (thumbnail index map, grayscale,
+    // mean threshold) — no calls into the operator's helpers
+    def expPhash(id: Long): (Long, Long) = {
+      val src = if (id % 5 == 0 && id > 0) id - 1 else id
+      val variant = id % 5 == 0 && id > 0
+      val w = 8L + src % 25L; val h = 8L + (src * 7L) % 25L
+      val gray = (0 until 64).map { q =>
+        val p = ((q / 8) * h / 8) * w + (q % 8) * w / 8
+        val r = math.min(255L, expChan(src, 3 * p) + (if (variant && p % 2 == 0) 32L else 0L))
+        (r + expChan(src, 3 * p + 1) + expChan(src, 3 * p + 2)) / 3L
+      }
+      val mean = gray.sum / 64L
+      var hi = 0L; var lo = 0L
+      for (q <- 0 until 64; if gray(q) > mean)
+        if (q < 32) hi |= 1L << q else lo |= 1L << (q - 32)
+      (hi, lo)
+    }
+    val got = Multimodal.mmImagePhash(spark, sf).orderBy("doc_id").limit(60).collect()
+    got.foreach { r =>
+      val (hi, lo) = expPhash(r.getLong(0))
+      assert(r.getLong(1) == hi && r.getLong(2) == lo,
+        s"doc ${r.getLong(0)} phash diverges from the arithmetic recompute")
+    }
+    // a variant sits within a few bits of its base — the property byte
+    // digests cannot see (the payloads differ everywhere)
+    val sigs = Multimodal.mmImagePhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val variantGaps = sigs.keys.filter(id => id % 5 == 0 && id > 0 && sigs.contains(id - 1))
+      .map { id =>
+        val (h1, l1) = sigs(id); val (h0, l0) = sigs(id - 1)
+        java.lang.Long.bitCount(h1 ^ h0) + java.lang.Long.bitCount(l1 ^ l0)
+      }
+    assert(variantGaps.nonEmpty && variantGaps.max <= 8,
+      s"a brightness edit must move the phash only a few bits, got max ${variantGaps.max}")
+  }
+
+  test("mm_phash_pairs: banded+verified equals all-pairs hamming<=3 exactly") {
+    val sigs = Multimodal.mmImagePhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (a, ha, la) <- sigs; (b, hb, lb) <- sigs; if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.mmPhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want,
+      s"banded pairs must equal the exact d<=3 set: got ${got.size}, want ${want.size}")
+    graft.Caches.clear()
+  }
+
   test("mm_payload_dedup groups exactly the byte-identical bodies") {
     val out = Multimodal.mmPayloadDedup(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
