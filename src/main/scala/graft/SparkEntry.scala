@@ -216,6 +216,7 @@ object SparkEntry {
     "mm_audio_decode" -> (graft.multimodal.Multimodal.mmAudioDecode _),
     "mm_image_phash"  -> (graft.multimodal.Multimodal.mmImagePhash _),
     "mm_phash_pairs"  -> ((s, d) => graft.multimodal.Multimodal.mmPhashPairs(s, d)),
+    "mm_audio_segments" -> ((s, d) => graft.multimodal.Multimodal.mmAudioSegments(s, d)),
     // Text analysis (LLM-data pipeline)
     "text_lang_id"       -> (TextOps.textLangId _),
     "text_quality_score" -> (TextOps.textQualityScore _),
@@ -2569,6 +2570,21 @@ object SparkEntry {
                 CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
                 CAST(SUM(v * v) AS BIGINT) AS energy
          FROM s GROUP BY doc_id, n ORDER BY doc_id""",
+    "mm_audio_segments" ->
+      """WITH n AS (
+           SELECT doc_id, 400 + (doc_id * 13) % 1600 AS n FROM documents),
+         s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM n),
+         v AS (
+           SELECT doc_id, i // 100 AS frame_idx,
+                  CASE WHEN (i // 100) % 7 = 3 THEN 0
+                       ELSE ((doc_id*31 + i*7) % 2048) - 1024 END AS v
+           FROM s)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+                CAST(SUM(v*v) AS BIGINT) AS energy,
+                CAST(MAX(ABS(v)) AS BIGINT) AS peak_abs,
+                SUM(v*v) < 1000 * COUNT(*) AS is_silent
+         FROM v GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""",
     // aHash oracles: the variant corpus (every doc_id%5==0 is a
     // brightness-edited near-dup of doc_id-1), 8x8 NN thumbnail,
     // integer grayscale and mean threshold — all replayed codec-free,

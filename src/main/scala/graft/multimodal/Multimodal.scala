@@ -649,4 +649,85 @@ object Multimodal {
       }
       .toDF().orderBy("doc_id")
   }
+
+  // ---- audio segmentation (VAD-style silence screen) ------------------
+
+  /** Gapped sample rule for the segmentation corpus: every 7th
+    * 100-sample frame (frame % 7 == 3) is SILENT (all zeros) — the
+    * speech-pause structure a voice-activity detector segments on.
+    * Shared by the builder and (as arithmetic) the oracle.
+    */
+  private[multimodal] def gappedSample(docId: Long, i: Long): Int =
+    if ((i / 100L) % 7L == 3L) 0 else wavSample(docId, i)
+
+  /** [[buildWavPayloads]] with the gapped rule — a separate corpus so
+    * [[mmAudioDecode]]'s oracle keeps its own sample arithmetic. */
+  def buildGappedWavPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = wavN(id)
+          val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1)
+            .putInt(WavRate).putInt(WavRate * 2)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(2 * n)
+          var i = 0
+          while (i < n) { bb.putShort(gappedSample(id, i).toShort); i += 1 }
+          MediaPayload(id, bb.array())
+        }
+      }
+      .toDF()
+  }
+
+  /** One decoded 100-sample frame's verdict. */
+  case class FrameMeta(doc_id: Long, frame_idx: Long, n_in_frame: Long,
+                       energy: Long, peak_abs: Long, is_silent: Boolean)
+
+  /** SURVEY §2 `mm_audio_segments`: VAD-style silence segmentation —
+    * the screen an audio-training pipeline runs before transcription
+    * (silent stretches carry no signal and bias duration-weighted
+    * sampling): REAL WAV decode → fixed 100-sample frames → per-frame
+    * energy/peak → `is_silent` = energy below 1000·frame_len (the
+    * zeroed speech pauses land at exactly 0; voiced frames at ~10⁷).
+    * Frame rows are the segmentation manifest — n/100 rows per clip,
+    * never samples — and every number rides the decoder's output, so
+    * the codec-free arithmetic oracle certifies the loop. Row-local
+    * map stage at any scale.
+    */
+  def mmAudioSegments(s: SparkSession, dir: String,
+                      frameLen: Int = 100): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    import s.implicits._
+    buildGappedWavPayloads(s, dir).as[MediaPayload]
+      .mapPartitions { it =>
+        it.flatMap { mp =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(mp.payload))
+          val n = ais.getFrameLength.toInt
+          val body = ais.readAllBytes()
+          require(body.length == 2 * n, s"doc ${mp.doc_id}: short read")
+          (0 until (n + frameLen - 1) / frameLen).map { f =>
+            val lo = f * frameLen; val hi = math.min(n, lo + frameLen)
+            var energy = 0L; var peak = 0L
+            var i = lo
+            while (i < hi) {
+              val v = ((body(2 * i) & 0xff) | (body(2 * i + 1) << 8)).toShort.toLong
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              energy += v * v
+              i += 1
+            }
+            FrameMeta(mp.doc_id, f.toLong, (hi - lo).toLong, energy, peak,
+              energy < 1000L * (hi - lo))
+          }
+        }
+      }
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
 }

@@ -267,6 +267,34 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("mm_audio_segments: frames tile each clip, silent frames are exactly the gapped ones") {
+    val out = Multimodal.mmAudioSegments(spark, sf).cache()
+    val rows = out.collect()
+    // frames tile: per doc, n_in_frame sums to the clip length and
+    // only the LAST frame may be partial
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, fr) =>
+      val n = 400L + (id * 13L) % 1600L
+      assert(fr.map(_.getLong(2)).sum == n, s"doc $id frames must tile the clip")
+      val sorted = fr.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length.toLong),
+        s"doc $id frame indices must be dense")
+      assert(sorted.dropRight(1).forall(_.getLong(2) == 100L),
+        s"doc $id: only the last frame may be partial")
+      // the gapped rule: frame % 7 == 3 is silent (energy 0), all
+      // other FULL frames are loud (a partial tail frame of a gapped
+      // index is also silent)
+      sorted.foreach { r =>
+        val silent = r.getBoolean(5)
+        if (r.getLong(1) % 7 == 3) assert(silent && r.getLong(3) == 0L)
+        else if (r.getLong(2) == 100L)
+          assert(!silent && r.getLong(3) > 100000L, s"doc $id frame ${r.getLong(1)} should be loud")
+      }
+    }
+    assert(rows.count(_.getBoolean(5)) > 0, "the corpus must contain silent frames")
+    out.unpersist()
+  }
+
   test("mm_payload_dedup groups exactly the byte-identical bodies") {
     val out = Multimodal.mmPayloadDedup(spark, sf).cache()
     val docs = Tables.documents(spark, sf)
