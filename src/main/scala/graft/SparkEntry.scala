@@ -177,6 +177,7 @@ object SparkEntry {
     "knn_graph_allprobe"  -> ((s, d) =>
       Similarity.knnGraphIvf(s, d, nProbeCells = 16)),
     "ann_sq8_topk"        -> ((s, d) => Similarity.annSq8TopK(s, d)),
+    "embedding_top_pc"    -> ((s, d) => Similarity.embeddingTopPc(s, d)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -257,7 +258,44 @@ object SparkEntry {
     * on the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check.
     */
+  /** Generated oracle for `embedding_top_pc`: the power iteration
+    * UNROLLED — one (project, trunc-rescale, weighted-sum, L∞
+    * renormalize) CTE block per round, exactly the integral arithmetic
+    * the operator runs (HUGEINT where the engine uses DECIMAL(38),
+    * CASE-trunc where it uses `div`/BigInt `/`). Generated because 8
+    * rounds of 5 CTEs is mechanical — the zorder/hilbert precedent.
+    */
+  private def topPcOracleSql(iters: Int): String = {
+    val b = new StringBuilder
+    b ++= """WITH p AS (SELECT unnest(range(1, 65)) AS pos),
+         xqr AS MATERIALIZED (SELECT vec_id, p.pos AS pos,
+                   CAST(FLOOR(1000000 * CAST(embedding[p.pos] AS DOUBLE)) AS BIGINT) AS xq
+                 FROM embeddings CROSS JOIN p),
+         mu AS MATERIALIZED (SELECT pos, CAST(CASE WHEN SUM(xq) >= 0 THEN SUM(xq) // COUNT(*)
+                                 ELSE -((-SUM(xq)) // COUNT(*)) END AS BIGINT) AS mu
+                FROM xqr GROUP BY pos),
+         xm AS MATERIALIZED (SELECT x.vec_id, x.pos, x.xq - m.mu AS xd FROM xqr x JOIN mu m USING (pos)),
+         v0 AS MATERIALIZED (SELECT pos, CAST(1000000 AS HUGEINT) AS v FROM p)"""
+    for (k <- 1 to iters) {
+      b ++= s""",
+         d$k AS MATERIALIZED (SELECT x.vec_id, SUM(x.xd * v.v) AS dot
+                 FROM xm x JOIN v${k - 1} v USING (pos) GROUP BY x.vec_id),
+         w$k AS MATERIALIZED (SELECT vec_id, CASE WHEN dot >= 0 THEN dot // 1000000
+                                ELSE -((-dot) // 1000000) END AS w FROM d$k),
+         s$k AS MATERIALIZED (SELECT x.pos, SUM(x.xd * w.w) AS s
+                 FROM xm x JOIN w$k w USING (vec_id) GROUP BY x.pos),
+         m$k AS MATERIALIZED (SELECT MAX(ABS(s)) AS mx FROM s$k),
+         v$k AS MATERIALIZED (SELECT pos, CASE WHEN s >= 0 THEN (s * 1000000) // mx
+                             ELSE -(((-s) * 1000000) // mx) END AS v FROM s$k, m$k)"""
+    }
+    b ++= s"""
+         SELECT CAST(pos AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_micro
+         FROM v$iters ORDER BY pos"""
+    b.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "embedding_top_pc" -> topPcOracleSql(8),
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
          TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS prop_k,

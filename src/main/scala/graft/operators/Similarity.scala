@@ -1029,6 +1029,68 @@ object Similarity {
       .orderBy("cluster_id", "pos")
   }
 
+  /** Distributed POWER ITERATION for the corpus's top principal
+    * component — the linear-algebra member of the embedding family
+    * (what "all-but-the-top" post-processing and PCA whitening remove
+    * before indexing; the dominant direction is also the first thing
+    * an embedding-drift review looks at). `iters` rounds of
+    * v ← C·v over the mean-centered corpus, under the
+    * [[kmeansFit]]/PageRank driver-sync contract: per round ONE pass
+    * over the cached micro-quantized corpus, a 64-key partial
+    * aggregate, and a dim-sized driver rescale — nothing corpus-sized
+    * ever leaves the executors.
+    *
+    * ALL-INTEGRAL so the DuckDB oracle replays every round bit-for-bit
+    * (a float normalize would be partition-order-dependent and could
+    * never hash): embeddings quantized to micro-units once
+    * (floor(1e6·x), the [[graft.functions.VecSumMicro]] convention),
+    * mean-centered with trunc division, per-vector projections
+    * trunc-rescaled by 1e6 before the weighted sum (keeps every
+    * per-term product ≤ 2⁴⁸), component sums accumulated in
+    * DECIMAL(38,0) (exact and order-independent where a long would
+    * overflow past ~40k vectors; DuckDB's HUGEINT twin), and each
+    * round renormalized to L∞ = 1e6 by BigInt trunc division (no
+    * square root anywhere — L∞ scaling preserves the direction and
+    * integer-sqrt rounding can never drift between engines). The
+    * fixed all-ones start vector makes every round — including the
+    * sign — deterministic in both engines.
+    */
+  def embeddingTopPc(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters $iters out of range")
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val xq = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, e -> CAST(FLOOR(e * CAST(1000000 AS DOUBLE)) AS BIGINT))")
+        .as("xq"))
+    val muRows = xq.select(posexplode(col("xq")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("sx div n").as("mu"))
+      .orderBy("pos").collect()
+    val mu = muRows.map(_.getLong(1))
+    val xm = graft.Caches.cached(xq.select(col("vec_id"),
+      zip_with(col("xq"), lit(mu), (a, b) => a - b).as("xm")))
+    var v = Array.fill(mu.length)(1000000L)
+    for (_ <- 1 to iters) {
+      val sums = xm
+        .select(col("xm"),
+          aggregate(zip_with(col("xm"), lit(v), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("dot"))
+        .select(col("xm"), expr("dot div 1000000").as("w"))
+        .select(col("w"), posexplode(col("xm")).as(Seq("pos", "xd")))
+        .groupBy("pos")
+        .agg(sum((col("xd") * col("w")).cast(dec)).as("s"))
+        .orderBy("pos").collect()
+      val sArr = sums.map(r => BigInt(r.getDecimal(1).toBigInteger))
+      val mx = sArr.map(_.abs).max
+      require(mx > 0, "power iteration collapsed — degenerate (constant) corpus")
+      // BigInt '/' truncates toward zero — the engines' shared div rule
+      v = sArr.map(x => ((x * 1000000) / mx).toLong).toArray
+    }
+    s.createDataFrame(v.zipWithIndex.toSeq.map { case (x, i) => (i + 1L, x) })
+      .toDF("pos", "v_micro")
+      .orderBy("pos")
+  }
+
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(s)

@@ -551,4 +551,52 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // and back under the default limit the operator still builds
     assert(Similarity.knnGraph(spark, sf, k = 5).limit(1).count() == 1)
   }
+
+  test("embedding_top_pc equals a single-node integral recompute and dominates the axes") {
+    val iters = 8
+    val emb = Tables.embeddings(spark, sf)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val dim = emb.head.length
+    // single-node re-implementation of the exact integral recipe
+    val xq = emb.map(_.map(e => math.floor(e.toDouble * 1000000.0).toLong))
+    val mu = Array.tabulate(dim) { d =>
+      val sx = xq.map(_(d)).sum; sx / emb.length // JVM '/' truncates like Spark div
+    }
+    val xm = xq.map(v => Array.tabulate(dim)(d => v(d) - mu(d)))
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val s = Array.fill(dim)(BigInt(0))
+      xm.foreach { x =>
+        var dot = 0L
+        var d = 0
+        while (d < dim) { dot += x(d) * v(d).toLong; d += 1 }
+        val w = dot / 1000000L
+        d = 0
+        while (d < dim) { s(d) += BigInt(x(d)) * w; d += 1 }
+      }
+      val mx = s.map(_.abs).max
+      v = s.map(x => (x * 1000000) / mx)
+    }
+    val want = v.map(_.toLong)
+    val got = Similarity.embeddingTopPc(spark, sf, iters)
+      .orderBy("pos").collect().map(_.getLong(1))
+    assert(got.toSeq == want.toSeq,
+      "distributed power iteration must equal the single-node integral recompute")
+    // dominance: the found direction's Rayleigh quotient beats every
+    // coordinate axis (it is supposed to be the TOP component)
+    def rayleigh(dir: Array[Double]): Double = {
+      val n2 = dir.map(x => x * x).sum
+      xm.map { x =>
+        val dot = x.indices.map(d => x(d) * dir(d)).sum
+        dot * dot
+      }.sum / n2
+    }
+    val rGot = rayleigh(got.map(_.toDouble))
+    (0 until dim).foreach { d =>
+      val axis = Array.fill(dim)(0.0); axis(d) = 1.0
+      assert(rGot >= rayleigh(axis),
+        s"axis $d has a larger Rayleigh quotient than the returned direction")
+    }
+    graft.Caches.clear()
+  }
 }
