@@ -95,13 +95,30 @@ object Bench {
     // totals are not comparable across that boundary. loadavg stamps let
     // a reader reject a contended run outright (loadavg >> allotted cpus
     // means the numbers measure the machine, not the plan).
+    // Regime summary vs the previous canonical record: the ratio
+    // DISTRIBUTION self-documents a host-regime shift (p10≈median≈p90
+    // uniformly elevated, no query-specific pattern) so a reader never
+    // mistakes one for a broad regression — the r10-vs-r13 1.64× and
+    // r15-final 1.25× deltas both had to be diagnosed by hand in §6.
+    var baselineForRegime: Map[String, Double] = Map.empty
+    def ratioJson: String = {
+      val rs = timings.toSeq.collect {
+        case (k, v) if v > 0 && baselineForRegime.get(k).exists(_ > 0) =>
+          v / baselineForRegime(k)
+      }.sorted
+      if (rs.size < 20) "null"
+      else {
+        def q(p: Double) = rs(math.round(p * (rs.size - 1)).toInt)
+        f"""{"n":${rs.size},"p10":${q(0.1)}%.3f,"median":${q(0.5)}%.3f,"p90":${q(0.9)}%.3f}"""
+      }
+    }
     def jsonLine(partial: Boolean): String = {
       val qs = timings.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
       val es = errors.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val fs = flaky.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val rs = remeasured.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"queries":$qs,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"queries":$qs,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
     // A degraded run never overwrites a canonical record unless that
     // record is itself stamped degraded — it lands in
@@ -229,6 +246,7 @@ object Bench {
           }).toMap).getOrElse(Map.empty)
       }
     }
+    baselineForRegime = baseline
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
