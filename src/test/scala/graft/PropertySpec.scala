@@ -217,6 +217,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("attribution credits == single-node last-touch replay on tied, shuffled histories") {
+    import spark.implicits._
+    val types = Seq("view", "click", "purchase")
+    val evGen: Gen[List[(Long, Int, Long)]] =
+      Gen.nonEmptyListOf(Gen.zip(
+        Gen.chooseNum(0L, 20L), Gen.chooseNum(0, 2), Gen.chooseNum(0L, 10000L)))
+    for ((grain, tick) <- grains) {
+      val lookbackNs = 5L * tick // tight window so boundary cases abound
+      val rows = cases(evGen, 24).zipWithIndex.flatMap { case (hist, u) =>
+        hist.zipWithIndex.map { case ((ts, ti, cents), i) =>
+          (u.toLong, (i + 1).toLong, ts * tick, types(ti), cents)
+        }
+      }
+      val shuffled = new scala.util.Random(41L).shuffle(rows)
+      val got = graft.operators.Analytics.attributionCreditsOver(
+        shuffled.toDF("user_id", "event_id", "ts_ns", "event_type", "cents"), lookbackNs)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(3), r.getLong(4)))).toMap
+      val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val ordered = rs.sortBy(r => (r._3, r._2))
+        var lt: Option[(String, Long)] = None
+        ordered.flatMap { r =>
+          if (r._4 == "purchase") {
+            val ch = lt.filter(_._2 >= r._3 - lookbackNs).map(_._1).getOrElse("none")
+            Some((u, r._2) -> ((ch, r._5)))
+          } else { lt = Some((r._4, r._3)); None }
+        }
+      }
+      assert(got == expected, s"grain=$grain")
+    }
+  }
+
   test("BFS core == single-node BFS on seeded random graphs (chains, cliques, isolates)") {
     import spark.implicits._
     import graft.operators.GraphOps
