@@ -245,6 +245,7 @@ object SparkEntry {
     // Keyed detail-fetch (reference 02_etl.py:136-140 per-movie
     // credits): per-parent fan-out with the same landing contract.
     "keyed_extract"      -> ((s, d) => graft.sources.PagedExtract.demoKeyedExtract(s, d)),
+    "incremental_extract" -> ((s, d) => graft.sources.PagedExtract.demoIncrementalExtract(s, d)),
   )
 
   // DuckDB-dialect helpers used below (kept textual so the driver can
@@ -2532,6 +2533,10 @@ object SparkEntry {
                 CAST(l_linenumber AS BIGINT) AS l_linenumber
          FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 5 = 0
          ORDER BY supp_key, l_orderkey, l_linenumber""",
+    "incremental_extract" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day,
+                event_id, user_id, event_type
+         FROM events ORDER BY day, event_id""",
     "text_fingerprint" ->
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint

@@ -322,4 +322,59 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(dead == Set(lines(1), lines(3), lines(4)))
     assert(clean.count() + quarantine.count() == lines.length)
   }
+
+  test("landIncremental: watermark bounds fetch work, survives failure without advancing") {
+    import graft.sources.PagedExtract
+    val landing = java.nio.file.Files.createTempDirectory("graft_inc").toString
+    def fetched: Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      IncApiState.fetched.iterator().asScala.map(_.longValue).toSeq.sorted
+    }
+    IncApiState.fetched.clear(); IncApiState.fail = Set.empty
+    val api = new CountingIncApi
+    // run 1: units 1..3 land, watermark -> 3
+    val r1 = PagedExtract.landIncremental(spark, api, Seq(1L, 2L, 3L), landing,
+      parallelism = 1, maxRetries = 0)
+    assert(r1.ok && r1.landed == Seq(1L, 2L, 3L) && r1.watermarkAfter == 3L)
+    // run 2: source re-advertises 1..3 plus new 4..5 — old units are
+    // ruled out by the WATERMARK (zero fetches for them), 5 fails
+    IncApiState.fetched.clear(); IncApiState.fail = Set(5L)
+    val r2 = PagedExtract.landIncremental(spark, api, Seq(1L, 2L, 3L, 4L, 5L), landing,
+      parallelism = 1, maxRetries = 0)
+    assert(!r2.ok && r2.landed == Seq(4L) && r2.skippedByWatermark == 3L)
+    assert(r2.watermarkAfter == 3L, "a failed run must NOT advance the watermark")
+    assert(fetched == Seq(4L, 5L), s"watermark must rule out 1..3 unprobed: $fetched")
+    // run 3: source recovered — only 5 is refetched (4's landed file is
+    // the checkpoint), then the watermark advances past everything
+    IncApiState.fetched.clear(); IncApiState.fail = Set.empty
+    val r3 = PagedExtract.landIncremental(spark, api, Seq(1L, 2L, 3L, 4L, 5L), landing,
+      parallelism = 1, maxRetries = 0)
+    assert(r3.ok && r3.landed == Seq(5L) && r3.watermarkAfter == 5L)
+    assert(fetched == Seq(5L), s"only the failed unit refetches: $fetched")
+    // run 4: nothing new — no fetches at all, watermark stable
+    IncApiState.fetched.clear()
+    val r4 = PagedExtract.landIncremental(spark, api, Seq(1L, 2L, 3L, 4L, 5L), landing)
+    assert(r4.ok && r4.landed.isEmpty && r4.skippedByWatermark == 5L && fetched.isEmpty)
+    assert(r4.watermarkBefore == 5L && r4.watermarkAfter == 5L)
+  }
+}
+
+/** JVM-singleton state for the instrumented incremental source: the
+  * task closure is SERIALIZED even in local mode, so a captured buffer
+  * would mutate a deserialized copy — a shared object is how the test
+  * observes executor-side fetches.
+  */
+private[graft] object IncApiState {
+  val fetched = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  @volatile var fail: Set[Long] = Set.empty
+}
+
+/** Instrumented [[graft.sources.PagedExtract.KeyedApi]]: records every
+  * fetch in [[IncApiState]] and fails on demand. */
+private[graft] class CountingIncApi extends graft.sources.PagedExtract.KeyedApi {
+  override def fetch(unit: Long): Seq[String] = {
+    IncApiState.fetched.add(unit)
+    if (IncApiState.fail(unit)) sys.error(s"unit $unit transiently unavailable")
+    Seq(s"""{"u":$unit}""")
+  }
 }
