@@ -231,9 +231,13 @@ object Bench {
     // record (read BEFORE this run's first flush replaces it), same-SF
     // only — cross-SF ratios are meaningless. The values-only parse is
     // safe because query keys are identifiers (no ':'/',' inside).
+    // FILTERED runs (SPARK_GRAFT_BENCH_ONLY) get NO baseline at all:
+    // filtered-run timings are not comparable to in-sweep ones (cache/
+    // JIT context differs — memory: filtered ≠ in-sweep), so both the
+    // 2x remeasure trigger and the baseline_ratio block would misfire.
     val baseline: Map[String, Double] = {
       val p = canonicalPathForBaseline
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      if (only.isDefined || !java.nio.file.Files.exists(p)) Map.empty
       else {
         val s = java.nio.file.Files.readString(p)
         if (!s.contains(s""""sf":"${esc(sfDir)}"""")) Map.empty
@@ -295,8 +299,20 @@ object Bench {
     val line = jsonLine(partial = false)
     flush(partial = false)
     spark.stop()
-    // Printed after spark.stop() so it is the last stdout line.
+    // Full record first, COMPACT summary as the FINAL stdout line: the
+    // driver keeps only a stdout tail and parses the last line, so a
+    // 209-key record gets truncated mid-line and parses as null
+    // (BENCH_r15.json did). The summary is a few hundred bytes —
+    // total, counts, regime, worst-5 vs the per-key baseline — and
+    // points at the full committed record.
     println(line)
+    val worst5 = timings.toSeq
+      .collect { case (k, v) if v > 0 && baselineForRegime.get(k).exists(_ > 0) =>
+        (k, v / baselineForRegime(k)) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, r) => f""""${esc(k)}":$r%.2f""" }.mkString("{", ",", "}")
+    val total = timings.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","n_timed":${timings.size},"n_failed":${errors.size},"degraded":$degraded,"loadavg_ambient":$loadAmbient,"passes":$passes,"baseline_ratio":$ratioJson,"worst5_vs_baseline":$worst5,"filtered":${only.isDefined},"full_record":"${esc(target.toString)}"}""")
     System.out.flush()
     // rc must reflect run health: round 10's driver wrapper recorded
     // rc=0 while 50/130 queries errored, so tooling keying on rc read a

@@ -12,36 +12,95 @@ import org.apache.spark.sql.DataFrame
   * literal.
   *
   * Contract (the [[Caches.model]] tier): the build must be
-  * deterministic and integer-only (bit-exact parquet round-trip), the
-  * memo survives the per-query [[Caches.clear]] (which manages
-  * executor block-manager memory, not on-disk derived tables), and
-  * the landing leaf is content-keyed so concurrent JVMs converge on
-  * the same bytes (`mode(overwrite)` into the same path). Locally the
-  * tables land under java.io.tmpdir; on a cluster set
+  * deterministic and integer-only (bit-exact parquet round-trip), and
+  * the memo survives the per-query [[Caches.clear]] (which manages
+  * executor block-manager memory, not on-disk derived tables).
+  *
+  * Concurrency: the landing leaf is content-keyed AND published
+  * atomically — the build writes to a private temp leaf and renames it
+  * into place, so a reader never observes a half-written (or
+  * mid-overwrite) table. The first writer wins; a concurrent loser
+  * discards its temp and reads the winner's bytes (identical by the
+  * determinism contract). A leaf whose `_SUCCESS` marker already
+  * exists is never rebuilt or touched, so long-lived JVMs sharing a
+  * substrate dir converge without ever deleting files another JVM may
+  * be reading. (Rename atomicity is the Hadoop FS contract — exact on
+  * HDFS/local; on object stores without atomic rename, point
+  * `graft.substrate.dir` at a per-writer prefix instead.)
+  *
+  * Staleness: every key folds in a cheap corpus FINGERPRINT
+  * (name/length/mtime of the input files), so regenerating the corpus
+  * in place derives a NEW leaf — a long-lived JVM can never serve a
+  * stale table for a changed corpus, and the old leaf is never
+  * overwritten under readers.
+  *
+  * Locally the tables land under java.io.tmpdir; on a cluster set
   * `-Dgraft.substrate.dir=` to shared storage.
   */
 object Substrate {
 
-  private def baseDir: java.nio.file.Path = {
+  private def baseDir: String = {
     val base = java.nio.file.Paths.get(
       sys.props.getOrElse("graft.substrate.dir", sys.props("java.io.tmpdir")))
       .resolve("graft-substrate")
     java.nio.file.Files.createDirectories(base)
-    base
+    base.toString
   }
 
-  /** Build `plan` once per (kind, keyParts) and return the parquet
-    * path of the materialized table; later calls skip straight to the
-    * path. keyParts must capture EVERY input that changes the bytes
-    * (canonicalized corpus dir, every parameter).
+  /** Cheap corpus fingerprint: MD5 over the sorted (name, length,
+    * mtime) triples of the corpus dir's files. Changes whenever the
+    * corpus is regenerated in place, without reading any data bytes.
     */
-  def materialized(kind: String, keyParts: Seq[Any])(plan: => DataFrame): String =
-    Caches.model(Seq("substrate", kind) ++ keyParts: _*) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest((kind +: keyParts.map(_.toString)).mkString("|").getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val out = baseDir.resolve(s"${kind}_$md").toString
-      plan.write.mode("overwrite").parquet(out)
-      out
+  private def fingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (fs.exists(p)) {
+      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
+        md.update(s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}\n"
+          .getBytes("UTF-8"))
+      }
     }
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Build `plan` once per (kind, corpus dir + fingerprint, keyParts)
+    * and return the parquet path of the materialized table; later
+    * calls — in this JVM via the memo, in any JVM via the `_SUCCESS`
+    * check — skip straight to the path. keyParts must capture EVERY
+    * remaining input that changes the bytes (every parameter; the
+    * canonicalized corpus dir and its fingerprint are folded in here).
+    */
+  def materialized(s: org.apache.spark.sql.SparkSession, kind: String,
+                   dir: String, keyParts: Seq[Any])(plan: => DataFrame): String = {
+    val fp = Caches.model("substrate_fp", dir)(fingerprint(s, dir))
+    Caches.model(Seq("substrate", kind, dir, fp) ++ keyParts: _*) {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest((Seq(kind, dir, fp) ++ keyParts.map(_.toString)).mkString("|")
+          .getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val out = new HPath(baseDir, s"${kind}_$md")
+      val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(new HPath(out, "_SUCCESS"))) {
+        // a marker-less leaf is debris (pre-atomic-publish layout or a
+        // foreign partial dir) — clear it so the rename can land
+        if (fs.exists(out)) fs.delete(out, true)
+        val tmp = new HPath(baseDir, s".${kind}_${md}_${java.util.UUID.randomUUID()}")
+        plan.write.mode("overwrite").parquet(tmp.toString)
+        // the commit point: first rename wins; a losing concurrent
+        // writer (rename returns false — destination exists) discards
+        // its temp and reads the winner's identical bytes
+        if (!fs.rename(tmp, out)) {
+          fs.delete(tmp, true)
+          if (!fs.exists(new HPath(out, "_SUCCESS")))
+            throw new IllegalStateException(
+              s"substrate publish lost the rename race to $out but no " +
+              "_SUCCESS-marked table is there — refusing to serve an " +
+              "unverifiable path")
+        }
+      }
+      out.toString
+    }
+  }
 }

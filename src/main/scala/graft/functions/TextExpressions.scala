@@ -449,8 +449,14 @@ case class SimHash64(child: Expression, seed: Long = 42L) extends UnaryExpressio
   * (byte-offset walk + hash array + monotonic deque) in place of the
   * interpreted transform/array_min-over-slices/filter HOF chain it
   * replaces, which evaluated O(L·w) interpreted lambdas per document.
-  * Bit-compatible selection, pinned by TextFunctionsSpec's parity
-  * test against the HOF road.
+  *
+  * Gram boundaries are CODEPOINTS — the contract of this kernel. (The
+  * replaced HOF road split via Java-regex `split("")`, i.e. UTF-16
+  * code units, so for supplementary-plane text — emoji, CJK
+  * extensions — the two roads gram differently; codepoints are the
+  * deliberate choice here: a k-gram never straddles half a surrogate
+  * pair. On BMP-only text the roads coincide bit-for-bit, which is
+  * what TextFunctionsSpec's parity test pins.)
   *
   * Output: struct<n_kgrams, fps: array<struct<h, ni>>> where
   * `ni = -(1-based gram index)` — exactly the struct the HOF road

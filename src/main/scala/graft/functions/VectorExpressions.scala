@@ -508,7 +508,11 @@ case class CosineSq8(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // loud on mismatch, like the sibling kernels (L2SqMicro,
+    // KmeansAssign): a stale or wrong-width sq8 codes table must fail,
+    // not score a truncated prefix plausibly-but-wrong
+    if (y.numElements() != n) throw CosineSq8.dimError(n, y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -528,7 +532,10 @@ case class CosineSq8(left: Expression, right: Expression)
       val ny = ctx.freshName("ny"); val x = ctx.freshName("x")
       val y = ctx.freshName("y"); val den = ctx.freshName("den")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        if ($b.numElements() != $n) {
+          throw graft.functions.CosineSq8.dimError($n, $b.numElements());
+        }
         double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $x = (double) $a.getFloat($i);
@@ -542,4 +549,11 @@ case class CosineSq8(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSq8 =
     copy(left = l, right = r)
+}
+
+object CosineSq8 {
+  def dimError(probeDim: Int, codeDim: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_cosine_sq8: probe has $probeDim dims but the codes have $codeDim — " +
+        "the sq8 code table was built for a different embedding width")
 }

@@ -119,7 +119,7 @@ object Dedup {
     // The per-query cache below still collapses the MULTIPLE references
     // within one operator into one in-memory scan.
     val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
-    val path = graft.Substrate.materialized("shingles", Seq(realDir, shingleN)) {
+    val path = graft.Substrate.materialized(s, "shingles", realDir, Seq(shingleN)) {
       Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
         .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
@@ -574,7 +574,7 @@ object Dedup {
                     shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
     val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
     s.read.parquet(graft.Substrate.materialized(
-      "dedup_clusters", Seq(realDir, nPerms, nBands, shingleN, tauX1000)) {
+      s, "dedup_clusters", realDir, Seq(nPerms, nBands, shingleN, tauX1000)) {
       val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, shingleN, tauX1000)
       connectedComponents(ids, verified, "doc_id")
     }).orderBy("doc_id")
@@ -1026,7 +1026,7 @@ object Dedup {
     // and is a pure deterministic function of its inputs (longs+bool).
     val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
     s.read.parquet(graft.Substrate.materialized(
-      "semantic_clusters", Seq(realDir, nBands, bitsPerBand, tau)) {
+      s, "semantic_clusters", realDir, Seq(nBands, bitsPerBand, tau)) {
       val (ids, verified) = embeddingVerifiedPairs(s, dir, nBands, bitsPerBand, tau)
       connectedComponents(ids, verified, "vec_id")
     }).orderBy("vec_id")

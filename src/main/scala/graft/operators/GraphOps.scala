@@ -190,14 +190,14 @@ object GraphOps {
     * which manages executor block-manager memory, not on-disk
     * derived tables. Locally the table lands under java.io.tmpdir;
     * on a cluster set `-Dgraft.substrate.dir=` to shared storage
-    * (the write is `mode(overwrite)` into a content-keyed leaf, so
-    * concurrent JVMs converge on the same bytes).
+    * (the write publishes atomically into a content-keyed leaf —
+    * first writer wins, concurrent JVMs read identical bytes).
     */
   private[graft] def copurchasePairSupports(s: SparkSession, dir: String,
                                             minSupport: Int = 2): DataFrame = {
     val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
     s.read.parquet(graft.Substrate.materialized(
-      "copurchase", Seq(realDir, minSupport)) {
+      s, "copurchase", realDir, Seq(minSupport)) {
       pairSupportsPlan(s, dir, minSupport)
     })
   }

@@ -655,7 +655,7 @@ object Similarity {
     GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
     val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
-    val codesPath = graft.Substrate.materialized("sq8codes", Seq(realDir)) {
+    val codesPath = graft.Substrate.materialized(s, "sq8codes", realDir, Nil) {
       // scale staged as an attribute: referenced twice downstream and
       // from inside the quantize lambda — inlining it would re-run the
       // array_max per element (the §6 expression-duplication trap)

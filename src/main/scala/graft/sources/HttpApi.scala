@@ -42,15 +42,27 @@ object HttpTransport {
   final case class HttpConfig(baseUrl: String,
                               bearerToken: Option[String] = None,
                               connectTimeoutMs: Int = 5000,
-                              readTimeoutMs: Int = 30000) {
+                              readTimeoutMs: Int = 30000,
+                              retryAfterCapMs: Long = 60000) {
     require(connectTimeoutMs > 0 && readTimeoutMs > 0,
       "HTTP timeouts must be positive — 0 means wait forever, which a " +
       "rate-limited extract loop must never do")
+    require(retryAfterCapMs >= 0,
+      "retryAfterCapMs must be non-negative — the cap is what stops a " +
+      "hostile/buggy Retry-After from parking an executor slot for hours")
   }
 
   /** Upstream said "not now" (429, 5xx) or the socket failed — the
-    * commit loop's normal retry-with-backoff path. */
-  final class TransientFetchError(msg: String) extends IOException(msg)
+    * commit loop's normal retry-with-backoff path. `retryAfterMs`
+    * carries a parsed (and capped) `Retry-After` header when the
+    * upstream named its own wait: the retry loops take
+    * max(exponential backoff, retryAfterMs) for the NEXT attempt only
+    * — the polite generalization of the reference's fixed `sleep_s`
+    * pacing (02_etl.py's 0.25 s loop), driven by the server instead
+    * of a constant. */
+  final class TransientFetchError(msg: String,
+                                  val retryAfterMs: Option[Long] = None)
+      extends IOException(msg)
 
   /** Upstream gave an ANSWER retrying cannot change (4xx except 429):
     * the commit loop fails the unit fast instead of burning its retry
@@ -77,8 +89,18 @@ object HttpTransport {
         // error body drained so keep-alive sockets are reusable
         Option(conn.getErrorStream).foreach { es => es.readAllBytes(); es.close() }
         val msg = s"HTTP $code from GET $pathAndQuery"
-        if (code == 429 || code >= 500) throw new TransientFetchError(msg)
-        else throw new PermanentFetchError(msg)
+        if (code == 429 || code >= 500) {
+          // Honor Retry-After (delta-seconds form — the rate-limit
+          // convention; an HTTP-date here is ignored rather than
+          // mis-parsed) capped so the upstream can pace us but never
+          // park the slot: the error CARRIES the wait, the shared
+          // commit loop takes it (classification stays in the type).
+          val retryAfter = Option(conn.getHeaderField("Retry-After"))
+            .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+            .filter(_ >= 0)
+            .map(secs => math.min(secs * 1000L, cfg.retryAfterCapMs))
+          throw new TransientFetchError(msg, retryAfter)
+        } else throw new PermanentFetchError(msg)
       }
     } finally conn.disconnect()
   }

@@ -102,7 +102,13 @@ object PagedExtract {
           if (attempt > maxRetries)
             throw new RuntimeException(
               s"page $page failed after $maxRetries retries (landed prefix is intact)", e)
-          sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x, ...
+          // a server-named Retry-After (already capped by the
+          // transport) floors the exponential backoff for THIS wait
+          val retryAfter = e match {
+            case t: HttpTransport.TransientFetchError => t.retryAfterMs.getOrElse(0L)
+            case _ => 0L
+          }
+          sleep(math.max(backoffMs << (attempt - 1), retryAfter)) // 1x, 2x, 4x, ...
       }
     }
     None // unreachable
@@ -242,8 +248,13 @@ object PagedExtract {
       var attempt = 0
       var done = false
       var lastErr: Throwable = null
+      // a Retry-After the LAST failure carried (transport-capped)
+      // floors the next attempt's exponential backoff, then resets —
+      // the server names the wait once, we take it once
+      var retryAfterMs = 0L
       while (!done && attempt <= maxRetries) {
-        if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1))
+        if (attempt > 0) Thread.sleep(math.max(backoffMs << (attempt - 1), retryAfterMs))
+        retryAfterMs = 0L
         if (minFetchIntervalMs > 0) {
           val wait = lastFetch + minFetchIntervalMs - System.currentTimeMillis()
           if (wait > 0) Thread.sleep(wait)
@@ -270,7 +281,13 @@ object PagedExtract {
           // NonFatal excludes InterruptedException: a killed or
           // cancelled task must STOP fetching, not treat the
           // interrupt as one more transient upstream error.
-          case scala.util.control.NonFatal(e) => lastErr = e; attempt += 1
+          case scala.util.control.NonFatal(e) =>
+            lastErr = e; attempt += 1
+            e match {
+              case t: HttpTransport.TransientFetchError =>
+                retryAfterMs = t.retryAfterMs.getOrElse(0L)
+              case _ => ()
+            }
         }
       }
       if (!done)

@@ -267,7 +267,8 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
     * classify PERMANENT — so an auth regression fails the whole
     * landing loudly, not via a counter).
     */
-  private def withStubServer(run: String, token: String)
+  private def withStubServer(run: String, token: String,
+                             headers: (Int, Int) => Map[String, String] = (_, _) => Map.empty)
                             (route: (Int, Int) => (Int, String))
                             (body: String => Unit): Unit = {
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
@@ -279,6 +280,8 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
         val (code, payload) =
           if (!auth.contains(s"Bearer $token")) (401, "")
           else route(unit, attempt)
+        headers(unit, attempt).foreach { case (k, v) =>
+          x.getResponseHeaders.set(k, v) }
         val bytes = payload.getBytes("UTF-8")
         x.sendResponseHeaders(code, if (bytes.isEmpty) -1L else bytes.length.toLong)
         if (bytes.nonEmpty) x.getResponseBody.write(bytes)
@@ -355,6 +358,60 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
       Seq(21, 22).foreach(k =>
         assert(FetchLog.count(run, k) == 1, s"401 on key $k must not be retried"))
     }
+  }
+
+  test("429 Retry-After paces the commit loop: the named wait is taken once and the unit lands") {
+    val run = "http_retry_after"
+    val seen = new java.util.concurrent.ConcurrentHashMap[(Int, Int), Long]()
+    withStubServer(run, token = "sekrit",
+      headers = { case (4, 1) => Map("Retry-After" -> "1")   // 1 s, well over backoffMs<<0
+                  case (6, 1) => Map("Retry-After" -> "9999") // capped by the config
+                  case _      => Map.empty }) {
+      case (u, a) =>
+        seen.put((u, a), System.nanoTime())
+        if ((u == 4 || u == 6) && a == 1) (429, "")
+        else (200, s"""{"id":$u,"page":$u}""")
+    } { baseUrl =>
+      val cfg = HttpTransport.HttpConfig(baseUrl, bearerToken = Some("sekrit"))
+      val api = new HttpTransport.HttpPageApi(cfg, 4, p => s"/pages?u=$p")
+      val dir = newDir()
+      val report = PagedExtract.land(spark, api, dir, maxRetries = 3, backoffMs = 1)
+      assert(report.ok && report.landed == Seq(1, 2, 3, 4))
+      assert(FetchLog.count(run, 4) == 2, "429 is transient: exactly one re-ask")
+      // the server-named wait was TAKEN: with backoffMs=1 the retry
+      // would otherwise arrive in single-digit ms
+      val gapMs = (seen.get((4, 2)) - seen.get((4, 1))) / 1000000L
+      assert(gapMs >= 900, s"Retry-After: 1 must pace the retry ~1 s out, got ${gapMs}ms")
+
+      // the CAP bounds a hostile Retry-After: 9999 s shrinks to 200 ms
+      val capCfg = cfg.copy(retryAfterCapMs = 200)
+      val capApi = new HttpTransport.HttpPageApi(capCfg, 6, p => s"/pages?u=$p")
+      val capDir = newDir()
+      val t0 = System.nanoTime()
+      val capReport = PagedExtract.land(spark, capApi, capDir, maxRetries = 3, backoffMs = 1)
+      val wallMs = (System.nanoTime() - t0) / 1000000L
+      assert(capReport.ok && capReport.landed == Seq(1, 2, 3, 4, 5, 6))
+      assert(FetchLog.count(run, 6) == 2)
+      assert(wallMs < 5000, s"capped Retry-After must not park the run: ${wallMs}ms")
+    }
+  }
+
+  test("serial extract: a carried Retry-After floors the injected backoff sleep once") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val dir = newDir()
+    var asked = 0
+    val landed = PagedExtract.extract(
+      page => {
+        if (page == 1) { asked += 1 }
+        if (page == 1 && asked == 1)
+          throw new HttpTransport.TransientFetchError("HTTP 429", Some(750L))
+        if (page <= 2) Some(Seq(s"""{"p":$page}""")) else None
+      },
+      dir, maxRetries = 3, backoffMs = 1, sleep = sleeps += _)
+    assert(landed == 2)
+    // exactly one sleep, floored by the server's wait (1 << 0 = 1 ms
+    // exponential alone); subsequent pages slept nothing
+    assert(sleeps.toSeq == Seq(750L))
   }
 
   test("serial extract fails fast on a permanent upstream answer — zero backoff sleeps") {
