@@ -35,6 +35,7 @@ object SparkEntry {
     "table_diff"      -> ((s, d) => QualityOps.tableDiff(s, d)),
     "fk_orphans"      -> (QualityOps.fkOrphans _),
     "profile_columns" -> (QualityOps.profileColumns _),
+    "profile_columns_approx" -> (QualityOps.profileColumnsApprox _),
     "dq_expectations" -> (QualityOps.dqExpectations _),
     "profile_drift"   -> ((s, d) => QualityOps.profileDrift(s, d)),
     "dq_freshness"    -> ((s, d) => QualityOps.dqFreshness(s, d)),
@@ -161,8 +162,21 @@ object SparkEntry {
     "ann_recall_report"   -> ((s, d) => Similarity.annRecallReport(s, d)),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
     "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
-    "ann_pq_topk"         -> ((s, d) => Similarity.annPqTopK(s, d)),
+    "ann_pq_topk"         -> ((s, d) => {
+      // the oracle needs the trained codebooks as literals; stash a
+      // thunk (memoized model → instant at dump time) for oracleSql
+      dynamicOracles("ann_pq_topk") = () => annPqOracle(s, d)
+      Similarity.annPqTopK(s, d)
+    }),
     "ann_ivfpq_topk"      -> ((s, d) => Similarity.annIvfPqTopK(s, d)),
+    // probe-every-cell IVF-PQ == plain PQ bit-for-bit (cells partition
+    // the corpus; the scorer is identical) — the hash-witnessed
+    // identity that certifies the IVF-PQ plumbing, like the other
+    // *_allprobe keys. Shares ann_pq_topk's codebook-literal oracle.
+    "ann_ivfpq_allprobe"  -> ((s, d) => {
+      dynamicOracles("ann_ivfpq_allprobe") = () => annPqOracle(s, d)
+      Similarity.annIvfPqTopK(s, d, nProbeCells = 16)
+    }),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
     "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
@@ -236,6 +250,7 @@ object SparkEntry {
     "text_repetition_filter" -> ((s, d) => TextOps.textRepetitionFilter(s, d)),
     "vocab_encode"       -> ((s, d) => TextOps.vocabEncode(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "stream_dedup_incremental" -> ((s, d) => Dedup.streamDedupIncremental(s, d)),
     "dedup_incremental_minhash" -> ((s, d) => Dedup.dedupIncrementalMinhash(s, d)),
     "dedup_incremental_embedding" -> ((s, d) => Dedup.dedupIncrementalEmbedding(s, d)),
     "dedup_keep_best"    -> ((s, d) => Dedup.dedupKeepBest(s, d)),
@@ -295,8 +310,60 @@ object SparkEntry {
     b.toString
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Oracles whose SQL embeds TRAINED MODEL STATE as literals (the PQ
+    * codebooks): the query closure stashes a generator thunk when it
+    * runs, and [[oracleSql]] folds the generated SQL in. The thunk
+    * reads the session-memoized model (Caches.model), so evaluation at
+    * dump time — Verify runs every query first — is a string build,
+    * not a fit. A key whose query never ran in this JVM simply stays
+    * rows-only, the pre-round-16 behavior.
+    */
+  private val dynamicOracles =
+    scala.collection.concurrent.TrieMap.empty[String, () => String]
+
+  def oracleSql: Map[String, String] =
+    staticOracleSql ++ dynamicOracles.map { case (k, f) => k -> f() }
+
+  /** The k-core peel UNROLLED — the [[topPcOracleSql]] road applied to
+    * the last rows-only graph key: each MATERIALIZED round restricts
+    * the symmetric co-purchase edges (same substrate CTE as
+    * graph_components/triangles) to both-endpoints-alive and re-filters
+    * degree >= k; past the fixpoint every extra round is idempotent, so
+    * unrolling beyond the measured sf0.01 depth (10 rounds) is safe —
+    * and the final cross-joined WITNESS makes that safety checked, not
+    * assumed: if the last two rounds differ (not converged), the oracle
+    * ERRORS instead of hashing a wrong answer.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH pl AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+                FROM pl x JOIN pl y ON x.l_orderkey = y.l_orderkey
+                                   AND x.l_partkey < y.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+                UNION ALL SELECT b AS src, a AS dst FROM e0),
+         r0 AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+                FROM sym GROUP BY src HAVING COUNT(*) >= $k)"""
+    for (i <- 1 to rounds) {
+      b ++= s""",
+         r$i AS MATERIALIZED (SELECT s.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+                FROM sym s JOIN r${i - 1} a1 ON a1.node = s.src
+                           JOIN r${i - 1} a2 ON a2.node = s.dst
+                GROUP BY s.src HAVING COUNT(*) >= $k)"""
+    }
+    b ++= s"""
+         , chk AS (SELECT CASE WHEN (SELECT COUNT(*) FROM r$rounds) =
+                                    (SELECT COUNT(*) FROM r${rounds - 1})
+                        THEN true ELSE error('kcore oracle: peel not converged in $rounds rounds') END AS ok)
+         SELECT node AS part_key, core_degree FROM r$rounds, chk WHERE chk.ok
+         ORDER BY part_key"""
+    b.toString
+  }
+
+  private def staticOracleSql: Map[String, String] = Map(
     "embedding_top_pc" -> topPcOracleSql(8),
+    "graph_kcore" -> kcoreOracleSql(3, 16),
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
          TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS prop_k,
@@ -2514,6 +2581,17 @@ object SparkEntry {
                 (FLOOR(100.0 * len(list_distinct(toks)) / len(toks)) >= 30)
                   AND (FLOOR(100.0 * top.top_cnt / len(bigrams)) <= 20) AS keep
          FROM b JOIN top USING (doc_id) ORDER BY doc_id""",
+    // the streaming twin's batch form answers the SAME question on the
+    // same slices — exact verdict only (the bloom screen inside is an
+    // optimization, spec-covered), so the oracle is shared verbatim
+    "stream_dedup_incremental" ->
+      """WITH h AS (
+           SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+           FROM documents),
+         b AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 <> 0)
+         SELECT h.doc_id, h.content_hash, b.content_hash IS NULL AS is_new
+         FROM h LEFT JOIN b ON h.content_hash = b.content_hash
+         WHERE h.doc_id % 10 = 0 ORDER BY h.doc_id""",
     "dedup_incremental" ->
       """WITH h AS (
            SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
@@ -3502,6 +3580,76 @@ object SparkEntry {
           SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
           FROM scored)
         SELECT probe_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= 10
+        ORDER BY probe_id, rank"""
+  }
+
+  /** The PQ serving tier fully oracle-checked, the [[annSq8Oracle]]
+    * move one level up: the trained codebooks are deterministic seeded
+    * model state, so they embed as a (m, c, v1..v4) VALUES table of
+    * double literals and DuckDB replays ENCODE (per-subspace argmin of
+    * the expanded 4-term
+    * squared-L2 — left-associated doubles, the exact IEEE sequence of
+    * [[graft.functions.PqEncode]]'s loop; ties to the lowest code via
+    * the (d2, code) row_number order) and ADC scoring (the decoded
+    * vector inlined as codebook lookups `cb[m][k_m+1][j]`, then the
+    * same expanded-sum cosine as [[annBruteforceOracle]]) bit-for-bit.
+    * Serves both `ann_pq_topk` and the `ann_ivfpq_allprobe` identity
+    * (probe-all-cells IVF-PQ == PQ exactly — cells partition the
+    * corpus, the scorer is shared). Generated per (session, dir) via
+    * [[dynamicOracles]]; float literals print as shortest-round-trip
+    * doubles (float→double is exact; DuckDB's parse is correctly
+    * rounded), so the SQL sees the same constants the kernel does.
+    */
+  private def annPqOracle(s: SparkSession, dir: String): String = {
+    val cbs = graft.operators.Similarity.pqDefaultCodebooks(s, dir)
+    val nSub = cbs.length
+    val nCodes = cbs.head.length
+    val subDim = cbs.head.head.length
+    val dim = nSub * subDim
+    // the codebook lands as a 1024-ROW VALUES table (m, c, v1..v4) of
+    // scalar doubles, not a nested-list literal referenced per row — a
+    // DOUBLE[][][] literal in a 512k-row cross join re-evaluates the
+    // 4096-element cast per row (measured: the list form never
+    // finished at sf0.01; this form runs in seconds)
+    val cbRows = (for {
+      m <- 1 to nSub; c <- 0 until nCodes
+    } yield (Seq(m, c) ++ cbs(m - 1)(c).map(_.toDouble.toString))
+      .mkString("(", ", ", ")")).mkString(",\n           ")
+    val vCols = (1 to subDim).map(j => s"v$j").mkString(", ")
+    val d2 = (1 to subDim).map { j =>
+      val t = s"(CAST(e.embedding[(b.m-1)*$subDim+$j] AS DOUBLE) - b.v$j)"
+      s"$t*$t"
+    }.mkString(" + ")
+    // decoded dim i = the kept code's v_j, pivoted to a scalar column
+    def dcol(i: Int) = s"d.d$i"
+    val dPivot = (1 to dim).map { i =>
+      val m = (i - 1) / subDim + 1; val j = (i - 1) % subDim + 1
+      s"MAX(CASE WHEN m=$m THEN v$j END) AS d$i"
+    }.mkString(", ")
+    val dot = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*${dcol(i)}").mkString(" + ")
+    val np  = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    val nd  = (1 to dim).map(i => s"${dcol(i)}*${dcol(i)}").mkString(" + ")
+    s"""WITH cb(m, c, $vCols) AS MATERIALIZED (
+          SELECT m, c, ${(1 to subDim).map(j => s"CAST(v$j AS DOUBLE)").mkString(", ")}
+          FROM (VALUES $cbRows) t(m, c, $vCols)),
+        enc AS MATERIALIZED (
+          SELECT vec_id, m, c, $vCols FROM (
+            SELECT e.vec_id, b.m, b.c, ${(1 to subDim).map(j => s"b.v$j").mkString(", ")},
+                   row_number() OVER (PARTITION BY e.vec_id, b.m
+                                      ORDER BY ($d2) ASC, b.c ASC) AS rn
+            FROM embeddings e CROSS JOIN cb b)
+          WHERE rn = 1),
+        d AS MATERIALIZED (SELECT vec_id, $dPivot FROM enc GROUP BY vec_id),
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 < 2),
+        scored AS (
+          SELECT p.probe_id, d.vec_id AS neighbor_id,
+                 CASE WHEN sqrt($np)*sqrt($nd) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(($dot) / (sqrt($np)*sqrt($nd)) * 1000000.0) AS BIGINT) END AS adc_cosine_x1e6
+          FROM d JOIN p ON d.vec_id <> p.probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, adc_cosine_x1e6 FROM ranked WHERE rank <= 10
         ORDER BY probe_id, rank"""
   }
 

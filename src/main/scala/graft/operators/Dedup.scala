@@ -375,6 +375,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Batch twin of the STREAMING delta-vs-base dedup
+    * ([[graft.streaming.EventStreams.dedupIncremental]] — identical
+    * bloom-screen-then-exact-verify plan on a bounded delta): the
+    * deterministic `doc_id % deltaMod == 0` slice plays the stream,
+    * the rest the accumulated base. Output (doc_id, content_hash,
+    * is_new) is the EXACT verdict, so it hash-verifies against the
+    * same oracle as [[dedupIncremental]]; StreamingSpec proves
+    * stream == batch on the same rows, and DedupSpec's bloom-probe
+    * specs cover the screen's soundness.
+    */
+  def streamDedupIncremental(s: SparkSession, dir: String,
+                             deltaMod: Int = 10): DataFrame = {
+    require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
+    val docs = Tables.documents(s, dir)
+    graft.streaming.EventStreams.dedupIncremental(
+        docs.filter(col("doc_id") % deltaMod === 0).select("doc_id", "text"),
+        docs.filter(col("doc_id") % deltaMod =!= 0).select("text"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered incremental exact dedup — what
     * [[dedupIncremental]]'s shuffled probe join costs at 100 TB is
     * exactly what this removes for the clean majority of a delta: the

@@ -144,31 +144,48 @@ object QualityOps {
     * oracle-mandated choice; the 100 TB swap is approx_count_distinct
     * (HLL, mergeable) in the same single-pass plan.
     */
-  def profileColumns(s: SparkSession, dir: String): DataFrame = {
+  def profileColumns(s: SparkSession, dir: String): DataFrame =
+    profileColumnsWith(s, dir, c => countDistinct(c))
+
+  /** The 100 TB form of [[profileColumns]] the exact key's scaladoc
+    * promises: the SAME single-pass one-Expand plan with
+    * `approx_count_distinct` (HLL++, mergeable partial state) in place
+    * of exact COUNT(DISTINCT) — the swap that turns the profile's
+    * per-column distinct from a full-cardinality Expand shuffle into
+    * fixed-width sketch merges. Rows-only by design (HLL estimates);
+    * QualityOpsSpec pins exact agreement on the low-cardinality
+    * columns (HLL++ answers exactly from its sparse register set) and
+    * a relative-error band on the high-cardinality ones.
+    */
+  def profileColumnsApprox(s: SparkSession, dir: String): DataFrame =
+    profileColumnsWith(s, dir, c => approx_count_distinct(c))
+
+  private def profileColumnsWith(s: SparkSession, dir: String,
+                                 distinctAgg: Column => Column): DataFrame = {
     val ev = Tables.events(s, dir)
       .withColumn("ts_s", expr("ts_ns div 1000000000"))
     val agged = ev.agg(
       count(lit(1)).as("n"),
       // event_id
       count(when(col("event_id").isNull, 1)).as("eid_null"),
-      countDistinct(col("event_id")).as("eid_dist"),
+      distinctAgg(col("event_id")).as("eid_dist"),
       min("event_id").as("eid_min"), max("event_id").as("eid_max"),
       // user_id
       count(when(col("user_id").isNull, 1)).as("uid_null"),
-      countDistinct(col("user_id")).as("uid_dist"),
+      distinctAgg(col("user_id")).as("uid_dist"),
       min("user_id").as("uid_min"), max("user_id").as("uid_max"),
       // event_type
       count(when(col("event_type").isNull, 1)).as("ety_null"),
-      countDistinct(col("event_type")).as("ety_dist"),
+      distinctAgg(col("event_type")).as("ety_dist"),
       min("event_type").as("ety_min"), max("event_type").as("ety_max"),
       // value (double → floor(100x) canonical form)
       count(when(col("value").isNull, 1)).as("val_null"),
-      countDistinct(col("value")).as("val_dist"),
+      distinctAgg(col("value")).as("val_dist"),
       floor(lit(100.0) * min("value")).cast("long").as("val_min"),
       floor(lit(100.0) * max("value")).cast("long").as("val_max"),
       // ts (epoch seconds)
       count(when(col("ts_s").isNull, 1)).as("ts_null"),
-      countDistinct(col("ts_s")).as("ts_dist"),
+      distinctAgg(col("ts_s")).as("ts_dist"),
       min("ts_s").as("ts_min"), max("ts_s").as("ts_max"))
     agged.select(explode(array(
         struct(lit("event_id").as("col_name"), col("n"), col("eid_null").as("n_null"),

@@ -521,6 +521,23 @@ object Similarity {
     }
   }
 
+  /** The DEFAULT-dial PQ codebooks (the ones `ann_pq_topk` /
+    * `ann_ivfpq_*` serve with) as driver-side values — the hook the
+    * DuckDB oracle generator uses to replay encode+ADC exactly: the
+    * codebooks are deterministic seeded model state, so embedding them
+    * as SQL literals turns the whole PQ scoring path into
+    * oracle-checkable arithmetic. Memoized (Caches.model), so after a
+    * serving call this is a lookup, not a fit.
+    */
+  private[graft] def pqDefaultCodebooks(s: SparkSession, dir: String,
+                                        nSub: Int = 16, nCodes: Int = 64,
+                                        trainMod: Int = 1): Seq[Seq[Seq[Float]]] = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % nSub == 0, s"dim $dim must split into $nSub subspaces")
+    pqCodebooks(emb, dim, nSub, nCodes, trainMod, dir)
+  }
+
   /** IVF-PQ — the two index tiers COMPOSED, the production ANN shape
     * at 100 TB (FAISS `IndexIVFPQ`): the coarse quantizer prunes WHICH
     * vectors are scored (candidates = members of the probe's

@@ -166,6 +166,58 @@ object EventStreams {
       .select(col("user_id"), col("event_type"),
               col("event_id").as("first_event_id"), col("ts"))
 
+  /** Streaming delta-vs-base exact dedup —
+    * [[graft.operators.Dedup.dedupIncremental]]'s contract as a
+    * CONTINUOUS stream: every arriving document is answered "new or
+    * already in the accumulated corpus" within its micro-batch. The
+    * base side is STATIC (the persisted corpus; stream-static
+    * re-plans it per micro-batch, so an appended base snapshot is
+    * picked up on the next batch) and collapses into two bounded
+    * artifacts per batch:
+    *
+    *  1. a `graft_bloom` membership sketch (KB-scale, broadcast) —
+    *     every delta row screens ROW-LOCALLY, and a bloom-NEGATIVE is
+    *     definitively new (no false negatives), so the clean majority
+    *     of a delta never reaches a shuffle;
+    *  2. the distinct sha2-256 hash set — only bloom-POSITIVES (true
+    *     dups + the bounded false-positive tail) enter this exact
+    *     verify join, the [[graft.operators.Dedup.dedupBloomProbe]]
+    *     screen-then-verify discipline made continuous.
+    *
+    * Output: (doc_id, content_hash, is_new) — the EXACT verdict (the
+    * bloom is an optimization, never the answer), so the batch twin
+    * hash-verifies against the same DuckDB oracle as
+    * `dedup_incremental`. Append-mode stateless plan: no watermark, no
+    * state store — the state IS the base corpus, which is exactly
+    * where a continuously-ingesting pipeline keeps it.
+    */
+  def dedupIncremental(delta: DataFrame, base: DataFrame,
+                       numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    import graft.functions.TextFunctions.normText
+    val s = delta.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val baseHashed = base.select(
+      xxhash64(normText(col("text"))).as("h"),
+      sha2(normText(col("text")), 256).as("content_hash"))
+    val sketch = baseHashed.agg(
+      call_function("graft_bloom", col("h"), lit(numBits), lit(numHashes)).as("bloom"))
+    val screened = delta.select(
+        col("doc_id"),
+        xxhash64(normText(col("text"))).as("h"),
+        sha2(normText(col("text")), 256).as("content_hash"))
+      .crossJoin(broadcast(sketch))
+      .select(col("doc_id"), col("content_hash"),
+        call_function("graft_bloom_contains", col("bloom"), col("h")).as("maybe_dup"))
+    val negatives = screened.filter(!col("maybe_dup"))
+      .select(col("doc_id"), col("content_hash"), lit(true).as("is_new"))
+    val positives = screened.filter(col("maybe_dup"))
+      .join(baseHashed.select("content_hash").distinct()
+              .withColumn("in_base", lit(true)),
+            Seq("content_hash"), "left")
+      .select(col("doc_id"), col("content_hash"), col("in_base").isNull.as("is_new"))
+    negatives.unionByName(positives)
+  }
+
   /** Stream-stream event-time interval join: each purchase joins the
     * signups of the same user whose event time falls within
     * `horizonSec` BEFORE the purchase — the continuous analogue of

@@ -23,6 +23,30 @@ class QualityOpsSpec extends AnyFunSuite with SparkFixture {
                       4L -> "removed", 5L -> "added"))
   }
 
+  test("profile_columns_approx: same plan shape, exact on low-cardinality, banded on the rest") {
+    val exact = QualityOps.profileColumns(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = QualityOps.profileColumnsApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (col, e) =>
+      val a = approx(col)
+      // everything but the distinct estimate is shared plan output
+      assert(a.getLong(1) == e.getLong(1) && a.getLong(2) == e.getLong(2) &&
+             a.getString(4) == e.getString(4) && a.getString(5) == e.getString(5),
+        s"$col non-distinct stats must match the exact profile")
+      val (de, da) = (e.getLong(3), a.getLong(3))
+      if (de <= 64)
+        // HLL++ answers small cardinalities exactly (sparse mode)
+        assert(da == de, s"$col: approx $da != exact $de at low cardinality")
+      else
+        // default rsd 0.05 — band generously so the spec pins the
+        // contract, not the estimator's luck
+        assert(math.abs(da - de).toDouble / de < 0.15,
+          s"$col: approx $da vs exact $de out of band")
+    }
+  }
+
   test("table_diff statuses match the modular presence rules and payload equality") {
     val rows = QualityOps.tableDiff(spark, sf).collect()
     assert(rows.nonEmpty)
