@@ -136,37 +136,70 @@ object Similarity {
     * filtered result bit-for-bit — the segmentation itself loses
     * nothing, only cell pruning does).
     *
-    * Default dial 10/16 — higher than the unfiltered tier's 8/16:
-    * the standard filtered-search nprobe uplift. A label stratum's
-    * per-cell lists are 1/|labels| as dense, so the true filtered
-    * top-k spreads across more cells than the unfiltered top-k, and
-    * the balanced Lloyd quantizer ([[ivfAssigned]]) deliberately
-    * gives no few-giant-cells shortcut — each probed cell buys ~1/16
-    * of the stratum, so the recall floor prices out at ten cells.
+    * The default dial is STRATUM-AWARE (nProbeCells <= 0): a label
+    * stratum's per-cell lists are 1/|labels| as dense as the
+    * unfiltered corpus, so a FIXED nprobe prices recall differently
+    * per stratum — sparse strata scatter their true top-k across more
+    * cells. Instead each probe walks its ranked cells (centroid
+    * similarity desc) and keeps them until the cells already kept
+    * cover `coverageX1000/1000` of its OWN stratum's rows: the
+    * (cell, label) occupancy table is a bounded aggregate (≤
+    * nCells·|labels| rows, broadcast — segmented-list METADATA a real
+    * deployment keeps anyway), the walk is one window cumsum, and
+    * cells with zero stratum mass are never probed at all. On the
+    * adversarially-uniform corpus expected recall ≈ the covered
+    * fraction (0.9 default → spec floor 0.85); clustered corpora
+    * reach the same coverage in far fewer cells. A positive
+    * `nProbeCells` forces the classic fixed dial (the allprobe
+    * identity key passes nCells).
     *
     * Output schema matches [[annFilteredTopK]] so per-stratum recall
     * is directly measurable.
     */
   def annFilteredIvf(s: SparkSession, dir: String, k: Int = 10,
-                     nCells: Int = 16, nProbeCells: Int = 10): DataFrame = {
+                     nCells: Int = 16, nProbeCells: Int = 0,
+                     coverageX1000: Int = 900): DataFrame = {
     GraftFunctions.ensureRegistered(s)
+    require(nProbeCells > 0 || (coverageX1000 >= 1 && coverageX1000 <= 1000),
+      s"coverageX1000 $coverageX1000 must be in [1, 1000]")
     val emb = graft.Caches.cached(
       Tables.requireLabel(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("embedding"), col("label")))
-    val (assigned, centroids) = ivfAssigned(emb, nCells, dir)
+    val (assigned0, centroids) = ivfAssigned(emb, nCells, dir)
+    // adaptive probing reads the assignment twice (occupancy +
+    // candidates) — one shared scan
+    val assigned = if (nProbeCells > 0) assigned0 else graft.Caches.cached(assigned0)
     val centers = s.createDataFrame(
       centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
       .toDF("cell", "centroid")
     val cellRank = Window.partitionBy("probe_id")
       .orderBy(col("cell_sim").desc, col("cell"))
-    val probeCells = probeBatch(emb)
+    val rankedCells = probeBatch(emb)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
               col("label").as("probe_label"))
       .crossJoin(broadcast(centers))
       .select(col("probe_id"), col("probe_emb"), col("probe_label"), col("cell"),
               scoreX1e6(col("probe_emb"), col("centroid")).as("cell_sim"))
       .withColumn("cell_rank", row_number().over(cellRank))
-      .filter(col("cell_rank") <= nProbeCells)
+    val probeCells = (if (nProbeCells > 0)
+        rankedCells.filter(col("cell_rank") <= nProbeCells)
+      else {
+        val occ = assigned.groupBy(col("cell").as("o_cell"), col("label").as("o_label"))
+          .agg(count(lit(1)).as("occ"))
+        val cumBefore = Window.partitionBy("probe_id").orderBy("cell_rank")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val stratumTotal = Window.partitionBy("probe_id")
+        rankedCells
+          // inner join: a cell holding none of the probe's stratum is
+          // never probed (it could contribute no candidate)
+          .join(broadcast(occ),
+                col("cell") === col("o_cell") && col("probe_label") === col("o_label"))
+          .withColumn("cum_before", coalesce(sum("occ").over(cumBefore), lit(0L)))
+          .withColumn("stratum_n", sum("occ").over(stratumTotal))
+          // keep cells while coverage-so-far < target: the first
+          // EXCLUDED cell already has cum_before >= τ·stratum
+          .filter(col("cum_before") * 1000 < col("stratum_n") * coverageX1000)
+      })
       .select(col("probe_id"), col("probe_emb"), col("probe_label"),
               col("cell").as("p_cell"))
     val w = Window.partitionBy("probe_id")
@@ -418,16 +451,18 @@ object Similarity {
 
   /** Product-quantization ANN — the MEMORY tier of the family:
     * [[embeddingQuantize]] cuts 4× per vector, PQ cuts d·4 float bytes
-    * to `nSub` small codes (64-dim float → 16 6-bit codes = 12 packed
-    * bytes at the defaults, ~21×) by splitting each vector into `nSub`
+    * to `nSub` small codes (64-dim float → 16 one-byte codes at the
+    * defaults, 16×) by splitting each vector into `nSub`
     * subvectors and snapping each to its nearest of `nCodes`
     * per-subspace centroids; search scores probes against the
     * RECONSTRUCTED (decoded) vectors — asymmetric distance
     * computation, the FAISS `IndexPQ` shape — so the original corpus
-    * embeddings are never touched after indexing. The default dial
-    * (16×64) measures 0.70 recall@10 on the near-uniform synthetic
-    * corpus — the adversarial case; clustered production embeddings
-    * run far better at the same budget.
+    * embeddings are never touched after indexing. The default dial is
+    * PQ16x8 (16 subspaces × 256 codes — the standard FAISS budget;
+    * the r15 16×64 dial measured 0.69 recall@10 on the near-uniform
+    * synthetic corpus, and 8-bit codebooks at the same subspace count
+    * lift it past 0.85 while keeping 16× compression); clustered
+    * production embeddings run far better still at the same budget.
     *
     * Plan: `nSub` MLlib k-means fits train the codebooks (driver
     * model state, nSub·nCodes·subDim floats — KB-scale; at 100 TB the
@@ -441,14 +476,16 @@ object Similarity {
     * standard broadcast 2% sample; only (probe, neighbor, score)
     * triples shuffle into the per-probe top-k window.
     *
-    * Rows-only by design: the ADC score depends on the trained
-    * codebooks (seeded, but k-means is not SQL-expressible);
-    * SimilaritySpec asserts recall vs brute force, the 32×
-    * compression ratio, and that codes decode to the centroid the
-    * encoder chose.
+    * HASH-VERIFIED since r16: k-means is not SQL-expressible, but the
+    * TRAINED codebooks are deterministic seeded model state, so the
+    * oracle embeds them as literals and replays encode+ADC exactly
+    * (SparkEntry's codebook-literal oracle — the [[annSq8TopK]] move
+    * one level up). SimilaritySpec additionally asserts recall vs
+    * brute force, the compression ratio, and that codes decode to the
+    * centroid the encoder chose.
     */
   def annPqTopK(s: SparkSession, dir: String, k: Int = 10,
-                nSub: Int = 16, nCodes: Int = 64, trainMod: Int = 1): DataFrame = {
+                nSub: Int = 16, nCodes: Int = 256, trainMod: Int = 1): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val emb = graft.Caches.cached(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
@@ -530,7 +567,7 @@ object Similarity {
     * serving call this is a lookup, not a fit.
     */
   private[graft] def pqDefaultCodebooks(s: SparkSession, dir: String,
-                                        nSub: Int = 16, nCodes: Int = 64,
+                                        nSub: Int = 16, nCodes: Int = 256,
                                         trainMod: Int = 1): Seq[Seq[Seq[Float]]] = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -568,7 +605,7 @@ object Similarity {
     */
   def annIvfPqTopK(s: SparkSession, dir: String, k: Int = 10,
                    nCells: Int = 16, nProbeCells: Int = 8,
-                   nSub: Int = 16, nCodes: Int = 64, trainMod: Int = 1): DataFrame = {
+                   nSub: Int = 16, nCodes: Int = 256, trainMod: Int = 1): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val emb = graft.Caches.cached(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
