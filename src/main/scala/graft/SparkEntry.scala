@@ -157,18 +157,30 @@ object SparkEntry {
     // Similarity search (LLM-data pipeline)
     "ann_bruteforce_topk" -> ((s, d) => Similarity.annBruteforceTopK(s, d)),
     "ann_filtered_topk"   -> ((s, d) => Similarity.annFilteredTopK(s, d)),
-    "ann_filtered_ivf"    -> ((s, d) => Similarity.annFilteredIvf(s, d)),
+    "ann_filtered_ivf"    -> ((s, d) => {
+      dynamicOracles("ann_filtered_ivf") = () => annFilteredIvfOracle(s, d)
+      Similarity.annFilteredIvf(s, d)
+    }),
     "doc_embedding_pool"  -> ((s, d) => Similarity.docEmbeddingPool(s, d)),
-    "ann_recall_report"   -> ((s, d) => Similarity.annRecallReport(s, d)),
+    "ann_recall_report"   -> ((s, d) => {
+      dynamicOracles("ann_recall_report") = () => annRecallReportOracle(s, d)
+      Similarity.annRecallReport(s, d)
+    }),
     "ann_lsh_topk"        -> ((s, d) => Similarity.annLshTopK(s, d)),
-    "ann_ivf_topk"        -> ((s, d) => Similarity.annIvfTopK(s, d)),
+    "ann_ivf_topk"        -> ((s, d) => {
+      dynamicOracles("ann_ivf_topk") = () => annIvfOracle(s, d)
+      Similarity.annIvfTopK(s, d)
+    }),
     "ann_pq_topk"         -> ((s, d) => {
       // the oracle needs the trained codebooks as literals; stash a
       // thunk (memoized model → instant at dump time) for oracleSql
       dynamicOracles("ann_pq_topk") = () => annPqOracle(s, d)
       Similarity.annPqTopK(s, d)
     }),
-    "ann_ivfpq_topk"      -> ((s, d) => Similarity.annIvfPqTopK(s, d)),
+    "ann_ivfpq_topk"      -> ((s, d) => {
+      dynamicOracles("ann_ivfpq_topk") = () => annIvfPqOracle(s, d)
+      Similarity.annIvfPqTopK(s, d)
+    }),
     // probe-every-cell IVF-PQ == plain PQ bit-for-bit (cells partition
     // the corpus; the scorer is identical) — the hash-witnessed
     // identity that certifies the IVF-PQ plumbing, like the other
@@ -178,7 +190,10 @@ object SparkEntry {
       Similarity.annIvfPqTopK(s, d, nProbeCells = 16)
     }),
     "knn_graph"           -> ((s, d) => Similarity.knnGraph(s, d)),
-    "knn_graph_ivf"       -> ((s, d) => Similarity.knnGraphIvf(s, d)),
+    "knn_graph_ivf"       -> ((s, d) => {
+      dynamicOracles("knn_graph_ivf") = () => knnGraphIvfOracle(s, d)
+      Similarity.knnGraphIvf(s, d)
+    }),
     "embedding_quantize"  -> (Similarity.embeddingQuantize _),
     "embedding_centroids" -> (Similarity.embeddingCentroids _),
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
@@ -364,6 +379,7 @@ object SparkEntry {
   private def staticOracleSql: Map[String, String] = Map(
     "embedding_top_pc" -> topPcOracleSql(8),
     "graph_kcore" -> kcoreOracleSql(3, 16),
+    "ann_lsh_topk" -> annLshOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
          TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS prop_k,
@@ -3651,6 +3667,445 @@ object SparkEntry {
           FROM scored)
         SELECT probe_id, rank, neighbor_id, adc_cosine_x1e6 FROM ranked WHERE rank <= 10
         ORDER BY probe_id, rank"""
+  }
+
+  /** Shared fragments for the IVF-family oracles ([[annIvfOracle]],
+    * [[knnGraphIvfOracle]], [[annFilteredIvfOracle]],
+    * [[annIvfPqOracle]]): the fitted coarse quantizer is deterministic
+    * seeded model state (like the PQ codebooks), so it embeds as a
+    * VALUES table carrying BOTH arithmetic forms each serving stage
+    * reads — `a1..a64` the micro/1e6 DOUBLES `graft_kmeans_assign`
+    * scans (corpus cell assignment), `r1..r64` their FLOAT recast as
+    * staged in the broadcast centroid table (probe-side cell
+    * ranking). Returns (centsCte, asgCte, cellSimX1e6) where asg maps
+    * every vector to its cell via the expanded-L2 argmin (left-assoc
+    * doubles, ties to the lowest cid — the kernel's exact scan) and
+    * cellSimX1e6 is scoreX1e6(probe, float centroid) for a row
+    * aliased `p` (pe) × `c` (cents).
+    */
+  private def ivfOracleParts(s: SparkSession, dir: String): (String, String, String) = {
+    val m = graft.operators.Similarity.ivfDefaultModel(s, dir)
+    val dim = m.assignCents.head.length
+    val rows = m.cids.indices.map { i =>
+      (Seq(m.cids(i).toString) ++ m.assignCents(i).map(_.toString) ++
+        m.rankCents(i).map(_.toDouble.toString)).mkString("(", ", ", ")")
+    }.mkString(",\n           ")
+    val aCols = (1 to dim).map(j => s"a$j").mkString(", ")
+    val rCols = (1 to dim).map(j => s"r$j").mkString(", ")
+    val centsCte =
+      s"""cents(cid, $aCols, $rCols) AS MATERIALIZED (
+          SELECT CAST(cid AS BIGINT) AS cid,
+                 ${(1 to dim).map(j => s"CAST(a$j AS DOUBLE) AS a$j").mkString(", ")},
+                 ${(1 to dim).map(j => s"CAST(r$j AS DOUBLE) AS r$j").mkString(", ")}
+          FROM (VALUES $rows) t(cid, $aCols, $rCols))"""
+    val d2 = (1 to dim).map { j =>
+      val t = s"(CAST(e.embedding[$j] AS DOUBLE) - c.a$j)"
+      s"$t*$t"
+    }.mkString(" + ")
+    val asgCte =
+      s"""asg AS MATERIALIZED (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY ($d2) ASC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c)
+          WHERE rn = 1)"""
+    val dotR = (1 to dim).map(j => s"CAST(p.pe[$j] AS DOUBLE)*c.r$j").mkString(" + ")
+    val npR  = (1 to dim).map(j => s"CAST(p.pe[$j] AS DOUBLE)*CAST(p.pe[$j] AS DOUBLE)").mkString(" + ")
+    val ncR  = (1 to dim).map(j => s"c.r$j*c.r$j").mkString(" + ")
+    val cellSim =
+      s"""CASE WHEN sqrt($npR)*sqrt($ncR) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(($dotR) / (sqrt($npR)*sqrt($ncR)) * 1000000.0) AS BIGINT) END"""
+    (centsCte, asgCte, cellSim)
+  }
+
+  /** Exact-cosine fragment between probe `p.pe` and candidate
+    * `e.embedding` (the [[annBruteforceOracle]] expansion, factored
+    * for the IVF-family rerank stages). */
+  private def exactCosineX1e6(dim: Int): String = {
+    val dot = (1 to dim).map(i => s"CAST(e.embedding[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    val nx  = (1 to dim).map(i => s"CAST(e.embedding[$i] AS DOUBLE)*CAST(e.embedding[$i] AS DOUBLE)").mkString(" + ")
+    val ny  = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    s"""CASE WHEN sqrt($nx)*sqrt($ny) = 0 THEN CAST(0 AS BIGINT)
+             ELSE CAST(FLOOR(($dot) / (sqrt($nx)*sqrt($ny)) * 1000000.0) AS BIGINT) END"""
+  }
+
+  /** IVF serving fully oracle-checked at its DEFAULT dial (not just
+    * the allprobe identity): the quantizer literals replay cell
+    * assignment and the probe's floored-score cell ranking, so the
+    * oracle prunes to exactly the engine's candidate set before the
+    * exact-cosine rerank.
+    */
+  private def annIvfOracle(s: SparkSession, dir: String,
+                           nProbe: Int = 8, k: Int = 10): String = {
+    val (centsCte, asgCte, cellSim) = ivfOracleParts(s, dir)
+    s"""WITH $centsCte,
+        $asgCte,
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 < 2),
+        pcell AS MATERIALIZED (
+          SELECT probe_id, cid AS cell FROM (
+            SELECT p.probe_id, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                                      ORDER BY ($cellSim) DESC, c.cid ASC) AS cr
+            FROM p CROSS JOIN cents c)
+          WHERE cr <= $nProbe),
+        scored AS (
+          SELECT p.probe_id, a.vec_id AS neighbor_id, ${exactCosineX1e6(64)} AS cosine_x1e6
+          FROM asg a
+          JOIN pcell pc ON pc.cell = a.cell
+          JOIN p ON p.probe_id = pc.probe_id AND a.vec_id <> p.probe_id
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= $k
+        ORDER BY probe_id, rank"""
+  }
+
+  /** The IVF kNN graph at its default dial: every vector probes its
+    * `nProbe` nearest cells by RAW double cosine against the FLOAT
+    * centroid literals (the engine ranks cells row-locally via an
+    * array_sort over (−cosine, cell) structs — ties to the lower
+    * cell), then exact cosine reranks within cells.
+    */
+  private def knnGraphIvfOracle(s: SparkSession, dir: String,
+                                nProbe: Int = 8, k: Int = 5): String = {
+    val (centsCte, asgCte, _) = ivfOracleParts(s, dir)
+    val dim = 64
+    val dotR = (1 to dim).map(j => s"CAST(p.pe[$j] AS DOUBLE)*c.r$j").mkString(" + ")
+    val npR  = (1 to dim).map(j => s"CAST(p.pe[$j] AS DOUBLE)*CAST(p.pe[$j] AS DOUBLE)").mkString(" + ")
+    val ncR  = (1 to dim).map(j => s"c.r$j*c.r$j").mkString(" + ")
+    val rawCos =
+      s"""CASE WHEN sqrt($npR)*sqrt($ncR) = 0 THEN 0.0
+               ELSE ($dotR) / (sqrt($npR)*sqrt($ncR)) END"""
+    s"""WITH $centsCte,
+        $asgCte,
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings),
+        pcell AS MATERIALIZED (
+          SELECT probe_id, cid AS cell FROM (
+            SELECT p.probe_id, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                                      ORDER BY ($rawCos) DESC, c.cid ASC) AS cr
+            FROM p CROSS JOIN cents c)
+          WHERE cr <= $nProbe),
+        scored AS (
+          SELECT p.probe_id AS vec_id, a.vec_id AS neighbor_id, ${exactCosineX1e6(dim)} AS cosine_x1e6
+          FROM asg a
+          JOIN pcell pc ON pc.cell = a.cell
+          JOIN p ON p.probe_id = pc.probe_id AND a.vec_id <> p.probe_id
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT vec_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= $k
+        ORDER BY vec_id, rank"""
+  }
+
+  /** The label-segmented ADAPTIVE tier oracle: replays the
+    * stratum-aware walk — probe's cells ranked by floored score, inner
+    * join against the (cell, label) occupancy of the probe's own
+    * stratum (zero-mass cells never probed), kept while the EXCLUSIVE
+    * running occupancy is under coverage·stratum — then the exact
+    * within-stratum rerank.
+    */
+  private def annFilteredIvfOracle(s: SparkSession, dir: String,
+                                   coverageX1000: Int = 900, k: Int = 10): String = {
+    val (centsCte, asgCte, cellSim) = ivfOracleParts(s, dir)
+    s"""WITH $centsCte,
+        $asgCte,
+        al AS MATERIALIZED (
+          SELECT a.vec_id, a.cell, e.label FROM asg a JOIN embeddings e ON e.vec_id = a.vec_id),
+        occ AS (SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS occ FROM al GROUP BY cell, label),
+        p AS (SELECT vec_id AS probe_id, embedding AS pe, label AS pl FROM embeddings WHERE vec_id % 100 < 2),
+        pcell AS MATERIALIZED (
+          SELECT p.probe_id, c.cid AS cell,
+                 row_number() OVER (PARTITION BY p.probe_id
+                                    ORDER BY ($cellSim) DESC, c.cid ASC) AS cr
+          FROM p CROSS JOIN cents c),
+        kept AS (
+          SELECT probe_id, cell FROM (
+            SELECT pc.probe_id, pc.cell,
+                   COALESCE(SUM(o.occ) OVER (PARTITION BY pc.probe_id ORDER BY pc.cr
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+                   SUM(o.occ) OVER (PARTITION BY pc.probe_id) AS stratum_n
+            FROM pcell pc
+            JOIN p ON p.probe_id = pc.probe_id
+            JOIN occ o ON o.cell = pc.cell AND o.label = p.pl)
+          WHERE cum_before * 1000 < stratum_n * $coverageX1000),
+        scored AS (
+          SELECT p.probe_id, a.vec_id AS neighbor_id, a.label, ${exactCosineX1e6(64)} AS cosine_x1e6
+          FROM al a
+          JOIN kept kc ON kc.cell = a.cell
+          JOIN p ON p.probe_id = kc.probe_id AND a.label = p.pl AND a.vec_id <> p.probe_id
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, label, cosine_x1e6 FROM ranked WHERE rank <= $k
+        ORDER BY probe_id, rank"""
+  }
+
+  /** IVF-PQ at its default dial: the quantizer literals prune
+    * candidates ([[annIvfOracle]]'s cell walk) and the codebook
+    * literals replay encode+ADC ([[annPqOracle]]'s scorer) — the
+    * composed production tier fully hash-checked.
+    */
+  private def annIvfPqOracle(s: SparkSession, dir: String,
+                             nProbe: Int = 8, k: Int = 10): String = {
+    val (centsCte, asgCte, cellSim) = ivfOracleParts(s, dir)
+    val cbs = graft.operators.Similarity.pqDefaultCodebooks(s, dir)
+    val nSub = cbs.length
+    val nCodes = cbs.head.length
+    val subDim = cbs.head.head.length
+    val dim = nSub * subDim
+    val cbRows = (for {
+      m <- 1 to nSub; c <- 0 until nCodes
+    } yield (Seq(m, c) ++ cbs(m - 1)(c).map(_.toDouble.toString))
+      .mkString("(", ", ", ")")).mkString(",\n           ")
+    val vCols = (1 to subDim).map(j => s"v$j").mkString(", ")
+    val d2pq = (1 to subDim).map { j =>
+      val t = s"(CAST(e.embedding[(b.m-1)*$subDim+$j] AS DOUBLE) - b.v$j)"
+      s"$t*$t"
+    }.mkString(" + ")
+    def dcol(i: Int) = s"d.d$i"
+    val dPivot = (1 to dim).map { i =>
+      val m = (i - 1) / subDim + 1; val j = (i - 1) % subDim + 1
+      s"MAX(CASE WHEN m=$m THEN v$j END) AS d$i"
+    }.mkString(", ")
+    val dot = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*${dcol(i)}").mkString(" + ")
+    val np  = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    val nd  = (1 to dim).map(i => s"${dcol(i)}*${dcol(i)}").mkString(" + ")
+    s"""WITH $centsCte,
+        $asgCte,
+        cb(m, c, $vCols) AS MATERIALIZED (
+          SELECT m, c, ${(1 to subDim).map(j => s"CAST(v$j AS DOUBLE)").mkString(", ")}
+          FROM (VALUES $cbRows) t(m, c, $vCols)),
+        enc AS MATERIALIZED (
+          SELECT vec_id, m, c, $vCols FROM (
+            SELECT e.vec_id, b.m, b.c, ${(1 to subDim).map(j => s"b.v$j").mkString(", ")},
+                   row_number() OVER (PARTITION BY e.vec_id, b.m
+                                      ORDER BY ($d2pq) ASC, b.c ASC) AS rn
+            FROM embeddings e CROSS JOIN cb b)
+          WHERE rn = 1),
+        d AS MATERIALIZED (SELECT vec_id, $dPivot FROM enc GROUP BY vec_id),
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 < 2),
+        pcell AS MATERIALIZED (
+          SELECT probe_id, cid AS cell FROM (
+            SELECT p.probe_id, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                                      ORDER BY ($cellSim) DESC, c.cid ASC) AS cr
+            FROM p CROSS JOIN cents c)
+          WHERE cr <= $nProbe),
+        scored AS (
+          SELECT p.probe_id, d.vec_id AS neighbor_id,
+                 CASE WHEN sqrt($np)*sqrt($nd) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST(FLOOR(($dot) / (sqrt($np)*sqrt($nd)) * 1000000.0) AS BIGINT) END AS adc_cosine_x1e6
+          FROM d
+          JOIN asg a ON a.vec_id = d.vec_id
+          JOIN pcell pc ON pc.cell = a.cell
+          JOIN p ON p.probe_id = pc.probe_id AND d.vec_id <> p.probe_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, adc_cosine_x1e6 FROM ranked WHERE rank <= $k
+        ORDER BY probe_id, rank"""
+  }
+
+  /** Banded SRP-LSH fully oracle-checked — and unlike the IVF/PQ
+    * tiers it needs NO dynamic model state: the hyperplanes are a pure
+    * function of (seed, band) ([[graft.functions.VectorExpressions
+    * .planeMatrix]] — java.util.Random's LCG is specified behavior),
+    * so the oracle embeds the 36×64 plane slice as literals and
+    * replays sign bits (left-assoc expanded dot, `>= 0` inclusive),
+    * 3-bit band hashes, the probe's own-bucket + hamming-1 multi-probe
+    * (XOR {0,1,2,4}), candidate dedup, and the exact-cosine rerank.
+    */
+  private lazy val annLshOracle: String = {
+    val nBands = 12; val bitsPerBand = 3; val k = 10; val dim = 64
+    val planes = graft.functions.VectorExpressions
+      .planeMatrix(nBands * bitsPerBand, 42L, 1024)
+    val rows = planes.zipWithIndex.map { case (p, b) =>
+      (b.toString +: p.take(dim).map(_.toDouble.toString).toSeq)
+        .mkString("(", ", ", ")")
+    }.mkString(",\n           ")
+    val pCols = (1 to dim).map(j => s"p$j").mkString(", ")
+    val acc = (1 to dim).map(j => s"CAST(e.embedding[$j] AS DOUBLE)*pl.p$j").mkString(" + ")
+    s"""WITH planes(b, $pCols) AS MATERIALIZED (
+          SELECT b, ${(1 to dim).map(j => s"CAST(p$j AS DOUBLE) AS p$j").mkString(", ")}
+          FROM (VALUES $rows) t(b, $pCols)),
+        bits AS MATERIALIZED (
+          SELECT e.vec_id, pl.b,
+                 CASE WHEN ($acc) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM embeddings e CROSS JOIN planes pl),
+        bands AS MATERIALIZED (
+          SELECT vec_id, b // $bitsPerBand AS band_idx,
+                 CAST(SUM(bit * (1 << (b % $bitsPerBand))) AS BIGINT) AS band_hash
+          FROM bits GROUP BY vec_id, b // $bitsPerBand),
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 < 2),
+        variants AS (
+          SELECT bp.vec_id AS probe_id, bp.band_idx,
+                 xor(bp.band_hash, v.m) AS band_hash
+          FROM bands bp JOIN p ON p.probe_id = bp.vec_id
+          CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (4)) v(m)),
+        cand AS (
+          SELECT DISTINCT v.probe_id, bc.vec_id AS neighbor_id
+          FROM bands bc JOIN variants v
+            ON v.band_idx = bc.band_idx AND v.band_hash = bc.band_hash
+          WHERE bc.vec_id <> v.probe_id),
+        scored AS (
+          SELECT cand.probe_id, cand.neighbor_id, ${exactCosineX1e6(dim)} AS cosine_x1e6
+          FROM cand
+          JOIN p ON p.probe_id = cand.probe_id
+          JOIN embeddings e ON e.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine_x1e6 DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT probe_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= $k
+        ORDER BY probe_id, rank"""
+  }
+
+  /** The tier-recall MONITOR itself hash-checked: with every serving
+    * tier now SQL-replayable (quantizer + codebook literals, static
+    * LSH planes, sq8's arithmetic quantization), the report reduces to
+    * five semi-join counts against the exact top-k — one combined
+    * query sharing the probe set, the assignment, the encode, and the
+    * banding CTEs across tiers exactly like the engine shares its
+    * memoized indexes.
+    */
+  private def annRecallReportOracle(s: SparkSession, dir: String): String = {
+    val k = 10; val dim = 64; val nProbe = 8
+    val (centsCte, asgCte, cellSim) = ivfOracleParts(s, dir)
+    // --- PQ pieces (annPqOracle's layout) ---
+    val cbs = graft.operators.Similarity.pqDefaultCodebooks(s, dir)
+    val nSub = cbs.length; val nCodes = cbs.head.length; val subDim = cbs.head.head.length
+    val cbRows = (for { m <- 1 to nSub; c <- 0 until nCodes }
+      yield (Seq(m, c) ++ cbs(m - 1)(c).map(_.toDouble.toString))
+        .mkString("(", ", ", ")")).mkString(",\n           ")
+    val vCols = (1 to subDim).map(j => s"v$j").mkString(", ")
+    val d2pq = (1 to subDim).map { j =>
+      val t = s"(CAST(e.embedding[(b.m-1)*$subDim+$j] AS DOUBLE) - b.v$j)"
+      s"$t*$t"
+    }.mkString(" + ")
+    val dPivot = (1 to dim).map { i =>
+      val m = (i - 1) / subDim + 1; val j = (i - 1) % subDim + 1
+      s"MAX(CASE WHEN m=$m THEN v$j END) AS d$i"
+    }.mkString(", ")
+    val adcDot = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*d.d$i").mkString(" + ")
+    val npSum  = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*CAST(p.pe[$i] AS DOUBLE)").mkString(" + ")
+    val adcNd  = (1 to dim).map(i => s"d.d$i*d.d$i").mkString(" + ")
+    val adcScore =
+      s"""CASE WHEN sqrt($npSum)*sqrt($adcNd) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(($adcDot) / (sqrt($npSum)*sqrt($adcNd)) * 1000000.0) AS BIGINT) END"""
+    // --- LSH pieces (annLshOracle's layout) ---
+    val nBands = 12; val bitsPerBand = 3
+    val planes = graft.functions.VectorExpressions
+      .planeMatrix(nBands * bitsPerBand, 42L, 1024)
+    val plRows = planes.zipWithIndex.map { case (pv, b) =>
+      (b.toString +: pv.take(dim).map(_.toDouble.toString).toSeq)
+        .mkString("(", ", ", ")")
+    }.mkString(",\n           ")
+    val pCols = (1 to dim).map(j => s"p$j").mkString(", ")
+    val lshAcc = (1 to dim).map(j => s"CAST(e.embedding[$j] AS DOUBLE)*pl.p$j").mkString(" + ")
+    // --- SQ8 pieces (annSq8Oracle's layout) ---
+    val scale = (1 to dim).map(i => s"ABS(CAST(embedding[$i] AS DOUBLE))").mkString("GREATEST(", ", ", ")")
+    val codeCols = (1 to dim).map(i =>
+      s"CASE WHEN scale > 0 THEN FLOOR(127.0 * CAST(embedding[$i] AS DOUBLE) / scale) ELSE 0.0 END AS c$i").mkString(", ")
+    val sqDot = (1 to dim).map(i => s"CAST(p.pe[$i] AS DOUBLE)*sq.c$i").mkString(" + ")
+    val sqNc  = (1 to dim).map(i => s"sq.c$i*sq.c$i").mkString(" + ")
+    val sqScore =
+      s"""CASE WHEN sqrt($npSum)*sqrt($sqNc) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(FLOOR(($sqDot) / (sqrt($npSum)*sqrt($sqNc)) * 1000000.0) AS BIGINT) END"""
+    def topk(scoredCte: String, scoreCol: String) =
+      s"""SELECT probe_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY $scoreCol DESC, neighbor_id) AS rank
+            FROM $scoredCte) WHERE rank <= $k"""
+    def hits(setCte: String) =
+      s"(SELECT CAST(COUNT(*) AS BIGINT) FROM $setCte t JOIN exact x ON x.probe_id = t.probe_id AND x.neighbor_id = t.neighbor_id)"
+    s"""WITH $centsCte,
+        $asgCte,
+        cb(m, c, $vCols) AS MATERIALIZED (
+          SELECT m, c, ${(1 to subDim).map(j => s"CAST(v$j AS DOUBLE)").mkString(", ")}
+          FROM (VALUES $cbRows) t(m, c, $vCols)),
+        enc AS MATERIALIZED (
+          SELECT vec_id, m, c, $vCols FROM (
+            SELECT e.vec_id, b.m, b.c, ${(1 to subDim).map(j => s"b.v$j").mkString(", ")},
+                   row_number() OVER (PARTITION BY e.vec_id, b.m
+                                      ORDER BY ($d2pq) ASC, b.c ASC) AS rn
+            FROM embeddings e CROSS JOIN cb b)
+          WHERE rn = 1),
+        d AS MATERIALIZED (SELECT vec_id, $dPivot FROM enc GROUP BY vec_id),
+        planes(b, $pCols) AS MATERIALIZED (
+          SELECT b, ${(1 to dim).map(j => s"CAST(p$j AS DOUBLE) AS p$j").mkString(", ")}
+          FROM (VALUES $plRows) t(b, $pCols)),
+        bits AS MATERIALIZED (
+          SELECT e.vec_id, pl.b, CASE WHEN ($lshAcc) >= 0 THEN 1 ELSE 0 END AS bit
+          FROM embeddings e CROSS JOIN planes pl),
+        bands AS MATERIALIZED (
+          SELECT vec_id, b // $bitsPerBand AS band_idx,
+                 CAST(SUM(bit * (1 << (b % $bitsPerBand))) AS BIGINT) AS band_hash
+          FROM bits GROUP BY vec_id, b // $bitsPerBand),
+        sq AS MATERIALIZED (
+          SELECT vec_id, $codeCols
+          FROM (SELECT vec_id, embedding, $scale AS scale FROM embeddings)),
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id % 100 < 2),
+        pcell AS MATERIALIZED (
+          SELECT probe_id, cid AS cell FROM (
+            SELECT p.probe_id, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                                      ORDER BY ($cellSim) DESC, c.cid ASC) AS cr
+            FROM p CROSS JOIN cents c)
+          WHERE cr <= $nProbe),
+        bf_scored AS MATERIALIZED (
+          SELECT p.probe_id, e.vec_id AS neighbor_id, ${exactCosineX1e6(dim)} AS score
+          FROM embeddings e JOIN p ON e.vec_id <> p.probe_id),
+        exact AS MATERIALIZED (${topk("bf_scored", "score")}),
+        ivf_scored AS (
+          SELECT p.probe_id, a.vec_id AS neighbor_id, ${exactCosineX1e6(dim)} AS score
+          FROM asg a
+          JOIN pcell pc ON pc.cell = a.cell
+          JOIN p ON p.probe_id = pc.probe_id AND a.vec_id <> p.probe_id
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        set_ivf AS MATERIALIZED (${topk("ivf_scored", "score")}),
+        ivfpq_scored AS (
+          SELECT p.probe_id, d.vec_id AS neighbor_id, $adcScore AS score
+          FROM d
+          JOIN asg a ON a.vec_id = d.vec_id
+          JOIN pcell pc ON pc.cell = a.cell
+          JOIN p ON p.probe_id = pc.probe_id AND d.vec_id <> p.probe_id),
+        set_ivfpq AS MATERIALIZED (${topk("ivfpq_scored", "score")}),
+        pq_scored AS (
+          SELECT p.probe_id, d.vec_id AS neighbor_id, $adcScore AS score
+          FROM d JOIN p ON d.vec_id <> p.probe_id),
+        set_pq AS MATERIALIZED (${topk("pq_scored", "score")}),
+        variants AS (
+          SELECT bp.vec_id AS probe_id, bp.band_idx, xor(bp.band_hash, v.m) AS band_hash
+          FROM bands bp JOIN p ON p.probe_id = bp.vec_id
+          CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (1), (2), (4)) v(m)),
+        lsh_cand AS (
+          SELECT DISTINCT v.probe_id, bc.vec_id AS neighbor_id
+          FROM bands bc JOIN variants v
+            ON v.band_idx = bc.band_idx AND v.band_hash = bc.band_hash
+          WHERE bc.vec_id <> v.probe_id),
+        lsh_scored AS (
+          SELECT lsh_cand.probe_id, lsh_cand.neighbor_id, ${exactCosineX1e6(dim)} AS score
+          FROM lsh_cand
+          JOIN p ON p.probe_id = lsh_cand.probe_id
+          JOIN embeddings e ON e.vec_id = lsh_cand.neighbor_id),
+        set_lsh AS MATERIALIZED (${topk("lsh_scored", "score")}),
+        sq8_scored AS (
+          SELECT p.probe_id, sq.vec_id AS neighbor_id, $sqScore AS score
+          FROM sq JOIN p ON sq.vec_id <> p.probe_id),
+        set_sq8 AS MATERIALIZED (${topk("sq8_scored", "score")}),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_expected FROM exact)
+        SELECT tier, n_hits, n.n_expected,
+               CASE WHEN n.n_expected > 0 THEN (n_hits * 1000000) // n.n_expected END AS recall_x1e6
+        FROM (
+          SELECT 'ivf' AS tier, ${hits("set_ivf")} AS n_hits
+          UNION ALL SELECT 'ivfpq', ${hits("set_ivfpq")}
+          UNION ALL SELECT 'lsh', ${hits("set_lsh")}
+          UNION ALL SELECT 'pq', ${hits("set_pq")}
+          UNION ALL SELECT 'sq8', ${hits("set_sq8")}) t, n
+        ORDER BY tier"""
   }
 
   private lazy val annBruteforceOracle: String = {

@@ -558,6 +558,34 @@ object Similarity {
     }
   }
 
+  /** The fitted IVF coarse quantizer exactly as the serving tiers see
+    * it: `assignCents` are the micro/1e6 DOUBLES [[ivfAssigned]] hands
+    * `graft_kmeans_assign` (the assignment arithmetic), `rankCents`
+    * their FLOAT recast as staged in the broadcast centroid table (the
+    * probe-side cell-ranking arithmetic — the cast matters: the oracle
+    * must replay each stage with the same constants that stage read).
+    */
+  private[graft] final case class IvfModel(cids: Seq[Long],
+                                           assignCents: Seq[Seq[Double]],
+                                           rankCents: Seq[Seq[Float]])
+
+  /** Driver-side hook for the DuckDB oracle generators: the
+    * session-memoized IVF model at a dial (shared Caches.model key
+    * with [[ivfAssigned]], so after any IVF-tier call this is a
+    * lookup, not a fit).
+    */
+  private[graft] def ivfDefaultModel(s: SparkSession, dir: String,
+                                     nCells: Int = 16): IvfModel = {
+    GraftFunctions.ensureRegistered(s)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val fit = graft.Caches.model("ivf_quantizer", dir, nCells) {
+      lloydFit(emb, nCells, maxIters = 10, seedMaxmin = true)
+    }
+    val cents = fit.centroidMicro.map(_.map(_ / 1e6))
+    IvfModel(fit.cids.toSeq, cents.map(_.toSeq).toSeq,
+             cents.map(_.map(_.toFloat).toSeq).toSeq)
+  }
+
   /** The DEFAULT-dial PQ codebooks (the ones `ann_pq_topk` /
     * `ann_ivfpq_*` serve with) as driver-side values — the hook the
     * DuckDB oracle generator uses to replay encode+ADC exactly: the
