@@ -198,7 +198,10 @@ object SparkEntry {
     "embedding_centroids" -> (Similarity.embeddingCentroids _),
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "kmeans_step"         -> ((s, d) => Similarity.kmeansStep(s, d)),
-    "kmeans_fit"          -> ((s, d) => Similarity.kmeansFit(s, d)),
+    "kmeans_fit"          -> ((s, d) => {
+      dynamicOracles("kmeans_fit") = () => kmeansFitOracle(s, d)
+      Similarity.kmeansFit(s, d)
+    }),
     "ann_ivf_allprobe"    -> ((s, d) =>
       Similarity.annIvfTopK(s, d, nProbeCells = 16)),
     "ann_filtered_allprobe" -> ((s, d) =>
@@ -4106,6 +4109,70 @@ object SparkEntry {
           UNION ALL SELECT 'pq', ${hits("set_pq")}
           UNION ALL SELECT 'sq8', ${hits("set_sq8")}) t, n
         ORDER BY tier"""
+  }
+
+  /** The FULL Lloyd trajectory oracle — the strongest member of the
+    * unrolled-iteration family: unlike the PQ/IVF oracles it embeds NO
+    * trained state, only the realized ROUND COUNT (driver model state,
+    * like [[topPcOracleSql]]'s fixed 8). Every round is recomputed
+    * from the parquet: pivoted centroid columns (trunc-div micro over
+    * 1e6, the exact long→double arithmetic `graft_kmeans_assign`
+    * reads), the expanded-L2 argmin assignment (ties → lowest cid),
+    * integral micro-sum updates. A per-round witness ERRORS if an
+    * empty cluster appears (the engine would re-seed — a trajectory
+    * this replay cannot follow; the sf0.01 run has none), and the
+    * `converged` output column is COMPUTED (round N's micro == round
+    * N−1's), not copied from the engine.
+    */
+  private def kmeansFitOracle(s: SparkSession, dir: String): String = {
+    val fit = graft.operators.Similarity.kmeansFitModel(s, dir)
+    val n = fit.iters
+    val k = fit.cids.length
+    val dim = fit.centroidMicro.head.length
+    val uCols = (1 to dim).map(j => s"u$j").mkString(", ")
+    def sumU(j: Int) =
+      s"""CAST(CASE WHEN SUM(CAST(FLOOR(1000000 * CAST(e.embedding[$j] AS DOUBLE)) AS BIGINT)) >= 0
+               THEN SUM(CAST(FLOOR(1000000 * CAST(e.embedding[$j] AS DOUBLE)) AS BIGINT)) // COUNT(*)
+               ELSE -((-SUM(CAST(FLOOR(1000000 * CAST(e.embedding[$j] AS DOUBLE)) AS BIGINT))) // COUNT(*)) END AS BIGINT) AS u$j"""
+    val d2 = (1 to dim).map { j =>
+      val t = s"(CAST(e.embedding[$j] AS DOUBLE) - c.c$j)"
+      s"$t*$t"
+    }.mkString(" + ")
+    val b = new StringBuilder
+    b ++= s"""WITH m_0 AS MATERIALIZED (
+          SELECT vec_id AS cid, CAST(1 AS BIGINT) AS n,
+                 ${(1 to dim).map(j => s"CAST(FLOOR(1000000 * CAST(embedding[$j] AS DOUBLE)) AS BIGINT) AS u$j").mkString(", ")}
+          FROM embeddings WHERE vec_id < $k)"""
+    for (i <- 1 to n) {
+      b ++= s""",
+         cents_${i - 1} AS MATERIALIZED (
+           SELECT cid, ${(1 to dim).map(j => s"CAST(u$j AS DOUBLE)/1000000.0 AS c$j").mkString(", ")}
+           FROM m_${i - 1}),
+         a_$i AS MATERIALIZED (
+           SELECT vec_id, cid FROM (
+             SELECT e.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY e.vec_id ORDER BY ($d2) ASC, c.cid ASC) AS rn
+             FROM embeddings e CROSS JOIN cents_${i - 1} c)
+           WHERE rn = 1),
+         chk_$i AS (SELECT CASE WHEN (SELECT COUNT(DISTINCT cid) FROM a_$i) = $k THEN true
+                        ELSE error('kmeans oracle: empty cluster (re-seed) at round $i — trajectory not replayable') END AS ok),
+         m_$i AS MATERIALIZED (
+           SELECT a.cid, CAST(COUNT(*) AS BIGINT) AS n,
+                  ${(1 to dim).map(sumU).mkString(", ")}
+           FROM a_$i a JOIN embeddings e ON e.vec_id = a.vec_id, chk_$i
+           WHERE chk_$i.ok GROUP BY a.cid)"""
+    }
+    val diff = (1 to dim).map(j => s"x.u$j <> y.u$j").mkString(" OR ")
+    val caseU = (1 to dim).map(j => s"WHEN $j THEN m.u$j").mkString(" ")
+    b ++= s""",
+         conv AS (SELECT (SELECT COUNT(*) FROM m_$n x JOIN m_${n - 1} y ON x.cid = y.cid
+                          WHERE $diff) = 0 AS c)
+         SELECT m.cid AS cluster_id, CAST(p.pos AS BIGINT) AS pos, m.n AS n_vectors,
+                CASE p.pos $caseU END AS centroid_micro,
+                CAST($n AS BIGINT) AS n_iters, conv.c AS converged
+         FROM m_$n m CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos) p, conv
+         ORDER BY cluster_id, pos"""
+    b.toString
   }
 
   private lazy val annBruteforceOracle: String = {

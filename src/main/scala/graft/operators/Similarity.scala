@@ -1094,12 +1094,25 @@ object Similarity {
     * reported centroids (the round that proved convergence re-derived
     * them exactly).
     */
+  /** The memoized full-Lloyd fit behind `kmeans_fit` — shared with the
+    * DuckDB oracle generator (which needs the realized round count to
+    * unroll the trajectory), so generating the oracle after the query
+    * ran is a lookup, not a refit.
+    */
+  private[graft] def kmeansFitModel(s: SparkSession, dir: String, k: Int = 8,
+                                    maxIters: Int = 20): LloydResult = {
+    GraftFunctions.ensureRegistered(s)
+    graft.Caches.model("kmeans_fit", dir, k, maxIters) {
+      val emb = graft.Caches.cached(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+      lloydFit(emb, k, maxIters)
+    }
+  }
+
   def kmeansFit(s: SparkSession, dir: String, k: Int = 8,
                 maxIters: Int = 20): DataFrame = {
     GraftFunctions.ensureRegistered(s)
-    val emb = graft.Caches.cached(
-      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-    val fit = lloydFit(emb, k, maxIters)
+    val fit = kmeansFitModel(s, dir, k, maxIters)
     val rows = for {
       i <- fit.cids.indices
       pos <- 1 to fit.centroidMicro(i).length
