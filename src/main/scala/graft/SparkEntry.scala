@@ -340,7 +340,12 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, () => String]
 
   def oracleSql: Map[String, String] =
-    staticOracleSql ++ dynamicOracles.map { case (k, f) => k -> f() }
+    staticOracleSql ++ dynamicOracles.flatMap { case (k, f) =>
+      // a generator failure must degrade THAT key to rows-only, not
+      // kill the whole oracle dump (one bad thunk would otherwise
+      // zero the round's correctness)
+      scala.util.Try(k -> f()).toOption
+    }
 
   /** The k-core peel UNROLLED — the [[topPcOracleSql]] road applied to
     * the last rows-only graph key: each MATERIALIZED round restricts
