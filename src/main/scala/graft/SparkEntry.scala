@@ -388,6 +388,8 @@ object SparkEntry {
     "embedding_top_pc" -> topPcOracleSql(8),
     "graph_kcore" -> kcoreOracleSql(3, 16),
     "ann_lsh_topk" -> annLshOracle,
+    "bpe_train" -> bpeTrainOracle,
+    "bpe_apply" -> bpeApplyOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
          TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS prop_k,
@@ -4178,6 +4180,96 @@ object SparkEntry {
          FROM m_$n m CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS pos) p, conv
          ORDER BY cluster_id, pos"""
     b.toString
+  }
+
+  /** Shared BPE trajectory replay (PURE — nothing embedded but the
+    * published nMerges parameter, the [[kmeansFitOracle]] discipline
+    * taken further): builds CTEs through round N. Per round: pair
+    * counts over the current tokenization (lead window, weighted by
+    * word count), the (count desc, l, r) argmax as a 1-row CTE, and
+    * the greedy left-to-right non-overlapping rewrite — the engine's
+    * fold "merge unless the tail was itself just merged" is exactly
+    * "within each maximal run of consecutive matching pair positions,
+    * take the odd-numbered ones" (gaps-and-islands + run parity),
+    * then drop the consumed right elements and renumber. An exhausted
+    * round (no pairs anywhere) carries the tokenization forward
+    * unchanged, matching the engine's early stop.
+    */
+  private def bpeChainSql(nMerges: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""WITH wc AS MATERIALIZED (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+            FROM documents)
+          WHERE word <> '' GROUP BY word),
+        w_0 AS MATERIALIZED (
+          SELECT word, cnt, CAST(pos AS BIGINT) AS pos,
+                 substr(word, CAST(pos AS INT), 1) AS sym
+          FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS pos FROM wc))"""
+    for (i <- 1 to nMerges) {
+      b ++= s""",
+        t_$i AS MATERIALIZED (
+          SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pc FROM (
+            SELECT sym AS l, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS r, cnt
+            FROM w_${i - 1})
+          WHERE r IS NOT NULL GROUP BY l, r
+          ORDER BY pc DESC, l, r LIMIT 1),
+        k_$i AS (
+          SELECT *, mt AND (row_number() OVER (PARTITION BY word, grp ORDER BY pos) % 2 = 1) AS taken
+          FROM (
+            SELECT *, CASE WHEN mt THEN pos - row_number() OVER (PARTITION BY word, mt ORDER BY pos) END AS grp
+            FROM (
+              SELECT w.word, w.cnt, w.pos, w.sym, t.l, t.r,
+                     COALESCE(w.sym = t.l AND
+                       lead(w.sym) OVER (PARTITION BY w.word ORDER BY w.pos) = t.r, false) AS mt
+              FROM w_${i - 1} w CROSS JOIN t_$i t))),
+        w_$i AS MATERIALIZED (
+          SELECT word, cnt,
+                 CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+                 CASE WHEN taken THEN l || r ELSE sym END AS sym
+          FROM (SELECT *, COALESCE(lag(taken) OVER (PARTITION BY word ORDER BY pos), false) AS pt
+                FROM k_$i)
+          WHERE NOT pt
+          UNION ALL
+          SELECT word, cnt, pos, sym FROM w_${i - 1}
+          WHERE NOT EXISTS (SELECT 1 FROM t_$i))"""
+    }
+    b.toString
+  }
+
+  /** BPE training fully replayed — every merge decision (pair counts,
+    * the argmax, the rewrite it feeds) recomputed from the parquet.
+    */
+  private lazy val bpeTrainOracle: String = {
+    val n = 10
+    val rows = (1 to n).map(i =>
+      s"""SELECT CAST($i AS BIGINT) AS merge_rank, l AS "left", r AS "right", pc AS pair_count FROM t_$i""")
+      .mkString("\n        UNION ALL ")
+    s"""${bpeChainSql(n)}
+        $rows
+        ORDER BY merge_rank"""
+  }
+
+  /** BPE application replayed through the same chain: the final
+    * tokenization's per-word symbol counts, joined back onto the doc
+    * word stream for the per-doc fertility report.
+    */
+  private lazy val bpeApplyOracle: String = {
+    val n = 10
+    s"""${bpeChainSql(n)},
+        ns AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms FROM w_$n GROUP BY word),
+        dw AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS word
+            FROM documents)
+          WHERE word <> '')
+        SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(ns.n_syms) AS BIGINT) AS n_bpe_tokens,
+               CAST((SUM(ns.n_syms) * 1000000) // COUNT(*) AS BIGINT) AS fertility_ppm
+        FROM dw JOIN ns ON ns.word = dw.word
+        GROUP BY dw.doc_id
+        ORDER BY dw.doc_id"""
   }
 
   private lazy val annBruteforceOracle: String = {
