@@ -190,6 +190,14 @@ object EventStreams {
     * `dedup_incremental`. Append-mode stateless plan: no watermark, no
     * state store — the state IS the base corpus, which is exactly
     * where a continuously-ingesting pipeline keeps it.
+    *
+    * 100 TB note: re-deriving the sketch and hash set from the raw
+    * base per micro-batch is the honest demo shape, not the deployed
+    * one — at corpus scale the base side passed in here should be the
+    * PERSISTED artifacts (the hash column bucketed at write, the bloom
+    * refreshed once per ingest — the [[graft.Substrate]] tier), so
+    * each micro-batch re-plans a manifest-sized read, not a corpus
+    * scan.
     */
   def dedupIncremental(delta: DataFrame, base: DataFrame,
                        numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
