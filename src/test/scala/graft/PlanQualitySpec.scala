@@ -194,6 +194,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("adaptive filtered IVF: occupancy and probe cells broadcast — corpus embeddings never shuffle") {
+    // the stratum-aware walk must stay metadata-priced: the
+    // (cell, label) occupancy table and the kept probe cells ride
+    // broadcasts; the only embedding movement is the cached scan
+    val p = plan(graft.operators.Similarity.annFilteredIvf(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"candidate join not broadcast:\n$p")
+    val shuffledEmbedding = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!shuffledEmbedding, s"corpus embeddings in a shuffle:\n$p")
+    graft.Caches.clear()
+  }
+
+  test("streaming incremental dedup batch twin: bloom side is a 1-row broadcast, text never shuffles") {
+    val p = plan(graft.operators.Dedup.streamDedupIncremental(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bloom sketch not broadcast:\n$p")
+    val shuffledText = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text"))
+    assert(!shuffledText, s"document text in a shuffle:\n$p")
+    graft.Caches.clear()
+  }
+
   test("zorder_key scan prunes to exactly the two id columns") {
     val p = plan(graft.operators.LayoutOps.zorderKey(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
