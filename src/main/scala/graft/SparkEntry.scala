@@ -389,6 +389,7 @@ object SparkEntry {
     "graph_kcore" -> kcoreOracleSql(3, 16),
     "ann_lsh_topk" -> annLshOracle,
     "bpe_train" -> bpeTrainOracle,
+    "winnowing_fingerprint" -> winnowingOracle,
     "bpe_apply" -> bpeApplyOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
@@ -4270,6 +4271,95 @@ object SparkEntry {
         FROM dw JOIN ns ON ns.word = dw.word
         GROUP BY dw.doc_id
         ORDER BY dw.doc_id"""
+  }
+
+  /** Winnowing fully replayed — including XXH64 ITSELF, rebuilt in
+    * pure SQL: DuckDB has no xxhash64, but for the 8-byte ASCII grams
+    * the engine hashes (k=8 codepoint grams of the normalized text;
+    * an `error()` witness refuses any non-ASCII doc, where byte and
+    * codepoint grams would diverge) the algorithm specializes to a
+    * straight line of wrapping 64-bit ops, each expressible in
+    * HUGEINT mod-2^64 arithmetic: multiply via 32-bit splitting
+    * ((a%2³²)·b + ((a»32)·b mod 2³²)·2³², all < 2⁹⁷ — inside HUGEINT),
+    * rotate via divide/multiply, xor through a signed-BIGINT bridge.
+    * Every step lands in its OWN chained CTE column — inlining the
+    * chain re-evaluates subexpressions exponentially (measured: the
+    * inlined form never parsed, the chained form runs the corpus in
+    * seconds). Selection replays the deque semantics relationally:
+    * the rightmost window minimum is min(struct(h, −g)) over the
+    * w-row frame, consecutive duplicate selections collapse via lag,
+    * and the signature is COUNT + bit_xor — bit-for-bit against
+    * [[graft.functions.GraftWinnow]].
+    */
+  private lazy val winnowingOracle: String = {
+    val k = 8; val w = 4
+    val M = BigInt(1) << 64
+    val T64 = "CAST(18446744073709551616 AS HUGEINT)"
+    val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    val C = (BigInt(42) + P5 + k) mod M
+    def mul(col: String, c: BigInt) =
+      s"((($col % 4294967296) * $c + ((($col // 4294967296) * $c) % 4294967296) * 4294967296) % $T64)"
+    def rot(col: String, r: Int) =
+      s"(($col % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r} + $col // ${BigInt(1) << (64 - r)})"
+    def toSigned(col: String) =
+      s"(CASE WHEN $col >= 9223372036854775808 THEN CAST($col - $T64 AS BIGINT) ELSE CAST($col AS BIGINT) END)"
+    def toUnsigned(x: String) =
+      s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $T64 ELSE CAST($x AS HUGEINT) END)"
+    def xorshr(col: String, n: Int) =
+      toUnsigned(s"xor(${toSigned(col)}, CAST($col // ${BigInt(1) << n} AS BIGINT))")
+    def xorc(col: String, c: BigInt) = {
+      val sc = if (c >= (BigInt(1) << 63)) c - M else c
+      toUnsigned(s"xor(${toSigned(col)}, CAST($sc AS BIGINT))")
+    }
+    val steps = Seq(
+      "c1" -> mul("w", P2), "c2" -> rot("c1", 31), "c3" -> mul("c2", P1),
+      "c4" -> xorc("c3", C), "c5" -> rot("c4", 27),
+      "c6" -> s"(${mul("c5", P1)} + $P4) % $T64",
+      "c7" -> xorshr("c6", 33), "c8" -> mul("c7", P2), "c9" -> xorshr("c8", 29),
+      "c10" -> mul("c9", P3), "c11" -> xorshr("c10", 32))
+    val chain = steps.zipWithIndex.map { case ((name, ex), i) =>
+      val prev = if (i == 0) "h0" else s"s${i - 1}"
+      s"s$i AS (SELECT doc_id, g, $ex AS $name FROM $prev)"
+    }.mkString(",\n        ")
+    val word = (0 until k).map(i =>
+      s"CAST(ascii(substr(norm, CAST(g AS INT) + $i, 1)) AS HUGEINT) * ${BigInt(1) << (8 * i)}")
+      .mkString(" + ")
+    s"""WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN length(n) <> strlen(n) THEN error('winnowing oracle: non-ASCII doc ' || doc_id || ' — byte grams would diverge from codepoint grams')
+                      ELSE n END AS norm
+          FROM (SELECT doc_id, COALESCE(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '') AS n
+                FROM documents)),
+        meta AS (SELECT doc_id, CAST(GREATEST(length(norm) - ${k - 1}, 0) AS BIGINT) AS n_kgrams FROM docs),
+        grams AS MATERIALIZED (
+          SELECT doc_id, CAST(g AS BIGINT) AS g, norm FROM (
+            SELECT doc_id, norm, unnest(range(1, GREATEST(length(norm) - ${k - 2}, 1))) AS g FROM docs)),
+        h0 AS (SELECT doc_id, g, ($word) AS w FROM grams),
+        $chain,
+        hh AS MATERIALIZED (
+          SELECT doc_id, g, ${toSigned("c11")} AS h FROM s${steps.size - 1}),
+        sel0 AS (
+          SELECT doc_id, g,
+            min(struct_pack(h := h, ng := 0 - g)) OVER fr AS mn,
+            count(*) OVER fr AS nf
+          FROM hh
+          WINDOW fr AS (PARTITION BY doc_id ORDER BY g ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)),
+        sel AS (
+          SELECT doc_id, g, (0 - mn.ng) AS sel_g, mn.h AS sel_h FROM sel0 WHERE nf = $w),
+        dedup AS (
+          SELECT doc_id, sel_g, sel_h FROM (
+            SELECT *, lag(sel_g) OVER (PARTITION BY doc_id ORDER BY g) AS prev_sel FROM sel)
+          WHERE prev_sel IS NULL OR sel_g <> prev_sel),
+        agg AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+                 CAST(bit_xor(sel_h) AS BIGINT) AS fp_checksum
+          FROM dedup GROUP BY doc_id)
+        SELECT m.doc_id, m.n_kgrams, COALESCE(a.n_fingerprints, 0) AS n_fingerprints,
+               COALESCE(a.fp_checksum, 0) AS fp_checksum
+        FROM meta m LEFT JOIN agg a ON a.doc_id = m.doc_id
+        ORDER BY m.doc_id"""
   }
 
   private lazy val annBruteforceOracle: String = {
