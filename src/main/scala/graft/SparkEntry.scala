@@ -390,6 +390,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshOracle,
     "bpe_train" -> bpeTrainOracle,
     "winnowing_fingerprint" -> winnowingOracle,
+    "dedup_simhash" -> dedupSimhashOracle,
     "bpe_apply" -> bpeApplyOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
@@ -4360,6 +4361,125 @@ object SparkEntry {
                COALESCE(a.fp_checksum, 0) AS fp_checksum
         FROM meta m LEFT JOIN agg a ON a.doc_id = m.doc_id
         ORDER BY m.doc_id"""
+  }
+
+  /** SimHash dedup fully replayed — the [[winnowingOracle]]'s
+    * SQL-XXH64 generalized to VARIABLE-length tokens: for the ≤15-byte
+    * whitespace tokens the corpus produces (witnessed — a longer token
+    * errors rather than hashing wrong; the stripe path at ≥32 bytes is
+    * not straight-line), the tail rounds become CONDITIONAL chained
+    * steps (word round iff len ≥ 8, 4-byte round iff the remainder
+    * holds one, then up to three byte rounds), each a CASE
+    * transformed-or-passthrough column. Downstream the whole operator
+    * is relational: per-(doc, bit) signed accumulation → signature
+    * pack, 4×16-bit banding, bucket-bounded candidate pairs, hamming
+    * verify (bit_count over xor), and the one-hop smallest-verified-
+    * neighbor verdict.
+    */
+  private lazy val dedupSimhashOracle: String = {
+    val M = BigInt(1) << 64
+    val T64 = "CAST(18446744073709551616 AS HUGEINT)"
+    val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    val C0 = (BigInt(42) + P5) mod M
+    def mul(col: String, c: BigInt) =
+      s"((($col % 4294967296) * $c + ((($col // 4294967296) * $c) % 4294967296) * 4294967296) % $T64)"
+    def mulSmall(col: String, c: BigInt) = s"(($col * $c) % $T64)" // col < 2^32
+    def rot(col: String, r: Int) =
+      s"(($col % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r} + $col // ${BigInt(1) << (64 - r)})"
+    def toSig(col: String) =
+      s"(CASE WHEN $col >= 9223372036854775808 THEN CAST($col - $T64 AS BIGINT) ELSE CAST($col AS BIGINT) END)"
+    def toUns(x: String) =
+      s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $T64 ELSE CAST($x AS HUGEINT) END)"
+    def xorCols(a: String, b: String) = toUns(s"xor(${toSig(a)}, ${toSig(b)})")
+    def xorShr(col: String, n: Int) =
+      toUns(s"xor(${toSig(col)}, CAST($col // ${BigInt(1) << n} AS BIGINT))")
+    val w8 = (0 until 8).map(i =>
+      s"CAST(ascii(substr(tok, ${i + 1}, 1)) AS HUGEINT) * ${BigInt(1) << (8 * i)}").mkString(" + ")
+    val w4 = (0 until 4).map(i =>
+      s"CAST(ascii(substr(tok, CAST(o4 AS INT) + ${i + 1}, 1)) AS HUGEINT) * ${BigInt(1) << (8 * i)}").mkString(" + ")
+    def bN(j: Int) = s"CAST(ascii(substr(tok, CAST(ob AS INT) + $j, 1)) AS HUGEINT)"
+    val steps = Seq(
+      "k1" -> s"CASE WHEN nw = 1 THEN ${mul("w8v", P2)} ELSE CAST(0 AS HUGEINT) END",
+      "k2" -> rot("k1", 31),
+      "k3" -> mul("k2", P1),
+      "h1" -> s"CASE WHEN nw = 1 THEN ${xorCols("h0", "k3")} ELSE h0 END",
+      "h1r" -> rot("h1", 27),
+      "h2" -> s"CASE WHEN nw = 1 THEN (${mul("h1r", P1)} + $P4) % $T64 ELSE h1 END",
+      "q1" -> mulSmall("w4v", P1),
+      "h3" -> s"CASE WHEN has4 THEN ${xorCols("h2", "q1")} ELSE h2 END",
+      "h3r" -> rot("h3", 23),
+      "h4" -> s"CASE WHEN has4 THEN (${mul("h3r", P2)} + $P3) % $T64 ELSE h3 END") ++
+      (1 to 3).flatMap { j => Seq(
+        s"e$j" -> mulSmall(s"b${j}v", P5),
+        s"f$j" -> s"CASE WHEN nb >= $j THEN ${xorCols(s"h${3 + j}", s"e$j")} ELSE h${3 + j} END",
+        s"g${j}r" -> rot(s"f$j", 11),
+        s"h${4 + j}" -> s"CASE WHEN nb >= $j THEN ${mul(s"g${j}r", P1)} ELSE f$j END")
+      } ++ Seq(
+      "m1" -> xorShr("h7", 33),
+      "m2" -> mul("m1", P2),
+      "m3" -> xorShr("m2", 29),
+      "m4" -> mul("m3", P3),
+      "m5" -> xorShr("m4", 32))
+    val chain = steps.zipWithIndex.map { case ((name, ex), i) =>
+      val prev = if (i == 0) "tb" else s"x${i - 1}"
+      s"x$i AS (SELECT *, $ex AS $name FROM $prev)"
+    }.mkString(",\n        ")
+    val last = s"x${steps.size - 1}"
+    val nbExpr = "len - ((len // 8) * 8 + CASE WHEN (len - (len // 8) * 8) >= 4 THEN 4 ELSE 0 END)"
+    s"""WITH toks AS MATERIALIZED (
+          SELECT doc_id, tok,
+            CASE WHEN strlen(tok) > 15 THEN CAST(error('simhash oracle: token longer than 15 bytes — the stripe path is not replayable') AS BIGINT)
+                 ELSE strlen(tok) END AS len
+          FROM (
+            SELECT doc_id,
+                   unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok
+            FROM documents)),
+        tb AS MATERIALIZED (
+          SELECT doc_id, tok, len,
+                 len // 8 AS nw, (len // 8) * 8 AS o4,
+                 (len - (len // 8) * 8) >= 4 AS has4,
+                 (len // 8) * 8 + CASE WHEN (len - (len // 8) * 8) >= 4 THEN 4 ELSE 0 END AS ob,
+                 $nbExpr AS nb,
+                 ($C0 + len) % $T64 AS h0,
+                 CASE WHEN len >= 8 THEN ($w8) ELSE CAST(0 AS HUGEINT) END AS w8v,
+                 CASE WHEN (len - (len // 8) * 8) >= 4 THEN ($w4) ELSE CAST(0 AS HUGEINT) END AS w4v,
+                 CASE WHEN $nbExpr >= 1 THEN ${bN(1)} ELSE CAST(0 AS HUGEINT) END AS b1v,
+                 CASE WHEN $nbExpr >= 2 THEN ${bN(2)} ELSE CAST(0 AS HUGEINT) END AS b2v,
+                 CASE WHEN $nbExpr >= 3 THEN ${bN(3)} ELSE CAST(0 AS HUGEINT) END AS b3v
+          FROM toks),
+        $chain,
+        th AS MATERIALIZED (SELECT doc_id, m5 AS hu FROM $last),
+        bits AS (
+          SELECT doc_id, k.range AS k,
+                 SUM(CASE WHEN (hu // POWER(2, k.range)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+          FROM th CROSS JOIN range(0, 64) k GROUP BY doc_id, k.range),
+        sig AS MATERIALIZED (
+          SELECT doc_id, ${toSig("su")} AS simhash FROM (
+            SELECT doc_id, CAST(SUM(CASE WHEN acc > 0 THEN POWER(2, k)::HUGEINT ELSE 0 END) AS HUGEINT) AS su
+            FROM bits GROUP BY doc_id)),
+        bands AS (
+          SELECT doc_id, b.range AS band_idx,
+                 CAST((${toUns("simhash")} // POWER(2, b.range * 16)::HUGEINT) % 65536 AS BIGINT) AS band_hash
+          FROM sig CROSS JOIN range(0, 4) b),
+        buckets AS (
+          SELECT band_idx, band_hash, list(doc_id) AS ids
+          FROM bands GROUP BY band_idx, band_hash HAVING COUNT(*) BETWEEN 2 AND 1024),
+        cand AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT unnest(ids) AS a, ids FROM buckets) t1, LATERAL (SELECT unnest(t1.ids) AS b) t2
+          WHERE a < b),
+        verified AS (
+          SELECT c.a, c.b FROM cand c
+          JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+          WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3),
+        reps AS (SELECT b AS doc_id, MIN(a) AS smaller_rep FROM verified GROUP BY b)
+        SELECT s.doc_id, s.simhash,
+               COALESCE(r.smaller_rep, s.doc_id) AS rep_doc_id,
+               r.smaller_rep IS NOT NULL AS is_dup
+        FROM sig s LEFT JOIN reps r ON r.doc_id = s.doc_id
+        ORDER BY s.doc_id"""
   }
 
   private lazy val annBruteforceOracle: String = {
