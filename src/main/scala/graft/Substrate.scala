@@ -47,19 +47,27 @@ object Substrate {
     base.toString
   }
 
-  /** Cheap corpus fingerprint: MD5 over the sorted (name, length,
-    * mtime) triples of the corpus dir's files. Changes whenever the
-    * corpus is regenerated in place, without reading any data bytes.
+  /** Cheap corpus fingerprint: MD5 over the sorted (relative path,
+    * length, mtime) triples of ALL files under the corpus dir —
+    * recursive, so an in-place regeneration that only swaps leaf files
+    * deep inside a partitioned layout (dir/t.parquet/date=X/part-*)
+    * still changes the digest. No data bytes are read; on a remote FS
+    * this is one batched listFiles RPC per directory level.
     */
   private def fingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val md = java.security.MessageDigest.getInstance("MD5")
     if (fs.exists(p)) {
-      fs.listStatus(p).sortBy(_.getPath.getName).foreach { st =>
-        md.update(s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}\n"
-          .getBytes("UTF-8"))
+      val base = fs.makeQualified(p).toUri.getPath
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath.stripPrefix(base)
+        buf += s"$rel|${st.getLen}|${st.getModificationTime}"
       }
+      buf.sorted.foreach(line => md.update((line + "\n").getBytes("UTF-8")))
     }
     md.digest().map("%02x".format(_)).mkString.take(12)
   }
@@ -73,7 +81,10 @@ object Substrate {
     */
   def materialized(s: org.apache.spark.sql.SparkSession, kind: String,
                    dir: String, keyParts: Seq[Any])(plan: => DataFrame): String = {
-    val fp = Caches.model("substrate_fp", dir)(fingerprint(s, dir))
+    // The fingerprint is recomputed on EVERY call (one recursive
+    // listing, no data bytes) — never memoized, so an in-place corpus
+    // regeneration inside a long-lived JVM keys a fresh leaf.
+    val fp = fingerprint(s, dir)
     Caches.model(Seq("substrate", kind, dir, fp) ++ keyParts: _*) {
       import org.apache.hadoop.fs.{Path => HPath}
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -82,23 +93,40 @@ object Substrate {
         .map("%02x".format(_)).mkString
       val out = new HPath(baseDir, s"${kind}_$md")
       val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new HPath(out, "_SUCCESS"))) {
-        // a marker-less leaf is debris (pre-atomic-publish layout or a
-        // foreign partial dir) — clear it so the rename can land
-        if (fs.exists(out)) fs.delete(out, true)
+      val marker = new HPath(out, "_SUCCESS")
+      if (!fs.exists(marker)) {
         val tmp = new HPath(baseDir, s".${kind}_${md}_${java.util.UUID.randomUUID()}")
         plan.write.mode("overwrite").parquet(tmp.toString)
-        // the commit point: first rename wins; a losing concurrent
-        // writer (rename returns false — destination exists) discards
-        // its temp and reads the winner's identical bytes
-        if (!fs.rename(tmp, out)) {
+        if (fs.exists(marker)) {
+          // a concurrent writer published while we were building —
+          // identical bytes by the determinism contract; drop ours
           fs.delete(tmp, true)
-          if (!fs.exists(new HPath(out, "_SUCCESS")))
-            throw new IllegalStateException(
-              s"substrate publish lost the rename race to $out but no " +
-              "_SUCCESS-marked table is there — refusing to serve an " +
-              "unverifiable path")
+        } else {
+          // a marker-less leaf is debris (a crashed writer's partial
+          // dir) — clear it so the rename can land. The marker was
+          // re-checked just above, so a leaf published during our
+          // build is never deleted (residual window: microseconds
+          // between that check and this delete, only reachable when
+          // debris existed; a loser rebuilt from the same key would
+          // republish identical bytes).
+          if (fs.exists(out)) fs.delete(out, true)
+          // the commit point: FileContext.rename with Rename.NONE
+          // fails atomically when the destination exists — unlike
+          // FileSystem.rename, which moves the source INTO an existing
+          // destination dir (silent nested-temp debris). First rename
+          // wins; a loser discards its temp and reads the winner's
+          // identical bytes.
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            out.toUri, s.sparkContext.hadoopConfiguration)
+          try fc.rename(fs.makeQualified(tmp), fs.makeQualified(out),
+                        org.apache.hadoop.fs.Options.Rename.NONE)
+          catch { case _: java.io.IOException => fs.delete(tmp, true) }
         }
+        if (!fs.exists(marker))
+          throw new IllegalStateException(
+            s"substrate publish lost the rename race to $out but no " +
+            "_SUCCESS-marked table is there — refusing to serve an " +
+            "unverifiable path")
       }
       out.toString
     }
