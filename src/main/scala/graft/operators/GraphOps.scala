@@ -36,14 +36,24 @@ object GraphOps {
     * plus the div-100 remainder) — acceptable: PageRank is consumed
     * as a RANKING, and the bleed is deterministic.
     *
-    * Scale shape: per iteration ONE key-partitioned join (edges ⋈
-    * ranks on src — the edge table with outdeg attached is cached;
-    * nothing broadcasts, both sides grow) + one partial-aggregated
-    * groupBy(dst) + the left join back to the node universe. Rank
-    * state is two longs per node; each round ends in an eager
-    * checkpoint so the analyzer re-walks a constant-depth plan
-    * (`reliable` swaps in fault-tolerant `checkpoint()` for real
-    * clusters, exactly as in connectedComponents).
+    * Scale shape: ONE corpus-scale Exchange per iteration — the
+    * partial-aggregated groupBy(dst). Everything else rides
+    * pre-aligned partitionings: `edgesDeg` is cached hash(src)
+    * (repartition at cache build; outdeg attached by a window over
+    * the SAME partitioning, so the build costs one edge shuffle, not
+    * three), `nodes` is cached hash(node), and each round's
+    * checkpointed ranks CARRY hash(node) partitioning through the
+    * LogicalRDD (Dataset.checkpoint preserves outputPartitioning;
+    * verified in PlanQualitySpec with one-Exchange-per-round pinned
+    * under the no-broadcast corpus-scale regime). So edges⋈ranks
+    * (src==node) and nodes⋈contribs (node==dst) both plan
+    * zero-exchange sort-merge joins. Nothing broadcasts by
+    * construction — both sides grow with the graph (AQE may still
+    * choose to at small scale). Rank state is two longs per node;
+    * each round ends in an eager checkpoint so the analyzer re-walks
+    * a constant-depth plan (`reliable` swaps in fault-tolerant
+    * `checkpoint()` for real clusters, exactly as in
+    * connectedComponents).
     *
     * BIGINT headroom: 85·(total mass) must fit a long, so with the
     * 1e12 init the graph can hold ~10^5 nodes; beyond that, scale
@@ -55,17 +65,7 @@ object GraphOps {
     val initRank = 1000000000000L
     val base = initRank * 15L / 100L // (1-d)·init, d = 0.85
 
-    val nodes = graft.Caches.cached(
-      Tables.customer(s, dir).select((col("c_custkey") * 2).as("node"))
-        .unionAll(Tables.supplier(s, dir).select((col("s_suppkey") * 2 + 1).as("node"))))
-    val pairs = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val edgesDeg = graft.Caches.cached(edges.join(deg, "src"))
+    val (nodes, edgesDeg) = pageRankInputs(s, dir)
 
     // Checkpoint EVERY round. A stride-2 variant (checkpoint every
     // second round, letting one lazy round ride inside the next
@@ -78,22 +78,56 @@ object GraphOps {
     var ranks = graft.Caches.roundCheckpoint(
       nodes.select(col("node"), lit(initRank).as("rank")), reliable)
     (1 to iters).foreach { _ =>
-      val contribs = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("node"))
-        .select(col("dst"), expr("rank div outdeg").as("contrib"))
-        .groupBy("dst")
-        .agg(sum("contrib").as("contrib_sum"))
       val next = graft.Caches.roundCheckpoint(
-        nodes.join(contribs, nodes("node") === contribs("dst"), "left")
-          .select(col("node"),
-                  expr(s"$base + (85 * coalesce(contrib_sum, 0)) div 100").as("rank")),
-        reliable)
+        pageRankRound(edgesDeg, nodes, ranks, base), reliable)
       graft.Caches.unpersistRound(ranks)
       ranks = next
     }
     val lastRound = ranks
     graft.Caches.onClear(() => graft.Caches.unpersistRound(lastRound))
     ranks.orderBy("node")
+  }
+
+  /** The cached (nodes, edgesDeg) pair behind [[pageRank]]: nodes
+    * hash(node), degree-annotated symmetric edges hash(src) — outdeg
+    * attached by a window over the SAME partitioning, so the build
+    * costs one edge shuffle. Factored so PlanQualitySpec pins the
+    * per-round exchange shape on the exact production inputs.
+    */
+  private[graft] def pageRankInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val nodes = graft.Caches.cached(
+      Tables.customer(s, dir).select((col("c_custkey") * 2).as("node"))
+        .unionAll(Tables.supplier(s, dir).select((col("s_suppkey") * 2 + 1).as("node")))
+        .repartition(col("node")))
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+      .distinct()
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val edgesDeg = graft.Caches.cached(
+      edges.repartition(col("src"))
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src"))))
+    (nodes, edgesDeg)
+  }
+
+  /** One PageRank update — the plan each round checkpoints. Factored
+    * so PlanQualitySpec can pin the per-round physical shape on the
+    * exact production round: with `edgesDeg` cached hash(src), `nodes`
+    * cached hash(node), and `ranks` a checkpointed round carrying
+    * hash(node), this plans exactly ONE corpus-scale Exchange (the
+    * groupBy(dst)) under the no-broadcast regime.
+    */
+  private[graft] def pageRankRound(edgesDeg: DataFrame, nodes: DataFrame,
+                                   ranks: DataFrame, base: Long): DataFrame = {
+    val contribs = edgesDeg
+      .join(ranks, edgesDeg("src") === ranks("node"))
+      .select(col("dst"), expr("rank div outdeg").as("contrib"))
+      .groupBy("dst")
+      .agg(sum("contrib").as("contrib_sum"))
+    nodes.join(contribs, nodes("node") === contribs("dst"), "left")
+      .select(col("node"),
+              expr(s"$base + (85 * coalesce(contrib_sum, 0)) div 100").as("rank"))
   }
 
   /** Per-node triangle counts over an undirected edge list — the
@@ -431,9 +465,12 @@ object GraphOps {
   private[graft] def bfsHops(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                              maxHops: Int, reliable: Boolean = false): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // Cached hash(src): the per-round frontier⋈sym join re-exchanges
+    // only the (shrinking) frontier, never the edge list.
     val sym = graft.Caches.cached(
       edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
     // The settled set is re-checkpointed as ONE merged relation per
     // round, predecessor freed immediately. The lazy-union alternative
     // (keep every round checkpoint, union lazily) was tried and
@@ -527,18 +564,26 @@ object GraphOps {
     * variant's arrival-order sensitivity can never hash-match an
     * oracle. Initial label = own key; isolated nodes keep theirs.
     *
-    * Per round: one edge⋈labels join, one (node, label) partial-agg
-    * count, one per-node top-1 window (key space = nodes), eager
-    * per-round checkpoint with predecessor unpersist — the same
-    * iterator lifecycle as [[pageRank]] and the CC closures. At
-    * 100 TB each round shuffles (node, label) pairs only.
+    * Per round: ONE corpus-scale Exchange — the vote rows
+    * repartitioned hash(dst), which then satisfies BOTH the
+    * (dst, label) count's clustering (hash on a subset of the group
+    * keys clusters the full key) and the per-node top-1 window's.
+    * Everything else rides pre-aligned partitionings, exactly as in
+    * [[pageRank]]: `sym` is cached hash(src), `nodes` hash(node), and
+    * the checkpointed labels CARRY hash(node) through the LogicalRDD,
+    * so sym⋈labels (src==node) and nodes⋈votes (node==node) plan
+    * zero-exchange joins. Eager per-round checkpoint with predecessor
+    * unpersist — the iterator lifecycle shared with [[pageRank]] and
+    * the CC closures. At 100 TB each round shuffles (node, label)
+    * pairs only, once.
     */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val pairs = copurchaseEdges(s, dir)
     val sym = graft.Caches.cached(
       pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst"))))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
     val nodes = graft.Caches.cached(
       sym.select(col("src").as("node")).distinct())
     var labels = graft.Caches.roundCheckpoint(
@@ -546,6 +591,7 @@ object GraphOps {
     val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
     (1 to iters).foreach { _ =>
       val votes = sym.join(labels, sym("src") === labels("node"))
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -643,9 +689,19 @@ object GraphOps {
     */
   private[graft] def kcore(edges: DataFrame, k: Int, reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // Cached hash(dst), so each peel round plans ONE corpus-scale
+    // Exchange (the groupBy(src) re-key): the dst-side survivor
+    // semi-join rides the cache's partitioning against the
+    // checkpointed alive set's carried hash(node), and the src-side
+    // survivor filter runs AFTER the degree count — groupBy(src)
+    // output hash(node) semi-joins alive hash(node) exchange-free.
+    // (Counting dst-alive edges for dead srcs then dropping them is
+    // the same answer as restricting both endpoints first: a dead-src
+    // group never survives the final semi-join.)
     val sym = graft.Caches.cached(
       edges.select(col("a").as("src"), col("b").as("dst"))
-        .union(edges.select(col("b").as("src"), col("a").as("dst"))))
+        .union(edges.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("dst")))
     var alive = graft.Caches.roundCheckpoint(
       sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
         .filter(col("core_degree") >= k), reliable)
@@ -658,9 +714,9 @@ object GraphOps {
         s"k-core peel did not converge in 200 rounds (|alive|=$nAlive) — " +
           "pathological peel chain; raise the guard deliberately, not silently")
       val deg = sym
-        .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+        .join(alive.select(col("node")), Seq("node"), "left_semi")
       val next = graft.Caches.roundCheckpoint(
         deg.filter(col("core_degree") >= k), reliable)
       val nNext = next.count()

@@ -647,4 +647,45 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
          FROM fuse_probe""")
     assert(sqlRoad.queryExecution.optimizedPlan.toString.contains("graft_set_overlap"))
   }
+
+  test("pagerank round: exactly ONE corpus-scale Exchange (the groupBy(dst)) under the no-broadcast regime") {
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, BroadcastExchangeExec}
+    import graft.operators.GraphOps
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    // Corpus-scale regime: at 100 TB neither ranks nor edges broadcast,
+    // and AQE's local-read rewrites (a small-scale artifact) would hide
+    // the partitioning the round is designed to carry.
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (nodes, edgesDeg) = GraphOps.pageRankInputs(spark, sf)
+      val ranks0 = Caches.roundCheckpoint(
+        nodes.select(col("node"), lit(1000000000000L).as("rank")), reliable = false)
+      // the checkpointed round CARRIES hash(node) through the LogicalRDD —
+      // the property that lets every later round skip re-exchanging ranks
+      ranks0.queryExecution.optimizedPlan match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          assert(lr.outputPartitioning.toString.contains("hashpartitioning(node"),
+            s"round checkpoint lost its partitioning: ${lr.outputPartitioning}")
+        case other => fail(s"checkpointed round is not a LogicalRDD: ${other.getClass}")
+      }
+      val round = GraphOps.pageRankRound(edgesDeg, nodes, ranks0, 150000000000L)
+      val exec = round.queryExecution.executedPlan
+      // tree traversal stops at InMemoryTableScan leaves, so these are
+      // the ROUND's exchanges only — cache-build shuffles don't count
+      val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 1,
+        s"pagerank round must cost exactly one shuffle, got ${shuffles.size}:\n$exec")
+      assert(shuffles.head.outputPartitioning.toString.contains("dst"),
+        s"the round's one shuffle must be the groupBy(dst): ${shuffles.head.outputPartitioning}")
+      val bcasts = exec.collect { case b: BroadcastExchangeExec => b }
+      assert(bcasts.isEmpty, s"nothing may broadcast at corpus scale:\n$exec")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Caches.clear()
+    }
+  }
 }
