@@ -391,6 +391,7 @@ object SparkEntry {
     "bpe_train" -> bpeTrainOracle,
     "winnowing_fingerprint" -> winnowingOracle,
     "dedup_simhash" -> dedupSimhashOracle,
+    "dedup_bloom_probe" -> bloomProbeOracle,
     "bpe_apply" -> bpeApplyOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
@@ -1686,7 +1687,7 @@ object SparkEntry {
     // (jaccard desc, base_id), LEFT-joined so clean delta docs report
     // is_near_dup = false with null partner.
     "dedup_incremental_minhash" ->
-      """WITH t AS (
+      raw"""WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
            FROM documents),
          sh AS (
@@ -1698,14 +1699,14 @@ object SparkEntry {
          scored AS (
            SELECT d.doc_id AS doc_id, b.doc_id AS base_id,
                   CAST(FLOOR(1000.0 * len(list_intersect(d.sh, b.sh)) / len(list_distinct(d.sh || b.sh))) AS BIGINT) AS jac
-           FROM sh d JOIN sh b ON d.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+           FROM sh d JOIN sh b ON d.doc_id % ${Dedup.DefaultDeltaMod} = 0 AND b.doc_id % ${Dedup.DefaultDeltaMod} <> 0),
          best AS (
            SELECT doc_id, base_id, jac,
                   row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, base_id) AS rn
            FROM scored WHERE jac >= 800)
          SELECT dd.doc_id, b.base_id IS NOT NULL AS is_near_dup,
                 b.base_id AS best_base_id, b.jac AS best_jaccard_x1000
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) dd
+         FROM (SELECT doc_id FROM documents WHERE doc_id % ${Dedup.DefaultDeltaMod} = 0) dd
          LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
          ORDER BY dd.doc_id""",
     "dedup_ngram_jaccard" ->
@@ -1912,16 +1913,16 @@ object SparkEntry {
     // cosine ≈ 0.902 are asserted equal to the exact brute-force
     // verdict, pinning banding recall at the threshold edge.
     "dedup_incremental_embedding" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
            SELECT d.vec_id AS vec_id, b.vec_id AS base_id
            FROM embeddings d JOIN embeddings b
-             ON d.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+             ON d.vec_id % ${Dedup.DefaultDeltaMod} = 0 AND b.vec_id % ${Dedup.DefaultDeltaMod} <> 0
             AND list_cosine_similarity(d.embedding, b.embedding) >= 0.9),
          best AS (SELECT vec_id, MIN(base_id) AS rep_base_id
                   FROM scored GROUP BY vec_id)
          SELECT e.vec_id, best.rep_base_id IS NOT NULL AS is_near_dup,
                 best.rep_base_id
-         FROM (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0) e
+         FROM (SELECT vec_id FROM embeddings WHERE vec_id % ${Dedup.DefaultDeltaMod} = 0) e
          LEFT JOIN best USING (vec_id)
          ORDER BY e.vec_id""",
     "dedup_embedding_cosine" ->
@@ -2613,21 +2614,21 @@ object SparkEntry {
     // same slices — exact verdict only (the bloom screen inside is an
     // optimization, spec-covered), so the oracle is shared verbatim
     "stream_dedup_incremental" ->
-      """WITH h AS (
+      raw"""WITH h AS (
            SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
            FROM documents),
-         b AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 <> 0)
+         b AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % ${Dedup.DefaultDeltaMod} <> 0)
          SELECT h.doc_id, h.content_hash, b.content_hash IS NULL AS is_new
          FROM h LEFT JOIN b ON h.content_hash = b.content_hash
-         WHERE h.doc_id % 10 = 0 ORDER BY h.doc_id""",
+         WHERE h.doc_id % ${Dedup.DefaultDeltaMod} = 0 ORDER BY h.doc_id""",
     "dedup_incremental" ->
-      """WITH h AS (
+      raw"""WITH h AS (
            SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
            FROM documents),
-         b AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 10 <> 0)
+         b AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % ${Dedup.DefaultDeltaMod} <> 0)
          SELECT h.doc_id, h.content_hash, b.content_hash IS NULL AS is_new
          FROM h LEFT JOIN b ON h.content_hash = b.content_hash
-         WHERE h.doc_id % 10 = 0 ORDER BY h.doc_id""",
+         WHERE h.doc_id % ${Dedup.DefaultDeltaMod} = 0 ORDER BY h.doc_id""",
     "paged_extract" ->
       """SELECT doc_id, source, lang,
                 CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 + 1 AS BIGINT) AS page
@@ -4272,6 +4273,154 @@ object SparkEntry {
         FROM dw JOIN ns ON ns.word = dw.word
         GROUP BY dw.doc_id
         ORDER BY dw.doc_id"""
+  }
+
+  /** HUGEINT mod-2⁶⁴ arithmetic fragments shared by the SQL-XXH64
+    * replay oracles ([[winnowingOracle]] and [[dedupSimhashOracle]]
+    * established the discipline; [[bloomProbeOracle]] and
+    * [[lshEvalOracle]] reuse it): multiply via 32-bit splitting
+    * ((a%2³²)·b + ((a»32)·b mod 2³²)·2³², all < 2⁹⁷ — inside HUGEINT),
+    * rotate via divide/multiply, xor through a signed-BIGINT bridge.
+    * Every application must land in its OWN chained CTE column —
+    * inlining re-evaluates subexpressions exponentially (measured on
+    * the winnowing oracle: the inlined form never parsed).
+    */
+  private object SqlU64 {
+    val M: BigInt = BigInt(1) << 64
+    val T64 = "CAST(18446744073709551616 AS HUGEINT)"
+    val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    def mul(col: String, c: BigInt): String =
+      s"((($col % 4294967296) * $c + ((($col // 4294967296) * $c) % 4294967296) * 4294967296) % $T64)"
+    def mulSmall(col: String, c: BigInt): String = s"(($col * $c) % $T64)" // col < 2^32
+    def rot(col: String, r: Int): String =
+      s"(($col % ${BigInt(1) << (64 - r)}) * ${BigInt(1) << r} + $col // ${BigInt(1) << (64 - r)})"
+    def toSigned(col: String): String =
+      s"(CASE WHEN $col >= 9223372036854775808 THEN CAST($col - $T64 AS BIGINT) ELSE CAST($col AS BIGINT) END)"
+    def toUnsigned(x: String): String =
+      s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $T64 ELSE CAST($x AS HUGEINT) END)"
+    def xorShr(col: String, n: Int): String =
+      toUnsigned(s"xor(${toSigned(col)}, CAST($col // ${BigInt(1) << n} AS BIGINT))")
+    def xorC(col: String, c: BigInt): String = {
+      val sc = if (c >= (BigInt(1) << 63)) c - M else c
+      toUnsigned(s"xor(${toSigned(col)}, CAST($sc AS BIGINT))")
+    }
+    def xorCols(a: String, b: String): String =
+      toUnsigned(s"xor(${toSigned(a)}, ${toSigned(b)})")
+
+    /** The straight-line XXH64 of a FIXED 64-byte ASCII column (two
+      * stripes, empty tail — e.g. a sha2-256 hex digest), seed 42,
+      * emitted as chained (name, expr) steps ending in an UNSIGNED
+      * HUGEINT column `outName`. Caller folds the steps into CTEs.
+      */
+    def xxh64Fixed64(shaCol: String, outName: String): (String, Seq[(String, String)]) = {
+      val seed = BigInt(42)
+      def word(j: Int): String = (0 until 8).map(i =>
+        s"CAST(ascii(substr($shaCol, ${8 * j + i + 1}, 1)) AS HUGEINT) * ${BigInt(1) << (8 * i)}")
+        .mkString(" + ")
+      val wordCols = (0 until 8).map(j => s"${outName}_w$j" -> s"(${word(j)})")
+      val vInit = Seq(
+        (seed + P1 + P2) mod M, (seed + P2) mod M, seed, (seed - P1) mod M)
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      steps ++= wordCols
+      // two stripes of four lane rounds: v = rotl31(v + w·P2)·P1
+      var vCols = vInit.map(c => s"CAST($c AS HUGEINT)")
+      for (s <- 0 until 2) {
+        vCols = (0 until 4).map { l =>
+          val w = s"${outName}_w${4 * s + l}"
+          val a = s"${outName}_s${s}l${l}a"; val b = s"${outName}_s${s}l${l}b"
+          val v = s"${outName}_v${l}_${s + 1}"
+          steps += a -> s"((${vCols(l)} + ${mul(w, P2)}) % $T64)"
+          steps += b -> rot(a, 31)
+          steps += v -> mul(b, P1)
+          v
+        }
+      }
+      // combine + four merge rounds: h = (h ^ rotl31(v·P2)·P1)·P1 + P4
+      steps += s"${outName}_m0" ->
+        s"((${rot(vCols(0), 1)} + ${rot(vCols(1), 7)} + ${rot(vCols(2), 12)} + ${rot(vCols(3), 18)}) % $T64)"
+      var h = s"${outName}_m0"
+      for (i <- 0 until 4) {
+        val a = s"${outName}_mr${i}a"; val b = s"${outName}_mr${i}b"
+        val c = s"${outName}_mr${i}c"; val d = s"${outName}_mr${i}d"
+        val e = s"${outName}_mr${i}e"
+        steps += a -> mul(vCols(i), P2)
+        steps += b -> rot(a, 31)
+        steps += c -> mul(b, P1)
+        steps += d -> xorCols(h, c)
+        steps += e -> s"((${mul(d, P1)} + $P4) % $T64)"
+        h = e
+      }
+      steps += s"${outName}_ln" -> s"(($h + 64) % $T64)"
+      // avalanche
+      steps += s"${outName}_a1" -> xorShr(s"${outName}_ln", 33)
+      steps += s"${outName}_a2" -> mul(s"${outName}_a1", P2)
+      steps += s"${outName}_a3" -> xorShr(s"${outName}_a2", 29)
+      steps += s"${outName}_a4" -> mul(s"${outName}_a3", P3)
+      steps += outName -> xorShr(s"${outName}_a4", 32)
+      (outName, steps.toSeq)
+    }
+
+    /** Fold (name, expr) steps into a chain of `SELECT *, expr AS name`
+      * CTEs starting from `from`, returning (sql fragment, last name).
+      */
+    def chain(prefix: String, from: String, steps: Seq[(String, String)]): (String, String) = {
+      val ctes = steps.zipWithIndex.map { case ((name, ex), i) =>
+        val prev = if (i == 0) from else s"${prefix}_${i - 1}"
+        s"${prefix}_$i AS (SELECT *, $ex AS $name FROM $prev)"
+      }
+      (ctes.mkString(",\n        "), s"${prefix}_${steps.size - 1}")
+    }
+  }
+
+  /** The bloom screen fully replayed — the sketch's bit positions
+    * rebuilt in pure SQL and the bitwise-OR'd base bitset replicated
+    * as a DISTINCT position set (set semantics ARE the bitset). The
+    * engine keys the bloom on xxhash64 of the sha2-256 hex digest — a
+    * fixed 64-byte ASCII input, so the XXH64 replay is straight-line
+    * ([[SqlU64.xxh64Fixed64]]: two stripes, empty tail). On top: the
+    * Kirsch–Mitzenmacher probe positions (h1 + i·h2) mod m with
+    * h2 = murmur-finalizer-mix(h1) | 1 — exactly
+    * [[graft.functions.BloomUtil.set]]/`contains` — and the final
+    * verdict joins the sha set for the exact is_dup, matching
+    * [[graft.operators.Dedup.dedupBloomProbe]] bit for bit.
+    */
+  private lazy val bloomProbeOracle: String = {
+    import SqlU64._
+    val numBits = 1 << 17; val numHashes = 5
+    val dm = Dedup.DefaultDeltaMod
+    val (xu, xxhSteps) = xxh64Fixed64("sha", "xu")
+    val mixSteps = Seq(
+      "mx1" -> xorShr(xu, 33),
+      "mx2" -> mul("mx1", BigInt("ff51afd7ed558ccd", 16)),
+      "mx3" -> xorShr("mx2", 33),
+      "mx4" -> mul("mx3", BigInt("c4ceb9fe1a85ec53", 16)),
+      "mx5" -> xorShr("mx4", 33),
+      "h2u" -> "(mx5 - (mx5 % 2) + 1)")
+    val (cteSql, last) = chain("bp", "bw", xxhSteps ++ mixSteps)
+    raw"""WITH bw AS MATERIALIZED (
+          SELECT doc_id,
+                 sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS sha
+          FROM documents),
+        $cteSql,
+        hh AS MATERIALIZED (SELECT doc_id, sha, xu, h2u FROM $last),
+        pos AS MATERIALIZED (
+          SELECT doc_id, sha, ((xu + i.range * h2u) % $T64) % $numBits AS pos
+          FROM hh CROSS JOIN range(0, $numHashes) i),
+        basepos AS (SELECT DISTINCT pos FROM pos WHERE doc_id % $dm <> 0),
+        basesha AS (SELECT DISTINCT sha FROM bw WHERE doc_id % $dm <> 0),
+        screened AS (
+          SELECT p.doc_id, BOOL_AND(b.pos IS NOT NULL) AS maybe_dup
+          FROM pos p LEFT JOIN basepos b ON p.pos = b.pos
+          WHERE p.doc_id % $dm = 0
+          GROUP BY p.doc_id)
+        SELECT s.doc_id, s.maybe_dup,
+               s.maybe_dup AND (bs.sha IS NOT NULL) AS is_dup
+        FROM screened s
+        JOIN bw w ON w.doc_id = s.doc_id
+        LEFT JOIN basesha bs ON bs.sha = w.sha
+        ORDER BY s.doc_id"""
   }
 
   /** Winnowing fully replayed — including XXH64 ITSELF, rebuilt in

@@ -29,6 +29,13 @@ import graft.plans.GraftFunctions
   */
 object Dedup {
 
+  /** The delta/base split modulus (`doc_id % DefaultDeltaMod == 0` is
+    * the delta) shared by every incremental key's engine default AND
+    * its SparkEntry oracle SQL — one constant both sides interpolate,
+    * so a dial change can never silently decouple engine from oracle.
+    */
+  val DefaultDeltaMod: Int = 10
+
   // ----------------------------------------------------------------
   // shared building blocks
   // ----------------------------------------------------------------
@@ -231,9 +238,12 @@ object Dedup {
     val repCol = s"rep_$id"
     // Symmetrize once; referenced every round, so cache the (a,b) pairs
     // (two longs per edge — the text never enters the iteration).
+    // Cached hash(b): the per-round neighbor-min join (sym.b == lbl.id)
+    // re-exchanges only the label side, never the edge list.
     val sym = graft.Caches.cached(
       edges.select(col("a"), col("b"))
-        .union(edges.select(col("b").as("a"), col("a").as("b"))))
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+        .repartition(col("b")))
     // Empty edge set: skip the loop AND the rep join — nothing is a dup.
     if (sym.isEmpty)
       return ids.select(col(id), col(id).as(repCol), lit(false).as("is_dup")).orderBy(id)
@@ -358,7 +368,7 @@ object Dedup {
     * ([[graft.sources.Sources]] bucketed write) removes even that
     * exchange on the base side.
     */
-  def dedupIncremental(s: SparkSession, dir: String, deltaMod: Int = 10): DataFrame = {
+  def dedupIncremental(s: SparkSession, dir: String, deltaMod: Int = DefaultDeltaMod): DataFrame = {
     require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
     // Shared by the base and delta sides — one scan+hash, not two.
     val hashed = graft.Caches.cached(Tables.documents(s, dir)
@@ -386,7 +396,7 @@ object Dedup {
     * specs cover the screen's soundness.
     */
   def streamDedupIncremental(s: SparkSession, dir: String,
-                             deltaMod: Int = 10): DataFrame = {
+                             deltaMod: Int = DefaultDeltaMod): DataFrame = {
     require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
     val docs = Tables.documents(s, dir)
     graft.streaming.EventStreams.dedupIncremental(
@@ -415,7 +425,7 @@ object Dedup {
     * asserts exact-==-unfiltered equality (soundness) and the
     * (1−e^(−kn/m))^k FP ceiling (effectiveness).
     */
-  def dedupBloomProbe(s: SparkSession, dir: String, deltaMod: Int = 10,
+  def dedupBloomProbe(s: SparkSession, dir: String, deltaMod: Int = DefaultDeltaMod,
                       numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
     require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
     graft.plans.GraftFunctions.ensureRegistered(s)
@@ -426,10 +436,17 @@ object Dedup {
     // collisions are expected, and a verify keyed on the screen's own
     // hash would inherit them as false "exact" dups ([[dedupExactHash]]
     // / [[dedupIncremental]] define duplication by sha2-256).
+    // The bloom key hashes the CONTENT HASH, not the raw text: the
+    // xxhash64 input is then a fixed 64-byte ASCII string — cheaper
+    // than re-hashing whole documents (the sha pass already read
+    // them), and exactly two XXH64 stripes with an empty tail, which
+    // is what makes the screen's bit positions replayable straight-
+    // line in the DuckDB oracle (SparkEntry.bloomProbeOracle) — no
+    // data-length-dependent stripe loop.
     val hashed = graft.Caches.cached(Tables.documents(s, dir)
       .select(col("doc_id"),
-              xxhash64(normText(col("text"))).as("h"),
-              sha2(normText(col("text")), 256).as("content_hash")))
+              sha2(normText(col("text")), 256).as("content_hash"))
+      .withColumn("h", xxhash64(col("content_hash"))))
     val base = hashed.filter(col("doc_id") % deltaMod =!= 0)
     val sketch = base.agg(
       call_function("graft_bloom", col("h"), lit(numBits), lit(numHashes))
@@ -490,7 +507,7 @@ object Dedup {
     * the oracle check relaxed — and that is a legitimate-looking
     * oracle failure, not an engine bug.
     */
-  def dedupIncrementalMinhash(s: SparkSession, dir: String, deltaMod: Int = 10,
+  def dedupIncrementalMinhash(s: SparkSession, dir: String, deltaMod: Int = DefaultDeltaMod,
                               nPerms: Int = 64, nBands: Int = 16,
                               shingleN: Int = 3, tauX1000: Long = 800,
                               maxBucket: Int = 1024): DataFrame = {
@@ -986,7 +1003,7 @@ object Dedup {
     * differently across engines on near-equal scores, while
     * threshold + MIN is a pure integer function of the verified set.
     */
-  def dedupIncrementalEmbedding(s: SparkSession, dir: String, deltaMod: Int = 10,
+  def dedupIncrementalEmbedding(s: SparkSession, dir: String, deltaMod: Int = DefaultDeltaMod,
                                 nBands: Int = 8, bitsPerBand: Int = 6,
                                 tau: Double = 0.9, maxBucket: Int = 1024): DataFrame = {
     require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
