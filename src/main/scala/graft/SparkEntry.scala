@@ -392,6 +392,7 @@ object SparkEntry {
     "winnowing_fingerprint" -> winnowingOracle,
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_bloom_probe" -> bloomProbeOracle,
+    "dedup_lsh_eval" -> lshEvalOracle,
     "bpe_apply" -> bpeApplyOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
@@ -4285,7 +4286,7 @@ object SparkEntry {
     * inlining re-evaluates subexpressions exponentially (measured on
     * the winnowing oracle: the inlined form never parsed).
     */
-  private object SqlU64 {
+  private[graft] object SqlU64 {
     val M: BigInt = BigInt(1) << 64
     val T64 = "CAST(18446744073709551616 AS HUGEINT)"
     val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
@@ -4372,6 +4373,206 @@ object SparkEntry {
       }
       (ctes.mkString(",\n        "), s"${prefix}_${steps.size - 1}")
     }
+
+    /** XXH64 (seed 42) of a VARIABLE-length ASCII column of ≤ 31
+      * bytes — [[dedupSimhashOracle]]'s conditional-round machinery
+      * generalized from one word round to the full sub-stripe tail
+      * (up to THREE 8-byte rounds, one 4-byte, up to three 1-byte):
+      * each round a CASE transformed-or-passthrough chained column.
+      * 31 bytes is a hard line: at 32 the stripe accumulator path
+      * begins, which is not straight-line — callers witness the bound
+      * with error() on `lenCol` before these steps run. Returns
+      * (baseCols to splice into the source CTE, chained steps,
+      * unsigned output column name). Requires columns `tokCol`
+      * (the string) and `lenCol` (its strlen) on the source.
+      */
+    def xxh64Short31(tokCol: String, lenCol: String, outName: String)
+        : (Seq[(String, String)], Seq[(String, String)]) = {
+      val C0 = (BigInt(42) + P5) mod M
+      def word8(j: Int): String = (0 until 8).map(i =>
+        s"CAST(ascii(substr($tokCol, ${8 * j + i + 1}, 1)) AS HUGEINT) * ${BigInt(1) << (8 * i)}")
+        .mkString(" + ")
+      val w4 = (0 until 4).map(i =>
+        s"CAST(ascii(substr($tokCol, CAST(${outName}_o4 AS INT) + ${i + 1}, 1)) AS HUGEINT) * ${BigInt(1) << (8 * i)}")
+        .mkString(" + ")
+      def bN(j: Int) = s"CAST(ascii(substr($tokCol, CAST(${outName}_ob AS INT) + $j, 1)) AS HUGEINT)"
+      val nw = s"${outName}_nw"; val o4 = s"${outName}_o4"
+      val has4 = s"${outName}_has4"; val ob = s"${outName}_ob"; val nb = s"${outName}_nb"
+      val nbExpr = s"$lenCol - (($lenCol // 8) * 8 + CASE WHEN ($lenCol - ($lenCol // 8) * 8) >= 4 THEN 4 ELSE 0 END)"
+      val baseCols = Seq(
+        nw -> s"($lenCol // 8)",
+        o4 -> s"(($lenCol // 8) * 8)",
+        has4 -> s"(($lenCol - ($lenCol // 8) * 8) >= 4)",
+        ob -> s"(($lenCol // 8) * 8 + CASE WHEN ($lenCol - ($lenCol // 8) * 8) >= 4 THEN 4 ELSE 0 END)",
+        nb -> s"($nbExpr)",
+        s"${outName}_h0" -> s"(($C0 + $lenCol) % $T64)") ++
+        (1 to 3).map(j =>
+          s"${outName}_w${j}v" -> s"CASE WHEN $lenCol >= ${8 * j} THEN (${word8(j - 1)}) ELSE CAST(0 AS HUGEINT) END") ++
+        Seq(
+          s"${outName}_w4v" -> s"CASE WHEN ($lenCol - ($lenCol // 8) * 8) >= 4 THEN ($w4) ELSE CAST(0 AS HUGEINT) END") ++
+        (1 to 3).map(j =>
+          s"${outName}_b${j}v" -> s"CASE WHEN $nbExpr >= $j THEN ${bN(j)} ELSE CAST(0 AS HUGEINT) END")
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var h = s"${outName}_h0"
+      for (j <- 1 to 3) { // 8-byte tail rounds: h = rotl27(h ^ rotl31(w·P2)·P1)·P1 + P4
+        steps += s"${outName}_k${j}a" -> s"CASE WHEN $nw >= $j THEN ${mul(s"${outName}_w${j}v", P2)} ELSE CAST(0 AS HUGEINT) END"
+        steps += s"${outName}_k${j}b" -> rot(s"${outName}_k${j}a", 31)
+        steps += s"${outName}_k${j}c" -> mul(s"${outName}_k${j}b", P1)
+        steps += s"${outName}_k${j}d" -> s"CASE WHEN $nw >= $j THEN ${xorCols(h, s"${outName}_k${j}c")} ELSE $h END"
+        steps += s"${outName}_k${j}e" -> rot(s"${outName}_k${j}d", 27)
+        steps += s"${outName}_k${j}f" -> s"CASE WHEN $nw >= $j THEN ((${mul(s"${outName}_k${j}e", P1)} + $P4) % $T64) ELSE ${outName}_k${j}d END"
+        h = s"${outName}_k${j}f"
+      }
+      // 4-byte round: h = rotl23(h ^ (u32·P1))·P2 + P3
+      steps += s"${outName}_q1" -> mulSmall(s"${outName}_w4v", P1)
+      steps += s"${outName}_q2" -> s"CASE WHEN $has4 THEN ${xorCols(h, s"${outName}_q1")} ELSE $h END"
+      steps += s"${outName}_q3" -> rot(s"${outName}_q2", 23)
+      steps += s"${outName}_q4" -> s"CASE WHEN $has4 THEN ((${mul(s"${outName}_q3", P2)} + $P3) % $T64) ELSE ${outName}_q2 END"
+      h = s"${outName}_q4"
+      for (j <- 1 to 3) { // 1-byte rounds: h = rotl11(h ^ (b·P5))·P1
+        steps += s"${outName}_e$j" -> mulSmall(s"${outName}_b${j}v", P5)
+        steps += s"${outName}_f$j" -> s"CASE WHEN $nb >= $j THEN ${xorCols(h, s"${outName}_e$j")} ELSE $h END"
+        steps += s"${outName}_g$j" -> rot(s"${outName}_f$j", 11)
+        steps += s"${outName}_i$j" -> s"CASE WHEN $nb >= $j THEN ${mul(s"${outName}_g$j", P1)} ELSE ${outName}_f$j END"
+        h = s"${outName}_i$j"
+      }
+      steps += s"${outName}_a1" -> xorShr(h, 33)
+      steps += s"${outName}_a2" -> mul(s"${outName}_a1", P2)
+      steps += s"${outName}_a3" -> xorShr(s"${outName}_a2", 29)
+      steps += s"${outName}_a4" -> mul(s"${outName}_a3", P3)
+      steps += outName -> xorShr(s"${outName}_a4", 32)
+      (baseCols, steps.toSeq)
+    }
+
+    /** XXH64.hashLong replay: xxh64 (given seed expression) of one
+      * 8-byte little-endian long already held as an unsigned HUGEINT
+      * column. `seedExpr` is a column name or literal; steps end in
+      * unsigned `outName`.
+      */
+    def xxh64Long(valCol: String, seedExpr: String, outName: String): Seq[(String, String)] = {
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      steps += s"${outName}_s0" -> s"((($seedExpr) + $P5 + 8) % $T64)"
+      steps += s"${outName}_t1" -> mul(valCol, P2)
+      steps += s"${outName}_t2" -> rot(s"${outName}_t1", 31)
+      steps += s"${outName}_t3" -> mul(s"${outName}_t2", P1)
+      steps += s"${outName}_t4" -> xorCols(s"${outName}_s0", s"${outName}_t3")
+      steps += s"${outName}_t5" -> rot(s"${outName}_t4", 27)
+      steps += s"${outName}_t6" -> s"((${mul(s"${outName}_t5", P1)} + $P4) % $T64)"
+      steps += s"${outName}_a1" -> xorShr(s"${outName}_t6", 33)
+      steps += s"${outName}_a2" -> mul(s"${outName}_a1", P2)
+      steps += s"${outName}_a3" -> xorShr(s"${outName}_a2", 29)
+      steps += s"${outName}_a4" -> mul(s"${outName}_a3", P3)
+      steps += outName -> xorShr(s"${outName}_a4", 32)
+      steps.toSeq
+    }
+  }
+
+  /** The LSH recall audit fully replayed — both of its legs rebuilt in
+    * pure SQL at the published dials (nPerms=258, nBands=86, tau=0.5,
+    * sampleMod=20, bucket cap 1024). The TRUTH leg is the exact
+    * sample-vs-corpus Jaccard over distinct shingle strings (the
+    * [[Dedup.hashedShingles]] hash-group == string-group argument).
+    * The CANDIDATE leg replays the banded MinHash index bit for bit:
+    * xxhash64 of each ≤31-byte shingle ([[SqlU64.xxh64Short31]] — the
+    * whole sub-stripe tail as conditional rounds, with an error()
+    * witness at 32 where the stripe path begins), the seed-42
+    * universal-hash mixers embedded as the (a·h + b) permutation
+    * table (the same java.util.Random(42) draw the engine publishes
+    * in [[graft.functions.MinHashBands]]), signed per-perm mins, and
+    * the per-band XXH64.hashLong fold ([[SqlU64.xxh64Long]] chained
+    * rowsPerBand deep). Buckets, the 2..1024 cap, sample-touching
+    * pairs, hits, and the micro-unit recall/efficiency then follow
+    * relationally — bit-for-bit against [[Dedup.dedupLshEval]].
+    */
+  private lazy val lshEvalOracle: String = {
+    import SqlU64._
+    val nPerms = 258; val nBands = 86
+    val sampleMod = 20; val maxBucket = 1024
+    val rnd = new java.util.Random(42L)
+    val as = Array.fill(nPerms)(rnd.nextLong() | 1L)
+    val bs = Array.fill(nPerms)(rnd.nextLong())
+    def u(x: Long): BigInt = { val b = BigInt(x); if (b < 0) b + M else b }
+    val permRows = (0 until nPerms).map(p =>
+      s"($p, CAST(${u(as(p))} AS HUGEINT), CAST(${u(bs(p))} AS HUGEINT))")
+      .mkString(",\n            ")
+    val (baseCols, hashSteps) = xxh64Short31("sh", "len", "hu")
+    val baseColsSql = baseCols.map { case (n, ex) => s"$ex AS $n" }.mkString(",\n                 ")
+    val (hashCtes, hashLast) = chain("lx", "shw", hashSteps)
+    require(nPerms / nBands == 3, "the band fold below is unrolled for rowsPerBand = 3")
+    val bandSteps =
+      xxh64Long("m0u", "CAST(42 AS HUGEINT)", "bh0") ++
+      xxh64Long("m1u", "bh0", "bh1") ++
+      xxh64Long("m2u", "bh1", "bh2")
+    val (bandCtes, bandLast) = chain("lb", "binp", bandSteps)
+    val mulAH = // (hu·a + b) mod 2^64, hu and a both full 64-bit columns
+      s"(((hu % 4294967296) * a + (((hu // 4294967296) * a) % 4294967296) * 4294967296 + b) % $T64)"
+    raw"""WITH t AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        shx AS (
+          SELECT doc_id,
+            CASE WHEN len(toks) >= 2
+                 THEN list_distinct(list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')))
+                 ELSE [array_to_string(toks, ' ')] END AS shs
+          FROM t),
+        shexp AS MATERIALIZED (SELECT doc_id, unnest(shs) AS sh FROM shx),
+        shl AS MATERIALIZED (
+          SELECT doc_id, sh,
+                 CASE WHEN length(sh) <> strlen(sh) THEN error('lsh-eval oracle: non-ASCII shingle in doc ' || doc_id)
+                      WHEN strlen(sh) > 31 THEN error('lsh-eval oracle: shingle longer than 31 bytes in doc ' || doc_id || ' — the stripe path is not replayable')
+                      ELSE strlen(sh) END AS len
+          FROM shexp),
+        shw AS MATERIALIZED (
+          SELECT doc_id, sh, len,
+                 $baseColsSql
+          FROM shl),
+        $hashCtes,
+        hh AS MATERIALIZED (SELECT doc_id, hu FROM $hashLast),
+        perms(p, a, b) AS (
+          VALUES
+            $permRows),
+        mins AS MATERIALIZED (
+          SELECT doc_id, p,
+                 MIN(${toSigned("v")}) AS m
+          FROM (SELECT doc_id, p, $mulAH AS v FROM hh CROSS JOIN perms)
+          GROUP BY doc_id, p),
+        binp AS MATERIALIZED (
+          SELECT doc_id, p // 3 AS band_idx,
+                 ${toUnsigned("MAX(CASE WHEN p % 3 = 0 THEN m END)")} AS m0u,
+                 ${toUnsigned("MAX(CASE WHEN p % 3 = 1 THEN m END)")} AS m1u,
+                 ${toUnsigned("MAX(CASE WHEN p % 3 = 2 THEN m END)")} AS m2u
+          FROM mins GROUP BY doc_id, p // 3),
+        $bandCtes,
+        bands AS MATERIALIZED (SELECT doc_id, band_idx, bh2 AS band_hash FROM $bandLast),
+        buckets AS (
+          SELECT band_idx, band_hash, list(doc_id) AS ids
+          FROM bands GROUP BY band_idx, band_hash
+          HAVING COUNT(*) BETWEEN 2 AND $maxBucket),
+        cand AS (
+          SELECT DISTINCT a, b FROM (
+            SELECT unnest(ids) AS a, ids FROM buckets) t1, LATERAL (SELECT unnest(t1.ids) AS b) t2
+          WHERE a < b),
+        ct AS MATERIALIZED (
+          SELECT a, b FROM cand WHERE a % $sampleMod = 0 OR b % $sampleMod = 0),
+        sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shexp GROUP BY doc_id),
+        cmn AS (
+          SELECT sp.doc_id AS pa, cp.doc_id AS pb, CAST(COUNT(*) AS BIGINT) AS c
+          FROM shexp sp JOIN shexp cp ON sp.sh = cp.sh
+          WHERE sp.doc_id % $sampleMod = 0 AND sp.doc_id <> cp.doc_id
+          GROUP BY 1, 2),
+        tru AS MATERIALIZED (
+          SELECT DISTINCT LEAST(pa, pb) AS a, GREATEST(pa, pb) AS b
+          FROM cmn JOIN sizes sa ON sa.doc_id = pa JOIN sizes sb ON sb.doc_id = pb
+          WHERE FLOOR(1000.0 * c / (sa.n + sb.n - c)) >= 500),
+        hits AS (SELECT ct.a, ct.b FROM ct JOIN tru USING (a, b)),
+        agg AS (
+          SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tru) AS n_true_pairs,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_candidates,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hits)
+        SELECT n_true_pairs, n_candidates, n_hits,
+               CASE WHEN n_true_pairs > 0 THEN (n_hits * 1000000) // n_true_pairs END AS recall_x1e6,
+               CASE WHEN n_candidates > 0 THEN (n_hits * 1000000) // n_candidates END AS efficiency_x1e6
+        FROM agg"""
   }
 
   /** The bloom screen fully replayed — the sketch's bit positions
