@@ -269,6 +269,7 @@ object SparkEntry {
     "vocab_encode"       -> ((s, d) => TextOps.vocabEncode(s, d)),
     "dedup_incremental"  -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "stream_dedup_incremental" -> ((s, d) => Dedup.streamDedupIncremental(s, d)),
+    "stream_dedup_persisted"  -> ((s, d) => Dedup.streamDedupPersisted(s, d)),
     "dedup_incremental_minhash" -> ((s, d) => Dedup.dedupIncrementalMinhash(s, d)),
     "dedup_incremental_embedding" -> ((s, d) => Dedup.dedupIncrementalEmbedding(s, d)),
     "dedup_keep_best"    -> ((s, d) => Dedup.dedupKeepBest(s, d)),
@@ -2623,6 +2624,16 @@ object SparkEntry {
          FROM h LEFT JOIN b ON h.content_hash = b.content_hash
          WHERE h.doc_id % ${Dedup.DefaultDeltaMod} = 0 ORDER BY h.doc_id""",
     "dedup_incremental" ->
+      raw"""WITH h AS (
+           SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
+           FROM documents),
+         b AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % ${Dedup.DefaultDeltaMod} <> 0)
+         SELECT h.doc_id, h.content_hash, b.content_hash IS NULL AS is_new
+         FROM h LEFT JOIN b ON h.content_hash = b.content_hash
+         WHERE h.doc_id % ${Dedup.DefaultDeltaMod} = 0 ORDER BY h.doc_id""",
+    // the persisted-artifact streaming shape answers the SAME question
+    // from substrate-published base bytes — exact verdict unchanged
+    "stream_dedup_persisted" ->
       raw"""WITH h AS (
            SELECT doc_id, sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash
            FROM documents),

@@ -193,34 +193,64 @@ object EventStreams {
     *
     * 100 TB note: re-deriving the sketch and hash set from the raw
     * base per micro-batch is the honest demo shape, not the deployed
-    * one — at corpus scale the base side passed in here should be the
-    * PERSISTED artifacts (the hash column bucketed at write, the bloom
-    * refreshed once per ingest — the [[graft.Substrate]] tier), so
-    * each micro-batch re-plans a manifest-sized read, not a corpus
-    * scan.
+    * one — [[dedupIncrementalPersisted]] is the at-scale form, reading
+    * both artifacts from the [[graft.Substrate]] tier so each
+    * micro-batch re-plans a manifest-sized read, not a corpus scan.
+    *
+    * The bloom keys on xxhash64 of the sha2 hex digest, exactly as
+    * [[graft.operators.Dedup.dedupBloomProbe]] — one screen-key
+    * convention across the family (fixed-width input, replayable).
     */
   def dedupIncremental(delta: DataFrame, base: DataFrame,
                        numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
     import graft.functions.TextFunctions.normText
     val s = delta.sparkSession
     graft.plans.GraftFunctions.ensureRegistered(s)
-    val baseHashed = base.select(
-      xxhash64(normText(col("text"))).as("h"),
-      sha2(normText(col("text")), 256).as("content_hash"))
+    val baseHashed = base
+      .select(sha2(normText(col("text")), 256).as("content_hash"))
+      .withColumn("h", xxhash64(col("content_hash")))
     val sketch = baseHashed.agg(
       call_function("graft_bloom", col("h"), lit(numBits), lit(numHashes)).as("bloom"))
-    val screened = delta.select(
-        col("doc_id"),
-        xxhash64(normText(col("text"))).as("h"),
-        sha2(normText(col("text")), 256).as("content_hash"))
+    screenThenVerify(delta, sketch, baseHashed.select("content_hash").distinct())
+  }
+
+  /** The AT-SCALE form of [[dedupIncremental]]: the base side is the
+    * two PERSISTED substrate artifacts
+    * ([[graft.operators.Dedup.dedupBaseArtifacts]] publishes them once
+    * per ingest) — the distinct-hash parquet table and the OR-merged
+    * bloom — so the stream-static re-plan each micro-batch performs is
+    * a manifest-sized parquet read, never a corpus scan, and an
+    * ingest-refreshed artifact set is picked up on the next batch by
+    * the same stream-static contract. Identical verdict algebra to
+    * the demo form; only where the base bytes come from changes.
+    */
+  def dedupIncrementalPersisted(delta: DataFrame, hashesPath: String,
+                                bloomPath: String): DataFrame = {
+    val s = delta.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val sketch = s.read.parquet(bloomPath)
+    val baseHashes = s.read.parquet(hashesPath).select("content_hash")
+    screenThenVerify(delta, sketch, baseHashes)
+  }
+
+  /** Shared screen-then-verify tail of the streaming dedups: broadcast
+    * the 1-row bloom, screen every delta row locally, and let only
+    * bloom-positives pay the exact hash join (a bloom-negative is
+    * definitively new — no false negatives).
+    */
+  private def screenThenVerify(delta: DataFrame, sketch: DataFrame,
+                               baseHashes: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.normText
+    val screened = delta
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+      .withColumn("h", xxhash64(col("content_hash")))
       .crossJoin(broadcast(sketch))
       .select(col("doc_id"), col("content_hash"),
         call_function("graft_bloom_contains", col("bloom"), col("h")).as("maybe_dup"))
     val negatives = screened.filter(!col("maybe_dup"))
       .select(col("doc_id"), col("content_hash"), lit(true).as("is_new"))
     val positives = screened.filter(col("maybe_dup"))
-      .join(baseHashed.select("content_hash").distinct()
-              .withColumn("in_base", lit(true)),
+      .join(baseHashes.withColumn("in_base", lit(true)),
             Seq("content_hash"), "left")
       .select(col("doc_id"), col("content_hash"), col("in_base").isNull.as("is_new"))
     negatives.unionByName(positives)

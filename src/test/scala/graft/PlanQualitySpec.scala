@@ -218,6 +218,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("persisted streaming dedup: only the delta slice scans the raw corpus, base read from substrate") {
+    val p = planFullMeta(graft.operators.Dedup.streamDedupPersisted(spark, sf))
+    // the DELTA slice is the only part of the raw corpus the plan may
+    // touch (once per union branch — negatives/positives) — the base
+    // must come from the two substrate artifacts, never a documents
+    // re-read (that re-derivation is exactly what the persisted shape
+    // removes per micro-batch). Delta scans are identified by their
+    // doc_id % mod = 0 data filter.
+    val docScans = p.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("documents.parquet")).toSeq
+    assert(docScans.nonEmpty && docScans.forall(_.contains("% 10) = 0")),
+      s"a non-delta scan of the raw corpus leaked into the per-batch plan:\n${docScans.mkString("\n")}")
+    assert(p.contains("dedup_base_hashes_"),
+      s"exact-verify side must read the substrate hash table:\n$p")
+    assert(p.contains("dedup_base_bloom_"),
+      s"bloom side must read the substrate sketch:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bloom sketch not broadcast:\n$p")
+    val shuffledText = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("text"))
+    assert(!shuffledText, s"document text in a shuffle:\n$p")
+    graft.Caches.clear()
+  }
+
   test("zorder_key scan prunes to exactly the two id columns") {
     val p = plan(graft.operators.LayoutOps.zorderKey(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get

@@ -222,6 +222,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("persisted-artifact streaming dedup equals batch over the substrate base, across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (hashesPath, bloomPath) =
+      graft.operators.Dedup.dedupBaseArtifacts(spark, sf)
+    val input = MemoryStream[StreamingSpec.Doc]
+    val q = EventStreams.dedupIncrementalPersisted(input.toDF(), hashesPath, bloomPath)
+      .writeStream.format("memory").queryName("sdp_test").outputMode("append").start()
+    try {
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .as[StreamingSpec.Doc].collect().toSeq
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamed = spark.table("sdp_test")
+      // stream over the persisted base == the registered batch twin
+      val batch = graft.operators.Dedup.streamDedupPersisted(spark, sf)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0)
+      // == the demo (derive-per-batch) road too: same verdicts, only
+      // where the base bytes come from differs
+      val demo = graft.operators.Dedup.streamDedupIncremental(spark, sf)
+      assert(streamed.exceptAll(demo).count() == 0 &&
+             demo.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("parquet sink with checkpoint lands the deduped stream durably") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
