@@ -245,6 +245,7 @@ object SparkEntry {
     // Multimodal REAL-codec loop (JDK-native PNG / WAV; deterministic
     // pixels/samples so the arithmetic oracle certifies encode→decode)
     "mm_image_decode" -> (graft.multimodal.Multimodal.mmImageDecode _),
+    "mm_jpeg_decode"  -> ((s, d) => graft.multimodal.Multimodal.mmJpegDecode(s, d)),
     "mm_image_resize" -> ((s, d) => graft.multimodal.Multimodal.mmImageResize(s, d)),
     "mm_audio_decode" -> (graft.multimodal.Multimodal.mmAudioDecode _),
     "mm_image_phash"  -> (graft.multimodal.Multimodal.mmImagePhash _),
@@ -2688,6 +2689,19 @@ object SparkEntry {
     // sample arithmetic WITHOUT any codec: Spark's numbers pass through
     // genuine PNG (ImageIO) / WAV (javax.sound) encode+decode, so a
     // hash match certifies the codec round trip bit-exactly.
+    // JPEG is lossy, so decoded sums are codec-defined and not SQL-
+    // replayable; the oracle-exact surface is the decoder's own header
+    // parse (dims) + the SOI magic + the mean-tolerance witness the
+    // engine computes from REAL decoded pixels (a broken codec loop
+    // flips it and fails the hash).
+    "mm_jpeg_decode" ->
+      """SELECT doc_id,
+                CAST(8 + doc_id % 25 AS BIGINT) AS width,
+                CAST(8 + (doc_id * 7) % 25 AS BIGINT) AS height,
+                CAST((8 + doc_id % 25) * (8 + (doc_id * 7) % 25) AS BIGINT) AS n_pixels,
+                true AS jpeg_magic_ok,
+                true AS mean_err_le_tol
+         FROM documents ORDER BY doc_id""",
     "mm_image_decode" ->
       """WITH dims AS (
            SELECT doc_id, 8 + doc_id % 25 AS w, 8 + (doc_id * 7) % 25 AS h

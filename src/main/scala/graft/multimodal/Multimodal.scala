@@ -7,14 +7,17 @@ import graft.Tables
 /** Multimodal-column plumbing (SURVEY.md §2 `mm_extract_meta`): media
   * payloads as opaque `binary` columns + typed metadata extraction.
   *
-  * The container has no image/audio codecs, so the pixel/sample decode
-  * is a deterministic STUB (see [[decodeStub]]) — but everything
-  * Spark-side is real: the binary column, the self-describing header
-  * layout, header parsing with native binary/string functions (stays
-  * inside whole-stage codegen), and the schema a downstream
-  * feature-extract stage would consume. At 100 TB this is a pure map
-  * stage: metadata extraction reads only the first 21 bytes of each
-  * payload and never shuffles blob bytes.
+  * The image/audio paths run REAL stock-JDK codecs — PNG and JPEG via
+  * ImageIO (`mm_image_decode`/`mm_image_resize`/`mm_jpeg_decode`, the
+  * pHash pair), WAV via javax.sound (`mm_audio_*`). The deterministic
+  * [[decodeStub]] survives only in `mm_extract_meta`'s generic-media
+  * demo, standing in for EXOTIC containers (mp4/opus/etc.) no stock
+  * JDK decodes — everything Spark-side there is still real: the binary
+  * column, the self-describing header layout, header parsing with
+  * native binary/string functions (stays inside whole-stage codegen),
+  * and the schema a downstream feature-extract stage would consume. At
+  * 100 TB this is a pure map stage: metadata extraction reads only the
+  * first 21 bytes of each payload and never shuffles blob bytes.
   *
   * Header layout (ASCII, fixed-width so `substring` parses it):
   * bytes 1-4 magic "GFT0" | 5 media kind I/A/V | 6-11 width/samples |
@@ -356,13 +359,14 @@ object Multimodal {
       .toDF()
   }
 
-  /** Decode each PNG payload with the JDK codec and return the decoded
-    * pixel grid — the per-partition decode loop the feature keys
-    * share. Throws with the doc id on an undecodable blob (a corrupt
-    * asset should be quarantined UPSTREAM by `mm_payload_dedup`-style
-    * digests; silently skipping here would fake coverage).
+  /** Decode an image payload with the JDK codec (PNG and JPEG both
+    * route through ImageIO) and return the decoded pixel grid — the
+    * per-partition decode loop the feature keys share. Throws with the
+    * doc id on an undecodable blob (a corrupt asset should be
+    * quarantined UPSTREAM by `mm_payload_dedup`-style digests;
+    * silently skipping here would fake coverage).
     */
-  private def decodePng(id: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+  private def decodeImage(id: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"payload of doc $id is not a decodable image")
     img
@@ -382,7 +386,7 @@ object Multimodal {
     buildPngPayloads(s, dir).as[MediaPayload]
       .mapPartitions { it =>
         it.map { mp =>
-          val img = decodePng(mp.doc_id, mp.payload)
+          val img = decodeImage(mp.doc_id, mp.payload)
           val w = img.getWidth; val h = img.getHeight
           var sr = 0L; var sg = 0L; var sb = 0L
           var y = 0
@@ -418,7 +422,7 @@ object Multimodal {
     buildPngPayloads(s, dir).as[MediaPayload]
       .mapPartitions { it =>
         it.map { mp =>
-          val img = decodePng(mp.doc_id, mp.payload)
+          val img = decodeImage(mp.doc_id, mp.payload)
           val w = img.getWidth; val h = img.getHeight
           var sr = 0L; var sg = 0L; var sb = 0L
           var y = 0
@@ -433,6 +437,98 @@ object Multimodal {
             y += 1
           }
           ResizeMeta(mp.doc_id, w, h, outW, outH, sr, sg, sb)
+        }
+      }
+      .toDF().orderBy("doc_id")
+  }
+
+  /** Features extracted from a DECODED JPEG: exact decoder-read dims
+    * plus tolerance witnesses (JPEG is lossy, so pixel sums are
+    * codec-defined — the witnesses are the oracle-stable surface).
+    */
+  case class JpegMeta(doc_id: Long, width: Long, height: Long,
+                      n_pixels: Long, jpeg_magic_ok: Boolean,
+                      mean_err_le_tol: Boolean)
+
+  /** Build one REAL JPEG blob per document — the same deterministic
+    * pixel grid as [[buildPngPayloads]], encoded through the stock
+    * JDK's ImageIO JPEG writer (default quality). Bytes start with the
+    * FF D8 SOI marker; the body is a genuine entropy-coded DCT stream.
+    */
+  def buildJpegPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = imgW(id); val h = imgH(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var p = 0; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val r = chanVal(id, 3L * p); val g = chanVal(id, 3L * p + 1)
+              val b = chanVal(id, 3L * p + 2)
+              img.setRGB(x, y, (r << 16) | (g << 8) | b)
+              p += 1; x += 1
+            }
+            y += 1
+          }
+          val bo = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "jpg", bo),
+            s"no JDK JPEG writer available (doc $id)")
+          MediaPayload(id, bo.toByteArray)
+        }
+      }
+      .toDF()
+  }
+
+  /** SURVEY §2 `mm_jpeg_decode`: binary JPEG column → REAL JDK decode
+    * → dims + tolerance witnesses. This retires [[decodeStub]] for the
+    * LOSSY image path the way `mm_image_decode` retired it for PNG —
+    * with the honesty the lossiness forces: decoded pixel values are
+    * codec-defined (DCT quantization + chroma subsampling), so no pure
+    * SQL oracle can replay sums. What IS oracle-exact: the decoder's
+    * own header parse (width/height/n_pixels — wrong parse = hash
+    * mismatch), the FF D8 SOI magic read from the raw bytes, and the
+    * witness that each decoded channel MEAN sits within `tolX1000`
+    * milli-levels of the source mean (JPEG preserves block DC terms,
+    * so a correct decode holds means tight; a broken codec loop flips
+    * the witness and fails the hash). MultimodalSpec pins the
+    * quantitative side (observed error, real lossiness). Row-local
+    * decode; blob bytes never shuffle.
+    */
+  def mmJpegDecode(s: SparkSession, dir: String, tolX1000: Long = 8000L): DataFrame = {
+    import s.implicits._
+    buildJpegPayloads(s, dir).as[MediaPayload]
+      .mapPartitions { it =>
+        it.map { mp =>
+          val magicOk = mp.payload.length > 2 &&
+            (mp.payload(0) & 0xff) == 0xff && (mp.payload(1) & 0xff) == 0xd8
+          val img = decodeImage(mp.doc_id, mp.payload)
+          val w = img.getWidth; val h = img.getHeight
+          var dr = 0L; var dg = 0L; var db = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              dr += (rgb >> 16) & 0xff; dg += (rgb >> 8) & 0xff; db += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0L
+          val n = w.toLong * h
+          while (p < n) {
+            sr += chanVal(mp.doc_id, 3L * p); sg += chanVal(mp.doc_id, 3L * p + 1)
+            sb += chanVal(mp.doc_id, 3L * p + 2)
+            p += 1
+          }
+          val maxErr = Seq(dr - sr, dg - sg, db - sb)
+            .map(d => math.abs(d) * 1000L / n).max
+          JpegMeta(mp.doc_id, w, h, n, magicOk, maxErr <= tolX1000)
         }
       }
       .toDF().orderBy("doc_id")
@@ -507,7 +603,7 @@ object Multimodal {
     buildPngVariantPayloads(s, dir).as[MediaPayload]
       .mapPartitions { it =>
         it.map { mp =>
-          val img = decodePng(mp.doc_id, mp.payload)
+          val img = decodeImage(mp.doc_id, mp.payload)
           val w = img.getWidth; val h = img.getHeight
           val gray = new Array[Long](64)
           var sum = 0L

@@ -164,6 +164,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(sigBad.count() == 0, "a payload is not a PNG")
   }
 
+  test("mm_jpeg_decode: real lossy JPEG round trip — dims exact, means in tolerance, bytes genuinely JPEG") {
+    val out = Multimodal.mmJpegDecode(spark, sf).cache()
+    val rows = out.orderBy("doc_id").limit(40).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8L + id % 25L; val h = 8L + (id * 7L) % 25L
+      assert(r.getLong(1) == w && r.getLong(2) == h && r.getLong(3) == w * h,
+        s"doc $id decoder dims diverge from the source arithmetic")
+      assert(r.getBoolean(4), s"doc $id payload lacks the JPEG SOI marker")
+      assert(r.getBoolean(5), s"doc $id decoded channel mean outside tolerance")
+    }
+    assert(out.count() == Tables.documents(spark, sf).count())
+    out.unpersist()
+    // and it IS lossy — a decoded grid differs from the source pixels
+    // somewhere (else "jpg" silently wrote a lossless format and the
+    // tolerance witness proves nothing)
+    import spark.implicits._
+    val lossy = Multimodal.buildJpegPayloads(spark, sf)
+      .as[Multimodal.MediaPayload].limit(20).collect().exists { mp =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(mp.payload))
+        val w = img.getWidth; val h = img.getHeight
+        (0 until h).exists { y => (0 until w).exists { x =>
+          val rgb = img.getRGB(x, y); val p = y.toLong * w + x
+          ((rgb >> 16) & 0xff) != expChan(mp.doc_id, 3 * p) ||
+          ((rgb >> 8) & 0xff) != expChan(mp.doc_id, 3 * p + 1) ||
+          (rgb & 0xff) != expChan(mp.doc_id, 3 * p + 2)
+        }}
+      }
+    assert(lossy, "every JPEG decoded bit-exact — the writer is not actually lossy?")
+  }
+
   test("mm_image_resize: NN thumbnail stats equal the floor-index arithmetic") {
     val rows = Multimodal.mmImageResize(spark, sf).orderBy("doc_id").limit(40).collect()
     rows.foreach { r =>
