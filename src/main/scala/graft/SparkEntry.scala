@@ -395,6 +395,7 @@ object SparkEntry {
     "dedup_simhash" -> dedupSimhashOracle,
     "dedup_bloom_probe" -> bloomProbeOracle,
     "dedup_lsh_eval" -> lshEvalOracle,
+    "approx_distinct_users" -> approxDistinctOracle,
     "bpe_apply" -> bpeApplyOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
@@ -4598,6 +4599,88 @@ object SparkEntry {
                CASE WHEN n_true_pairs > 0 THEN (n_hits * 1000000) // n_true_pairs END AS recall_x1e6,
                CASE WHEN n_candidates > 0 THEN (n_hits * 1000000) // n_candidates END AS efficiency_x1e6
         FROM agg"""
+  }
+
+  /** Spark's HyperLogLogPlusPlus (`approx_count_distinct`, rsd 0.05 →
+    * p=9, m=512) fully replayed in SQL — the register algebra is
+    * order-free (per-index MAX of rank), which is what makes THIS
+    * sketch replayable where the DataSketches-HLL keys (HIP estimator,
+    * insertion-order-dependent) and the GK quantile keys (merge-
+    * shape-dependent) are not. Per value: XXH64.hashLong(v, 42)
+    * ([[SqlU64.xxh64Long]]), idx = top p bits, rank = leading zeros of
+    * the remaining bits (padded at bit p−1, so rank ≤ 56) + 1 — the
+    * bit length computed by an exact integer CASE ladder, no
+    * float log2. Per group: V = zero registers, zInverse rebuilt
+    * EXACTLY as a 2⁶⁴-scaled HUGEINT sum then rounded once to double,
+    * the bias-corrected branch interpolating Spark's published
+    * RAW_ESTIMATE/BIAS tables (k=6 nearest, embedded as literals read
+    * from the public `HyperLogLogPlusPlusHelper` statics at generation
+    * time), the linear-counting branch m·ln(m/V) under the p=9
+    * threshold (400). The last-ulp caveat is documented in SURVEY §5:
+    * Java sums zInverse sequentially and DuckDB's ln/AVG may differ in
+    * the final ulp — measure-zero for this corpus (verified at sf0.01
+    * and sf0.1); a future corpus landing exactly on a rounding
+    * boundary would indict the replay's ulp, not the engine.
+    */
+  private lazy val approxDistinctOracle: String = {
+    import SqlU64._
+    val p = 9; val m = 512
+    val helperCls = "org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper"
+    val raw = Class.forName(helperCls).getMethod("RAW_ESTIMATE_DATA")
+      .invoke(null).asInstanceOf[Array[Array[Double]]](p - 4)
+    val bias = Class.forName(helperCls).getMethod("BIAS_DATA")
+      .invoke(null).asInstanceOf[Array[Array[Double]]](p - 4)
+    val threshold = Class.forName(helperCls).getMethod("THRESHOLDS")
+      .invoke(null).asInstanceOf[Array[Double]](p - 4)
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val tableRows = raw.indices.map(i => s"($i, ${raw(i)}, ${bias(i)})").mkString(", ")
+    val hashSteps = xxh64Long("uv", "CAST(42 AS HUGEINT)", "hu")
+    val (hashCtes, hashLast) = chain("hx", "du", hashSteps)
+    // exact integer bit length of w (w >= 256 by the padding, < 2^64):
+    // binary-search CASE ladder, float-free
+    def bitlen(col: String): String = {
+      val cases = (63 to 9 by -1).map(b =>
+        s"WHEN $col >= ${BigInt(1) << b} THEN ${b + 1}").mkString(" ")
+      s"(CASE $cases ELSE 9 END)"
+    }
+    raw"""WITH du AS MATERIALIZED (
+          SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS uv FROM events),
+        $hashCtes,
+        ir AS MATERIALIZED (
+          SELECT event_type,
+                 hu // ${BigInt(1) << (64 - p)} AS idx,
+                 65 - ${bitlen(s"((hu % ${BigInt(1) << (64 - p)}) * ${1 << p} + ${1 << (p - 1)})")} AS rank
+          FROM $hashLast),
+        regs AS (SELECT event_type, idx, MAX(rank) AS r FROM ir GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type,
+                 $m - COUNT(*) AS v,
+                 (($m - COUNT(*)) * POWER(2, 64)::HUGEINT
+                   + SUM(POWER(2, 64 - r)::HUGEINT)) AS zscaled
+          FROM regs GROUP BY event_type),
+        est AS (
+          SELECT event_type, v,
+                 $alphaM2 / (CAST(zscaled AS DOUBLE) / 18446744073709551616.0) AS e
+          FROM agg),
+        rbt(i, raw_est, bias) AS (VALUES $tableRows),
+        nn AS (
+          SELECT event_type, bias,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(e - raw_est), i) AS rn
+          FROM est CROSS JOIN rbt),
+        eb AS (SELECT event_type, AVG(bias) AS bias6 FROM nn WHERE rn <= 6 GROUP BY event_type),
+        fin AS (
+          SELECT est.event_type,
+                 CASE WHEN est.e <= ${5.0 * m} THEN est.e - eb.bias6 ELSE est.e END AS ebc,
+                 CASE WHEN est.v > 0 THEN $m * ln($m / CAST(est.v AS DOUBLE)) END AS h,
+                 est.v
+          FROM est JOIN eb USING (event_type)),
+        cnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY event_type)
+        SELECT f.event_type,
+               CAST(FLOOR(CASE WHEN f.v > 0 AND f.h <= $threshold THEN f.h ELSE f.ebc END + 0.5) AS BIGINT) AS approx_users,
+               c.n_events
+        FROM fin f JOIN cnt c USING (event_type)
+        ORDER BY f.event_type"""
   }
 
   /** The bloom screen fully replayed — the sketch's bit positions
