@@ -29,7 +29,11 @@ Usage:
 import json, sys
 
 BASELINE = "/root/repo/BASELINE.json"
-CURRENT_REGIME_BLOCKS = ["internal_baseline_r15_final", "internal_baseline_r16"]
+# oldest-first: an earlier block's value wins for keys it carries, so
+# the bar stays the strictest HOST-COMPARABLE measurement; keys first
+# measured in a later round join from their first clean record.
+CURRENT_REGIME_BLOCKS = ["internal_baseline_r15_final", "internal_baseline_r16",
+                         "internal_baseline_r17"]
 
 
 def build(d):
