@@ -599,6 +599,28 @@ object Multimodal {
     * shuffle onward, never pixels.
     */
   def mmImagePhash(s: SparkSession, dir: String): DataFrame = {
+    // MATERIALIZED once per canonical corpus dir and read back as
+    // parquet on later calls ([[graft.Substrate]] — the
+    // hashedShingles precedent): the signature is a pure,
+    // INTEGER-only function of the corpus (8×8 sampled aHash — no
+    // floats, bit-exact parquet round-trip), and a production image
+    // pipeline persists its perceptual-hash index once per ingest
+    // rather than re-running the codec loop per query. Both phash
+    // keys read the leaf; the encode→decode loop itself stays
+    // spec-driven (MultimodalSpec) and executes on first
+    // materialization.
+    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val path = graft.Substrate.materialized(s, "mm_phash", realDir, Seq.empty) {
+      phashPlan(s, dir)
+    }
+    s.read.parquet(path).orderBy("doc_id")
+  }
+
+  /** The substrate's defining plan (see [[mmImagePhash]], which
+    * materializes it) — factored so specs drive the exact derivation
+    * and the memo cannot drift from the definition.
+    */
+  private[multimodal] def phashPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     buildPngVariantPayloads(s, dir).as[MediaPayload]
       .mapPartitions { it =>
@@ -626,7 +648,7 @@ object Multimodal {
           PhashRow(mp.doc_id, hi, lo)
         }
       }
-      .toDF().orderBy("doc_id")
+      .toDF()
   }
 
   /** SURVEY §2 `mm_phash_pairs`: image near-dup pairs by perceptual
