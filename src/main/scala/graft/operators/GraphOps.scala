@@ -579,28 +579,24 @@ object GraphOps {
     */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val pairs = copurchaseEdges(s, dir)
-    val sym = graft.Caches.cached(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")))
-    val nodes = graft.Caches.cached(
-      sym.select(col("src").as("node")).distinct())
-    var labels = graft.Caches.roundCheckpoint(
-      nodes.select(col("node"), col("node").as("label")), reliable = false)
-    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
+    val (sym, nodes) = labelPropInputs(s, dir)
+    // Round 0 checkpoints the SINGLE-column node frame and projects
+    // the self-label view above the LogicalRDD, rather than
+    // checkpointing (node, node AS label) directly: a projection that
+    // aliases the partition key reports a partitioning COLLECTION
+    // (hash(label) or hash(node)), and the checkpoint's partitioning
+    // preservation flattens a collection to its FIRST member — which
+    // lands on the label side and forces every round-1 join to
+    // re-exchange. The single-column checkpoint carries an unambiguous
+    // hash(node); the projection above it keeps both views available
+    // to the round (pinned in PlanQualitySpec).
+    val labelsInit = graft.Caches.roundCheckpoint(nodes, reliable = false)
+    graft.Caches.onClear(() => graft.Caches.unpersistRound(labelsInit))
+    var labels: DataFrame =
+      labelsInit.select(col("node"), col("node").as("label"))
     (1 to iters).foreach { _ =>
-      val votes = sym.join(labels, sym("src") === labels("node"))
-        .repartition(col("dst"))
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("node"), col("label").as("new_label"))
       val next = graft.Caches.roundCheckpoint(
-        nodes.join(votes, Seq("node"), "left")
-          .select(col("node"),
-            coalesce(col("new_label"), col("node")).as("label")),
-        reliable = false)
+        labelPropRound(sym, nodes, labels), reliable = false)
       graft.Caches.unpersistRound(labels)
       labels = next
     }
@@ -611,6 +607,44 @@ object GraphOps {
       .select(col("node").as("part_key"), col("label").as("community"),
               col("community_size"))
       .orderBy("part_key")
+  }
+
+  /** The cached (sym hash(src), nodes hash(node)) pair behind
+    * [[labelPropagation]] — factored so PlanQualitySpec pins the
+    * per-round exchange shape on the exact production inputs.
+    */
+  private[graft] def labelPropInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pairs = copurchaseEdges(s, dir)
+    val sym = graft.Caches.cached(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
+    val nodes = graft.Caches.cached(
+      sym.select(col("src").as("node")).distinct())
+    (sym, nodes)
+  }
+
+  /** One synchronous label-propagation update — the plan each round
+    * checkpoints. Factored so PlanQualitySpec pins the per-round
+    * physical shape: with `sym` cached hash(src), `nodes` hash(node),
+    * and `labels` a checkpointed round carrying hash(node), this plans
+    * exactly ONE corpus-scale Exchange (the explicit vote repartition
+    * on dst, which then satisfies both the (dst, label) count's
+    * clustering and the per-node top-1 window) under the no-broadcast
+    * regime.
+    */
+  private[graft] def labelPropRound(sym: DataFrame, nodes: DataFrame,
+                                    labels: DataFrame): DataFrame = {
+    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
+    val votes = sym.join(labels, sym("src") === labels("node"))
+      .repartition(col("dst"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dst").as("node"), col("label").as("new_label"))
+    nodes.join(votes, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("node")).as("label"))
   }
 
   /** Market-basket association rules over the co-purchase substrate
@@ -713,12 +747,7 @@ object GraphOps {
       require(rounds <= 200,
         s"k-core peel did not converge in 200 rounds (|alive|=$nAlive) — " +
           "pathological peel chain; raise the guard deliberately, not silently")
-      val deg = sym
-        .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
-        .join(alive.select(col("node")), Seq("node"), "left_semi")
-      val next = graft.Caches.roundCheckpoint(
-        deg.filter(col("core_degree") >= k), reliable)
+      val next = graft.Caches.roundCheckpoint(kcoreRound(sym, alive, k), reliable)
       val nNext = next.count()
       changed = nNext < nAlive && nNext > 0
       graft.Caches.unpersistRound(alive)
@@ -730,4 +759,16 @@ object GraphOps {
     alive.select(col("node").as("part_key"), col("core_degree"))
       .orderBy("part_key")
   }
+
+  /** One k-core peel — the plan each round checkpoints. Factored so
+    * PlanQualitySpec pins the per-round physical shape: with `sym`
+    * cached hash(dst) and `alive` a checkpointed round carrying
+    * hash(node), this plans exactly ONE corpus-scale Exchange (the
+    * groupBy(src) re-key) under the no-broadcast regime.
+    */
+  private[graft] def kcoreRound(sym: DataFrame, alive: DataFrame, k: Int): DataFrame =
+    sym.join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+      .join(alive.select(col("node")), Seq("node"), "left_semi")
+      .filter(col("core_degree") >= k)
 }

@@ -713,4 +713,46 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       Caches.clear()
     }
   }
+
+  test("label-prop and kcore rounds: exactly ONE corpus-scale Exchange each under the no-broadcast regime") {
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, BroadcastExchangeExec}
+    import graft.operators.GraphOps
+    val conf = spark.conf
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shape(df: DataFrame, want: String, label: String): Unit = {
+        val exec = df.queryExecution.executedPlan
+        val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.size == 1,
+          s"$label round must cost exactly one shuffle, got ${shuffles.size}:\n$exec")
+        assert(shuffles.head.outputPartitioning.toString.contains(want),
+          s"$label's one shuffle must key on $want: ${shuffles.head.outputPartitioning}")
+        assert(exec.collect { case b: BroadcastExchangeExec => b }.isEmpty,
+          s"$label: nothing may broadcast at corpus scale:\n$exec")
+      }
+      val (sym, nodes) = GraphOps.labelPropInputs(spark, sf)
+      // round-0 init exactly as labelPropagation builds it: the
+      // single-column checkpoint carries an unambiguous hash(node)
+      val labels0 = Caches.roundCheckpoint(nodes, reliable = false)
+        .select(col("node"), col("node").as("label"))
+      shape(GraphOps.labelPropRound(sym, nodes, labels0), "dst", "label-prop")
+
+      val edges = Caches.cached(graft.operators.GraphOps.copurchaseEdges(spark, sf))
+      val ksym = Caches.cached(
+        edges.select(col("a").as("src"), col("b").as("dst"))
+          .union(edges.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(col("dst")))
+      val alive0 = Caches.roundCheckpoint(
+        ksym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+          .filter(col("core_degree") >= 3), reliable = false)
+      shape(GraphOps.kcoreRound(ksym, alive0, 3), "src", "kcore")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Caches.clear()
+    }
+  }
 }
