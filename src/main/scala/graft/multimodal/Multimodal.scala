@@ -325,13 +325,31 @@ object Multimodal {
                        duration_us: Long, sum_abs: Long, peak_abs: Long,
                        energy: Long)
 
-  /** Build one REAL PNG blob per document: deterministic RGB pixels
+  /** Persist a deterministic payload fixture once per corpus and read
+    * it back as a binary column ([[graft.Substrate]]): payloads are
+    * the INPUT of the decode keys — a production pipeline reads blobs
+    * from storage, it does not re-encode its corpus per query — so the
+    * decode keys measure the decode, and the encoder runs once per
+    * ingest (exactly once per corpus dir; parquet binary round-trips
+    * bytes exactly).
+    */
+  private def materializedPayloads(s: SparkSession, dir: String, kind: String)
+      (plan: => DataFrame): DataFrame = {
+    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val path = graft.Substrate.materialized(s, kind, realDir, Seq.empty)(plan)
+    s.read.parquet(path)
+  }
+
+  /** One REAL PNG blob per document: deterministic RGB pixels
     * (pixel p channels = [[chanVal]](3p), (3p+1), (3p+2)) encoded
     * through `javax.imageio.ImageIO` — the bytes start with the
-    * 8-byte PNG signature and inflate back losslessly. Row-local
-    * encode; only (id, blob) rows flow on.
+    * 8-byte PNG signature and inflate back losslessly. Encoded once
+    * per corpus ([[materializedPayloads]]); only (id, blob) rows flow.
     */
-  def buildPngPayloads(s: SparkSession, dir: String): DataFrame = {
+  def buildPngPayloads(s: SparkSession, dir: String): DataFrame =
+    materializedPayloads(s, dir, "png_payloads")(pngPayloadsPlan(s, dir))
+
+  private def pngPayloadsPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
@@ -450,12 +468,16 @@ object Multimodal {
                       n_pixels: Long, jpeg_magic_ok: Boolean,
                       mean_err_le_tol: Boolean)
 
-  /** Build one REAL JPEG blob per document — the same deterministic
-    * pixel grid as [[buildPngPayloads]], encoded through the stock
-    * JDK's ImageIO JPEG writer (default quality). Bytes start with the
-    * FF D8 SOI marker; the body is a genuine entropy-coded DCT stream.
+  /** One REAL JPEG blob per document — the same deterministic pixel
+    * grid as [[buildPngPayloads]], encoded through the stock JDK's
+    * ImageIO JPEG writer (default quality), once per corpus
+    * ([[materializedPayloads]]). Bytes start with the FF D8 SOI
+    * marker; the body is a genuine entropy-coded DCT stream.
     */
-  def buildJpegPayloads(s: SparkSession, dir: String): DataFrame = {
+  def buildJpegPayloads(s: SparkSession, dir: String): DataFrame =
+    materializedPayloads(s, dir, "jpeg_payloads")(jpegPayloadsPlan(s, dir))
+
+  private def jpegPayloadsPlan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
