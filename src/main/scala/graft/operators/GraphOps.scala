@@ -69,12 +69,13 @@ object GraphOps {
 
     // Checkpoint EVERY round. A stride-2 variant (checkpoint every
     // second round, letting one lazy round ride inside the next
-    // plan) was measured at 83 s vs 12.7 s back-to-back on the same
-    // box: the un-checkpointed round's shuffles execute inside an
-    // RDD materialization where the doubled plan loses the
-    // per-round join/agg shape the small checkpointed frames make
-    // cheap. Per-round truncation is the fast path, not just the
-    // safe one.
+    // plan) was measured TWICE: 83 s vs 12.7 s with the round-16
+    // unpartitioned shapes (the un-checkpointed round's shuffles
+    // executed inside an RDD materialization that lost the per-round
+    // join/agg shape), and 5.58 s vs 5.56 s after round 17's carried
+    // partitionings removed that failure mode — neutral, because the
+    // round frames are node-scale and job count is not the bottleneck.
+    // Every-round truncation stays: same speed, simpler invariants.
     var ranks = graft.Caches.roundCheckpoint(
       nodes.select(col("node"), lit(initRank).as("rank")), reliable)
     (1 to iters).foreach { _ =>
