@@ -47,6 +47,22 @@ object Substrate {
     base.toString
   }
 
+  /** Canonicalize a corpus dir for use in substrate keys: qualified
+    * against the dir's OWN Hadoop FileSystem (scheme + authority +
+    * normalized path), so hdfs://, s3a://, and relative local paths
+    * all key consistently — unlike java.nio's `toRealPath`, which
+    * throws on any non-local URI and so contradicted the
+    * Hadoop-FS-generic fingerprint/publish design. (Symlinked local
+    * aliases of one corpus now key separate leaves with identical
+    * bytes — a cold-build duplicate, never a correctness issue, since
+    * the fingerprint still sees the same files either way.)
+    */
+  def canonicalDir(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.makeQualified(p).toString
+  }
+
   /** Cheap corpus fingerprint: MD5 over the sorted (relative path,
     * length, mtime) triples of ALL files under the corpus dir —
     * recursive, so an in-place regeneration that only swaps leaf files
@@ -97,30 +113,49 @@ object Substrate {
       if (!fs.exists(marker)) {
         val tmp = new HPath(baseDir, s".${kind}_${md}_${java.util.UUID.randomUUID()}")
         plan.write.mode("overwrite").parquet(tmp.toString)
+        // the commit point: FileContext.rename with Rename.NONE fails
+        // atomically (FileAlreadyExistsException) when the destination
+        // exists — unlike FileSystem.rename, which moves the source
+        // INTO an existing destination dir (silent nested-temp debris).
+        // RENAME-FIRST discipline: we never pre-delete the destination,
+        // so a leaf a concurrent writer published can never be deleted
+        // under readers — under this scheme `out` is only ever created
+        // by an atomic rename of a complete temp, so an existing `out`
+        // is either a valid published leaf (has _SUCCESS) or legacy
+        // debris from a pre-rename-first crash (no _SUCCESS). Debris is
+        // cleared ONLY after a rename has already failed on it AND the
+        // marker re-check confirms it is unmarked; then the rename is
+        // retried once. Transient IOExceptions (not
+        // FileAlreadyExistsException) propagate instead of being
+        // misreported as a lost race.
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          out.toUri, s.sparkContext.hadoopConfiguration)
+        def renameWins(): Boolean =
+          try {
+            fc.rename(fs.makeQualified(tmp), fs.makeQualified(out),
+                      org.apache.hadoop.fs.Options.Rename.NONE)
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
         if (fs.exists(marker)) {
           // a concurrent writer published while we were building —
           // identical bytes by the determinism contract; drop ours
           fs.delete(tmp, true)
-        } else {
-          // a marker-less leaf is debris (a crashed writer's partial
-          // dir) — clear it so the rename can land. The marker was
-          // re-checked just above, so a leaf published during our
-          // build is never deleted (residual window: microseconds
-          // between that check and this delete, only reachable when
-          // debris existed; a loser rebuilt from the same key would
-          // republish identical bytes).
-          if (fs.exists(out)) fs.delete(out, true)
-          // the commit point: FileContext.rename with Rename.NONE
-          // fails atomically when the destination exists — unlike
-          // FileSystem.rename, which moves the source INTO an existing
-          // destination dir (silent nested-temp debris). First rename
-          // wins; a loser discards its temp and reads the winner's
-          // identical bytes.
-          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-            out.toUri, s.sparkContext.hadoopConfiguration)
-          try fc.rename(fs.makeQualified(tmp), fs.makeQualified(out),
-                        org.apache.hadoop.fs.Options.Rename.NONE)
-          catch { case _: java.io.IOException => fs.delete(tmp, true) }
+        } else if (!renameWins()) {
+          if (fs.exists(marker)) {
+            // lost the race to a valid publish — drop ours
+            fs.delete(tmp, true)
+          } else {
+            // rename failed on an UNMARKED destination: legacy debris
+            // (a crashed writer's partial dir). Clear it and retry the
+            // atomic rename exactly once; if that retry also collides,
+            // a concurrent writer landed in the window — fall through
+            // to the marker verification below.
+            if (fs.exists(out)) fs.delete(out, true)
+            if (!renameWins()) fs.delete(tmp, true)
+          }
         }
         if (!fs.exists(marker))
           throw new IllegalStateException(

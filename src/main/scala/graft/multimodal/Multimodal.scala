@@ -335,7 +335,7 @@ object Multimodal {
     */
   private def materializedPayloads(s: SparkSession, dir: String, kind: String)
       (plan: => DataFrame): DataFrame = {
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     val path = graft.Substrate.materialized(s, kind, realDir, Seq.empty)(plan)
     s.read.parquet(path)
   }
@@ -631,7 +631,7 @@ object Multimodal {
     // keys read the leaf; the encode→decode loop itself stays
     // spec-driven (MultimodalSpec) and executes on first
     // materialization.
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     val path = graft.Substrate.materialized(s, "mm_phash", realDir, Seq.empty) {
       phashPlan(s, dir)
     }

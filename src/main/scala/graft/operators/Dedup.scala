@@ -125,7 +125,7 @@ object Dedup {
     // query. xxhash64 over integer-free strings → bit-exact round-trip.
     // The per-query cache below still collapses the MULTIPLE references
     // within one operator into one in-memory scan.
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     val path = graft.Substrate.materialized(s, "shingles", realDir, Seq(shingleN)) {
       Tables.documents(s, dir)
         .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -422,7 +422,7 @@ object Dedup {
   private[graft] def dedupBaseArtifacts(s: SparkSession, dir: String,
       deltaMod: Int = DefaultDeltaMod, numBits: Int = 1 << 17,
       numHashes: Int = 5): (String, String) = {
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     val hashes = graft.Substrate.materialized(
         s, "dedup_base_hashes", realDir, Seq(deltaMod)) {
       Tables.documents(s, dir).filter(col("doc_id") % deltaMod =!= 0)
@@ -666,7 +666,7 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String,
                     nPerms: Int = 64, nBands: Int = 16,
                     shingleN: Int = 3, tauX1000: Long = 800): DataFrame = {
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     s.read.parquet(graft.Substrate.materialized(
       s, "dedup_clusters", realDir, Seq(nPerms, nBands, shingleN, tauX1000)) {
       val (ids, verified) = minhashVerifiedPairs(s, dir, nPerms, nBands, shingleN, tauX1000)
@@ -1118,7 +1118,7 @@ object Dedup {
     // — the semantic cluster map is likewise resolved by more than one
     // policy key (`dedup_semantic_clusters`, `semdedup_keep_central`)
     // and is a pure deterministic function of its inputs (longs+bool).
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     s.read.parquet(graft.Substrate.materialized(
       s, "semantic_clusters", realDir, Seq(nBands, bitsPerBand, tau)) {
       val (ids, verified) = embeddingVerifiedPairs(s, dir, nBands, bitsPerBand, tau)

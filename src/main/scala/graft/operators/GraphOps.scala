@@ -230,7 +230,7 @@ object GraphOps {
     */
   private[graft] def copurchasePairSupports(s: SparkSession, dir: String,
                                             minSupport: Int = 2): DataFrame = {
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     s.read.parquet(graft.Substrate.materialized(
       s, "copurchase", realDir, Seq(minSupport)) {
       pairSupportsPlan(s, dir, minSupport)
@@ -281,7 +281,7 @@ object GraphOps {
     // PERSISTED communities (this key's job) without re-running the
     // iterator. `graph_label_prop` itself stays live, so the iterator
     // remains exercised and benchmarked.
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     val commPath = graft.Substrate.materialized(
         s, "communities", realDir, Seq(iters)) {
       labelPropagation(s, dir, iters).select(col("part_key"), col("community"))

@@ -736,7 +736,7 @@ object Similarity {
   def annSq8TopK(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     GraftFunctions.ensureRegistered(s)
     val emb = Tables.embeddings(s, dir)
-    val realDir = java.nio.file.Paths.get(dir).toRealPath().toString
+    val realDir = graft.Substrate.canonicalDir(s, dir)
     val codesPath = graft.Substrate.materialized(s, "sq8codes", realDir, Nil) {
       // scale staged as an attribute: referenced twice downstream and
       // from inside the quantize lambda — inlining it would re-run the
@@ -841,9 +841,10 @@ object Similarity {
     * Trained model state (PQ codebooks, IVF quantizer) comes from the
     * session memo ([[graft.Caches]].model), so the report prices the
     * SERVING indexes — the same ones the ann_* keys use, not a
-    * refit. Micro-unit recall; rows-only for the driver (candidate-
-    * set-dependent, like the tiers themselves), floor-asserted in
-    * SimilaritySpec consistently with each tier's own spec.
+    * refit. Micro-unit recall; hash-verified since r16 (with every
+    * tier SQL-replayable the monitor is five semi-join counts vs the
+    * exact top-k), floor-asserted in SimilaritySpec consistently with
+    * each tier's own spec.
     */
   def annRecallReport(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val exact = graft.Caches.cached(

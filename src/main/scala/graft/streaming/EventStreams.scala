@@ -219,10 +219,14 @@ object EventStreams {
     * ([[graft.operators.Dedup.dedupBaseArtifacts]] publishes them once
     * per ingest) — the distinct-hash parquet table and the OR-merged
     * bloom — so the stream-static re-plan each micro-batch performs is
-    * a manifest-sized parquet read, never a corpus scan, and an
-    * ingest-refreshed artifact set is picked up on the next batch by
-    * the same stream-static contract. Identical verdict algebra to
-    * the demo form; only where the base bytes come from changes.
+    * a manifest-sized parquet read, never a corpus scan. NOTE: the
+    * artifact paths are content-addressed (fixed by the corpus
+    * fingerprint when this method is called), so an ingest that
+    * REFRESHES the base publishes a NEW leaf the running stream's
+    * pinned paths never see — to pick up a refreshed base, restart
+    * the query with re-resolved paths or re-resolve them inside a
+    * `foreachBatch` wrapper. Identical verdict algebra to the demo
+    * form; only where the base bytes come from changes.
     */
   def dedupIncrementalPersisted(delta: DataFrame, hashesPath: String,
                                 bloomPath: String): DataFrame = {

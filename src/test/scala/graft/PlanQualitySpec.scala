@@ -228,7 +228,8 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     // doc_id % mod = 0 data filter.
     val docScans = p.linesIterator
       .filter(l => l.contains("Scan parquet") && l.contains("documents.parquet")).toSeq
-    assert(docScans.nonEmpty && docScans.forall(_.contains("% 10) = 0")),
+    assert(docScans.nonEmpty && docScans.forall(
+      _.contains(s"% ${graft.operators.Dedup.DefaultDeltaMod}) = 0")),
       s"a non-delta scan of the raw corpus leaked into the per-batch plan:\n${docScans.mkString("\n")}")
     assert(p.contains("dedup_base_hashes_"),
       s"exact-verify side must read the substrate hash table:\n$p")
