@@ -396,6 +396,7 @@ object SparkEntry {
     "dedup_bloom_probe" -> bloomProbeOracle,
     "dedup_lsh_eval" -> lshEvalOracle,
     "approx_distinct_users" -> approxDistinctOracle,
+    "profile_columns_approx" -> profileColumnsApproxOracle,
     "bpe_apply" -> bpeApplyOracle,
     "ingest_normalize" ->
       """SELECT event_id, lower(event_type) AS event_type,
@@ -4681,6 +4682,155 @@ object SparkEntry {
                c.n_events
         FROM fin f JOIN cnt c USING (event_type)
         ORDER BY f.event_type"""
+  }
+
+  /** [[approxDistinctOracle]]'s HLL++ replay generalized PER COLUMN
+    * for the approximate profile: the engine runs the same
+    * `approx_count_distinct` (rsd 0.05 → p=9, m=512) once per
+    * profiled column inside its one-Expand plan, so the oracle
+    * replays five INDEPENDENT register sets — each over the DISTINCT
+    * non-null values of its column (registers are per-index MAXes, so
+    * hashing distinct values is identity-preserving) — and splices
+    * the five estimates into the exact profile's assembly skeleton.
+    * Hash input per Catalyst type: longs (event_id/user_id/ts_s)
+    * hash their 8-byte LE value ([[SqlU64.xxh64Long]], seed 42);
+    * strings (event_type) hash their UTF-8 bytes
+    * ([[SqlU64.xxh64Short31]], guarded by the ≤31-byte/ASCII error()
+    * witness); doubles (value) hash `doubleToLongBits`, rebuilt
+    * exactly in SQL: v·2³⁰ scales by a power of two (lossless for a
+    * double), a CASE ladder finds the binade k, the mantissa
+    * M = sv·2⁵²⁻ᵏ is exactly integral (power-of-two scaling is
+    * exact), and bits = (k−30+1023)·2⁵² + (M−2⁵²); v = 0 → bits 0,
+    * negative/subnormal values error() as outside the replay domain
+    * (the corpus is positive cents). Estimator branches, zInverse
+    * HUGEINT reconstruction, and the published bias tables exactly as
+    * [[approxDistinctOracle]], inheriting its documented last-ulp
+    * caveat (SURVEY §5).
+    */
+  private lazy val profileColumnsApproxOracle: String = {
+    import SqlU64._
+    val p = 9; val m = 512
+    val helperCls = "org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper"
+    val rawT = Class.forName(helperCls).getMethod("RAW_ESTIMATE_DATA")
+      .invoke(null).asInstanceOf[Array[Array[Double]]](p - 4)
+    val biasT = Class.forName(helperCls).getMethod("BIAS_DATA")
+      .invoke(null).asInstanceOf[Array[Array[Double]]](p - 4)
+    val threshold = Class.forName(helperCls).getMethod("THRESHOLDS")
+      .invoke(null).asInstanceOf[Array[Double]](p - 4)
+    val alphaM2 = 0.7213 / (1.0 + 1.079 / m) * m * m
+    val tableRows = rawT.indices.map(i => s"($i, ${rawT(i)}, ${biasT(i)})").mkString(", ")
+    val idxDiv = BigInt(1) << (64 - p)
+    def bitlen(col: String): String = {
+      val cases = (63 to 9 by -1).map(b =>
+        s"WHEN $col >= ${BigInt(1) << b} THEN ${b + 1}").mkString(" ")
+      s"(CASE $cases ELSE 9 END)"
+    }
+    // shared estimator tail over a CTE carrying unsigned hash column hu
+    def estCtes(n: String, hashedLast: String): String =
+      raw"""${n}_ir AS (
+          SELECT hu // $idxDiv AS idx,
+                 65 - ${bitlen(s"((hu % $idxDiv) * ${1 << p} + ${1 << (p - 1)})")} AS rank
+          FROM $hashedLast),
+        ${n}_regs AS (SELECT idx, MAX(rank) AS r FROM ${n}_ir GROUP BY idx),
+        ${n}_agg AS (
+          SELECT $m - COUNT(*) AS v,
+                 (($m - COUNT(*)) * POWER(2, 64)::HUGEINT
+                   + SUM(POWER(2, 64 - r)::HUGEINT)) AS zscaled
+          FROM ${n}_regs),
+        ${n}_est AS (
+          SELECT v, $alphaM2 / (CAST(zscaled AS DOUBLE) / 18446744073709551616.0) AS e
+          FROM ${n}_agg),
+        ${n}_nn AS (
+          SELECT bias, row_number() OVER (ORDER BY ABS(e - raw_est), i) AS rn
+          FROM ${n}_est CROSS JOIN rbt),
+        ${n}_eb AS (SELECT AVG(bias) AS bias6 FROM ${n}_nn WHERE rn <= 6),
+        ${n}_fin AS (
+          SELECT CASE WHEN est.e <= ${5.0 * m} THEN est.e - eb.bias6 ELSE est.e END AS ebc,
+                 CASE WHEN est.v > 0 THEN $m * ln($m / CAST(est.v AS DOUBLE)) END AS h,
+                 est.v AS v
+          FROM ${n}_est est CROSS JOIN ${n}_eb eb),
+        ${n}_out AS (
+          SELECT CAST(FLOOR(CASE WHEN v > 0 AND h <= $threshold THEN h ELSE ebc END + 0.5) AS BIGINT) AS nd
+          FROM ${n}_fin)"""
+    // one column's register pipeline: distinct hash-input mapping + hashLong + estimator
+    def hllCol(n: String, uvExpr: String, where: String): String = {
+      val (hashCtes, hashLast) =
+        chain(s"${n}x", s"${n}_dv", xxh64Long("uv", "CAST(42 AS HUGEINT)", "hu"))
+      raw"""${n}_dv AS (SELECT DISTINCT ($uvExpr) AS uv FROM e WHERE $where),
+        $hashCtes,
+        ${estCtes(n, hashLast)}"""
+    }
+    def signedLong(c: String) =
+      s"CASE WHEN $c < 0 THEN CAST($c AS HUGEINT) + $T64 ELSE CAST($c AS HUGEINT) END"
+    // doubleToLongBits(value) for positive normal doubles < 2^31
+    val sv = "(value * 1073741824.0)"
+    val kCases = (60 to 1 by -1).map(b => s"WHEN $sv >= ${BigInt(1) << b}.0 THEN $b").mkString(" ")
+    val kSel = s"(CASE $kCases ELSE 0 END)"
+    val dBits =
+      s"""(CASE WHEN value = 0 THEN CAST(0 AS HUGEINT)
+           WHEN value < 0 OR $sv < 1.0 OR $sv >= ${BigInt(1) << 61}.0
+             THEN CAST(error('profile approx oracle: value outside [0, 2^31) normal replay domain: ' || value) AS HUGEINT)
+           ELSE CAST($kSel - 30 + 1023 AS HUGEINT) * 4503599627370496
+                + (CAST($sv * POWER(2.0, 52 - $kSel) AS HUGEINT) - 4503599627370496) END)"""
+    // event_type: variable-length ≤31-byte ASCII string hash
+    val (baseCols, hashSteps) = xxh64Short31("tok", "len", "hu")
+    val baseColsSql = baseCols.map { case (nm, ex) => s"$ex AS $nm" }.mkString(",\n                 ")
+    val (etyCtes, etyLast) = chain("etyx", "ety_w", hashSteps)
+    val etySql = raw"""ety_dv AS (
+          SELECT DISTINCT event_type AS tok FROM e WHERE event_type IS NOT NULL),
+        ety_l AS (
+          SELECT tok,
+                 CASE WHEN strlen(tok) > 31 OR length(tok) <> strlen(tok)
+                      THEN CAST(error('profile approx oracle: event_type not <=31-byte ASCII — stripe path not replayable') AS BIGINT)
+                      ELSE strlen(tok) END AS len
+          FROM ety_dv),
+        ety_w AS (SELECT *,
+                 $baseColsSql
+          FROM ety_l),
+        $etyCtes,
+        ${estCtes("ety", etyLast)}"""
+    raw"""WITH e AS (
+          SELECT event_id, user_id, event_type, value,
+                 epoch_ns(ts)//1000000000 AS ts_s
+          FROM events),
+        rbt(i, raw_est, bias) AS (VALUES $tableRows),
+        ${hllCol("eid", signedLong("event_id"), "event_id IS NOT NULL")},
+        ${hllCol("uid", signedLong("user_id"), "user_id IS NOT NULL")},
+        ${hllCol("tss", signedLong("ts_s"), "ts_s IS NOT NULL")},
+        ${hllCol("val", dBits, "value IS NOT NULL")},
+        $etySql
+        SELECT * FROM (
+          SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+                 COUNT(CASE WHEN event_id IS NULL THEN 1 END) AS n_null,
+                 (SELECT nd FROM eid_out) AS n_distinct,
+                 CAST(MIN(event_id) AS VARCHAR) AS min_s,
+                 CAST(MAX(event_id) AS VARCHAR) AS max_s
+          FROM e
+          UNION ALL
+          SELECT 'event_type', COUNT(*),
+                 COUNT(CASE WHEN event_type IS NULL THEN 1 END),
+                 (SELECT nd FROM ety_out), MIN(event_type), MAX(event_type)
+          FROM e
+          UNION ALL
+          SELECT 'ts_s', COUNT(*),
+                 COUNT(CASE WHEN ts_s IS NULL THEN 1 END),
+                 (SELECT nd FROM tss_out),
+                 CAST(MIN(ts_s) AS VARCHAR), CAST(MAX(ts_s) AS VARCHAR)
+          FROM e
+          UNION ALL
+          SELECT 'user_id', COUNT(*),
+                 COUNT(CASE WHEN user_id IS NULL THEN 1 END),
+                 (SELECT nd FROM uid_out),
+                 CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+          FROM e
+          UNION ALL
+          SELECT 'value_x100', COUNT(*),
+                 COUNT(CASE WHEN value IS NULL THEN 1 END),
+                 (SELECT nd FROM val_out),
+                 CAST(CAST(FLOOR(100.0*MIN(value)) AS BIGINT) AS VARCHAR),
+                 CAST(CAST(FLOOR(100.0*MAX(value)) AS BIGINT) AS VARCHAR)
+          FROM e
+        ) ORDER BY col_name"""
   }
 
   /** The bloom screen fully replayed — the sketch's bit positions

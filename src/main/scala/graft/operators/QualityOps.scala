@@ -152,10 +152,12 @@ object QualityOps {
     * `approx_count_distinct` (HLL++, mergeable partial state) in place
     * of exact COUNT(DISTINCT) — the swap that turns the profile's
     * per-column distinct from a full-cardinality Expand shuffle into
-    * fixed-width sketch merges. Rows-only by design (HLL estimates);
-    * QualityOpsSpec pins exact agreement on the low-cardinality
-    * columns (HLL++ answers exactly from its sparse register set) and
-    * a relative-error band on the high-cardinality ones.
+    * fixed-width sketch merges. Hash-verified since r18: the DuckDB
+    * oracle replays the per-column HLL++ registers bit-for-bit (the
+    * [[graft.SparkEntry]] approx_distinct_users replay generalized to
+    * long/string/double hash inputs). QualityOpsSpec additionally
+    * pins exact agreement on the low-cardinality columns and a
+    * relative-error band on the high-cardinality ones.
     */
   def profileColumnsApprox(s: SparkSession, dir: String): DataFrame =
     profileColumnsWith(s, dir, c => approx_count_distinct(c))
