@@ -272,6 +272,7 @@ object SparkEntry {
     "stream_dedup_incremental" -> ((s, d) => Dedup.streamDedupIncremental(s, d)),
     "stream_dedup_persisted"  -> ((s, d) => Dedup.streamDedupPersisted(s, d)),
     "dedup_incremental_minhash" -> ((s, d) => Dedup.dedupIncrementalMinhash(s, d)),
+    "stream_dedup_minhash" -> ((s, d) => Dedup.streamDedupMinhash(s, d)),
     "dedup_incremental_embedding" -> ((s, d) => Dedup.dedupIncrementalEmbedding(s, d)),
     "dedup_keep_best"    -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     // Extract stage (reference 02_etl.py:55-67 page loop): land a paged
@@ -1691,29 +1692,10 @@ object SparkEntry {
     // >= 1-1e-4 argument as dedup_minhash_lsh; best partner by
     // (jaccard desc, base_id), LEFT-joined so clean delta docs report
     // is_near_dup = false with null partner.
-    "dedup_incremental_minhash" ->
-      raw"""WITH t AS (
-           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-           FROM documents),
-         sh AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
-                  ELSE [array_to_string(toks, ' ')] END AS sh
-           FROM t),
-         scored AS (
-           SELECT d.doc_id AS doc_id, b.doc_id AS base_id,
-                  CAST(FLOOR(1000.0 * len(list_intersect(d.sh, b.sh)) / len(list_distinct(d.sh || b.sh))) AS BIGINT) AS jac
-           FROM sh d JOIN sh b ON d.doc_id % ${Dedup.DefaultDeltaMod} = 0 AND b.doc_id % ${Dedup.DefaultDeltaMod} <> 0),
-         best AS (
-           SELECT doc_id, base_id, jac,
-                  row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, base_id) AS rn
-           FROM scored WHERE jac >= 800)
-         SELECT dd.doc_id, b.base_id IS NOT NULL AS is_near_dup,
-                b.base_id AS best_base_id, b.jac AS best_jaccard_x1000
-         FROM (SELECT doc_id FROM documents WHERE doc_id % ${Dedup.DefaultDeltaMod} = 0) dd
-         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
-         ORDER BY dd.doc_id""",
+    "dedup_incremental_minhash" -> incrementalMinhashOracle,
+    // the streaming twin probes the SAME banding against the persisted
+    // base index — identical verdict contract, identical exact oracle
+    "stream_dedup_minhash" -> incrementalMinhashOracle,
     "dedup_ngram_jaccard" ->
       """WITH t AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
@@ -4683,6 +4665,37 @@ object SparkEntry {
         FROM fin f JOIN cnt c USING (event_type)
         ORDER BY f.event_type"""
   }
+
+  /** The exact-Jaccard delta-vs-base oracle shared by the incremental
+    * MinHash key and its streaming twin: the engine's banding can only
+    * MISS candidates vs this all-pairs SQL (and provably doesn't at
+    * the shipped dials — see [[graft.operators.Dedup
+    * .dedupIncrementalMinhash]]'s scaladoc), so one oracle verifies
+    * both the derive-per-query and the persisted-band-index road.
+    */
+  private lazy val incrementalMinhashOracle: String =
+    raw"""WITH t AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(range(1, len(toks)-1), i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM t),
+         scored AS (
+           SELECT d.doc_id AS doc_id, b.doc_id AS base_id,
+                  CAST(FLOOR(1000.0 * len(list_intersect(d.sh, b.sh)) / len(list_distinct(d.sh || b.sh))) AS BIGINT) AS jac
+           FROM sh d JOIN sh b ON d.doc_id % ${Dedup.DefaultDeltaMod} = 0 AND b.doc_id % ${Dedup.DefaultDeltaMod} <> 0),
+         best AS (
+           SELECT doc_id, base_id, jac,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, base_id) AS rn
+           FROM scored WHERE jac >= 800)
+         SELECT dd.doc_id, b.base_id IS NOT NULL AS is_near_dup,
+                b.base_id AS best_base_id, b.jac AS best_jaccard_x1000
+         FROM (SELECT doc_id FROM documents WHERE doc_id % ${Dedup.DefaultDeltaMod} = 0) dd
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         ORDER BY dd.doc_id"""
 
   /** [[approxDistinctOracle]]'s HLL++ replay generalized PER COLUMN
     * for the approximate profile: the engine runs the same

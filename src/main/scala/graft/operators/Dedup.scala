@@ -462,6 +462,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The PERSISTED near-dup base behind the streaming MinHash shape
+    * ([[streamDedupMinhash]]) — [[dedupBaseArtifacts]]' move for the
+    * LSH family: (1) the base corpus's PRUNED banded-MinHash index
+    * (band_idx, band_hash, base_id) with hot band keys (> maxBucket
+    * members — stopword-like bands carrying no dedup signal) removed
+    * at publish time, and (2) the base hashed-shingle table keyed for
+    * the verify join. Both derive from the already-persisted corpus
+    * shingle substrate and are deterministic integer bytes (xxhash64
+    * signatures; the prune is a pure count threshold), published once
+    * per ingest through [[graft.Substrate]]. Every micro-batch then
+    * probes a manifest-sized parquet band index instead of re-banding
+    * the base — the persisted LSH index every production 100 TB
+    * near-dup pipeline keeps. At scale the deployment dial is
+    * bucketing the band index on (band_idx, band_hash) at write so
+    * the probe join co-locates.
+    */
+  private[graft] def minhashBaseArtifacts(s: SparkSession, dir: String,
+      deltaMod: Int = DefaultDeltaMod, nPerms: Int = 64, nBands: Int = 16,
+      shingleN: Int = 3, maxBucket: Int = 1024): (String, String) = {
+    require(nPerms % nBands == 0, s"nPerms ($nPerms) not divisible by nBands ($nBands)")
+    GraftFunctions.ensureRegistered(s)
+    val realDir = graft.Substrate.canonicalDir(s, dir)
+    val bands = graft.Substrate.materialized(
+        s, "minhash_base_bands", realDir,
+        Seq(deltaMod, nPerms, nBands, shingleN, maxBucket)) {
+      val baseBands = hashedShingles(s, dir, shingleN)
+        .filter(col("doc_id") % deltaMod =!= 0)
+        .select(col("doc_id").as("base_id"),
+          posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
+            .as(Seq("band_idx", "band_hash")))
+      val hotKeys = baseBands.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+        .select("band_idx", "band_hash")
+      baseBands.join(hotKeys, Seq("band_idx", "band_hash"), "left_anti")
+    }
+    val shingles = graft.Substrate.materialized(
+        s, "minhash_base_shingles", realDir, Seq(deltaMod, shingleN)) {
+      hashedShingles(s, dir, shingleN).filter(col("doc_id") % deltaMod =!= 0)
+        .select(col("doc_id").as("base_id"), col("hs").as("sh_b"))
+    }
+    (bands, shingles)
+  }
+
+  /** Batch twin of the streaming MINHASH near-dup's at-scale shape —
+    * [[streamDedupPersisted]]'s move for the LSH family: the
+    * deterministic delta slice runs the SAME per-micro-batch function
+    * ([[graft.streaming.EventStreams.dedupMinhashPersisted]]) against
+    * the two [[minhashBaseArtifacts]] substrate leaves, so the
+    * foreachBatch stream and this key share one plan and one oracle
+    * (identical output contract to [[dedupIncrementalMinhash]] —
+    * hash-verified against the same exact-Jaccard SQL; the banding
+    * can only MISS vs the oracle, and a miss at the shipped dials is
+    * the legitimate failure [[dedupIncrementalMinhash]]'s scaladoc
+    * documents). StreamingSpec proves foreachBatch == this key across
+    * micro-batch splits.
+    */
+  def streamDedupMinhash(s: SparkSession, dir: String,
+                         deltaMod: Int = DefaultDeltaMod, nPerms: Int = 64,
+                         nBands: Int = 16, shingleN: Int = 3,
+                         tauX1000: Long = 800, maxBucket: Int = 1024): DataFrame = {
+    require(deltaMod > 1, s"deltaMod $deltaMod must exceed 1")
+    val (bands, shingles) =
+      minhashBaseArtifacts(s, dir, deltaMod, nPerms, nBands, shingleN, maxBucket)
+    graft.streaming.EventStreams.dedupMinhashPersisted(
+        Tables.documents(s, dir).filter(col("doc_id") % deltaMod === 0)
+          .select("doc_id", "text"),
+        bands, shingles, nPerms, nBands, shingleN, tauX1000)
+      .orderBy("doc_id")
+  }
+
   /** Bloom-prefiltered incremental exact dedup — what
     * [[dedupIncremental]]'s shuffled probe join costs at 100 TB is
     * exactly what this removes for the clean majority of a delta: the

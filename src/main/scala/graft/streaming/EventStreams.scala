@@ -260,6 +260,69 @@ object EventStreams {
     negatives.unionByName(positives)
   }
 
+  /** The MINHASH near-dup analogue of [[dedupIncrementalPersisted]]:
+    * arriving documents compute their hashed word-shingles and banded
+    * MinHash signature ROW-LOCALLY (the codegen'd
+    * `graft_minhash_bands`, identical derivation to the persisted
+    * signature table), probe the substrate-persisted PRUNED base band
+    * index with one (band_idx, band_hash)-keyed equi-join, and only
+    * band-collision candidates pay the exact shingle-Jaccard verify
+    * against the persisted base shingle table — candidate-then-verify,
+    * the batch family's discipline per micro-batch. The per-document
+    * best match folds as a partial-aggregable max(struct(jac,
+    * −base_id)) — bit-equal to the batch twin's (jac DESC, base_id
+    * ASC) window but without a per-batch global sort.
+    *
+    * This is a BATCH transform by construction (the per-document
+    * aggregation needs the batch's candidates complete): run it
+    * inside `foreachBatch`, where each micro-batch is a bounded
+    * DataFrame — the registered batch twin
+    * ([[graft.operators.Dedup.streamDedupMinhash]]) runs the same
+    * function over the deterministic delta slice, which is what keeps
+    * the stream hash-verifiable (StreamingSpec proves foreachBatch
+    * output == batch twin across micro-batch splits). Base artifacts
+    * are content-addressed substrate paths pinned at call time — the
+    * same refresh caveat as [[dedupIncrementalPersisted]].
+    */
+  def dedupMinhashPersisted(batch: DataFrame, bandsPath: String,
+                            shinglesPath: String, nPerms: Int = 64,
+                            nBands: Int = 16, shingleN: Int = 3,
+                            tauX1000: Long = 800): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    import graft.operators.Dedup.{wordNgrams, jaccardX1000}
+    val s = batch.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    // identical shingle derivation to Dedup.hashedShingles — the
+    // row-local recompute IS the streaming reality (arriving text has
+    // no substrate row yet); determinism makes it equal bit-for-bit
+    val hashedDelta = batch
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+    val cachedDelta = graft.Caches.cached(hashedDelta)
+    val baseBands = s.read.parquet(bandsPath)
+    val baseShingles = s.read.parquet(shinglesPath)
+    val deltaBands = cachedDelta.select(col("doc_id"),
+      posexplode(call_function("graft_minhash_bands", col("hs"), lit(nPerms), lit(nBands)))
+        .as(Seq("band_idx", "band_hash")))
+    val cand = deltaBands.join(baseBands, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("base_id")).distinct()
+    val scored = cand
+      .join(cachedDelta.select(col("doc_id"), col("hs").as("sh_d")), "doc_id")
+      .join(baseShingles, "base_id")
+      .select(col("doc_id"), col("base_id"),
+              jaccardX1000(col("sh_d"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= tauX1000)
+    val best = scored.groupBy("doc_id")
+      .agg(max(struct(col("jac"), (-col("base_id")).as("neg_base"))).as("m"))
+      .select(col("doc_id"), (-col("m.neg_base")).as("best_base_id"),
+              col("m.jac").as("best_jaccard_x1000"))
+    cachedDelta.select("doc_id")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_base_id").isNotNull.as("is_near_dup"),
+              col("best_base_id"), col("best_jaccard_x1000"))
+  }
+
   /** Stream-stream event-time interval join: each purchase joins the
     * signups of the same user whose event time falls within
     * `horizonSec` BEFORE the purchase — the continuous analogue of

@@ -252,6 +252,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("persisted-band-index streaming MINHASH dedup equals the batch twin across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val (bandsPath, shinglesPath) =
+      graft.operators.Dedup.minhashBaseArtifacts(spark, sf)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sdm").toString
+    val input = MemoryStream[StreamingSpec.Doc]
+    // the near-dup verdict needs the micro-batch's candidate set
+    // complete before the per-doc best-match fold, so the streaming
+    // form runs the shared per-batch transform inside foreachBatch —
+    // each arriving doc is answered within its batch and appended
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStreams.dedupMinhashPersisted(batch, bandsPath, shinglesPath)
+          .write.mode("append").parquet(outDir)
+      }.start()
+    try {
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .as[StreamingSpec.Doc].collect().toSeq
+      val (b1, b2) = delta.splitAt(delta.length / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+    // foreachBatch over the persisted band index == the registered
+    // batch twin (same per-batch function over the same substrate)
+    val batchTwin = graft.operators.Dedup.streamDedupMinhash(spark, sf)
+    assert(streamed.count() == batchTwin.count())
+    assert(streamed.exceptAll(batchTwin).count() == 0 &&
+           batchTwin.exceptAll(streamed).count() == 0)
+    // == the derive-per-query incremental road too: the persisted
+    // index changes where the base bands come from, never the verdict
+    val derived = graft.operators.Dedup.dedupIncrementalMinhash(spark, sf)
+    assert(streamed.exceptAll(derived).count() == 0 &&
+           derived.exceptAll(streamed).count() == 0)
+  }
+
   test("parquet sink with checkpoint lands the deduped stream durably") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
