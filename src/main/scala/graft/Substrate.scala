@@ -39,6 +39,49 @@ import org.apache.spark.sql.DataFrame
   */
 object Substrate {
 
+  // ---- bench instrumentation (see Bench.scala) ------------------------
+  // Substrate leaves persist across JVMs, so a benchmark that reads a
+  // leaf built by an EARLIER sweep silently compares warm artifact
+  // reads against baselines that paid the build inline. These counters
+  // let the bench harness (a) attribute build time to the query key
+  // that triggered it and (b) flag every key that READS substrate, so
+  // the recorded scorecard is like-for-like: serving ratios carry a
+  // substrate flag, build cost is a separate ledger entry.
+  private val accessCounter = new java.util.concurrent.atomic.AtomicLong
+  private val buildNanos    = new java.util.concurrent.atomic.AtomicLong
+  private val builtKindsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  /** Monotone count of [[materialized]] calls in this JVM (memo hits
+    * included) — snapshot before/after a block to detect substrate use.
+    */
+  def accessCount: Long = accessCounter.get
+
+  /** Seconds this JVM spent BUILDING substrate leaves (cold builds
+    * only; memo/`_SUCCESS` hits cost nothing here).
+    */
+  def buildSeconds: Double = buildNanos.get / 1e9
+
+  /** Per-kind build seconds for the leaves this JVM built cold. */
+  def builtKinds: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    builtKindsMap.forEach((k, v) => b += k -> v.toDouble / 1e9)
+    b.result()
+  }
+
+  /** Delete every leaf under the substrate dir — a COLD-START helper
+    * for benchmark runs only (fresh JVM, before any [[materialized]]
+    * call, so no stale in-JVM memo can outlive the files). Never call
+    * this from operators or long-lived services: concurrent JVMs may
+    * be mid-read, and the in-JVM path memo ([[Caches.model]]) is NOT
+    * invalidated here.
+    */
+  def clearAll(s: org.apache.spark.sql.SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   private def baseDir: String = {
     val base = java.nio.file.Paths.get(
       sys.props.getOrElse("graft.substrate.dir", sys.props("java.io.tmpdir")))
@@ -96,11 +139,26 @@ object Substrate {
     * canonicalized corpus dir and its fingerprint are folded in here).
     */
   def materialized(s: org.apache.spark.sql.SparkSession, kind: String,
-                   dir: String, keyParts: Seq[Any])(plan: => DataFrame): String = {
+                   dir: String, keyParts: Seq[Any])(plan: => DataFrame): String =
+    materializedDir(s, kind, dir, keyParts) { tmp =>
+      plan.write.mode("overwrite").parquet(tmp)
+    }
+
+  /** Generalization of [[materialized]] for NON-parquet artifacts (the
+    * extract demo's simulated JSON store, anything whose layout a
+    * DataFrame write can't produce): `build` writes arbitrary files
+    * into the private temp path it is handed; keying, fingerprinting,
+    * the `_SUCCESS` marker, and the atomic rename-first publish are
+    * identical. If `build` does not leave a `_SUCCESS` in the temp dir
+    * (parquet writes do), one is created before publish.
+    */
+  def materializedDir(s: org.apache.spark.sql.SparkSession, kind: String,
+                      dir: String, keyParts: Seq[Any])(build: String => Unit): String = {
     // The fingerprint is recomputed on EVERY call (one recursive
     // listing, no data bytes) — never memoized, so an in-place corpus
     // regeneration inside a long-lived JVM keys a fresh leaf.
     val fp = fingerprint(s, dir)
+    accessCounter.incrementAndGet()
     Caches.model(Seq("substrate", kind, dir, fp) ++ keyParts: _*) {
       import org.apache.hadoop.fs.{Path => HPath}
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -112,7 +170,13 @@ object Substrate {
       val marker = new HPath(out, "_SUCCESS")
       if (!fs.exists(marker)) {
         val tmp = new HPath(baseDir, s".${kind}_${md}_${java.util.UUID.randomUUID()}")
-        plan.write.mode("overwrite").parquet(tmp.toString)
+        val t0 = System.nanoTime()
+        build(tmp.toString)
+        val dt = System.nanoTime() - t0
+        buildNanos.addAndGet(dt)
+        builtKindsMap.merge(kind, dt, (a, b) => a + b)
+        val tmpMarker = new HPath(tmp, "_SUCCESS")
+        if (!fs.exists(tmpMarker)) fs.create(tmpMarker).close()
         // the commit point: FileContext.rename with Rename.NONE fails
         // atomically (FileAlreadyExistsException) when the destination
         // exists — unlike FileSystem.rename, which moves the source
