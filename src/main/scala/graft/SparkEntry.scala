@@ -2645,30 +2645,30 @@ object SparkEntry {
       """SELECT doc_id,
                 array_to_string(list_sort(list_distinct(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))), ' ') AS fingerprint
          FROM documents ORDER BY doc_id""",
+    // mm_extract_meta's container is a REAL 24-bit bottom-up BMP
+    // (ImageIO-encoded once per corpus). Its layout is spec-fixed, so
+    // the whole header surface — dims, bit depth, the 54-byte pixel
+    // offset, the padded-row total size — is pure arithmetic: the
+    // engine PARSES the bytes (substring/hex/conv little-endian), the
+    // oracle PREDICTS them, and the hash match certifies both the
+    // encode and the parse. header_ok/size_field_ok are the
+    // byte-level witnesses (magic; header file-size field == actual
+    // blob length) that the bytes really carry the predicted container.
     "mm_extract_meta" ->
       """WITH m AS (
-           SELECT doc_id, text,
-             ['I','A','V'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
-             16 + (doc_id * 7919) % 1920 AS width,
-             16 + (doc_id * 104729) % 1080 AS height,
-             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 1 + (doc_id * 31) % 9000 END AS frames
-           FROM documents),
-         p AS (
            SELECT doc_id,
-                  encode('GFT0' || kind || lpad(CAST(width AS VARCHAR), 6, '0') ||
-                         lpad(CAST(height AS VARCHAR), 6, '0') ||
-                         lpad(CAST(frames AS VARCHAR), 4, '0') || text) AS payload
-           FROM m),
-         h AS (SELECT doc_id, payload, substr(decode(payload), 1, 21) AS head FROM p)
+                  8 + doc_id % 25 AS w,
+                  8 + (doc_id * 7) % 25 AS h
+           FROM documents)
          SELECT doc_id,
-                substr(head, 1, 4) = 'GFT0' AS header_ok,
-                substr(head, 5, 1) AS media_kind,
-                CAST(substr(head, 6, 6) AS BIGINT) AS width,
-                CAST(substr(head, 12, 6) AS BIGINT) AS height,
-                CAST(substr(head, 18, 4) AS BIGINT) AS n_frames,
-                CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-                CAST(CONCAT('0x', substr(md5(decode(payload)), 1, 6)) AS BIGINT) AS content_feature
-         FROM h ORDER BY doc_id""",
+                TRUE AS header_ok,
+                CAST(w AS BIGINT) AS width,
+                CAST(h AS BIGINT) AS height,
+                CAST(24 AS BIGINT) AS bit_depth,
+                CAST(54 AS BIGINT) AS data_offset,
+                CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+                TRUE AS size_field_ok
+         FROM m ORDER BY doc_id""",
     // The real-codec keys' oracles reproduce the deterministic pixel /
     // sample arithmetic WITHOUT any codec: Spark's numbers pass through
     // genuine PNG (ImageIO) / WAV (javax.sound) encode+decode, so a

@@ -7,19 +7,19 @@ import graft.Tables
 /** Multimodal-column plumbing (SURVEY.md §2 `mm_extract_meta`): media
   * payloads as opaque `binary` columns + typed metadata extraction.
   *
-  * The image/audio paths run REAL stock-JDK codecs — PNG and JPEG via
-  * ImageIO (`mm_image_decode`/`mm_image_resize`/`mm_jpeg_decode`, the
-  * pHash pair), WAV via javax.sound (`mm_audio_*`). The deterministic
-  * [[decodeStub]] survives only in `mm_extract_meta`'s generic-media
-  * demo, standing in for EXOTIC containers (mp4/opus/etc.) no stock
-  * JDK decodes — everything Spark-side there is still real: the binary
-  * column, the self-describing header layout, header parsing with
-  * native binary/string functions (stays inside whole-stage codegen),
-  * and the schema a downstream feature-extract stage would consume. At
-  * 100 TB this is a pure map stage: metadata extraction reads only the
-  * first 21 bytes of each payload and never shuffles blob bytes.
+  * Every media path runs a REAL stock-JDK codec — PNG, JPEG, and BMP
+  * via ImageIO (`mm_image_decode`/`mm_image_resize`/`mm_jpeg_decode`/
+  * `mm_extract_meta`, the pHash pair), WAV via javax.sound
+  * (`mm_audio_*`). No decode stub remains: `mm_extract_meta` parses a
+  * genuine BMP container's header with native binary/string functions
+  * (stays inside whole-stage codegen), reading only the first 54
+  * header bytes — at 100 TB a pure map stage that never shuffles blob
+  * bodies.
   *
-  * Header layout (ASCII, fixed-width so `substring` parses it):
+  * The SYNTHETIC "GFT0" container below serves only the metadata-
+  * arithmetic keys (`mm_frame_sample`'s frame indices, `mm_chunk_*`'s
+  * text windows) where the header fields, not a codec, are under
+  * test. Header layout (ASCII, fixed-width so `substring` parses it):
   * bytes 1-4 magic "GFT0" | 5 media kind I/A/V | 6-11 width/samples |
   * 12-17 height/channels | 18-21 frame count. Body follows.
   */
@@ -47,21 +47,10 @@ object Multimodal {
       .select(col("doc_id"), encode(concat(header, col("text")), "UTF-8").as("payload"))
   }
 
-  /** STUB for the codec stage. A real deployment would decode pixels /
-    * samples here via `mapInPandas`/`mapPartitions` batches against an
-    * image or audio library; this container has none, so the "content
-    * feature" is a deterministic digest of the payload bytes (md5 —
-    * engine-neutral, so the oracle can verify the plumbing). The
-    * signature (binary in, fixed-width feature out, row-local) is what
-    * the real decoder would have.
-    */
-  def decodeStub(payload: Column): Column =
-    conv(substring(md5(payload), 1, 6), 16, 10).cast("long").as("content_feature")
-
-  /** Typed metadata extraction from the binary payload: parse the
-    * fixed-width header (first 21 bytes only — column-pruned reads
-    * never touch blob bodies), validate magic, emit typed columns plus
-    * the stubbed content feature.
+  /** Typed metadata extraction from the synthesized GFT0 container
+    * (the [[mmFrameSample]] substrate): parse the fixed-width header
+    * (first 21 bytes only — column-pruned reads never touch blob
+    * bodies), validate magic, emit typed columns.
     */
   def extractMeta(payloads: DataFrame): DataFrame = {
     val head = decode(substring(col("payload"), 1, 21), "UTF-8")
@@ -73,14 +62,48 @@ object Multimodal {
         substring(head, 6, 6).cast("long").as("width"),
         substring(head, 12, 6).cast("long").as("height"),
         substring(head, 18, 4).cast("long").as("n_frames"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        decodeStub(col("payload")).as("content_feature"))
+        length(col("payload")).cast("long").as("n_bytes"))
       .orderBy("doc_id")
   }
 
-  /** SURVEY §2 `mm_extract_meta`: synthesize then extract. */
+  /** Little-endian unsigned int of `nBytes` bytes at 1-based `off` of
+    * the binary payload — BMP headers store every multi-byte field LE.
+    * `hex` of the byte slice is big-endian pair order; reversing the
+    * pairs before `conv` gives the LE value. All builtins, so the
+    * parse stays inside whole-stage codegen.
+    */
+  private def leUint(off: Int, nBytes: Int): Column = {
+    val h = hex(substring(col("payload"), off, nBytes))
+    conv(concat((nBytes to 1 by -1).map(i => substring(h, 2 * i - 1, 2)): _*),
+         16, 10).cast("long")
+  }
+
+  /** SURVEY §2 `mm_extract_meta`: typed metadata extraction from a
+    * REAL container — one genuine BMP blob per document (encoded once
+    * per corpus through ImageIO, [[buildBmpPayloads]]), header parsed
+    * with native binary/string functions (substring/hex/conv — stays
+    * inside whole-stage codegen; only the first 54 header bytes are
+    * touched, blob bodies never shuffle). Fully hash-verified: a
+    * 24-bit bottom-up BMP's layout is spec-fixed, so EVERY output —
+    * dims, bit depth, the 54-byte pixel-data offset, and the total
+    * byte count 54 + rowPad4(3·w)·h — is pure arithmetic the DuckDB
+    * oracle replays without a codec; `header_ok` (the "BM" magic) and
+    * `size_field_ok` (the header's own file-size field vs the actual
+    * blob length) witness that the bytes really carry the container
+    * the arithmetic predicts. At 100 TB this is a pure map stage.
+    */
   def mmExtractMeta(s: SparkSession, dir: String): DataFrame =
-    extractMeta(synthesizePayloads(s, dir))
+    buildBmpPayloads(s, dir)
+      .select(
+        col("doc_id"),
+        (decode(substring(col("payload"), 1, 2), "UTF-8") === "BM").as("header_ok"),
+        leUint(19, 4).as("width"),
+        leUint(23, 4).as("height"),
+        leUint(29, 2).as("bit_depth"),
+        leUint(11, 4).as("data_offset"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        (leUint(3, 4) === length(col("payload")).cast("long")).as("size_field_ok"))
+      .orderBy("doc_id")
 
   /** SURVEY §2 `mm_frame_sample`: uniform frame sampling for the video
     * rows — the standard video-training prep step (a frame decoder
@@ -231,20 +254,19 @@ object Multimodal {
     def open(): Array[Byte] => Long
   }
 
-  /** Default codec: the same deterministic md5 digest as
-    * [[decodeStub]] (no codecs in this container — declared stub).
-    * MultimodalSpec asserts the batched and expression paths agree
-    * byte-for-byte.
+  /** Default codec: a REAL ImageIO decode (PNG/JPEG/BMP all route
+    * through it) whose feature is the decoder-read dims packed into
+    * one long (w·2²⁰ + h) — the per-partition reader instance is the
+    * amortized-init state a real pixel codec holds. MultimodalSpec
+    * asserts this agrees with [[mmExtractMeta]]'s pure-SQL header
+    * parse on the BMP payloads: two independent roads (codec vs
+    * binary-function arithmetic) to the same numbers.
     */
-  object Md5StubCodec extends MediaCodec {
-    override def open(): Array[Byte] => Long = {
-      // per-partition "codec" init happens once, here
-      val md = java.security.MessageDigest.getInstance("MD5")
-      bytes => {
-        md.reset()
-        java.lang.Long.parseLong(
-          md.digest(bytes).take(3).map(b => f"$b%02x").mkString, 16)
-      }
+  object ImageDimsCodec extends MediaCodec {
+    override def open(): Array[Byte] => Long = bytes => {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      (img.getWidth.toLong << 20) | img.getHeight.toLong
     }
   }
 
@@ -252,14 +274,15 @@ object Multimodal {
     * over (id, payload) rows, so a partition's blobs stream through one
     * decoder instance (the shape `mapInPandas` gives Python codecs —
     * amortized init, batch-friendly). The codec is injected (see
-    * [[MediaCodec]]); the default is the md5 stub. The signature
+    * [[MediaCodec]]); the default is the real ImageIO-dims codec. The
+    * signature
     * (Iterator[bytes] in, typed rows out, row-local, no shuffle) is
     * exactly what a pixel/sample decoder has, and the PLAN is codec-
     * independent — MultimodalSpec pins that swapping codecs leaves the
     * physical plan shape unchanged.
     */
   def decodeBatched(s: SparkSession, payloads: DataFrame,
-                    codec: MediaCodec = Md5StubCodec): DataFrame = {
+                    codec: MediaCodec = ImageDimsCodec): DataFrame = {
     import s.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
@@ -271,12 +294,12 @@ object Multimodal {
   }
 
   // --------------------------------------------------------------------
-  // REAL codecs (JDK-native, zero extra dependencies): the md5 stub
-  // above predates the observation that the JDK itself ships a PNG
-  // codec (javax.imageio — pure-Java PNGImageReader/Writer, headless)
-  // and a WAV codec (javax.sound.sampled). The keys below run the full
+  // REAL codecs (JDK-native, zero extra dependencies): the JDK ships
+  // image codecs (javax.imageio — pure-Java PNG/JPEG/BMP readers and
+  // writers, headless) and a WAV codec (javax.sound.sampled). The keys
+  // below run the full
   // encode → binary column → DECODE → feature-extract loop through
-  // those codecs, so the decode stage is no longer a stub: the bytes
+  // those codecs: the bytes
   // on the wire are genuine PNG (zlib-compressed scanlines) / RIFF
   // WAVE PCM, and the features come exclusively from what the decoder
   // parsed back out. Correctness leans on lossless codecs: pixels and
@@ -347,9 +370,25 @@ object Multimodal {
     * per corpus ([[materializedPayloads]]); only (id, blob) rows flow.
     */
   def buildPngPayloads(s: SparkSession, dir: String): DataFrame =
-    materializedPayloads(s, dir, "png_payloads")(pngPayloadsPlan(s, dir))
+    materializedPayloads(s, dir, "png_payloads")(imagePayloadsPlan(s, dir, "png"))
 
-  private def pngPayloadsPlan(s: SparkSession, dir: String): DataFrame = {
+  /** One REAL BMP blob per document — the same deterministic pixel
+    * grid, encoded through ImageIO's BMP writer (24-bit bottom-up,
+    * BITMAPINFOHEADER), once per corpus ([[materializedPayloads]]).
+    * The uncompressed spec-fixed layout is what makes
+    * [[mmExtractMeta]]'s whole header surface arithmetic-predictable.
+    */
+  def buildBmpPayloads(s: SparkSession, dir: String): DataFrame =
+    materializedPayloads(s, dir, "bmp_payloads")(imagePayloadsPlan(s, dir, "bmp"))
+
+  /** The shared encode loop behind the PNG/JPEG/BMP payload fixtures:
+    * deterministic RGB pixels (pixel p channels = [[chanVal]](3p),
+    * (3p+1), (3p+2)) pushed through the named stock-JDK ImageIO
+    * writer, row-local in `mapPartitions` (the declared codec
+    * boundary).
+    */
+  private def imagePayloadsPlan(s: SparkSession, dir: String,
+                                format: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
@@ -369,8 +408,8 @@ object Multimodal {
             y += 1
           }
           val bo = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(img, "png", bo),
-            s"no JDK PNG writer available (doc $id)")
+          require(javax.imageio.ImageIO.write(img, format, bo),
+            s"no JDK $format writer available (doc $id)")
           MediaPayload(id, bo.toByteArray)
         }
       }
@@ -475,39 +514,11 @@ object Multimodal {
     * marker; the body is a genuine entropy-coded DCT stream.
     */
   def buildJpegPayloads(s: SparkSession, dir: String): DataFrame =
-    materializedPayloads(s, dir, "jpeg_payloads")(jpegPayloadsPlan(s, dir))
-
-  private def jpegPayloadsPlan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val w = imgW(id); val h = imgH(id)
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var p = 0; var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val r = chanVal(id, 3L * p); val g = chanVal(id, 3L * p + 1)
-              val b = chanVal(id, 3L * p + 2)
-              img.setRGB(x, y, (r << 16) | (g << 8) | b)
-              p += 1; x += 1
-            }
-            y += 1
-          }
-          val bo = new java.io.ByteArrayOutputStream()
-          require(javax.imageio.ImageIO.write(img, "jpg", bo),
-            s"no JDK JPEG writer available (doc $id)")
-          MediaPayload(id, bo.toByteArray)
-        }
-      }
-      .toDF()
-  }
+    materializedPayloads(s, dir, "jpeg_payloads")(imagePayloadsPlan(s, dir, "jpg"))
 
   /** SURVEY §2 `mm_jpeg_decode`: binary JPEG column → REAL JDK decode
-    * → dims + tolerance witnesses. This retires [[decodeStub]] for the
-    * LOSSY image path the way `mm_image_decode` retired it for PNG —
+    * → dims + tolerance witnesses, the LOSSY member of the codec
+    * family (`mm_image_decode` covers lossless PNG) —
     * with the honesty the lossiness forces: decoded pixel values are
     * codec-defined (DCT quantization + chroma subsampling), so no pure
     * SQL oracle can replay sums. What IS oracle-exact: the decoder's

@@ -9,8 +9,24 @@ import graft.multimodal.Multimodal
   */
 class MultimodalSpec extends AnyFunSuite with SparkFixture {
 
-  test("extractMeta recovers the synthesized header for every doc") {
+  test("mm_extract_meta parses the real BMP container header for every doc") {
     val out = Multimodal.mmExtractMeta(spark, sf).cache()
+    assert(out.count() == Tables.documents(spark, sf).count())
+    // byte-level witnesses: magic present, header's own file-size
+    // field equals the actual blob length
+    assert(out.filter(!col("header_ok") || !col("size_field_ok")).count() == 0)
+    // spec-fixed 24-bit BITMAPINFOHEADER layout
+    assert(out.filter(col("bit_depth") =!= 24 || col("data_offset") =!= 54).count() == 0)
+    assert(out.filter(col("width") < 8 || col("width") > 32
+                   || col("height") < 8 || col("height") > 32).count() == 0)
+    // total size = 54-byte headers + 4-padded 24bpp rows
+    assert(out.filter(col("n_bytes") =!=
+      lit(54) + floor((col("width") * 3 + 3) / 4) * 4 * col("height")).count() == 0)
+    out.unpersist()
+  }
+
+  test("extractMeta recovers the synthesized GFT0 header (frame-sample substrate)") {
+    val out = Multimodal.extractMeta(Multimodal.synthesizePayloads(spark, sf)).cache()
     assert(out.count() == Tables.documents(spark, sf).count())
     assert(out.filter(!col("header_ok")).count() == 0)
     assert(out.filter(!col("media_kind").isin("I", "A", "V")).count() == 0)
@@ -21,12 +37,16 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
-  test("batch decode (mapPartitions) agrees with the column-expression stub") {
-    val payloads = Multimodal.synthesizePayloads(spark, sf)
+  test("batch decode (real ImageIO codec) agrees with the binary-function header parse") {
+    // two independent roads to the BMP dims: a genuine ImageIO decode
+    // per blob (mapPartitions codec boundary) vs mm_extract_meta's
+    // pure-SQL little-endian header arithmetic
+    val payloads = Multimodal.buildBmpPayloads(spark, sf)
     val batch = Multimodal.decodeBatched(spark, payloads)
-      .select("doc_id", "n_bytes", "content_feature")
-    val expr = Multimodal.extractMeta(payloads)
-      .select("doc_id", "n_bytes", "content_feature")
+      .select(col("doc_id"), col("content_feature"))
+    val expr = Multimodal.mmExtractMeta(spark, sf)
+      .select(col("doc_id"),
+        (shiftleft(col("width"), 20) + col("height")).as("content_feature"))
     assert(batch.exceptAll(expr).count() == 0 && expr.exceptAll(batch).count() == 0)
   }
 
@@ -51,7 +71,7 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
   test("frame sampling: video-only, in-range, sorted-distinct, short clips covered") {
     val k = 8
     val out = Multimodal.mmFrameSample(spark, sf, k).cache()
-    val meta = Multimodal.mmExtractMeta(spark, sf)
+    val meta = Multimodal.extractMeta(Multimodal.synthesizePayloads(spark, sf))
       .select("doc_id", "media_kind", "n_frames")
     // only videos, never an index outside [0, n_frames)
     assert(out.join(meta, Seq("doc_id")).filter(col("media_kind") =!= "V").count() == 0)
@@ -97,10 +117,11 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
-  test("n_bytes = 21-byte header + UTF-8 body length") {
+  test("GFT0 n_bytes = 21-byte header + UTF-8 body length") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), (lit(21) + length(encode(col("text"), "UTF-8"))).as("expect"))
-    val out = Multimodal.mmExtractMeta(spark, sf).select("doc_id", "n_bytes")
+    val out = Multimodal.extractMeta(Multimodal.synthesizePayloads(spark, sf))
+      .select("doc_id", "n_bytes")
     assert(out.join(docs, "doc_id").filter(col("n_bytes") =!= col("expect")).count() == 0)
   }
 
