@@ -107,6 +107,14 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
+    // Whitespace-tolerant "did this record measure THIS sfDir" check:
+    // records written by older rounds (or re-pretty-printed by tools)
+    // may carry "sf": "..." with a space, which an exact-substring
+    // compare misses — that once silently diverted the canonical-ref
+    // lookup to a stale sibling record.
+    def recordSfMatches(record: String): Boolean =
+      (""""sf"\s*:\s*"""" + java.util.regex.Pattern.quote(esc(sfDir)) + "\"").r
+        .findFirstIn(record).isDefined
     // First flat {"key":number,...} map under a "queries" field at or
     // after `anchor` — works on both this file's compact records and
     // BASELINE.json's pretty-printed blocks (keys are identifiers, so
@@ -230,7 +238,7 @@ object Bench {
       def route(name: String): java.nio.file.Path = {
         def sameSf(p: java.nio.file.Path): Boolean =
           !java.nio.file.Files.exists(p) ||
-            java.nio.file.Files.readString(p).contains(s""""sf":"${esc(sfDir)}"""")
+            recordSfMatches(java.nio.file.Files.readString(p))
         val p = java.nio.file.Paths.get(name)
         if (sameSf(p)) p
         else {
@@ -260,7 +268,7 @@ object Bench {
     val canonicalPathForBaseline: java.nio.file.Path = {
       def sameSf(p: java.nio.file.Path): Boolean =
         java.nio.file.Files.exists(p) &&
-          java.nio.file.Files.readString(p).contains(s""""sf":"${esc(sfDir)}"""")
+          recordSfMatches(java.nio.file.Files.readString(p))
       if (sameSf(canonical)) canonical
       else java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json")
     }
@@ -276,7 +284,7 @@ object Bench {
       val p = canonicalPathForBaseline
       if (java.nio.file.Files.exists(p)) {
         val s = java.nio.file.Files.readString(p)
-        if (!s.contains("\"degraded\":true") && s.contains(s""""sf":"${esc(sfDir)}"""")) {
+        if (!s.contains("\"degraded\":true") && recordSfMatches(s)) {
           val qm = parseQueriesMap(s, 0)
           if (qm.nonEmpty) {
             val total = qm.values.filter(_ >= 0).sum
@@ -341,7 +349,7 @@ object Bench {
       if (only.isDefined || !java.nio.file.Files.exists(p)) Map.empty
       else {
         val s = java.nio.file.Files.readString(p)
-        if (!s.contains(s""""sf":"${esc(sfDir)}"""")) Map.empty
+        if (!recordSfMatches(s)) Map.empty
         else parseQueriesMap(s, 0)
       }
     }

@@ -580,7 +580,7 @@ object GraphOps {
     * Per round: ONE corpus-scale Exchange — the vote rows
     * repartitioned hash(dst), which then satisfies BOTH the
     * (dst, label) count's clustering (hash on a subset of the group
-    * keys clusters the full key) and the per-node top-1 window's.
+    * keys clusters the full key) and the per-node max_by winner agg's.
     * Everything else rides pre-aligned partitionings, exactly as in
     * [[pageRank]]: `sym` is cached hash(src), `nodes` hash(node), and
     * the checkpointed labels CARRY hash(node) through the LogicalRDD,
@@ -642,19 +642,27 @@ object GraphOps {
     * physical shape: with `sym` cached hash(src), `nodes` hash(node),
     * and `labels` a checkpointed round carrying hash(node), this plans
     * exactly ONE corpus-scale Exchange (the explicit vote repartition
-    * on dst, which then satisfies both the (dst, label) count's
-    * clustering and the per-node top-1 window) under the no-broadcast
-    * regime.
+    * on dst, which then satisfies both aggregations' clustering —
+    * hash on a subset of the group keys clusters the full key) under
+    * the no-broadcast regime.
+    *
+    * The per-node winner is a second hash aggregation (`max_by` over
+    * struct(cnt, -label) — lexicographic struct order IS the max-count
+    * / min-label tie-break), not a row_number window: the window road
+    * sorted every vote row within the carried partitioning each round
+    * (r17 ledger: label-prop drifted to 1.81x on exactly that sort),
+    * while the agg road is sortless and pipelines both aggs in one
+    * post-shuffle stage.
     */
   private[graft] def labelPropRound(sym: DataFrame, nodes: DataFrame,
                                     labels: DataFrame): DataFrame = {
-    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
     val votes = sym.join(labels, sym("src") === labels("node"))
       .repartition(col("dst"))
       .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("dst").as("node"), col("label").as("new_label"))
+      .groupBy(col("dst"))
+      .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("neg")))
+        .as("new_label"))
+      .select(col("dst").as("node"), col("new_label"))
     nodes.join(votes, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("new_label"), col("node")).as("label"))

