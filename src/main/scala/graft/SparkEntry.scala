@@ -171,6 +171,14 @@ object SparkEntry {
       dynamicOracles("ann_ivf_topk") = () => annIvfOracle(s, d)
       Similarity.annIvfTopK(s, d)
     }),
+    // online vector search over the substrate-persisted IVF index:
+    // bit-equal to ann_ivf_topk at the same dial (only where the index
+    // bytes come from differs), so it shares the quantizer-literal
+    // oracle; StreamingSpec proves foreachBatch == this twin.
+    "stream_ann_probe"    -> ((s, d) => {
+      dynamicOracles("stream_ann_probe") = () => annIvfOracle(s, d)
+      Similarity.streamAnnProbe(s, d)
+    }),
     "ann_pq_topk"         -> ((s, d) => {
       // the oracle needs the trained codebooks as literals; stash a
       // thunk (memoized model → instant at dump time) for oracleSql

@@ -51,6 +51,14 @@ object Similarity {
     probeBatch(emb)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
 
+  /** The canonical probe batch as (probe_id, probe_emb) rows — exposed
+    * so StreamingSpec feeds the SAME probe set through MemoryStream
+    * instead of copying the [[probeBatch]] predicate (the drift hazard
+    * that definition exists to prevent).
+    */
+  private[graft] def probeBatchOf(s: SparkSession, dir: String): DataFrame =
+    probes(Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+
   /** Exact cosine — the codegen'd Catalyst expression
     * ([[graft.functions.CosineSim]]) — scored as floor(1e6·cos)
     * BIGINT: deterministic across partitionings (each dot product is
@@ -302,6 +310,59 @@ object Similarity {
         typedLit(fit.cids.indices.map(_.toLong)),
         typedLit(cents.map(_.toSeq).toSeq)).cast("int"))
     (assigned, cents.map(_.map(_.toFloat)))
+  }
+
+  /** The substrate-persisted IVF SERVING index: cell-assigned corpus
+    * postings (cell, vec_id, embedding) plus the bounded centroid
+    * table — the two artifacts an online vector-search service loads
+    * at startup, written once per (corpus, nCells). Deterministic by
+    * the quantizer contract (memoized maxmin-seeded [[lloydFit]], all
+    * integral), so the leaf bytes are a pure function of the key and
+    * a parquet round-trip of float embeddings is bit-exact — which is
+    * what lets [[streamAnnProbe]] stay hash-equal to [[annIvfTopK]].
+    */
+  private[graft] def ivfIndexArtifacts(s: SparkSession, dir: String,
+                                       nCells: Int = 16): (String, String) = {
+    val realDir = graft.Substrate.canonicalDir(s, dir)
+    def emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cellsPath = graft.Substrate.materialized(
+      s, "ivf_cells", realDir, Seq(nCells)) {
+      ivfAssigned(emb, nCells, dir)._1
+        .select(col("cell"), col("vec_id"), col("embedding"))
+    }
+    val centroidsPath = graft.Substrate.materialized(
+      s, "ivf_centroids", realDir, Seq(nCells)) {
+      val (_, centroids) = ivfAssigned(emb, nCells, dir)
+      s.createDataFrame(
+        centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("cell", "centroid")
+    }
+    (cellsPath, centroidsPath)
+  }
+
+  /** SURVEY §2 `stream_ann_probe`: ONLINE vector search — the ANN
+    * family's streaming member, completing the persisted-index pattern
+    * the dedup family has (`stream_dedup_persisted` /
+    * `stream_dedup_minhash`): arriving query vectors probe the
+    * substrate-persisted IVF index ([[ivfIndexArtifacts]]) per
+    * micro-batch via
+    * [[graft.streaming.EventStreams.annProbePersisted]]. This
+    * registered twin runs the SAME per-batch transform over the
+    * canonical deterministic probe batch, so the stream is
+    * hash-verifiable: output is bit-equal to [[annIvfTopK]] at the
+    * same dial (identical cell ranking, candidate join, and exact
+    * re-rank — only where the index bytes come from differs), and the
+    * key shares its quantizer-literal oracle. StreamingSpec proves
+    * foreachBatch over micro-batch splits == this twin.
+    */
+  def streamAnnProbe(s: SparkSession, dir: String, k: Int = 10,
+                     nCells: Int = 16, nProbeCells: Int = 8): DataFrame = {
+    GraftFunctions.ensureRegistered(s)
+    val (cellsPath, centroidsPath) = ivfIndexArtifacts(s, dir, nCells)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    graft.streaming.EventStreams.annProbePersisted(
+        probes(emb), cellsPath, centroidsPath, k, nProbeCells)
+      .orderBy("probe_id", "rank")
   }
 
   def annIvfTopK(s: SparkSession, dir: String, k: Int = 10,

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions.OracleSafe.sum2
@@ -321,6 +322,57 @@ object EventStreams {
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("best_base_id").isNotNull.as("is_near_dup"),
               col("best_base_id"), col("best_jaccard_x1000"))
+  }
+
+  /** The IVF probe transform over a PERSISTED serving index — online
+    * vector search, the ANN family's streaming member: arriving query
+    * vectors rank the broadcast centroid table (bounded: nCells rows),
+    * keep their nProbeCells nearest cells, and pay ONE (cell)-keyed
+    * equi-join against the substrate-persisted cell postings; exact
+    * cosine re-rank within the candidates only. Identical candidate
+    * discipline and scoring to [[graft.operators.Similarity]]'s
+    * `annIvfTopK`, so the output is bit-equal to the batch tier at the
+    * same dial — which is what keeps the stream hash-verifiable.
+    *
+    * BATCH transform by construction (the per-probe top-k needs the
+    * probe's candidate set complete; every probe's candidates arrive
+    * in its own micro-batch, so batch splits can never change a
+    * verdict): run it inside `foreachBatch` — StreamingSpec proves
+    * foreachBatch output == the registered batch twin across
+    * micro-batch splits. Index artifacts are content-addressed
+    * substrate paths pinned at call time — the same refresh caveat as
+    * [[dedupIncrementalPersisted]]. At 100 TB the centroid table stays
+    * KB-scale broadcast state and each micro-batch shuffles only
+    * probe×nProbeCells rows into the postings join.
+    */
+  def annProbePersisted(batch: DataFrame, cellsPath: String,
+                        centroidsPath: String, k: Int = 10,
+                        nProbeCells: Int = 8): DataFrame = {
+    val s = batch.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    def scoreX1e6(a: Column, b: Column): Column =
+      floor(call_function("graft_cosine", a, b) * 1e6).cast("long")
+    val centers = s.read.parquet(centroidsPath)
+    val postings = s.read.parquet(cellsPath)
+    val cellRank = Window.partitionBy("probe_id")
+      .orderBy(col("cell_sim").desc, col("cell"))
+    val probeCells = batch.select(col("probe_id"), col("probe_emb"))
+      .crossJoin(broadcast(centers))
+      .select(col("probe_id"), col("probe_emb"), col("cell"),
+              scoreX1e6(col("probe_emb"), col("centroid")).as("cell_sim"))
+      .withColumn("cell_rank", row_number().over(cellRank))
+      .filter(col("cell_rank") <= nProbeCells)
+      .select("probe_id", "probe_emb", "cell")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine_x1e6").desc, col("neighbor_id"))
+    postings
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+              scoreX1e6(col("probe_emb"), col("embedding")).as("cosine_x1e6"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "cosine_x1e6")
   }
 
   /** Stream-stream event-time interval join: each purchase joins the

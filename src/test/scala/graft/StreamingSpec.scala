@@ -292,6 +292,43 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
            derived.exceptAll(streamed).count() == 0)
   }
 
+  test("persisted-IVF-index streaming ANN probe equals the batch twin across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val (cellsPath, centroidsPath) =
+      graft.operators.Similarity.ivfIndexArtifacts(spark, sf)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sap").toString
+    val input = MemoryStream[StreamingSpec.Probe]
+    // every probe's candidate set is self-contained (its cells join
+    // within its own micro-batch), so foreachBatch answers each probe
+    // in the batch it arrived in — batch splits can't change a verdict
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        EventStreams.annProbePersisted(batch, cellsPath, centroidsPath)
+          .write.mode("append").parquet(outDir)
+      }.start()
+    try {
+      val probeRows = graft.operators.Similarity.probeBatchOf(spark, sf)
+        .as[StreamingSpec.Probe].collect().toSeq
+      val (b1, b2) = probeRows.splitAt(probeRows.length / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(outDir)
+    // foreachBatch over the persisted index == the registered batch twin
+    val batchTwin = graft.operators.Similarity.streamAnnProbe(spark, sf)
+    assert(streamed.count() == batchTwin.count())
+    assert(streamed.exceptAll(batchTwin).count() == 0 &&
+           batchTwin.exceptAll(streamed).count() == 0)
+    // == the in-session IVF tier too: the persisted index changes where
+    // the bytes come from, never the answer
+    val ivf = graft.operators.Similarity.annIvfTopK(spark, sf)
+    assert(streamed.exceptAll(ivf).count() == 0 &&
+           ivf.exceptAll(streamed).count() == 0)
+  }
+
   test("parquet sink with checkpoint lands the deduped stream durably") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -734,4 +771,5 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
 object StreamingSpec {
   /** Document row for the delta-vs-base dedup stream. */
   case class Doc(doc_id: Long, text: String)
+  case class Probe(probe_id: Long, probe_emb: Array[Float])
 }

@@ -52,6 +52,10 @@ def build(d):
                  "code change; r16 same-host A/Bs adjudicated old code not faster "
                  "- see adjudication_r16/adjudication_r17). The 2x bar reads "
                  "against THIS block; older blocks stay for history only."),
+        # Bench SF-gates its ratified comparisons on this stamp: every
+        # current-regime block measured sf0.1, and a cross-SF ratio is
+        # meaningless (an sf0.001 smoke once read 100x).
+        "sf": "sf0.1",
         "blocks": CURRENT_REGIME_BLOCKS,
         "n_queries": len(queries),
         "queries": queries,
