@@ -628,10 +628,14 @@ object GraphOps {
     */
   private[graft] def labelPropInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val pairs = copurchaseEdges(s, dir)
+    // sortWithinPartitions: the cached relation's outputOrdering [src]
+    // survives InMemoryTableScan, so each round's sym⋈labels sort-merge
+    // join elides ITS corpus-scale Sort — paid once at cache build, not
+    // once per round (the labels side stays node-scale either way).
     val sym = graft.Caches.cached(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")))
+        .repartition(col("src")).sortWithinPartitions("src"))
     val nodes = graft.Caches.cached(
       sym.select(col("src").as("node")).distinct())
     (sym, nodes)
@@ -756,7 +760,9 @@ object GraphOps {
     val sym = graft.Caches.cached(
       edges.select(col("a").as("src"), col("b").as("dst"))
         .union(edges.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("dst")))
+        // ordering [dst] survives the cache, so each peel round's
+        // dst-side survivor semi-join elides its corpus-scale Sort
+        .repartition(col("dst")).sortWithinPartitions("dst"))
     var alive = graft.Caches.roundCheckpoint(
       sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
         .filter(col("core_degree") >= k), reliable)
