@@ -83,4 +83,57 @@ class SubstrateSpec extends AnyFunSuite with SparkFixture {
     assert(Files.exists(Paths.get(p1, "_SUCCESS")))
     assert(spark.read.parquet(p1).head().getLong(0) == 15L)
   }
+
+  test("bench instrumentation: builds are timed and attributed per kind; memo hits cost nothing") {
+    val corpus = newCorpus("instr", 9)
+    val acc0 = Substrate.accessCount
+    val b0 = Substrate.buildSeconds
+    val kind0 = Substrate.builtKinds.getOrElse("spec_instr", 0.0)
+    val p1 = Substrate.materialized(spark, "spec_instr", corpus, Nil)(plan(corpus))
+    assert(Substrate.accessCount == acc0 + 1, "every materialized() call must count")
+    assert(Substrate.buildSeconds > b0, "a cold build must add timed seconds")
+    assert(Substrate.builtKinds.getOrElse("spec_instr", 0.0) > kind0,
+      "the build must be attributed to its kind")
+    val bAfterBuild = Substrate.buildSeconds
+    val p2 = Substrate.materialized(spark, "spec_instr", corpus, Nil)(plan(corpus))
+    assert(p2 == p1 && Substrate.accessCount == acc0 + 2)
+    assert(Substrate.buildSeconds == bAfterBuild,
+      "a memo hit must add zero build seconds — that is what the bench ledger keys on")
+  }
+
+  test("clearAll cold-starts the substrate dir; a fresh-JVM-equivalent call rebuilds the leaf") {
+    val corpus = newCorpus("clear", 6)
+    val p1 = Substrate.materialized(spark, "spec_clear", corpus, Nil)(plan(corpus))
+    assert(Files.exists(Paths.get(p1, "_SUCCESS")))
+    // the bench cold-start: wipe the dir AND the in-JVM path memos that
+    // point into it (clearAll's contract is fresh-JVM-only precisely
+    // because it does not invalidate the memo tier itself)
+    Substrate.clearAll(spark)
+    Caches.clearModels()
+    assert(!Files.exists(Paths.get(p1)), "clearAll must remove published leaves")
+    val p2 = Substrate.materialized(spark, "spec_clear", corpus, Nil)(plan(corpus))
+    assert(p2 == p1, "same (corpus, params) must re-derive the same content-keyed path")
+    assert(Files.exists(Paths.get(p2, "_SUCCESS")), "the rebuilt leaf must republish")
+    assert(spark.read.parquet(p2).head().getLong(0) == 21L)
+  }
+
+  test("materializedDir publishes arbitrary (non-parquet) files with an explicit marker") {
+    val corpus = newCorpus("dirbuild", 4)
+    var builds = 0
+    def build(tmp: String): Unit = {
+      builds += 1
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "payload.txt"), "hello")
+      ()
+    }
+    val p1 = Substrate.materializedDir(spark, "spec_dir", corpus, Nil)(build)
+    assert(Files.exists(Paths.get(p1, "_SUCCESS")),
+      "a generic build that writes no marker must still publish one")
+    assert(Files.readString(Paths.get(p1, "payload.txt")) == "hello")
+    assert(builds == 1)
+    // fresh-JVM equivalent: the marker check skips the build entirely
+    Caches.clearModels()
+    val p2 = Substrate.materializedDir(spark, "spec_dir", corpus, Nil)(build)
+    assert(p2 == p1 && builds == 1, "_SUCCESS-marked dir leaf must not rebuild")
+  }
 }
