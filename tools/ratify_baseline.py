@@ -33,7 +33,7 @@ BASELINE = "/root/repo/BASELINE.json"
 # the bar stays the strictest HOST-COMPARABLE measurement; keys first
 # measured in a later round join from their first clean record.
 CURRENT_REGIME_BLOCKS = ["internal_baseline_r15_final", "internal_baseline_r16",
-                         "internal_baseline_r17"]
+                         "internal_baseline_r17", "internal_baseline_r18"]
 
 
 def build(d):
@@ -45,7 +45,7 @@ def build(d):
                 queries[k] = v
                 source[k] = block
     d["ratified"] = {
-        "note": ("Round-17 ratified per-key baseline: oldest value per key among the "
+        "note": ("Ratified per-key baseline (round-17 convention): oldest value per key among the "
                  "HOST-COMPARABLE (current-regime) blocks "
                  f"{CURRENT_REGIME_BLOCKS}. The r10/r11 and r12-r15 blocks are "
                  "excluded as dead host regimes (uniform per-key deltas with no "
