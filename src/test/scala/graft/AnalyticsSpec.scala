@@ -694,6 +694,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("label-prop winner agg: vote ties break to the SMALLEST label, == the window road") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.expressions.Window
+    // crafted votes: node 100 ties 2-2 between labels 5 and 9 (min
+    // wins), node 200 has a strict 2-1 majority for 5, node 300 is
+    // isolated (keeps its own label) — the exact surface the r18
+    // max_by(struct(cnt, -label)) swap must preserve bit-for-bit
+    val sym = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+                  (1L, 200L), (2L, 200L), (3L, 200L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 100L, 200L, 300L).toDF("node")
+    val labels = Seq((1L, 5L), (2L, 5L), (3L, 9L), (4L, 9L),
+                     (100L, 100L), (200L, 200L), (300L, 300L)).toDF("node", "label")
+    val out = GraphOps.labelPropRound(sym, nodes, labels)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(100L) == 5L, s"2-2 tie must break to the smaller label: $m")
+    assert(m(200L) == 5L, s"strict majority must win: $m")
+    assert(m(300L) == 300L, s"an isolated node keeps its own label: $m")
+    // and the agg road equals the retired row_number-window road exactly
+    val w = Window.partitionBy("dst").orderBy(col("cnt").desc, col("label"))
+    val votes = sym.join(labels, sym("src") === labels("node"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("dst").as("node"), col("label").as("new_label"))
+    val windowRoad = nodes.join(votes, Seq("node"), "left")
+      .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
+    assert(out.exceptAll(windowRoad).count() == 0 &&
+           windowRoad.exceptAll(out).count() == 0)
+  }
+
   test("graph_modularity: terms recompute from raw edges; separated triangles score high, one blob low") {
     import spark.implicits._
     import graft.operators.GraphOps
