@@ -194,6 +194,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("stream_ann_probe: persisted postings scan, broadcast probe cells, map-side top-k prune") {
+    val p = plan(graft.operators.Similarity.streamAnnProbe(spark, sf))
+    // the per-batch serving plan: the ONLY corpus-scale input is the
+    // substrate postings parquet scan; probe cells and centroids ride
+    // broadcasts, and the per-probe top-k prunes before its exchange
+    assert(p.contains("Scan parquet"), s"persisted postings not a parquet scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe-cells join not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pruned map-side:\n$p")
+    val shuffledEmbedding = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!shuffledEmbedding, s"corpus embeddings in a shuffle:\n$p")
+    graft.Caches.clear()
+  }
+
   test("adaptive filtered IVF: occupancy and probe cells broadcast — corpus embeddings never shuffle") {
     // the stratum-aware walk must stay metadata-priced: the
     // (cell, label) occupancy table and the kept probe cells ride
