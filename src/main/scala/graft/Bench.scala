@@ -42,7 +42,16 @@ object Bench {
     // record now carries who paid which build and flags every
     // substrate-READING key so scorecard ratios are read like-for-like.
     // SPARK_GRAFT_BENCH_SUBSTRATE=warm opts out for iteration loops.
-    val substrateMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSTRATE", "cold")
+    // Guard: cold-clearing is only ever safe for the LOCAL default
+    // substrate dir (java.io.tmpdir) — when graft.substrate.dir points
+    // at shared cluster storage, other JVMs may be mid-read on those
+    // leaves, so the bench degrades to warm and stamps it rather than
+    // deleting a shared artifact store out from under readers.
+    val substrateMode = {
+      val asked = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUBSTRATE", "cold")
+      if (asked == "cold" && sys.props.get("graft.substrate.dir").exists(_.nonEmpty))
+        "warm-shared-dir" else asked
+    }
     if (substrateMode == "cold") Substrate.clearAll(spark)
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
