@@ -221,6 +221,11 @@ object SparkEntry {
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
+    // the streaming packer's hash-verified batch twin: the delta slice
+    // through the same shard-cumsum plan; the stateful stream form
+    // (EventStreams.packSequencesStateful) is proven == this in
+    // StreamingSpec across micro-batch splits
+    "stream_pack_sequences" -> ((s, d) => TrainingOps.streamPackSequences(s, d)),
     "sample_stratified" -> ((s, d) => TrainingOps.sampleStratified(s, d)),
     "sample_reservoir"  -> ((s, d) => TrainingOps.sampleReservoir(s, d)),
     "mix_weighted"      -> ((s, d) => TrainingOps.mixWeighted(s, d)),
@@ -2282,6 +2287,20 @@ object SparkEntry {
            SELECT doc_id, doc_id % 8 AS shard,
                   CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
            FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+           FROM t)
+         SELECT doc_id, shard, n_tokens,
+                CAST((tok_end - n_tokens) // 512 AS BIGINT) AS first_chunk,
+                CAST(CASE WHEN n_tokens = 0 THEN (tok_end - n_tokens) // 512
+                          ELSE (tok_end - 1) // 512 END AS BIGINT) AS last_chunk
+         FROM c ORDER BY doc_id""",
+    "stream_pack_sequences" ->
+      s"""WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           FROM documents WHERE doc_id % ${graft.operators.Dedup.DefaultDeltaMod} = 0),
          c AS (
            SELECT doc_id, shard, n_tokens,
                   SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end

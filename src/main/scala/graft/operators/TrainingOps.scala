@@ -92,9 +92,35 @@ object TrainingOps {
     * across the engine's text surface.
     */
   def packSequences(s: SparkSession, dir: String,
-                    ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
+                    ctxLen: Int = 512, nShards: Int = 8): DataFrame =
+    packSequencesOver(Tables.documents(s, dir), ctxLen, nShards)
+
+  /** SURVEY §2 `stream_pack_sequences` batch twin: the delta slice
+    * (`doc_id % DefaultDeltaMod == 0` — the incremental family's
+    * shared split) packed with the same shard-cumsum rule. The
+    * STREAMING form is
+    * [[graft.streaming.EventStreams.packSequencesStateful]] — per-shard
+    * running token offsets carried in flatMapGroupsWithState state, so
+    * arriving docs pack exactly where the batch road would have put
+    * them; StreamingSpec proves stream == this twin across micro-batch
+    * splits. Hash-verified by the `pack_sequences` oracle restricted to
+    * the same delta.
+    */
+  def streamPackSequences(s: SparkSession, dir: String,
+                          ctxLen: Int = 512, nShards: Int = 8): DataFrame =
+    packSequencesOver(
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % Dedup.DefaultDeltaMod === 0),
+      ctxLen, nShards)
+
+  /** The packing body over an explicit docs frame — factored so the
+    * full-corpus key, the delta-slice streaming twin, and crafted spec
+    * fixtures all run the identical plan.
+    */
+  private[graft] def packSequencesOver(docs: DataFrame,
+                                       ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
     require(ctxLen > 0 && nShards > 0, "ctxLen and nShards must be positive")
-    val counted = Tables.documents(s, dir)
+    val counted = docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(
         col("doc_id"),

@@ -324,6 +324,56 @@ object EventStreams {
               col("best_base_id"), col("best_jaccard_x1000"))
   }
 
+  /** A token-counted doc headed into the packer. */
+  case class TokDoc(doc_id: Long, shard: Int, n_tokens: Long)
+
+  /** A packed doc: which fixed-length context windows it occupies. */
+  case class PackedDoc(doc_id: Long, shard: Long, n_tokens: Long,
+                       first_chunk: Long, last_chunk: Long)
+
+  /** STATEFUL streaming sequence packing — online training-data
+    * assembly: arriving documents are token-counted row-locally and
+    * packed into fixed `ctxLen`-token context windows exactly where
+    * the batch packer would put them, because the per-shard RUNNING
+    * TOKEN OFFSET is carried in `flatMapGroupsWithState` state across
+    * micro-batches (one long per shard — constant state, never
+    * evicted). Within a batch each shard's arrivals sort by doc_id
+    * (bounded by the batch), so as long as arrival order respects
+    * doc_id per shard — the usual append-log contract — the stream is
+    * bit-equal to the batch cumsum road:
+    * [[graft.operators.TrainingOps.streamPackSequences]] is the
+    * registered hash-verified twin, and StreamingSpec proves
+    * stream == twin across micro-batch splits. At 100 TB the state
+    * store holds nShards longs; everything else is a row-local map.
+    */
+  def packSequencesStateful(docs: DataFrame, ctxLen: Int = 512,
+                            nShards: Int = 8): Dataset[PackedDoc] = {
+    require(ctxLen > 0 && nShards > 0, "ctxLen and nShards must be positive")
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.functions.TextFunctions.{bpeTokenCountOfNorm, normText}
+    val counted = docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+              (col("doc_id") % nShards).cast("int").as("shard"),
+              bpeTokenCountOfNorm(col("norm")).as("n_tokens"))
+      .as[TokDoc]
+    counted.groupByKey(_.shard)
+      .flatMapGroupsWithState[Long, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard, it, state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { d =>
+            val start = off
+            off += d.n_tokens
+            val last = if (d.n_tokens == 0) start / ctxLen else (off - 1) / ctxLen
+            PackedDoc(d.doc_id, shard.toLong, d.n_tokens, start / ctxLen, last)
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
+
   /** The IVF probe transform over a PERSISTED serving index — online
     * vector search, the ANN family's streaming member: arriving query
     * vectors rank the broadcast centroid table (bounded: nCells rows),
