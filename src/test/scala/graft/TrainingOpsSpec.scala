@@ -58,6 +58,28 @@ class TrainingOpsSpec extends AnyFunSuite with SparkFixture {
     docs.foreach { case (id, shard, _) => assert(shard == id % nShards) }
   }
 
+  test("packing: an empty doc AT a window boundary takes its insertion point, both roads") {
+    import spark.implicits._
+    // crafted single-shard fixture at ctxLen=4: "a b c" fills 3 of
+    // window 0; the empty doc at offset 3 sits IN window 0; "d e f g h"
+    // spans windows 0-1 ending exactly at offset 8; the empty doc at
+    // offset 8 is EXACTLY on the boundary — its insertion point is
+    // window 2, where the naive (tok_end - 1) div ctxLen reads 1
+    val docs = Seq((0L, "a b c"), (8L, ""), (16L, "d e f g h"), (24L, ""))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.TrainingOps.packSequencesOver(docs, ctxLen = 4, nShards = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(batch(0L)  == (0L, 0L))
+    assert(batch(8L)  == (0L, 0L), s"mid-window empty doc: ${batch(8L)}")
+    assert(batch(16L) == (0L, 1L))
+    assert(batch(24L) == (2L, 2L),
+      s"boundary empty doc must take its insertion point: ${batch(24L)}")
+    // the stateful road (single batch, empty initial state) agrees
+    val stateful = graft.streaming.EventStreams.packSequencesStateful(docs, ctxLen = 4, nShards = 1)
+      .collect().map(d => d.doc_id -> (d.first_chunk, d.last_chunk)).toMap
+    assert(stateful == batch)
+  }
+
   test("sample_stratified takes exactly ceil(pct% of n) per stratum, deterministically") {
     import org.apache.spark.sql.functions._
     val pct = 10
