@@ -52,9 +52,29 @@ object Bench {
       if (asked == "cold" && sys.props.get("graft.substrate.dir").exists(_.nonEmpty))
         "warm-shared-dir" else asked
     }
-    if (substrateMode == "cold") Substrate.clearAll(spark)
     def loadavg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Bounded idle-wait BEFORE the ambient sample and the substrate
+    // clear (r18 verdict item 3): BENCH_r17 and BENCH_r18 both landed
+    // degraded because the driver launches Bench right after its
+    // compile/verify JVMs exit, while the 1-minute loadavg still
+    // carries THEIR work — the canonical_ref embed saves such a
+    // record, but the driver artifact should try to BE clean. Poll
+    // until load drops under the clean threshold, capped (default
+    // 240 s, SPARK_GRAFT_BENCH_IDLE_WAIT seconds to tune, 0 to
+    // disable); the stamp below distinguishes waited-and-clean /
+    // waited-and-still-loaded / never-needed-to-wait. Waiting before
+    // clearAll also lets another JVM's substrate lease age out (see
+    // Substrate.clearAll's guard).
+    val cleanThresh = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_CLEAN", "1.5").toDouble
+    val idleCapSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_IDLE_WAIT", "240").toInt
+    val waitedSec: Long = {
+      val t0 = System.nanoTime()
+      while (loadavg > cleanThresh && (System.nanoTime() - t0) / 1e9 < idleCapSec)
+        Thread.sleep(5000)
+      math.round((System.nanoTime() - t0) / 1e9)
+    }
+    if (substrateMode == "cold") Substrate.clearAll(spark)
     // Ambient host load, sampled BEFORE the warmup block: the warmup's
     // own work inflates the 1-minute loadavg, so a post-warmup sample
     // partly measures ourselves. The degraded verdict keys on ambient.
@@ -86,7 +106,6 @@ object Bench {
     // overwrite a clean canonical record — round 10 and 11 both lost
     // their clean BENCH_LOCAL.json to contended reruns; the writer now
     // enforces what the record-hygiene note only asked for.
-    val cleanThresh = sys.env.getOrElse("SPARK_GRAFT_LOADAVG_CLEAN", "1.5").toDouble
     val degraded = loadAmbient > cleanThresh
     // Default 2 passes: min-of-3 filters shared-host steal stalls
     // better (measured: three unchanged queries recorded 26-37 s on
@@ -159,9 +178,13 @@ object Bench {
           // The ratified block stamps its own scale factor; a sweep at
           // any OTHER SF gets no ratified comparison at all — cross-SF
           // ratios are meaningless (an sf0.001 smoke once read 100x).
+          // .exists (not .forall): a ratified block with NO sf stamp
+          // (pre-r18 copy) must disable the comparison, not permit it —
+          // otherwise the cross-SF failure mode this comment cites
+          // silently returns.
           val sfOk = """"sf"\s*:\s*"([^"]+)"""".r
             .findFirstMatchIn(s.substring(ri, math.min(s.length, ri + 2000)))
-            .forall(m => java.nio.file.Paths.get(sfDir).getFileName.toString == m.group(1))
+            .exists(m => java.nio.file.Paths.get(sfDir).getFileName.toString == m.group(1))
           if (sfOk) parseQueriesMap(s, ri) else Map.empty
         }
       }
@@ -218,7 +241,7 @@ object Bench {
       val sk = substrateKeys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
       val sb = substrateBuilt.map { case (k, v) => f""""${esc(k)}":$v%.3f""" }.mkString("{", ",", "}")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"queries":$qs,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"queries":$qs,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
     // A degraded run never overwrites a canonical record unless that
     // record is itself stamped degraded — it lands in
@@ -434,7 +457,7 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, r) => f""""${esc(k)}":$r%.2f""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","n_timed":${timings.size},"n_failed":${errors.size},"degraded":$degraded,"loadavg_ambient":$loadAmbient,"passes":$passes,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_baseline":$worst5,"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"filtered":${only.isDefined},"full_record":"${esc(target.toString)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","n_timed":${timings.size},"n_failed":${errors.size},"degraded":$degraded,"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"passes":$passes,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_baseline":$worst5,"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"filtered":${only.isDefined},"full_record":"${esc(target.toString)}"}""")
     System.out.flush()
     // rc must reflect run health: round 10's driver wrapper recorded
     // rc=0 while 50/130 queries errored, so tooling keying on rc read a

@@ -79,7 +79,52 @@ object Substrate {
   def clearAll(s: org.apache.spark.sql.SparkSession): Unit = {
     val p = new org.apache.hadoop.fs.Path(baseDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+    // Cross-JVM guard: [[materializedDir]] touches a lease file on
+    // every access (throttled), so a fresh lease means ANOTHER JVM on
+    // this host read the shared substrate within the last few minutes
+    // and may still hold open parquet readers on a leaf. The default
+    // base dir is <tmpdir>/graft-substrate — shared across every JVM
+    // on the host — so this is the only signal clearAll has. We warn
+    // loudly rather than refuse: Bench cold mode (the caller) must
+    // still clear, and the ≥4-min idle discipline plus the bench
+    // idle-wait make a fresh lease an operator error worth surfacing,
+    // not silently working around.
+    if (fs.exists(p)) {
+      val lease = new org.apache.hadoop.fs.Path(p, LeaseName)
+      if (fs.exists(lease)) {
+        val ageMs = System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime
+        if (ageMs < LeaseFreshMs)
+          System.err.println(
+            f"[graft.Substrate] WARNING: clearAll is deleting $baseDir " +
+            f"but its lease was touched ${ageMs / 1000.0}%.0f s ago — " +
+            "another JVM may be mid-read on a leaf. Wait >= 4 min after " +
+            "other sbt/Spark JVMs exit before a cold bench.")
+      }
+      fs.delete(p, true)
+    }
+  }
+
+  /** Lease file name + freshness window for the clearAll guard. */
+  private val LeaseName = "_lease"
+  private val LeaseFreshMs = 4 * 60 * 1000L
+  private val lastLeaseTouch = new java.util.concurrent.atomic.AtomicLong
+  /** Touch the lease (mtime = now) at most once per 30 s per JVM — one
+    * cheap FS call marking "this JVM is actively reading substrate",
+    * which [[clearAll]] in ANY other JVM checks before deleting the
+    * shared dir. Failures are swallowed: the lease is advisory.
+    */
+  private def touchLease(s: org.apache.spark.sql.SparkSession): Unit = {
+    val now = System.currentTimeMillis()
+    val prev = lastLeaseTouch.get
+    if (now - prev > 30000 && lastLeaseTouch.compareAndSet(prev, now)) {
+      try {
+        val lease = new org.apache.hadoop.fs.Path(baseDir, LeaseName)
+        val fs = lease.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(lease)) fs.setTimes(lease, now, -1)
+        else fs.create(lease, true).close()
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   private def baseDir: String = {
@@ -159,6 +204,7 @@ object Substrate {
     // regeneration inside a long-lived JVM keys a fresh leaf.
     val fp = fingerprint(s, dir)
     accessCounter.incrementAndGet()
+    touchLease(s)
     Caches.model(Seq("substrate", kind, dir, fp) ++ keyParts: _*) {
       import org.apache.hadoop.fs.{Path => HPath}
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -137,7 +137,9 @@ object Similarity {
     *
     * Pre-filtering, like the exact tier: post-filtering an unfiltered
     * top-k loses recall whenever < k unfiltered neighbors share the
-    * label. Approximate BY CONTRACT (rows-only key): recall vs
+    * label. Approximate by contract (cell pruning) yet HASH-VERIFIED
+    * since r16 — the oracle replays the default stratum-aware dial
+    * deterministically. Recall vs
     * [[annFilteredTopK]] ≈ the probed fraction on the adversarially
     * near-uniform test corpus; SimilaritySpec floors it and pins
     * full-probe equality (nProbeCells = nCells reproduces the exact
