@@ -590,8 +590,10 @@ object GraphOps {
     * the CC closures. At 100 TB each round shuffles (node, label)
     * pairs only, once.
     */
-  def labelPropagation(s: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+  def labelPropagation(s: SparkSession, dir: String, iters: Int = 5,
+                       deltaDiv: Int = 4): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(deltaDiv >= 0, s"deltaDiv must be >= 0, got $deltaDiv")
     val (sym, nodes) = labelPropInputs(s, dir)
     // Round 0 checkpoints the SINGLE-column node frame and projects
     // the self-label view above the LogicalRDD, rather than
@@ -607,14 +609,47 @@ object GraphOps {
     graft.Caches.onClear(() => graft.Caches.unpersistRound(labelsInit))
     var labels: DataFrame =
       labelsInit.select(col("node"), col("node").as("label"))
-    (1 to iters).foreach { _ =>
+    // DELTA-FRONTIER rounds (r19): synchronous LP's update for node v
+    // reads only N(v)'s previous labels, so if NO neighbor of v
+    // changed in round t-1, round t reproduces v's label bit-for-bit
+    // — only neighbors-of-changed need re-voting, the rest carry
+    // forward (the frontier-shrink trick [[bfsHops]] already uses,
+    // here with the SYNCHRONOUS fixpoint preserved exactly: the
+    // carried rows equal what the full round would recompute, proven
+    // in AnalyticsSpec delta==full). Each round therefore tracks the
+    // changed set (node-scale, zero-exchange diff of two checkpointed
+    // rounds); once it is small (|changed|·deltaDiv ≤ |nodes|) rounds
+    // switch to [[labelPropRoundDelta]], which shuffles only
+    // frontier-adjacent votes, and an EMPTY changed set ends the loop
+    // outright — remaining rounds are the identity. The per-round
+    // count is the same bounded driver sync the other graph iterators
+    // already pay (`grew` in BFS, the CC closure test).
+    var changed: Option[DataFrame] = None
+    var changedCnt = Long.MaxValue
+    val nNodes = nodes.count()
+    var round = 0
+    while (round < iters && changedCnt > 0L) {
+      round += 1
+      val useDelta = changed.isDefined && changedCnt * deltaDiv.toLong <= nNodes
       val next = graft.Caches.roundCheckpoint(
-        labelPropRound(sym, nodes, labels), reliable = false)
+        if (useDelta) labelPropRoundDelta(sym, labels, changed.get)
+        else labelPropRound(sym, nodes, labels), reliable = false)
+      val chNext = graft.Caches.roundCheckpoint(
+        next.join(labels.withColumnRenamed("label", "prev_label"), Seq("node"))
+          .filter(col("label") =!= col("prev_label"))
+          .select(col("node")), reliable = false)
+      changedCnt = chNext.count()
+      changed.foreach(graft.Caches.unpersistRound)
       graft.Caches.unpersistRound(labels)
+      changed = Some(chNext)
       labels = next
     }
     val last = labels
-    graft.Caches.onClear(() => graft.Caches.unpersistRound(last))
+    val lastChanged = changed
+    graft.Caches.onClear { () =>
+      graft.Caches.unpersistRound(last)
+      lastChanged.foreach(graft.Caches.unpersistRound)
+    }
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(Hints.maybeBroadcast(sizes), "label")
       .select(col("node").as("part_key"), col("label").as("community"),
@@ -670,6 +705,45 @@ object GraphOps {
     nodes.join(votes, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("new_label"), col("node")).as("label"))
+  }
+
+  /** One DELTA-FRONTIER label-propagation update: re-votes ONLY the
+    * nodes with at least one neighbor in `changed` (the nodes whose
+    * labels differed between the two previous rounds) and carries
+    * every other node's label forward unchanged — exactly equal to
+    * [[labelPropRound]] by the synchronous-update argument in
+    * [[labelPropagation]] (AnalyticsSpec pins delta == full on the
+    * testdata graph and a crafted oscillator).
+    *
+    * Shape: `affected` is one semi-join of the cached hash(src) edge
+    * list against the (small, re-exchanged) changed set plus a
+    * frontier-scale distinct on dst; the vote build then restricts
+    * the edge list to affected dsts BEFORE the label join — the
+    * restriction is a size-guarded broadcast semi-join, row-local, so
+    * the sym⋈labels join still rides the carried (hash(src),
+    * hash(node)) partitionings and the round's corpus-scale Exchange
+    * (the vote repartition on dst) now moves only frontier-adjacent
+    * votes. Late rounds get cheaper as LP converges outward, the same
+    * way [[bfsHops]]' rounds shrink with its frontier.
+    */
+  private[graft] def labelPropRoundDelta(sym: DataFrame, labels: DataFrame,
+                                         changed: DataFrame): DataFrame = {
+    val affected = sym
+      .join(changed.select(col("node").as("cnode")),
+            sym("src") === col("cnode"), "left_semi")
+      .select(col("dst").as("anode")).distinct()
+    val votes = sym
+      .join(Hints.maybeBroadcast(affected), sym("dst") === col("anode"), "left_semi")
+      .join(labels, sym("src") === labels("node"))
+      .repartition(col("dst"))
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max_by(col("label"), struct(col("cnt"), (-col("label")).as("neg")))
+        .as("new_label"))
+      .select(col("dst").as("node"), col("new_label"))
+    labels.join(votes, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_label"), col("label")).as("label"))
   }
 
   /** Market-basket association rules over the co-purchase substrate

@@ -623,6 +623,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     assert(out.filter(col("n_words") > col("n_distinct_users")).count() == 0)
   }
 
+  test("bitmap_distinct_sparse: exact on SPARSE and NEGATIVE ids, ranks pack words maximally") {
+    import spark.implicits._
+    // the exact domain the dense road can't serve: negative ids (its
+    // shiftleft(id % 64) is undefined-wrong there) and hash-shaped
+    // sparsity (64-bit-scattered ids — one bit per dense word)
+    val ids = Seq(-9007199254740993L, -1L, 0L, 63L, 64L,
+                  1L << 40, (1L << 40) + 1, Long.MaxValue - 5, 999999999999L)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sparsebm").toString
+    ids.zipWithIndex.flatMap { case (uid, i) =>
+      val t = if (i % 2 == 0) "click" else "view"
+      // duplicates on purpose: distinct-ness is what's being counted
+      Seq((i * 2L, f"2024-01-01 00:${i % 60}%02d:00", uid, t, 1.0, "{}"),
+          (i * 2L + 1, f"2024-01-01 01:${i % 60}%02d:00", uid, t, 1.0, "{}"))
+    }.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Analytics.bitmapDistinctSparse(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 9 ids alternate click/view: 5 click, 4 view — exact despite the
+    // id domain spanning the whole long range
+    assert(out("click")._1 == 5L && out("view")._1 == 4L, s"got $out")
+    // dictionary ranks are dense 0..8, so each type's bits live in
+    // word 0 only — maximal packing regardless of raw-id sparsity
+    assert(out("click")._2 == 1L && out("view")._2 == 1L, s"got $out")
+    // and on the real testdata the sparse road equals the dense road's counts
+    val dense = Analytics.bitmapDistinct(spark, sf)
+      .select("event_type", "n_distinct_users")
+    val sparse = Analytics.bitmapDistinctSparse(spark, sf)
+      .select("event_type", "n_distinct_users")
+    assert(dense.exceptAll(sparse).count() == 0 && sparse.exceptAll(dense).count() == 0)
+  }
+
   test("bitmap_overlap matches exact pairwise intersection counts") {
     val out = Analytics.bitmapOverlap(spark, sf).cache()
     val du = Tables.events(spark, sf).select("event_type", "user_id").distinct().cache()
@@ -722,6 +754,63 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
       .select(col("node"), coalesce(col("new_label"), col("node")).as("label"))
     assert(out.exceptAll(windowRoad).count() == 0 &&
            windowRoad.exceptAll(out).count() == 0)
+  }
+
+  test("label-prop delta-frontier round == full round, per round, on a partial-convergence graph") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // two triangles that converge by round 2 (their changed set goes
+    // empty — the carry-forward path) next to a 6-node chain that
+    // keeps churning (the re-vote path): the exact mix where a buggy
+    // frontier restriction would freeze the chain or rewrite the
+    // triangles. Drive 4 synchronous rounds; the delta road's changed
+    // set comes from ITS OWN previous two rounds, exactly as
+    // labelPropagation tracks it.
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                  (10L, 11L), (11L, 12L), (10L, 12L),
+                  (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L), (24L, 25L))
+    val sym = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val nodes = sym.select(col("src").as("node")).distinct()
+    val init = nodes.select(col("node"), col("node").as("label"))
+    var full = init
+    var delta = init
+    var prevDelta = init
+    (1 to 4).foreach { r =>
+      val fullNext = GraphOps.labelPropRound(sym, nodes, full)
+      val deltaNext =
+        if (r == 1) GraphOps.labelPropRound(sym, nodes, delta)
+        else {
+          val changed = delta
+            .join(prevDelta.withColumnRenamed("label", "prev_label"), Seq("node"))
+            .filter(col("label") =!= col("prev_label")).select("node")
+          GraphOps.labelPropRoundDelta(sym, delta, changed)
+        }
+      val f = fullNext.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val d = deltaNext.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(f == d, s"round $r: delta road diverged from full road\nfull: $f\ndelta: $d")
+      prevDelta = delta
+      // tiny crafted graph: carrying lineage across 4 rounds is fine
+      full = fullNext
+      delta = deltaNext
+    }
+  }
+
+  test("labelPropagation force-delta == force-full on the testdata graph (and the registered default)") {
+    import graft.operators.GraphOps
+    // deltaDiv=0 switches to delta rounds from round 2 onward;
+    // 1<<30 can only trigger on an empty changed set (where the loop
+    // exits anyway), i.e. every executed round is the full road.
+    val fullRoad = GraphOps.labelPropagation(spark, sf, 5, deltaDiv = 1 << 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caches.clear()
+    val deltaRoad = GraphOps.labelPropagation(spark, sf, 5, deltaDiv = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caches.clear()
+    val default = GraphOps.labelPropagation(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.Caches.clear()
+    assert(fullRoad == deltaRoad, "delta-frontier road diverged from full-round road at sf0.001")
+    assert(default == fullRoad, "the registered default diverged from the forced roads")
   }
 
   test("graph_modularity: terms recompute from raw edges; separated triangles score high, one blob low") {
