@@ -207,9 +207,9 @@ object PagedExtract {
     if (remaining.isEmpty) return ExtractReport(Nil, already.toSeq.sorted, Nil)
 
     val failedAcc = s.sparkContext.collectionAccumulator[(Long, String)]("failed")
-    val loop = commitLoop(
+    val loop = commitLoop[Long](
       new org.apache.spark.util.SerializableConfiguration(s.sparkContext.hadoopConfiguration),
-      landingDir, u => f"page_$u%05d.jsonl", u => api.fetch(u.toInt),
+      landingDir, u => f"page_$u%05d.jsonl", u => api.fetch(u.toInt), identity,
       maxRetries, backoffMs, minFetchIntervalMs, failedAcc)
     s.sparkContext
       .parallelize(remaining.map(_.toLong), math.min(parallelism, remaining.size))
@@ -233,12 +233,12 @@ object PagedExtract {
     * functions; everything captured (conf wrapper, strings, the api
     * inside `fetch`, the accumulator) ships to executors.
     */
-  private def commitLoop(hadoopConf: org.apache.spark.util.SerializableConfiguration,
-                         landingDir: String, fileName: Long => String,
-                         fetch: Long => Seq[String],
-                         maxRetries: Int, backoffMs: Long, minFetchIntervalMs: Long,
-                         failedAcc: org.apache.spark.util.CollectionAccumulator[(Long, String)])
-      : Iterator[Long] => Unit = { units =>
+  private def commitLoop[U](hadoopConf: org.apache.spark.util.SerializableConfiguration,
+                            landingDir: String, fileName: U => String,
+                            fetch: U => Seq[String], unitId: U => Long,
+                            maxRetries: Int, backoffMs: Long, minFetchIntervalMs: Long,
+                            failedAcc: org.apache.spark.util.CollectionAccumulator[(Long, String)])
+      : Iterator[U] => Unit = { units =>
     import org.apache.hadoop.fs.{Path => HPath}
     val dir = new HPath(landingDir)
     val fs = dir.getFileSystem(hadoopConf.value)
@@ -291,7 +291,7 @@ object PagedExtract {
         }
       }
       if (!done)
-        failedAcc.add((unit, s"${lastErr.getClass.getSimpleName}: ${lastErr.getMessage}"))
+        failedAcc.add((unitId(unit), s"${lastErr.getClass.getSimpleName}: ${lastErr.getMessage}"))
     }
   }
 
@@ -384,43 +384,16 @@ object PagedExtract {
     import org.apache.spark.sql.functions.col
     import s.implicits._
     val already = landedKeys(s, landingDir)
-    // NUMERIC-KEY CONTRACT, enforced loudly: the checkpoint filename
-    // `key_<k>.jsonl` round-trips a LONG (resume re-parses it — the
-    // fragile seam the negative-key bug lived in). A non-castable key
-    // (e.g. a UUID string) would either throw a generic CAST error
-    // mid-landing (ANSI on) or cast to null and be silently DROPPED —
-    // fetched never, reported nowhere (ANSI off) — and a LOSSY cast
-    // (a 42.5 double key, a "42.5" string) would silently land under
-    // the truncated key, corrupting the checkpoint space. So probe
-    // with try_cast (null on malformed under either ANSI mode) AND
-    // require the cast to round-trip textually; refuse the frame with
-    // a domain error before any fetch. NULL keys are refused by the
-    // same guard (a null key has no filename, so silently skipping it
-    // would be the exact 'fetched never, reported nowhere' hole the
-    // lossy-cast branch closes — callers with optional parents filter
-    // nulls EXPLICITLY before the call). Exact decimal-integer keys
-    // ("42", 42L) pass; anything else wants an explicit key↔long
-    // dictionary in front of this API.
-    val keyCol = col(parentKeys.columns.head)
-    val asLong = keyCol.try_cast("long")
-    val bad = parentKeys
-      .filter(keyCol.isNull ||
-        asLong.isNull || asLong.cast("string") =!= keyCol.cast("string"))
-      .limit(1).collect()
-    require(bad.isEmpty,
-      s"landKeyed parent keys must be non-null and cast LOSSLESSLY to long " +
-      s"(checkpoint filenames round-trip longs); got e.g. " +
-      s"'${bad.headOption.map(r => Option(r.get(0)).getOrElse("NULL")).getOrElse("")}' — " +
-      "filter nulls / map non-integral keys through a key dictionary first")
+    val keyCol = requireLongKeys(parentKeys)
     val wanted = parentKeys.select(keyCol.cast("long").as("k")).distinct()
     val remaining =
       if (already.isEmpty) wanted
       else wanted.join(already.toSeq.toDF("k"), Seq("k"), "left_anti")
 
     val failedAcc = s.sparkContext.collectionAccumulator[(Long, String)]("failed_keys")
-    val loop = commitLoop(
+    val loop = commitLoop[Long](
       new org.apache.spark.util.SerializableConfiguration(s.sparkContext.hadoopConfiguration),
-      landingDir, u => s"key_$u.jsonl", api.fetch,
+      landingDir, u => s"key_$u.jsonl", api.fetch, identity,
       maxRetries, backoffMs, minFetchIntervalMs, failedAcc)
     remaining.repartition(parallelism).as[Long].rdd.foreachPartition(loop(_))
 
@@ -431,6 +404,150 @@ object PagedExtract {
     if (failed.isEmpty) cleanupTmp(s, landingDir)
     KeyedExtractReport(landed, already.toSeq.sorted, failed)
   }
+
+  /** The keyed extracts' shared key-domain guard — returns the key
+    * column for the caller's cast/distinct, after refusing any frame
+    * whose keys don't satisfy the contract below.
+    *
+    * NUMERIC-KEY CONTRACT, enforced loudly: the checkpoint filename
+    * (`key_<k>.jsonl`, `range_<u>.jsonl`) round-trips a LONG (resume
+    * re-parses it — the fragile seam the negative-key bug lived in).
+    * A non-castable key (e.g. a UUID string) would either throw a
+    * generic CAST error mid-landing (ANSI on) or cast to null and be
+    * silently DROPPED — fetched never, reported nowhere (ANSI off) —
+    * and a LOSSY cast (a 42.5 double key, a "42.5" string) would
+    * silently land under the truncated key, corrupting the checkpoint
+    * space. So probe with try_cast (null on malformed under either
+    * ANSI mode) AND require the cast to round-trip textually; refuse
+    * the frame with a domain error before any fetch. NULL keys are
+    * refused by the same guard (a null key has no filename, so
+    * silently skipping it would be the exact 'fetched never, reported
+    * nowhere' hole the lossy-cast branch closes — callers with
+    * optional parents filter nulls EXPLICITLY before the call). Exact
+    * decimal-integer keys ("42", 42L) pass; anything else wants an
+    * explicit key↔long dictionary in front of this API.
+    */
+  private def requireLongKeys(parentKeys: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    require(parentKeys.columns.length == 1,
+      s"parentKeys must be a single key column, got ${parentKeys.columns.mkString(", ")}")
+    val keyCol = col(parentKeys.columns.head)
+    val asLong = keyCol.try_cast("long")
+    val bad = parentKeys
+      .filter(keyCol.isNull ||
+        asLong.isNull || asLong.cast("string") =!= keyCol.cast("string"))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"keyed-extract parent keys must be non-null and cast LOSSLESSLY to long " +
+      s"(checkpoint filenames round-trip longs); got e.g. " +
+      s"'${bad.headOption.map(r => Option(r.get(0)).getOrElse("NULL")).getOrElse("")}' — " +
+      "filter nulls / map non-integral keys through a key dictionary first")
+    keyCol
+  }
+
+  // Range units may be negative exactly like keys (floorDiv of a
+  // negative key): the matcher accepts a sign for the same
+  // refetch-forever reason KeyFileName does.
+  private val RangeFileName = """range_(-?\d+)\.jsonl""".r
+
+  /** Range-unit ids already committed under `landingDir`. */
+  def landedRanges(s: SparkSession, landingDir: String): Set[Long] = {
+    val path = new org.apache.hadoop.fs.Path(landingDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Set.empty
+    else fs.listStatus(path).iterator.flatMap { st =>
+      st.getPath.getName match {
+        case RangeFileName(n) => Some(n.toLong)
+        case _                => None
+      }
+    }.toSet
+  }
+
+  /** [[landKeyed]] at RANGE-UNIT granularity — the documented scale
+    * path past file-per-key's ~10⁶-key checkpoint ceiling: parent
+    * keys bucket into fixed-width key ranges (unit u covers keys in
+    * `[u·width, (u+1)·width)` — floorDiv, so negative keys bucket
+    * consistently), each unit lands as ONE `range_<u>.jsonl` file
+    * through the SAME [[commitLoop]] as [[land]]/[[landKeyed]]
+    * (identical retry/backoff/rate-limit/atomic-rename semantics),
+    * and committed range files ARE the checkpoint — a rerun fetches
+    * only missing units. 10⁹ parents at width 1024 is ~10⁶ checkpoint
+    * files where file-per-key is 10⁹: listing, resume, and the
+    * report all scale by 1/width.
+    *
+    * The trade, stated plainly: (a) failure/resume granularity is the
+    * RANGE — one dead key fails its whole unit after retries and a
+    * heal refetches all `width` keys of that unit (the reference's
+    * per-movie unit of partial failure, coarsened deliberately);
+    * (b) a landed range is IMMUTABLE — keys that appear later inside
+    * an already-committed range are NOT refetched, so the key feed
+    * must be append-only in key order (autoincrement ids: new parents
+    * land in new top ranges), the same contract [[landIncremental]]'s
+    * watermark formalizes for day units — combine with it when the
+    * key space grows. Within a unit, per-key fetches pace at
+    * `minFetchIntervalMs` exactly like the loop does between units,
+    * so upstream pressure stays `parallelism / interval` regardless
+    * of width.
+    *
+    * The driver never holds keys: bucketing is one distributed
+    * projection, per-unit key lists live in executor tasks (bounded
+    * by `rangeWidth`), and the driver's footprint is the landed-unit
+    * listing — O(ranges), the point of the coarsening.
+    */
+  def landKeyedRanges(s: SparkSession, parentKeys: DataFrame, api: KeyedApi,
+                      landingDir: String, rangeWidth: Long = 1024,
+                      parallelism: Int = 8, maxRetries: Int = 3,
+                      backoffMs: Long = 5, minFetchIntervalMs: Long = 0): KeyedExtractReport = {
+    require(rangeWidth > 0, s"rangeWidth must be positive, got $rangeWidth")
+    require(parallelism > 0 && maxRetries >= 0 && backoffMs >= 0 && minFetchIntervalMs >= 0,
+      "keyed-extract knobs must be non-negative (parallelism positive)")
+    import org.apache.spark.sql.functions.{col, collect_list, lit, pmod, sort_array}
+    import s.implicits._
+    val keyCol = requireLongKeys(parentKeys)
+    val already = landedRanges(s, landingDir)
+    val wanted = parentKeys.select(keyCol.cast("long").as("k")).distinct()
+      // floorDiv as integral arithmetic: (k - pmod(k, w)) / w — exact
+      // on longs where floor(k / w) would round-trip through a double
+      .withColumn("u",
+        ((col("k") - pmod(col("k"), lit(rangeWidth))) / lit(rangeWidth)).cast("long"))
+    val remaining =
+      if (already.isEmpty) wanted
+      else wanted.join(already.toSeq.toDF("u"), Seq("u"), "left_anti")
+    val units = remaining.groupBy("u")
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+
+    val failedAcc = s.sparkContext.collectionAccumulator[(Long, String)]("failed_ranges")
+    val interval = minFetchIntervalMs
+    val loop = commitLoop[(Long, Seq[Long])](
+      new org.apache.spark.util.SerializableConfiguration(s.sparkContext.hadoopConfiguration),
+      landingDir,
+      { case (u, _) => s"range_$u.jsonl" },
+      { case (_, ks) =>
+        val out = Seq.newBuilder[String]
+        var first = true
+        ks.foreach { k =>
+          if (!first && interval > 0) Thread.sleep(interval)
+          first = false
+          out ++= api.fetch(k)
+        }
+        out.result()
+      },
+      _._1,
+      maxRetries, backoffMs, minFetchIntervalMs, failedAcc)
+    units.repartition(parallelism).as[(Long, Seq[Long])].rdd.foreachPartition(loop(_))
+
+    val onDisk = landedRanges(s, landingDir)
+    val landed = (onDisk -- already).toSeq.sorted
+    val failed = failedAcc.value.asScala.toSeq
+      .filterNot { case (u, _) => onDisk(u) }.sortBy(_._1)
+    if (failed.isEmpty) cleanupTmp(s, landingDir)
+    KeyedExtractReport(landed, already.toSeq.sorted, failed)
+  }
+
+  /** Distributed read of range landings — [[readLandedKeys]]' twin
+    * for `range_*.jsonl` files. */
+  def readLandedRanges(s: SparkSession, landingDir: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(Paths.get(landingDir).resolve("range_*.jsonl").toString)
 
   /** Distributed read of keyed landings — [[readLanded]]'s twin for
     * `key_*.jsonl` files. */
@@ -640,11 +757,62 @@ object PagedExtract {
     * partitioned write; nothing corpus-sized touches the driver.
     */
   def demoKeyedExtract(s: SparkSession, dir: String): DataFrame = {
+    requireLocalSubstrate()
+    val store = keyedDemoStore(s, dir)
+    val landing = Files.createTempDirectory("graft_kextract").toString
+    graft.Caches.onClear { () =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(landing))
+    }
+    val report = landKeyed(s, keyedDemoParents(s, dir), new FileKeyedApi(store), landing)
+    require(report.ok, s"demo keyed extract lost keys: ${report.failed}")
+    readLandedKeys(s, landing, keyedDemoSchema)
+      .orderBy("supp_key", "l_orderkey", "l_linenumber")
+  }
+
+  /** [[demoKeyedExtract]]'s parent-key frame: every 5th supplier. */
+  private def keyedDemoParents(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // Substrate-persisted simulated remote (see [[demoExtract]]): the
-    // store + its manifest are a pure function of the corpus, built
-    // once per (dir); the key then measures fan-out + landing + read.
-    val store = graft.Substrate.materializedDir(
+    graft.Tables.supplier(s, dir).select(col("s_suppkey"))
+      .filter(col("s_suppkey") % 5 === 0)
+  }
+
+  /** End-to-end demo of [[landKeyedRanges]] for the driver contract:
+    * the SAME simulated remote, parent set, and projection as
+    * [[demoKeyedExtract]], landed at range-unit granularity (width
+    * 64 → ~1/64th the checkpoint files of file-per-key) — so the two
+    * keys share one oracle shape and any divergence between the
+    * granularities is a hash mismatch. The landed rows are identical
+    * by contract; only the checkpoint layout differs.
+    */
+  def demoRangedExtract(s: SparkSession, dir: String): DataFrame = {
+    requireLocalSubstrate()
+    val store = keyedDemoStore(s, dir)
+    val landing = Files.createTempDirectory("graft_rextract").toString
+    graft.Caches.onClear { () =>
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
+      }
+      rm(new java.io.File(landing))
+    }
+    val report = landKeyedRanges(s, keyedDemoParents(s, dir),
+      new FileKeyedApi(store), landing, rangeWidth = 64)
+    require(report.ok, s"demo ranged extract lost units: ${report.failed}")
+    readLandedRanges(s, landing, keyedDemoSchema)
+      .orderBy("supp_key", "l_orderkey", "l_linenumber")
+  }
+
+  /** The simulated `/supplier/{id}/lines` remote shared by
+    * [[demoKeyedExtract]] and [[demoRangedExtract]] (see
+    * [[demoExtract]] for the substrate-persistence rationale): the
+    * store + its manifest are a pure function of the corpus, built
+    * once per (dir); the keys then measure fan-out + landing + read.
+    */
+  private def keyedDemoStore(s: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions.col
+    graft.Substrate.materializedDir(
       s, "kstore", graft.Substrate.canonicalDir(s, dir), Seq.empty) { tmp =>
       // Every 5th supplier: the fan-out/resume semantics are identical at
       // any parent count, and file-per-key demos scale in KEYS, not rows —
@@ -670,19 +838,6 @@ object PagedExtract {
         keysWithDetails.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     }
-    val landing = Files.createTempDirectory("graft_kextract").toString
-    graft.Caches.onClear { () =>
-      def rm(p: java.io.File): Unit = {
-        Option(p.listFiles).foreach(_.foreach(rm)); p.delete(); ()
-      }
-      rm(new java.io.File(landing))
-    }
-    val parents = graft.Tables.supplier(s, dir).select(col("s_suppkey"))
-      .filter(col("s_suppkey") % 5 === 0)
-    val report = landKeyed(s, parents, new FileKeyedApi(store), landing)
-    require(report.ok, s"demo keyed extract lost keys: ${report.failed}")
-    readLandedKeys(s, landing, keyedDemoSchema)
-      .orderBy("supp_key", "l_orderkey", "l_linenumber")
   }
 
   val incrementalDemoSchema: StructType = StructType(Seq(
@@ -700,8 +855,26 @@ object PagedExtract {
     * straight events projection — hash-verifies store build + two
     * incremental runs + checkpoint round-trip end to end.
     */
+  /** The demo stores are Substrate leaves read back with plain
+    * java.io ([[FilePageApi]]/[[FileKeyedApi]] — they ARE the
+    * simulated remote system, local by construction), so a non-local
+    * `graft.substrate.dir` must fail HERE with a clear message, not
+    * downstream as a confusing file-not-found on an s3a:// path the
+    * java.io layer can't see. Engine-path substrate users (parquet
+    * leaves read through Spark) are unaffected by this check.
+    */
+  private def requireLocalSubstrate(): Unit =
+    sys.props.get("graft.substrate.dir").foreach { d =>
+      val scheme = new org.apache.hadoop.fs.Path(d).toUri.getScheme
+      require(scheme == null || scheme == "file",
+        s"graft.substrate.dir=$d has scheme '$scheme', but the extract " +
+        "demos' simulated remote stores are read with java.io and only " +
+        "support a LOCAL substrate dir (no scheme, or file://)")
+    }
+
   def demoIncrementalExtract(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
+    requireLocalSubstrate()
     // Substrate-persisted simulated remote (see [[demoExtract]]); the
     // advertised-days list is re-read from the leaf's own manifest so
     // warm calls never rescan events for it.
@@ -744,6 +917,7 @@ object PagedExtract {
   }
 
   def demoExtract(s: SparkSession, dir: String, pageSize: Int = 100): DataFrame = {
+    requireLocalSubstrate()
     // The SIMULATED REMOTE store is a pure function of (corpus,
     // pageSize) — a real deployment's remote system exists before the
     // extract job runs — so it is Substrate-persisted once per corpus

@@ -171,6 +171,80 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
     assert(noop.ok && noop.landed.isEmpty && noop.skipped == Seq(11L, 12L, 13L))
   }
 
+  test("landKeyedRanges: clean run lands one file per range unit with the same rows as landKeyed") {
+    import spark.implicits._
+    val dir = newDir()
+    val keys = Seq(11L, 12L, 13L, 14L).toDF("parent")
+    // width 2 floorDiv buckets: 11→5, 12/13→6, 14→7
+    val report = PagedExtract.landKeyedRanges(spark, keys,
+      new SyntheticKeyedApi("rclean"), dir, rangeWidth = 2)
+    assert(report.ok && report.skipped.isEmpty, s"got $report")
+    assert(report.landed == Seq(5L, 6L, 7L), s"unit ids: $report")
+    Seq(11, 12, 13, 14).foreach(k => assert(FetchLog.count("rclean", k) == 1))
+    Seq(5L, 6L, 7L).foreach(u =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s"range_$u.jsonl"))))
+    val rows = PagedExtract.readLandedRanges(spark, dir, kschema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // identical rows to the file-per-key road on the same api
+    val kdir = newDir()
+    PagedExtract.landKeyed(spark, keys, new SyntheticKeyedApi("rclean2"), kdir)
+    val krows = PagedExtract.readLandedKeys(spark, kdir, kschema)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rows.sameElements(krows), "range road rows diverged from file-per-key road")
+  }
+
+  test("landKeyedRanges: a dead key fails its WHOLE unit; heal refetches only that unit's keys") {
+    import spark.implicits._
+    val dir = newDir()
+    val keys = Seq(11L, 12L, 13L, 14L).toDF("parent")
+    val broken = PagedExtract.landKeyedRanges(spark, keys,
+      new SyntheticKeyedApi("rdead", dead = Set(12L)), dir, rangeWidth = 2, maxRetries = 1)
+    assert(!broken.ok && broken.failed.map(_._1) == Seq(6L),
+      s"unit 6 (keys 12,13) must fail as a unit: $broken")
+    assert(broken.landed == Seq(5L, 7L))
+    // unit-granular resume: the heal refetches BOTH keys of unit 6
+    // (the documented trade) and NEITHER key of the landed units
+    val healed = PagedExtract.landKeyedRanges(spark, keys,
+      new SyntheticKeyedApi("rheal"), dir, rangeWidth = 2)
+    assert(healed.ok && healed.landed == Seq(6L) && healed.skipped == Seq(5L, 7L))
+    Seq(12, 13).foreach(k => assert(FetchLog.count("rheal", k) == 1,
+      s"unit 6's key $k must be refetched by the heal"))
+    Seq(11, 14).foreach(k => assert(FetchLog.count("rheal", k) == 0,
+      s"landed unit's key $k must NOT be refetched"))
+    val noop = PagedExtract.landKeyedRanges(spark, keys,
+      new SyntheticKeyedApi("rnoop"), dir, rangeWidth = 2)
+    assert(noop.ok && noop.landed.isEmpty && noop.skipped == Seq(5L, 6L, 7L))
+    Seq(11, 12, 13, 14).foreach(k => assert(FetchLog.count("rnoop", k) == 0))
+  }
+
+  test("landKeyedRanges: negative keys floorDiv into negative units and resume") {
+    import spark.implicits._
+    val dir = newDir()
+    val keys = Seq(-5L, 11L).toDF("parent")
+    // width 4: -5 → unit -2 (floorDiv, not truncation-toward-zero); 11 → 2
+    val report = PagedExtract.landKeyedRanges(spark, keys,
+      new SyntheticKeyedApi("rneg"), dir, rangeWidth = 4)
+    assert(report.ok && report.landed == Seq(-2L, 2L), s"got $report")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "range_-2.jsonl")))
+    val again = PagedExtract.landKeyedRanges(spark, keys,
+      new SyntheticKeyedApi("rneg2"), dir, rangeWidth = 4)
+    assert(again.ok && again.landed.isEmpty && again.skipped == Seq(-2L, 2L))
+    assert(FetchLog.count("rneg2", -5) == 0, "landed negative unit must not be refetched")
+  }
+
+  test("demoRangedExtract equals the direct lineitem projection (and demoKeyedExtract)") {
+    import org.apache.spark.sql.functions.col
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_partkey") % 20 === 0 && col("l_suppkey") % 5 === 0)
+      .select(col("l_suppkey").cast("long"), col("l_orderkey").cast("long"),
+              col("l_partkey").cast("long"), col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val ranged = PagedExtract.demoRangedExtract(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(ranged.sameElements(direct))
+    graft.Caches.clear()
+  }
+
   test("landKeyed: numeric-STRING keys land; non-numeric keys are refused loudly, not dropped") {
     import spark.implicits._
     // decimal-integer strings satisfy the long-round-trip contract
