@@ -83,6 +83,7 @@ object SparkEntry {
     "topk_heavy_hitters"    -> ((s, d) => Analytics.topkHeavyHitters(s, d)),
     "hll_states"            -> (Analytics.hllStates _),
     "bitmap_distinct"       -> (Analytics.bitmapDistinct _),
+    "bitmap_distinct_sparse" -> (Analytics.bitmapDistinctSparse _),
     "bitmap_overlap"        -> (Analytics.bitmapOverlap _),
     "backlog_over_time"     -> (Analytics.backlogOverTime _),
     "cube_flag_status"      -> (Analytics.cubeFlagStatus _),
@@ -294,6 +295,7 @@ object SparkEntry {
     // Keyed detail-fetch (reference 02_etl.py:136-140 per-movie
     // credits): per-parent fan-out with the same landing contract.
     "keyed_extract"      -> ((s, d) => graft.sources.PagedExtract.demoKeyedExtract(s, d)),
+    "ranged_extract"     -> ((s, d) => graft.sources.PagedExtract.demoRangedExtract(s, d)),
     "incremental_extract" -> ((s, d) => graft.sources.PagedExtract.demoIncrementalExtract(s, d)),
   )
 
@@ -1130,6 +1132,19 @@ object SparkEntry {
                 COUNT(DISTINCT user_id) AS n_distinct_users,
                 COUNT(DISTINCT user_id // 64) AS n_words
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // The sparse road's word layout is a pure function of the global
+    // id dictionary (0-based rank by id order), so DuckDB replays it
+    // exactly: rank div 64 occupancy per type.
+    "bitmap_distinct_sparse" ->
+      """WITH dict AS (
+           SELECT user_id, ROW_NUMBER() OVER (ORDER BY user_id) - 1 AS r
+           FROM (SELECT DISTINCT user_id FROM events)),
+         j AS (SELECT e.event_type, d.r
+               FROM events e JOIN dict d ON e.user_id = d.user_id)
+         SELECT event_type,
+                CAST(COUNT(DISTINCT r) AS BIGINT) AS n_distinct_users,
+                CAST(COUNT(DISTINCT r // 64) AS BIGINT) AS n_words
+         FROM j GROUP BY event_type ORDER BY event_type""",
     "bitmap_overlap" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
          p AS (
@@ -2658,6 +2673,16 @@ object SparkEntry {
                 CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 100 + 1 AS BIGINT) AS page
          FROM documents ORDER BY doc_id""",
     "keyed_extract" ->
+      """SELECT CAST(l_suppkey AS BIGINT) AS supp_key,
+                CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                CAST(l_partkey AS BIGINT) AS l_partkey,
+                CAST(l_linenumber AS BIGINT) AS l_linenumber
+         FROM lineitem WHERE l_partkey % 20 = 0 AND l_suppkey % 5 = 0
+         ORDER BY supp_key, l_orderkey, l_linenumber""",
+    // Same landed rows as keyed_extract BY CONTRACT — only the
+    // checkpoint granularity differs (range units vs file-per-key),
+    // so the same oracle hash-verifies the range road end to end.
+    "ranged_extract" ->
       """SELECT CAST(l_suppkey AS BIGINT) AS supp_key,
                 CAST(l_orderkey AS BIGINT) AS l_orderkey,
                 CAST(l_partkey AS BIGINT) AS l_partkey,

@@ -1144,6 +1144,41 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** [[bitmapDistinct]] for SPARSE (or negative) id domains — the
+    * documented limit of the dense road removed: ids are
+    * dictionary-encoded to dense 0-based ranks first (one global
+    * distinct + [[DistRank.withPrefix]] rank — the window-free global
+    * row_number), and the word bitmap is built over RANKS, so word
+    * occupancy is maximal regardless of how the raw id space is
+    * shaped: 10⁹ ids scattered over a 64-bit hash domain still pack
+    * into ~10⁹/64 words, where the dense road would key a word per
+    * OCCUPIED 64-id stripe of the raw domain (fine) but break
+    * outright on negative ids (shiftleft of a negative mod) and lose
+    * all packing on hash-shaped ids (one bit per word → the bitmap
+    * saves nothing for the overlap join). This is the roaring-style
+    * two-level idea with the dictionary AS the container map; the
+    * dictionary is the reusable per-corpus artifact a production
+    * deployment keeps next to the corpus (the same
+    * build-once/serve-many contract as the IVF/codebook models).
+    * Cost: one distinct + one rank pass + one equi-join on user_id —
+    * all key-partitioned shuffles, nothing driver-held, nothing
+    * broadcast at corpus scale.
+    */
+  def bitmapDistinctSparse(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dict = DistRank.withPrefix(
+      ev.select(col("user_id")).distinct(), Nil,
+      Seq(col("user_id")), lit(1L), "rank")
+    ev.select("event_type", "user_id").join(dict, "user_id")
+      .groupBy(col("event_type"), expr("(rank - 1) div 64").as("word_idx"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST((rank - 1) % 64 AS INT)))").as("word"))
+      .groupBy("event_type")
+      .agg(
+        sum(expr("bit_count(word)")).cast("long").as("n_distinct_users"),
+        count(lit(1)).as("n_words"))
+      .orderBy("event_type")
+  }
+
   /** Audience overlap between event types, EXACTLY, via the
     * [[bitmapDistinct]] machinery: |A∩B| is the popcount of the
     * bitwise AND of the two types' presence-bit words, |A∪B| derives

@@ -174,26 +174,59 @@ object LayoutOps {
     * the reference writes, and what this testdata simulates) every
     * file spans the whole id domain, n_overlapping = files−1, and
     * min/max stats prune NOTHING — the number that justifies the
-    * rewrite. Manifest-level like the planner: O(files) input, one
-    * bounded self-interval-join (day-grain here; a multi-million-file
-    * manifest would range-bucket the interval join the way
-    * `range_join_buckets` does), every output column integral.
+    * rewrite. Manifest-level like the planner: O(files) input, every
+    * output column integral.
+    *
+    * Since r19 the overlap count is an ORDER-STATISTICS SWEEP, not a
+    * self-interval-join: for interval i,
+    * `n_overlapping_i = #{j: min_j ≤ max_i} − #{j: max_j < min_i} − 1`
+    * — the second set is contained in the first (max_j < min_i ≤
+    * max_i and min_j ≤ max_j), and the −1 removes i itself, so the
+    * identity is exact (LayoutSpec pins it against the literal
+    * quadratic recomputation). Each count is one global inclusive
+    * prefix sum over a tagged union of endpoint rows
+    * ([[DistRank.withPrefix]]), so the operator is two sort-rank
+    * passes over 2·files rows: O(F log F), NO pairwise join, no
+    * O(files²) anywhere (pinned in PlanQualitySpec). The
+    * range-bucketed join the r18 note suggested was evaluated and
+    * REJECTED: bucket±1 bounds candidates only when interval LENGTH
+    * is bounded (the 1-hour band of `range_join_buckets`); zone-map
+    * ranges on arrival-order layouts — the exact case this operator
+    * diagnoses — span the whole domain, putting every file in every
+    * bucket and regenerating the quadratic blowup. The sweep has no
+    * degenerate case; the ~10⁶-file ceiling is gone.
     */
   def partitionStats(s: SparkSession, dir: String): DataFrame = {
-    // one-shared-scan rule: three consumers (self-join both sides +
-    // totals) ride ONE day-grain aggregation of the raw table
+    // one-shared-scan rule: all consumers (both sweep passes + totals)
+    // ride ONE day-grain aggregation of the raw table
     val files = graft.Caches.cached(Tables.events(s, dir)
       .groupBy(expr("(ts_ns div 1000000000) div 86400 * 86400").as("day_s"))
       .agg(count(lit(1)).as("n_rows"),
            min("user_id").as("uid_min"), max("user_id").as("uid_max")))
-    val other = files.select(col("day_s").as("o_day"),
-      col("uid_min").as("o_min"), col("uid_max").as("o_max"))
-    val overlaps = files
-      .join(Hints.maybeBroadcast(other),
-            col("day_s") =!= col("o_day") &&
-            col("uid_min") <= col("o_max") && col("o_min") <= col("uid_max"), "left")
-      .groupBy("day_s", "n_rows", "uid_min", "uid_max")
-      .agg(sum(when(col("o_day").isNotNull, 1L).otherwise(0L)).as("n_overlapping"))
+    // pass LE: #{j: min_j <= max_i} — min endpoints are weighted
+    // points, max endpoints zero-weight queries; the inclusive prefix
+    // sum AT the query row is the count (points sort first on value
+    // ties, so min_j = max_i counts as <=)
+    val cntLe = DistRank.withPrefix(
+        files.select(col("uid_min").as("v"), lit(0).as("is_q"),
+                     col("day_s"), lit(1L).as("w"))
+          .unionAll(files.select(col("uid_max").as("v"), lit(1).as("is_q"),
+                                 col("day_s"), lit(0L).as("w"))),
+        Nil, Seq(col("v"), col("is_q"), col("day_s")), col("w"), "cnt_le")
+      .filter(col("is_q") === 1).select(col("day_s"), col("cnt_le"))
+    // pass LT: #{j: max_j < min_i} — queries sort first on value
+    // ties, so an equal-valued max point lands AFTER the query
+    // (strict <)
+    val cntLt = DistRank.withPrefix(
+        files.select(col("uid_max").as("v"), lit(1).as("is_p"),
+                     col("day_s"), lit(1L).as("w"))
+          .unionAll(files.select(col("uid_min").as("v"), lit(0).as("is_p"),
+                                 col("day_s"), lit(0L).as("w"))),
+        Nil, Seq(col("v"), col("is_p"), col("day_s")), col("w"), "cnt_lt")
+      .filter(col("is_p") === 0).select(col("day_s"), col("cnt_lt"))
+    val overlaps = files.join(cntLe, "day_s").join(cntLt, "day_s")
+      .select(col("day_s"), col("n_rows"), col("uid_min"), col("uid_max"),
+              (col("cnt_le") - col("cnt_lt") - lit(1L)).as("n_overlapping"))
     val tot = files.agg(sum("n_rows").as("total_rows"))
     overlaps.crossJoin(broadcast(tot))
       .select(col("day_s"), col("n_rows"),

@@ -273,6 +273,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     out.unpersist()
   }
 
+  test("hll_states: the union readout is ORDER-FREE across adversarial input orders (r19 probe)") {
+    // The §5 adjudication keeps this key rows-only because DataSketches
+    // hashing (murmur3-128, seed 9001) has no DuckDB reconstruction —
+    // but the r19 probe showed the union-then-estimate READOUT itself
+    // is order-free on real cardinalities (coupon-exact / composite
+    // path), so pin that: the registered plan must agree bit-for-bit
+    // with rebuilds over repartitioned and re-sorted inputs. If a
+    // Spark/DataSketches upgrade ever reintroduces HIP order
+    // sensitivity through this path, this test names it immediately.
+    val base = Tables.events(spark, sf)
+      .select(col("event_type"),
+              datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+                .cast("long").as("day"),
+              col("user_id"))
+    def rebuild(df: org.apache.spark.sql.DataFrame): Map[String, (Long, Long)] =
+      df.groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id)").as("day_sketch"))
+        .groupBy("event_type")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(day_sketch))").as("merged_users"),
+             count(lit(1)).as("n_days"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val registered = Analytics.hllStates(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val reorderings = Seq(
+      base.repartition(7, col("user_id")).sortWithinPartitions(col("user_id").desc),
+      base.repartition(13, col("day")).sortWithinPartitions(col("user_id")),
+      base.coalesce(1).sortWithinPartitions(col("event_type").desc, col("user_id").desc))
+    reorderings.zipWithIndex.foreach { case (df, i) =>
+      assert(rebuild(df) == registered, s"input order $i changed the HLL readout")
+    }
+  }
+
   test("quantile_bins_approx tracks the exact bins and keeps ranges ordered") {
     val approx = Analytics.quantileBinsApprox(spark, sf).cache()
     val exact = Analytics.quantileBins(spark, sf)

@@ -253,4 +253,49 @@ class LayoutOpsSpec extends AnyFunSuite with SparkFixture {
     val ppmSum = out.map(_.getLong(2)).sum
     assert(ppmSum <= 1000000 && ppmSum > 1000000 - nFiles, s"ppm sum $ppmSum")
   }
+
+  test("partition_stats: sweep overlap counts == the quadratic recompute on partial overlaps and boundary ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // crafted zone maps, one per day: partial overlaps, a touching
+    // boundary (day1.min == day0.max — counts as overlap), a disjoint
+    // range, a point range, and a domain-spanning range. The r19
+    // order-statistics sweep must reproduce the literal pairwise
+    // definition bit-for-bit on exactly these edge shapes.
+    val ranges = Seq(
+      (0, 0L, 10L), (1, 10L, 20L), (2, 21L, 30L),
+      (3, 5L, 25L), (4, 31L, 31L), (5, 0L, 100L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pstats").toString
+    ranges.flatMap { case (d, lo, hi) =>
+      val day = f"2024-01-${d + 1}%02d"
+      Seq((d * 2L, s"$day 00:00:00", lo, "a", 1.0, "{}"),
+          (d * 2L + 1, s"$day 00:01:00", hi, "a", 1.0, "{}"))
+    }.toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.operators.LayoutOps.partitionStats(spark, dir).collect()
+      .map(r => (r.getLong(3), r.getLong(4)) -> r.getLong(5)).toMap
+    val expected = ranges.map { case (_, lo, hi) =>
+      (lo, hi) -> ranges.count { case (_, olo, ohi) =>
+        (olo, ohi) != (lo, hi) && lo <= ohi && olo <= hi
+      }.toLong
+    }.toMap
+    assert(got == expected, s"sweep diverged from quadratic:\ngot $got\nexp $expected")
+    graft.Caches.clear()
+  }
+
+  test("partition_stats: physical plan has NO pairwise interval join (conditioned BNLJ/cartesian)") {
+    val plan = graft.operators.LayoutOps.partitionStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The 1-row totals crossJoin legitimately plans as an
+    // unconditioned BNLJ (the broadcast-1-row-totals idiom); what must
+    // never return is a RANGE-conditioned nested-loop over the file
+    // manifest — a BNLJ line carrying a comparison predicate.
+    val pairwise = plan.linesIterator.filter(l =>
+      (l.contains("BroadcastNestedLoopJoin") && (l.contains("<=") || l.contains(">=") ||
+        l.contains("< ") || l.contains("> "))) || l.contains("CartesianProduct")).toSeq
+    assert(pairwise.isEmpty,
+      s"partition_stats regressed to a pairwise interval join:\n${pairwise.mkString("\n")}\n$plan")
+    graft.Caches.clear()
+  }
 }
