@@ -374,6 +374,67 @@ object EventStreams {
       }
   }
 
+  /** r19 MIGRATION SPIKE (verdict item 8): [[packSequencesStateful]]
+    * re-expressed under Spark 4.x's `transformWithState` — the API
+    * that succeeds `mapGroupsWithState`/`flatMapGroupsWithState`. The
+    * state loop is IDENTICAL (one ValueState[Long] running token
+    * offset per shard; same sort, same window arithmetic), so
+    * StreamingSpec proving tws == fMGWS == the hash-verified batch
+    * twin across micro-batch splits answers the migration question:
+    * for this family (cdc / attribution / cusum / pack_sequences —
+    * all bounded per-key state, no timeouts in this operator) the
+    * port is MECHANICAL: GroupState.getOption → ValueState.exists/get,
+    * state.update unchanged, the timeout enum becomes TimeMode, and
+    * the processor moves from a closure to a StatefulProcessor class.
+    * Operational deltas that are NOT mechanical, found by this spike:
+    * (a) transformWithState REQUIRES the RocksDB state store provider
+    * (the default HDFS-backed provider throws at query start) — a
+    * deployment-config migration, not a code one; (b) timeout-based
+    * expiry (the attribution operator) becomes explicit registered
+    * timers + handleExpiredTimer. Keys stay on fMGWS until Spark
+    * deprecates it in earnest; this proves the exit is cheap.
+    */
+  def packSequencesStatefulTws(docs: DataFrame, ctxLen: Int = 512,
+                               nShards: Int = 8): Dataset[PackedDoc] = {
+    require(ctxLen > 0 && nShards > 0, "ctxLen and nShards must be positive")
+    val s = docs.sparkSession
+    import s.implicits._
+    import graft.functions.TextFunctions.{bpeTokenCountOfNorm, normText}
+    val counted = docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+              (col("doc_id") % nShards).cast("int").as("shard"),
+              bpeTokenCountOfNorm(col("norm")).as("n_tokens"))
+      .as[TokDoc]
+    counted.groupByKey(_.shard)
+      .transformWithState(new PackSequencesProcessor(ctxLen),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The [[packSequencesStatefulTws]] state loop as a
+    * StatefulProcessor — line-for-line the fMGWS closure with
+    * GroupState swapped for ValueState. */
+  private[graft] class PackSequencesProcessor(ctxLen: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Int, TokDoc, PackedDoc] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig}
+    @transient private var offState: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      offState = getHandle.getValueState[Long](
+        "off", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(shard: Int, it: Iterator[TokDoc],
+                                 tv: TimerValues): Iterator[PackedDoc] = {
+      var off = if (offState.exists()) offState.get() else 0L
+      val out = it.toArray.sortBy(_.doc_id).map { d =>
+        val start = off
+        off += d.n_tokens
+        val last = if (d.n_tokens == 0) start / ctxLen else (off - 1) / ctxLen
+        PackedDoc(d.doc_id, shard.toLong, d.n_tokens, start / ctxLen, last)
+      }
+      offState.update(off)
+      out.iterator
+    }
+  }
+
   /** The IVF probe transform over a PERSISTED serving index — online
     * vector search, the ANN family's streaming member: arriving query
     * vectors rank the broadcast centroid table (bounded: nCells rows),

@@ -365,6 +365,46 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("transformWithState spike: tws sequence packing == fMGWS == batch twin across micro-batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider —
+    // the spike's first operational finding; set it for this query
+    // and restore after (the fMGWS queries run on the default).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[StreamingSpec.Doc]
+    val packed = EventStreams.packSequencesStatefulTws(input.toDF())
+    val q = packed.writeStream.outputMode("append")
+      .format("memory").queryName("sps_tws_test").start()
+    try {
+      val delta = Tables.documents(spark, sf)
+        .filter(col("doc_id") % graft.operators.Dedup.DefaultDeltaMod === 0)
+        .select("doc_id", "text").orderBy("doc_id")
+        .as[StreamingSpec.Doc].collect().toSeq
+      val (b1, rest) = delta.splitAt(delta.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+      val streamed = spark.table("sps_tws_test")
+      // the new-API road must be bit-equal to the hash-verified twin —
+      // the whole migration question in one assertion
+      val batchTwin = graft.operators.TrainingOps.streamPackSequences(spark, sf)
+      assert(streamed.count() == batchTwin.count())
+      assert(streamed.exceptAll(batchTwin).count() == 0 &&
+             batchTwin.exceptAll(streamed).count() == 0)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("parquet sink with checkpoint lands the deduped stream durably") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
