@@ -624,6 +624,14 @@ object GraphOps {
     // outright — remaining rounds are the identity. The per-round
     // count is the same bounded driver sync the other graph iterators
     // already pay (`grew` in BFS, the CC closure test).
+    // Bookkeeping rides the round checkpoint itself: each round
+    // materializes (node, label, changed) in ONE checkpoint — the
+    // changed flag is a zero-exchange prev-label join folded into the
+    // round plan (both sides carry hash(node)), the count is one job
+    // over the fresh checkpoint's blocks, and the delta path's changed
+    // frame is a lazy filter over the same blocks. No second
+    // checkpoint, no per-round bookkeeping shuffle.
+    var curCp: Option[DataFrame] = None
     var changed: Option[DataFrame] = None
     var changedCnt = Long.MaxValue
     val nNodes = nodes.count()
@@ -631,25 +639,22 @@ object GraphOps {
     while (round < iters && changedCnt > 0L) {
       round += 1
       val useDelta = changed.isDefined && changedCnt * deltaDiv.toLong <= nNodes
-      val next = graft.Caches.roundCheckpoint(
+      val plan =
         if (useDelta) labelPropRoundDelta(sym, labels, changed.get)
-        else labelPropRound(sym, nodes, labels), reliable = false)
-      val chNext = graft.Caches.roundCheckpoint(
-        next.join(labels.withColumnRenamed("label", "prev_label"), Seq("node"))
-          .filter(col("label") =!= col("prev_label"))
-          .select(col("node")), reliable = false)
-      changedCnt = chNext.count()
-      changed.foreach(graft.Caches.unpersistRound)
-      graft.Caches.unpersistRound(labels)
-      changed = Some(chNext)
-      labels = next
+        else labelPropRound(sym, nodes, labels)
+      val next = graft.Caches.roundCheckpoint(
+        plan.join(labels.select(col("node"), col("label").as("prev_label")), Seq("node"))
+          .select(col("node"), col("label"),
+                  (col("label") =!= col("prev_label")).as("changed")),
+        reliable = false)
+      changedCnt = next.filter(col("changed")).count()
+      curCp.foreach(graft.Caches.unpersistRound)
+      curCp = Some(next)
+      labels = next.select("node", "label")
+      changed = Some(next.filter(col("changed")).select("node"))
     }
-    val last = labels
-    val lastChanged = changed
-    graft.Caches.onClear { () =>
-      graft.Caches.unpersistRound(last)
-      lastChanged.foreach(graft.Caches.unpersistRound)
-    }
+    val last = curCp
+    graft.Caches.onClear(() => last.foreach(graft.Caches.unpersistRound))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(Hints.maybeBroadcast(sizes), "label")
       .select(col("node").as("part_key"), col("label").as("community"),
