@@ -591,7 +591,7 @@ object GraphOps {
     * pairs only, once.
     */
   def labelPropagation(s: SparkSession, dir: String, iters: Int = 5,
-                       deltaDiv: Int = 4): DataFrame = {
+                       deltaDiv: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(deltaDiv >= 0, s"deltaDiv must be >= 0, got $deltaDiv")
     val (sym, nodes) = labelPropInputs(s, dir)
@@ -616,14 +616,24 @@ object GraphOps {
     // forward (the frontier-shrink trick [[bfsHops]] already uses,
     // here with the SYNCHRONOUS fixpoint preserved exactly: the
     // carried rows equal what the full round would recompute, proven
-    // in AnalyticsSpec delta==full). Each round therefore tracks the
-    // changed set (node-scale, zero-exchange diff of two checkpointed
-    // rounds); once it is small (|changed|·deltaDiv ≤ |nodes|) rounds
-    // switch to [[labelPropRoundDelta]], which shuffles only
+    // in AnalyticsSpec delta==full). With deltaDiv > 0 each round
+    // tracks the changed set (a flag column folded into the round
+    // checkpoint); once it is small (|changed|·deltaDiv ≤ |nodes|)
+    // rounds switch to [[labelPropRoundDelta]], which shuffles only
     // frontier-adjacent votes, and an EMPTY changed set ends the loop
-    // outright — remaining rounds are the identity. The per-round
-    // count is the same bounded driver sync the other graph iterators
-    // already pay (`grew` in BFS, the CC closure test).
+    // outright — remaining rounds are the identity.
+    //
+    // deltaDiv = 0 (the DEFAULT, and the registered key) disables the
+    // tracking entirely: the r19 A/B measured the co-purchase graph
+    // OSCILLATING under synchronous updates (degree-1 pendant pairs
+    // swap labels every round — 99.9% changed in ALL rounds at
+    // sf0.1), so the frontier never shrinks, the switch can never
+    // trigger, and the bookkeeping (per-round prev-label join +
+    // count job) is pure cost: the r19 3-sweep fold priced it at
+    // ~+0.8 s on this key (2.61× vs ratified with tracking vs the
+    // r18 2.01× without). Callers with CONVERGING graphs — where LP
+    // settles and late rounds shrink — opt in with deltaDiv ≥ 1
+    // (ledger: BASELINE.json adjudication_r19).
     // Bookkeeping rides the round checkpoint itself: each round
     // materializes (node, label, changed) in ONE checkpoint — the
     // changed flag is a zero-exchange prev-label join folded into the
@@ -631,27 +641,32 @@ object GraphOps {
     // over the fresh checkpoint's blocks, and the delta path's changed
     // frame is a lazy filter over the same blocks. No second
     // checkpoint, no per-round bookkeeping shuffle.
+    val track = deltaDiv > 0
     var curCp: Option[DataFrame] = None
     var changed: Option[DataFrame] = None
     var changedCnt = Long.MaxValue
-    val nNodes = nodes.count()
+    val nNodes = if (track) nodes.count() else 0L
     var round = 0
     while (round < iters && changedCnt > 0L) {
       round += 1
-      val useDelta = changed.isDefined && changedCnt * deltaDiv.toLong <= nNodes
+      val useDelta = track && changed.isDefined && changedCnt * deltaDiv.toLong <= nNodes
       val plan =
         if (useDelta) labelPropRoundDelta(sym, labels, changed.get)
         else labelPropRound(sym, nodes, labels)
       val next = graft.Caches.roundCheckpoint(
-        plan.join(labels.select(col("node"), col("label").as("prev_label")), Seq("node"))
-          .select(col("node"), col("label"),
-                  (col("label") =!= col("prev_label")).as("changed")),
+        if (track)
+          plan.join(labels.select(col("node"), col("label").as("prev_label")), Seq("node"))
+            .select(col("node"), col("label"),
+                    (col("label") =!= col("prev_label")).as("changed"))
+        else plan,
         reliable = false)
-      changedCnt = next.filter(col("changed")).count()
+      if (track) {
+        changedCnt = next.filter(col("changed")).count()
+        changed = Some(next.filter(col("changed")).select("node"))
+      }
       curCp.foreach(graft.Caches.unpersistRound)
       curCp = Some(next)
-      labels = next.select("node", "label")
-      changed = Some(next.filter(col("changed")).select("node"))
+      labels = if (track) next.select("node", "label") else next
     }
     val last = curCp
     graft.Caches.onClear(() => last.foreach(graft.Caches.unpersistRound))

@@ -829,13 +829,15 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
 
   test("labelPropagation force-delta == force-full on the testdata graph (and the registered default)") {
     import graft.operators.GraphOps
-    // deltaDiv=0 switches to delta rounds from round 2 onward;
-    // 1<<30 can only trigger on an empty changed set (where the loop
-    // exits anyway), i.e. every executed round is the full road.
+    // deltaDiv=1 switches to delta rounds from round 2 onward
+    // (|changed| <= |nodes| always); 1<<30 tracks but can only switch
+    // on an empty changed set (where the loop exits anyway), i.e.
+    // every executed round is the full road; the default (0) disables
+    // tracking entirely — the r18-shape plan the bench key runs.
     val fullRoad = GraphOps.labelPropagation(spark, sf, 5, deltaDiv = 1 << 30)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     graft.Caches.clear()
-    val deltaRoad = GraphOps.labelPropagation(spark, sf, 5, deltaDiv = 0)
+    val deltaRoad = GraphOps.labelPropagation(spark, sf, 5, deltaDiv = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     graft.Caches.clear()
     val default = GraphOps.labelPropagation(spark, sf)
