@@ -33,7 +33,8 @@ BASELINE = "/root/repo/BASELINE.json"
 # the bar stays the strictest HOST-COMPARABLE measurement; keys first
 # measured in a later round join from their first clean record.
 CURRENT_REGIME_BLOCKS = ["internal_baseline_r15_final", "internal_baseline_r16",
-                         "internal_baseline_r17", "internal_baseline_r18"]
+                         "internal_baseline_r17", "internal_baseline_r18",
+                         "internal_baseline_r19"]
 
 
 def build(d):
