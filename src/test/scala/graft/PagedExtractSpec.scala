@@ -217,6 +217,38 @@ class PagedExtractSpec extends AnyFunSuite with SparkFixture {
     Seq(11, 12, 13, 14).foreach(k => assert(FetchLog.count("rnoop", k) == 0))
   }
 
+  test("landKeyedRanges == landKeyed rows on seeded random key sets and widths, resume is a no-op") {
+    import spark.implicits._
+    // the ranged road must land EXACTLY the file-per-key road's rows
+    // for ANY key shape (negatives, long-range sparsity, duplicates,
+    // empty-detail keys) at ANY width — the checkpoint layout is the
+    // only degree of freedom
+    val api = new PagedExtract.KeyedApi {
+      override def fetch(key: Long): Seq[String] =
+        if (key % 7 == 0) Seq.empty
+        else (0 until (key % 3).toInt.abs + 1).map(i =>
+          s"""{"parent":$key,"detail":${key * 31 + i}}""")
+    }
+    val rnd = new scala.util.Random(19L)
+    (1 to 5).foreach { c =>
+      val keys = (0 until 10 + rnd.nextInt(20)).map(_ =>
+        rnd.nextLong() % (if (c % 2 == 0) 100L else 1000000000000L))
+      val width = 1L + rnd.nextInt(64)
+      val rdir = newDir(); val kdir = newDir()
+      val rrep = PagedExtract.landKeyedRanges(spark, keys.toDF("k"), api, rdir, width)
+      val krep = PagedExtract.landKeyed(spark, keys.toDF("k"), api, kdir)
+      assert(rrep.ok && krep.ok, s"case $c: $rrep / $krep")
+      val rr = PagedExtract.readLandedRanges(spark, rdir, kschema)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val kr = PagedExtract.readLandedKeys(spark, kdir, kschema)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(rr.sameElements(kr), s"case $c (width $width): roads diverged")
+      val again = PagedExtract.landKeyedRanges(spark, keys.toDF("k"), api, rdir, width)
+      assert(again.ok && again.landed.isEmpty,
+        s"case $c: resume over a complete landing must fetch nothing: $again")
+    }
+  }
+
   test("landKeyedRanges: negative keys floorDiv into negative units and resume") {
     import spark.implicits._
     val dir = newDir()

@@ -756,6 +756,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
         .select(col("node"), col("node").as("label"))
       shape(GraphOps.labelPropRound(sym, nodes, labels0), "dst", "label-prop")
 
+      // DELTA round (r19, opt-in): in the natural regime the
+      // affected-set restriction must be a BROADCAST semi-join (the
+      // frontier is small by the switch condition) and the round may
+      // add at most two frontier-scale shuffles (changed→sym semi,
+      // affected distinct) on top of the one vote repartition(dst) —
+      // never a second corpus-scale exchange of the edge list.
+      {
+        val prevAutoB = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        try {
+          val labels0 = Caches.roundCheckpoint(nodes, reliable = false)
+            .select(col("node"), col("node").as("label"))
+          val changedSmall = nodes.limit(5).select("node")
+          val exec = GraphOps.labelPropRoundDelta(sym, labels0, changedSmall)
+            .queryExecution.executedPlan
+          val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+          val bcasts = exec.collect { case b: BroadcastExchangeExec => b }
+          assert(bcasts.nonEmpty,
+            s"delta round: the affected-set restriction must broadcast:\n$exec")
+          assert(shuffles.size <= 3,
+            s"delta round: at most 3 shuffles (votes-on-dst + 2 frontier-scale), got ${shuffles.size}:\n$exec")
+          assert(shuffles.exists(_.outputPartitioning.toString.contains("dst")),
+            s"delta round: the vote repartition on dst must survive:\n$exec")
+        } finally conf.set("spark.sql.autoBroadcastJoinThreshold", prevAutoB)
+      }
+
       val edges = Caches.cached(graft.operators.GraphOps.copurchaseEdges(spark, sf))
       val ksym = Caches.cached(
         edges.select(col("a").as("src"), col("b").as("dst"))
