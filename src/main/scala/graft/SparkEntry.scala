@@ -72,6 +72,7 @@ object SparkEntry {
     "window_percentile_rank" -> (Analytics.windowPercentileRank _),
     "quantile_bins"         -> ((s, d) => Analytics.quantileBins(s, d)),
     "quantile_bins_approx"  -> ((s, d) => Analytics.quantileBinsApprox(s, d)),
+    "quantile_bins_sampled" -> ((s, d) => Analytics.quantileBinsSampled(s, d)),
     "value_histogram"       -> ((s, d) => Analytics.valueHistogram(s, d)),
     "skyline_pareto"        -> (Analytics.skylinePareto _),
     "time_weighted_avg"     -> (Analytics.timeWeightedAvg _),
@@ -105,6 +106,9 @@ object SparkEntry {
     "graph_kcore"           -> ((s, d) => GraphOps.graphKcore(s, d)),
     "assoc_rules"           -> ((s, d) => GraphOps.assocRules(s, d)),
     "graph_label_prop"      -> ((s, d) => GraphOps.labelPropagation(s, d)),
+    // the opt-in delta-frontier road under the driver gate: tracking
+    // on, switch from round 2 (|changed| <= |nodes| always holds)
+    "graph_label_prop_delta" -> ((s, d) => GraphOps.labelPropagation(s, d, 5, 1)),
     "graph_modularity"      -> ((s, d) => GraphOps.graphModularity(s, d)),
     "graph_bfs_hops"        -> ((s, d) => GraphOps.graphBfsHops(s, d)),
     // Join operators
@@ -356,6 +360,59 @@ object SparkEntry {
     */
   private val dynamicOracles =
     scala.collection.concurrent.TrieMap.empty[String, () => String]
+
+  /** [[graft.operators.Analytics.quantileBinsSampled]] fully
+    * replayed: the xxhash64(event_id) sample filter rides the
+    * XXH64.hashLong CTE chain ([[SqlU64.xxh64Long]], seed 42 — the
+    * band-fold machinery re-aimed at one long column), sample ranks
+    * are a ROW_NUMBER over (value, event_id), cuts are the rows at
+    * ranks (m·j)//k for j in 1..k−1 (guarded m ≥ k, distinct ranks
+    * since m ≥ k ⇒ consecutive cut ranks differ), and every corpus
+    * row counts cuts strictly below its (value, event_id) pair —
+    * the same lexicographic tie-break the engine's HOF uses. Pure
+    * set function end to end; no sketch, no merge shape.
+    */
+  private def quantileBinsSampledOracle(k: Int, sampleMod: Int): String = {
+    import SqlU64._
+    val steps = xxh64Long("eu", "CAST(42 AS HUGEINT)", "h")
+    // MATERIALIZED per step: unlike the shingle oracles (whose chains
+    // hang off an already-MATERIALIZED exploded base), this chain's
+    // base is a plain projection of events — DuckDB inlines the
+    // single-use CTEs and the nested mul/xor expressions blow up
+    // exponentially (measured: COUNT(*) over the plain chain never
+    // returned at sf0.01; materialized it's instant).
+    val ctes = steps.zipWithIndex.map { case ((name, ex), i) =>
+      val prev = if (i == 0) "qs0" else s"qsx_${i - 1}"
+      s"qsx_$i AS MATERIALIZED (SELECT *, $ex AS $name FROM $prev)"
+    }.mkString(",\n        ")
+    val last = s"qsx_${steps.size - 1}"
+    s"""WITH e AS (SELECT event_type, event_id, value FROM events),
+        qs0 AS (SELECT event_type, event_id, value,
+                       ${toUnsigned("event_id")} AS eu FROM e),
+        $ctes,
+        samp AS MATERIALIZED (
+          SELECT event_type, event_id, value FROM $last
+          WHERE ((${toSigned("h")} % $sampleMod) + $sampleMod) % $sampleMod = 0),
+        ranked AS MATERIALIZED (
+          SELECT event_type, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+                 COUNT(*) OVER (PARTITION BY event_type) AS m
+          FROM samp),
+        cuts AS MATERIALIZED (
+          SELECT rk.event_type, rk.value AS cv, rk.event_id AS cid
+          FROM ranked rk JOIN (SELECT unnest(range(1, $k)) AS j) js
+            ON rk.m >= $k AND (rk.m * js.j) // $k = rk.r),
+        binned AS (
+          SELECT e.event_type, e.event_id, e.value, 1 + COUNT(c.cv) AS bin
+          FROM e LEFT JOIN cuts c
+            ON c.event_type = e.event_type
+           AND (c.cv < e.value OR (c.cv = e.value AND c.cid < e.event_id))
+          GROUP BY e.event_type, e.event_id, e.value)
+        SELECT event_type, CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_rows,
+               CAST(FLOOR(100.0*MIN(value)) AS BIGINT) AS min_val_x100,
+               CAST(FLOOR(100.0*MAX(value)) AS BIGINT) AS max_val_x100
+        FROM binned GROUP BY event_type, bin ORDER BY event_type, bin"""
+  }
 
   def oracleSql: Map[String, String] =
     staticOracleSql ++ dynamicOracles.flatMap { case (k, f) =>
@@ -1361,6 +1418,7 @@ object SparkEntry {
                 CAST(FLOOR(100.0*MIN(value)) AS BIGINT) AS min_val_x100,
                 CAST(FLOOR(100.0*MAX(value)) AS BIGINT) AS max_val_x100
          FROM b GROUP BY event_type, bin ORDER BY event_type, bin""",
+    "quantile_bins_sampled" -> quantileBinsSampledOracle(4, 8),
     "seq_len_histogram" ->
       """WITH t AS (
            SELECT source,
@@ -2141,6 +2199,10 @@ object SparkEntry {
          SELECT doc_id, n_emails, n_phones, n_nums, redacted FROM c ORDER BY doc_id""",
     "zorder_key" -> zorderOracle,
     "graph_label_prop" -> labelPropOracle,
+    // The delta-frontier road is EXACTLY equal to the full-round road
+    // (the synchronous-update carry argument, spec-pinned per round),
+    // so the same unrolled oracle hash-verifies it end to end.
+    "graph_label_prop_delta" -> labelPropOracle,
     "graph_modularity" -> graphModularityOracle,
     "hilbert_key" -> hilbertOracle,
     // Every output column explicitly CAST (windowed SUM and its //

@@ -874,6 +874,66 @@ object Analytics {
       .orderBy("event_type", "bin")
   }
 
+  /** The REPLAYABLE at-scale approximate quantile (r19) — the road
+    * [[quantileBinsApprox]]'s adjudication leaves open: GK summaries
+    * are merge-shape-dependent (honestly not hash-verifiable), but a
+    * DETERMINISTIC-HASH SAMPLE is a pure set function of the data, so
+    * exact quantiles OF THE SAMPLE give an order-free approximate
+    * quantile the DuckDB oracle replays bit-for-bit — this key is
+    * hash-verified, closing the family's verification gap from the
+    * side the math allows.
+    *
+    * Plan: (1) sample = rows where `xxhash64(event_id) ≡ 0 (mod
+    * sampleMod)` — hash-based, so the sample is unbiased even when
+    * values correlate with id order, and the SQL replay rides the
+    * established XXH64.hashLong CTE chain (`SqlU64.xxh64Long`, the
+    * band-fold machinery). (2) Exact k-quantile cuts of the sample
+    * per group: [[DistRank.withPrefix]] (value, event_id) ranks —
+    * window-free — keeping sample rows at ranks (m·j) div k; a group
+    * with fewer than k sample rows keeps one bin. (3) Every corpus
+    * row buckets ROW-LOCALLY against its group's broadcast cut list
+    * ((k−1)·|groups| structs) by counting cuts strictly below its
+    * (value, event_id) pair — the lexicographic tie-break makes the
+    * binning exact-deterministic, not just value-deterministic.
+    * Rank error vs true quantiles is the sampling error
+    * (O(sqrt(sampleMod/n)) relative), priced in AnalyticsSpec against
+    * the exact operator. At 100 TB: one pushdown-friendly sample
+    * filter, rank passes over n/sampleMod rows, a KB-scale cut
+    * broadcast, one final agg — no global sort, no per-group funnel,
+    * no sketch-merge nondeterminism.
+    */
+  def quantileBinsSampled(s: SparkSession, dir: String, k: Int = 4,
+                          sampleMod: Int = 8): DataFrame = {
+    require(k > 0, s"bin count $k must be positive")
+    require(sampleMod > 0, s"sampleMod $sampleMod must be positive")
+    val ev = graft.Caches.cached(Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value")))
+    val sample = ev.filter(pmod(xxhash64(col("event_id")), lit(sampleMod)) === 0)
+    val ranked = DistRank.withPrefix(sample, Seq("event_type"),
+      Seq(col("value"), col("event_id")), lit(1L), "r", groupTotalOut = Some("m"))
+    val cuts = ranked
+      .filter(col("m") >= k)
+      .withColumn("js", expr(s"filter(sequence(1, $k - 1), j -> (m * j) div $k = r)"))
+      .filter(size(col("js")) > 0)
+      .withColumn("j", explode(col("js")))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("value").as("cv"),
+                                          col("event_id").as("cid")))).as("cuts"))
+    ev.join(Hints.maybeBroadcast(cuts), Seq("event_type"), "left")
+      .select(col("event_type"),
+              when(col("cuts").isNull, lit(1L))
+                .otherwise(lit(1) + expr(
+                  "size(filter(cuts, c -> c.cv < value OR (c.cv = value AND c.cid < event_id)))"))
+                .cast("long").as("bin"),
+              col("value"))
+      .groupBy("event_type", "bin")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        floor(lit(100.0) * min("value")).cast("long").as("min_val_x100"),
+        floor(lit(100.0) * max("value")).cast("long").as("max_val_x100"))
+      .orderBy("event_type", "bin")
+  }
+
   /** Interval coalescing (merge overlapping intervals per key) — the
     * classic episode builder behind SLA windows, machine-uptime
     * stitching and inventory-hold reports. Intervals here are order

@@ -305,6 +305,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("quantile_bins_sampled tracks the exact bins within sampling error and is order-free") {
+    val sampled = Analytics.quantileBinsSampled(spark, sf).cache()
+    val exact = Analytics.quantileBins(spark, sf)
+      .select(col("event_type"), col("bin"), col("n_rows").as("n_exact"))
+    // 1/8 hash sample at these group sizes: per-bin counts within 25%
+    // of the group size of the exact bins (the sampling-error band —
+    // far looser than observed, tight enough to catch a wiring bug)
+    val groupSizes = exact.groupBy("event_type").agg(sum("n_exact").as("n_group"))
+    val off = sampled.join(exact, Seq("event_type", "bin"), "full")
+      .join(groupSizes, "event_type")
+      .filter(abs(coalesce(col("n_rows"), lit(0L)) - coalesce(col("n_exact"), lit(0L)))
+              > col("n_group") * 0.25)
+    assert(off.count() == 0)
+    // bin count respected and totals preserved (binning is a partition)
+    val totals = sampled.groupBy("event_type").agg(sum("n_rows").as("n"))
+      .join(groupSizes, "event_type")
+      .filter(col("n") =!= col("n_group"))
+    assert(totals.count() == 0, "sampled binning must partition every group's rows")
+    assert(sampled.filter(col("bin") < 1 || col("bin") > 4).count() == 0)
+    // deterministic: a recompute agrees exactly (pure set function —
+    // the property GK summaries can't give, which is why THIS key is
+    // the hash-verified member of the approximate family)
+    val again = Analytics.quantileBinsSampled(spark, sf)
+    assert(sampled.except(again).isEmpty && again.except(sampled).isEmpty)
+    sampled.unpersist()
+    graft.Caches.clear()
+  }
+
   test("quantile_bins_approx tracks the exact bins and keeps ranges ordered") {
     val approx = Analytics.quantileBinsApprox(spark, sf).cache()
     val exact = Analytics.quantileBins(spark, sf)
