@@ -919,7 +919,15 @@ object Analytics {
       .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("value").as("cv"),
                                           col("event_id").as("cid")))).as("cuts"))
-    ev.join(Hints.maybeBroadcast(cuts), Seq("event_type"), "left")
+    // Unconditional broadcast is CORRECT here, unlike SF-growing dims:
+    // the cut table is structurally bounded at (k−1)·|event types|
+    // rows regardless of corpus size (the same bounded-aggregate
+    // argument as annFilteredIvf's occupancy table). The size-guarded
+    // hint declines it anyway — DistRank's ExistingRDD output has no
+    // usable stats — and the fallback SMJ re-exchanges the whole
+    // corpus on a |types|-ary key: the one plan this operator exists
+    // to avoid (pinned in PlanQualitySpec).
+    ev.join(broadcast(cuts), Seq("event_type"), "left")
       .select(col("event_type"),
               when(col("cuts").isNull, lit(1L))
                 .otherwise(lit(1) + expr(

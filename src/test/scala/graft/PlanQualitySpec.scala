@@ -573,6 +573,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       s"scan not pruned to (lang, text): $readSchema")
   }
 
+  test("quantile_bins_sampled: cuts BROADCAST (structurally bounded); corpus never re-exchanges on the types key") {
+    // The cut table is (k−1)·|event types| rows by construction, so
+    // the bucketing join must be a BroadcastHashJoin — the fallback
+    // SMJ re-exchanges the whole corpus hash(event_type), a |types|-ary
+    // key, which is the plan this operator exists to avoid. (The
+    // size-guarded hint can't see through DistRank's ExistingRDD
+    // stats, hence the unconditional broadcast in the operator.)
+    val plan = graft.operators.Analytics.quantileBinsSampled(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cut bucketing must broadcast the bounded cut table:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"quantile_bins_sampled regressed to a corpus re-exchange on event_type:\n$plan")
+    Caches.clear()
+  }
+
   test("customer_rfm plans no window at all — two-stage rank only") {
     // The specific round-8 weak flag: quintiles must come from
     // DistRank's range-partition + bounded-offsets prefix, never a
