@@ -904,7 +904,11 @@ object Analytics {
     */
   def quantileBinsSampled(s: SparkSession, dir: String, k: Int = 4,
                           sampleMod: Int = 8): DataFrame = {
-    require(k > 0, s"bin count $k must be positive")
+    // k >= 2: a 1-bin quantile is degenerate, and k=1 would make the
+    // cut filter's sequence(1, 0) return Spark's DESCENDING [1, 0] —
+    // j=1 then matches rank m and every group's last sample row becomes
+    // a spurious cut (2 bins instead of 1; r19 ADVICE).
+    require(k >= 2, s"bin count $k must be >= 2")
     require(sampleMod > 0, s"sampleMod $sampleMod must be positive")
     val ev = graft.Caches.cached(Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value")))
@@ -1283,8 +1287,13 @@ object Analytics {
       .orderBy("type_a", "type_b")
   }
 
-  /** HLL approximate distinct — the 100 TB way to count users. No
-    * oracle (approximate by construction); driver does rows-only.
+  /** HLL approximate distinct — the 100 TB way to count users.
+    * Hash-verified since r17: approximate does NOT mean unreplayable —
+    * Spark's HLL++ is a deterministic function of the input set, so
+    * the oracle replays it end to end (XXH64.hashLong registers,
+    * exact-integer zInverse, the published bias tables' k=6
+    * interpolation, both estimator branches; see SparkEntry's HLL
+    * oracle generator and SURVEY §5's last-ulp caveat).
     */
   def approxDistinctUsers(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir)

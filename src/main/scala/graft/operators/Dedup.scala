@@ -813,13 +813,14 @@ object Dedup {
     * (d+1) bands, so 4 bands exactly covers d ≤ 3 — a DETERMINISTIC
     * cover, unlike MinHash banding's probabilistic recall.
     *
-    * Why this key is rows-only in the driver gate while every other
-    * dedup key is hash-checked: the DuckDB oracle reads only the input
-    * parquet tables, and the signature is xxhash64-derived, which
-    * DuckDB cannot recompute — and the signature is also an output
-    * column, so no construction avoids it. The full-strength check
-    * lives in DedupSpec instead: banded verdicts == plain all-pairs
-    * hamming verdicts, exactly (the cover argument made a test).
+    * Hash-verified since r16: the xxhash64-derived signature replays
+    * in SQL via the per-token XXH64 expansion (variable-length tokens
+    * handled as conditional tail rounds), so the oracle rebuilds the
+    * per-(doc, bit) signed accumulation, the 4×16 banding, and the
+    * bit_count hamming verify relationally. DedupSpec keeps the
+    * full-strength structural check: banded verdicts == plain
+    * all-pairs hamming verdicts, exactly (the cover argument made a
+    * test).
     */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     // One codegen'd pass (graft.functions.SimHash64): each token hashed

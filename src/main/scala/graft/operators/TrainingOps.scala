@@ -361,9 +361,13 @@ object TrainingOps {
     * along with exact agreement against an in-memory reference BPE.
     *
     * Output: the ordered merge table (rank, left, right, count at
-    * selection time) — the artifact a tokenizer ships. No oracle:
-    * SQL cannot iterate data-dependent string rewrites; correctness
-    * rides the reference-implementation spec instead.
+    * selection time) — the artifact a tokenizer ships. Hash-verified
+    * since r16: the oracle replays the FULL training — every round's
+    * pair counts, argmax, and greedy rewrite — as a generated
+    * MATERIALIZED-CTE chain recomputed from the parquet (SparkEntry's
+    * `bpeChainSql`, no model state embedded); TrainingMixSpec keeps
+    * the reference-implementation equality and the non-increasing
+    * max-pair-count invariant.
     */
   def bpeTrain(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     import s.implicits._
@@ -721,45 +725,59 @@ object TrainingOps {
     * that consumes [[bpeTrain]]'s artifact: per document, word count,
     * post-merge token count and fertility (tokens per 1M words).
     *
-    * The merge list is KB-scale MODEL state ([[graft.Caches.model]]
-    * memoizes it per (dir, nMerges) — train once, serve every query
-    * this session), compiled into the PLAN as `nMerges` nested
-    * row-local `aggregate` HOF rewrites (the same greedy
-    * left-to-right fold the trainer used, applied in rank order — BPE
-    * application is BY DEFINITION the training folds replayed).
-    * The scale move mirrors the trainer's: merges apply ONCE per
-    * DISTINCT word (a vocabulary-bounded frame), and documents join
-    * word→token-count through the size guard — the corpus explodes
-    * once and never carries symbol arrays through a shuffle.
+    * The encoded VOCABULARY (word → post-merge symbol count) is a
+    * classic build-once/serve-many artifact, and since r20 it is
+    * [[graft.Substrate]]-persisted per (corpus, nMerges) — the same
+    * contract as the dedup band index and the IVF postings. The
+    * BUILD derives the merge list ([[graft.Caches.model]]-memoized
+    * train) and applies it as `nMerges` nested row-local `aggregate`
+    * HOF rewrites over the DISTINCT-word frame (the same greedy
+    * left-to-right fold the trainer used, in rank order — BPE
+    * application is BY DEFINITION the training folds replayed); that
+    * giant generated projection now runs ONCE PER INGEST, not once
+    * per query. SERVING is: explode the corpus to words, one
+    * size-guarded join against the KB-scale persisted vocab, one
+    * per-doc partial agg — no deep fold in the hot path at all.
+    * (r19 forensics: the fold's generated code was janino-recompiled
+    * per bench pass when the 100-entry codegen cache evicted under
+    * the full-sweep ordering — a stable ~8× inflation on the serving
+    * path the persistence removes structurally, not just caches away.)
     *
-    * No oracle: SQL cannot iterate data-dependent array rewrites;
-    * TrainingMixSpec proves token counts equal a reference in-memory
-    * BPE apply word-for-word, and monotone non-increase in nMerges.
+    * Hash-verified since r16: the oracle replays training AND
+    * application end to end through the same generated CTE chain
+    * (SparkEntry's `bpeChainSql` + the per-word symbol-count join);
+    * TrainingMixSpec additionally proves token counts equal a
+    * reference in-memory BPE apply word-for-word, and monotone
+    * non-increase in nMerges.
     */
   def bpeApply(s: SparkSession, dir: String, nMerges: Int = 10): DataFrame = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val mergeList: Seq[(String, String)] =
-      graft.Caches.model("bpe_merges", dir, nMerges) {
-        bpeTrain(s, dir, nMerges).collect()
-          .map(r => (r.getString(1), r.getString(2))).toSeq
+    val realDir = graft.Substrate.canonicalDir(s, dir)
+    val vocabPath = graft.Substrate.materialized(s, "bpevocab", realDir, Seq(nMerges)) {
+      val mergeList: Seq[(String, String)] =
+        graft.Caches.model("bpe_merges", realDir, nMerges) {
+          bpeTrain(s, dir, nMerges).collect()
+            .map(r => (r.getString(1), r.getString(2))).toSeq
+        }
+      val syms0: Column = expr("filter(split(word, ''), ch -> ch <> '')")
+      val symsMerged = mergeList.foldLeft(syms0) { case (syms, (l, r)) =>
+        val merged = l + r
+        aggregate(syms, array().cast("array<string>"),
+          (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(x))))
       }
-    // referenced twice (distinct-word vocabulary, per-doc join) — one
-    // shared explode scan, the vocabEncode discipline
-    val docWords = graft.Caches.cached(Tables.documents(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
-      .filter(col("word") =!= ""))
-    val syms0: Column = expr("filter(split(word, ''), ch -> ch <> '')")
-    val symsMerged = mergeList.foldLeft(syms0) { case (syms, (l, r)) =>
-      val merged = l + r
-      aggregate(syms, array().cast("array<string>"),
-        (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
-          .otherwise(concat(acc, array(x))))
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .distinct()
+        .select(col("word"), size(symsMerged).cast("long").as("n_syms"))
     }
-    val encoded = docWords.select("word").distinct()
-      .select(col("word"), size(symsMerged).cast("long").as("n_syms"))
-    docWords
+    val encoded = s.read.parquet(vocabPath)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
       .join(Hints.maybeBroadcast(encoded), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))

@@ -501,15 +501,17 @@ object PagedExtract {
     require(rangeWidth > 0, s"rangeWidth must be positive, got $rangeWidth")
     require(parallelism > 0 && maxRetries >= 0 && backoffMs >= 0 && minFetchIntervalMs >= 0,
       "keyed-extract knobs must be non-negative (parallelism positive)")
-    import org.apache.spark.sql.functions.{col, collect_list, lit, pmod, sort_array}
+    import org.apache.spark.sql.functions.{col, collect_list, expr, lit, pmod, sort_array}
     import s.implicits._
     val keyCol = requireLongKeys(parentKeys)
     val already = landedRanges(s, landingDir)
     val wanted = parentKeys.select(keyCol.cast("long").as("k")).distinct()
-      // floorDiv as integral arithmetic: (k - pmod(k, w)) / w — exact
-      // on longs where floor(k / w) would round-trip through a double
+      // floorDiv as integral arithmetic: (k - pmod(k, w)) div w — `div`
+      // stays in long end to end, where Spark's `/` casts both sides to
+      // double and loses low bits past 2^53 (keys near unit boundaries
+      // would bucket into the adjacent unit; r19 ADVICE)
       .withColumn("u",
-        ((col("k") - pmod(col("k"), lit(rangeWidth))) / lit(rangeWidth)).cast("long"))
+        expr(s"(k - pmod(k, ${rangeWidth}L)) div ${rangeWidth}L").cast("long"))
     val remaining =
       if (already.isEmpty) wanted
       else wanted.join(already.toSeq.toDF("u"), Seq("u"), "left_anti")

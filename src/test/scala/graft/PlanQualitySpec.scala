@@ -259,6 +259,22 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("bpe_apply serves from the persisted vocab leaf — no merge fold in the hot path") {
+    val p = planFullMeta(graft.operators.TrainingOps.bpeApply(spark, sf))
+    // the encoded vocabulary (word -> n_syms) is a Substrate artifact
+    // since r20: serving must read the leaf, and the nMerges-deep
+    // nested aggregate-HOF rewrite (whose generated code janino
+    // recompiled per bench pass in the r19 driver record — the 8.6x)
+    // must not appear anywhere in the serving plan
+    assert(p.contains("bpevocab_"),
+      s"serving plan must read the substrate vocab leaf:\n$p")
+    assert(!p.contains("lambdafunction"),
+      s"merge-fold HOF leaked into the serving plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"KB-scale vocab join not broadcast:\n$p")
+    graft.Caches.clear()
+  }
+
   test("zorder_key scan prunes to exactly the two id columns") {
     val p = plan(graft.operators.LayoutOps.zorderKey(spark, sf))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
