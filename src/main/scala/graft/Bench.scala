@@ -126,6 +126,24 @@ object Bench {
     // elevated through the re-measure and the annotation says so.
     val remeasureExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_REMEASURE", "2").toInt
     val remeasured = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Compile-vs-execute separation (r19 verdict item 3): the driver's
+    // r19 record carried a stable in-process 8.6x on bpe_apply that
+    // took a forensic session to pin on per-pass janino recompilation
+    // (codegen-cache eviction under the 221-key x 2-pass ordering).
+    // Every pass now snapshots CodegenMetrics: per key the record
+    // carries the FULL pass wall vector plus per-pass generated-class
+    // compile counts and approximate compile milliseconds (Codahale
+    // histogram count x reservoir mean — approximate by construction,
+    // exact in count), and the summary flags every key whose min pass
+    // spent >= half its wall inside janino. A stable multiplier like
+    // bpe_apply's is now diagnosable from the artifact alone.
+    val passDetail = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val compileDominated = scala.collection.mutable.LinkedHashSet.empty[String]
+    def compileSnapshot(): (Long, Double) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+      val c = h.getCount
+      (c, c * h.getSnapshot.getMean)
+    }
     // Substrate ledger: which keys READ a substrate leaf (their serving
     // ratio is not like-for-like with a baseline that built inline),
     // and which keys PAID a build this run (cold mode) with its cost.
@@ -240,8 +258,10 @@ object Bench {
       val rs = remeasured.map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString("{", ",", "}")
       val sk = substrateKeys.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
       val sb = substrateBuilt.map { case (k, v) => f""""${esc(k)}":$v%.3f""" }.mkString("{", ",", "}")
+      val pd = passDetail.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
+      val cd = compileDominated.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"queries":$qs,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"compile_dominated":$cd,"queries":$qs,"pass_detail":$pd,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
     // A degraded run never overwrites a canonical record unless that
     // record is itself stamped degraded — it lands in
@@ -304,10 +324,20 @@ object Bench {
       if (sameSf(canonical)) canonical
       else java.nio.file.Paths.get(s"BENCH_LOCAL_$sfTag.json")
     }
-    val target =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
-        guarded("BENCH_LOCAL_FILTERED.json", "BENCH_LOCAL_FILTERED_DEGRADED.json")
-      else guarded("BENCH_LOCAL.json", "BENCH_LOCAL_DEGRADED.json")
+    // SPARK_GRAFT_BENCH_RECORD=<file> routes THIS run's record to an
+    // explicit file, verbatim — the driver-shape sweep (fresh JVM,
+    // passes=2, cold substrate, full key order) the round-close ritual
+    // records as BENCH_LOCAL_DRIVERSHAPE.json next to the builder's
+    // canonical 3-pass fold, so "zero over 2x" is claimed in the same
+    // shape the judge grades (r19 verdict item 4). An override run
+    // never claims or diverts the canonical/degraded record files.
+    val target = sys.env.get("SPARK_GRAFT_BENCH_RECORD")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+          guarded("BENCH_LOCAL_FILTERED.json", "BENCH_LOCAL_FILTERED_DEGRADED.json")
+        else guarded("BENCH_LOCAL.json", "BENCH_LOCAL_DEGRADED.json")
+      }
     // Degraded runs embed the canonical CLEAN record's scorecard
     // (total + distribution/worst5 vs the ratified baselines): the
     // per-round artifact a judge reads first must be parseable as a
@@ -397,8 +427,12 @@ object Bench {
       // scorecard honest about it.
       val subAcc0   = Substrate.accessCount
       val subBuild0 = Substrate.buildSeconds
+      // (wall_s, n_compiles, compile_ms_approx) per successful pass —
+      // base passes and remeasure extras alike append here
+      val detail = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double)]
       def timedPass(): Option[Double] = {
         Caches.clear()
+        val (c0, m0) = compileSnapshot()
         val t0 = System.nanoTime()
         try {
           // noop write = FULL materialization of every output row without
@@ -407,7 +441,10 @@ object Bench {
           // so a verdict-producing operator can bench at 0.3 s while a
           // user materializing its rows pays 30 s (measured, round 3).
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val (c1, m1) = compileSnapshot()
+          detail += ((wall, c1 - c0, math.max(0.0, m1 - m0)))
+          Some(wall)
         } catch { case e: Throwable =>
           passErrors += e.toString.linesIterator.next().take(160)
           None
@@ -433,6 +470,16 @@ object Bench {
         }
       }
       timings(name) = best
+      if (detail.nonEmpty) {
+        val ts  = detail.map(d => f"${d._1}%.3f").mkString("[", ",", "]")
+        val ncs = detail.map(_._2).mkString("[", ",", "]")
+        val cms = detail.map(d => f"${d._3}%.1f").mkString("[", ",", "]")
+        passDetail(name) = s"""{"t":$ts,"nc":$ncs,"cms":$cms}"""
+        // the pass that produced the recorded min: compile-dominated
+        // when janino's (approximate) wall is >= half the pass wall
+        val mp = detail.minBy(_._1)
+        if (mp._3 >= 0.5 * mp._1 * 1000.0) compileDominated += name
+      }
       if (Substrate.accessCount > subAcc0) substrateKeys += name
       val subBuildDelta = Substrate.buildSeconds - subBuild0
       if (subBuildDelta > 0.001) substrateBuilt(name) = subBuildDelta
@@ -457,7 +504,8 @@ object Bench {
       .sortBy(-_._2).take(5)
       .map { case (k, r) => f""""${esc(k)}":$r%.2f""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","n_timed":${timings.size},"n_failed":${errors.size},"degraded":$degraded,"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"passes":$passes,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_baseline":$worst5,"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"filtered":${only.isDefined},"full_record":"${esc(target.toString)}"}""")
+    val cdSummary = compileDominated.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","n_timed":${timings.size},"n_failed":${errors.size},"degraded":$degraded,"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"passes":$passes,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_baseline":$worst5,"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"compile_dominated":$cdSummary,"filtered":${only.isDefined},"full_record":"${esc(target.toString)}"}""")
     System.out.flush()
     // rc must reflect run health: round 10's driver wrapper recorded
     // rc=0 while 50/130 queries errored, so tooling keying on rc read a

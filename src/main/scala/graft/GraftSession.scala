@@ -34,6 +34,19 @@ object GraftSession {
     b.config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Codegen cache sized for a long-lived many-query service: the
+      // default 100 entries evicts constantly under a 200+-distinct-
+      // query workload, and an evicted entry costs a full janino
+      // recompile of the generated class on the next execution — the
+      // r19 driver bench measured stable 2-8x per-key inflation from
+      // exactly this (bpe_apply's nMerges-deep fold recompiled every
+      // pass; see Bench's pass_detail/compile_dominated fields). An
+      // entry holds a generated class + bytecode stats (KBs), so 10k
+      // entries is tens of MB on a driver that allocates GBs — the
+      // right trade for any session serving a query library. Static
+      // conf: must be set at session build, which is why it lives
+      // here and not in any operator.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
 
   /** Local-mode session: `cores` threads, shuffle partitions = cores,
     * UI off (the mains' configuration, shared so it cannot drift).
