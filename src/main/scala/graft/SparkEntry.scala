@@ -176,6 +176,13 @@ object SparkEntry {
       dynamicOracles("ann_ivf_topk") = () => annIvfOracle(s, d)
       Similarity.annIvfTopK(s, d)
     }),
+    // hybrid lexical+semantic retrieval: RRF fusion of the bm25 top-k
+    // and the IVF tier's top-k for the canonical query vector —
+    // integral rank arithmetic, so the whole fusion hash-verifies
+    "hybrid_rank_rrf"     -> ((s, d) => {
+      dynamicOracles("hybrid_rank_rrf") = () => hybridRankRrfOracle(s, d)
+      Similarity.hybridRankRrf(s, d)
+    }),
     // online vector search over the substrate-persisted IVF index:
     // bit-equal to ann_ivf_topk at the same dial (only where the index
     // bytes come from differs), so it shares the quantizer-literal
@@ -231,6 +238,11 @@ object SparkEntry {
     // (EventStreams.packSequencesStateful) is proven == this in
     // StreamingSpec across micro-batch splits
     "stream_pack_sequences" -> ((s, d) => TrainingOps.streamPackSequences(s, d)),
+    // the Spark 4.x transformWithState road, run as a REAL streaming
+    // query per invocation (RocksDB state store, AvailableNow trigger,
+    // parquet sink) — load-bearing CI for the stateful-API migration;
+    // shares the delta-slice oracle with stream_pack_sequences
+    "stream_pack_tws"   -> ((s, d) => TrainingOps.streamPackSequencesTwsRun(s, d)),
     "sample_stratified" -> ((s, d) => TrainingOps.sampleStratified(s, d)),
     "sample_reservoir"  -> ((s, d) => TrainingOps.sampleReservoir(s, d)),
     "mix_weighted"      -> ((s, d) => TrainingOps.mixWeighted(s, d)),
@@ -2387,6 +2399,23 @@ object SparkEntry {
                 CAST(CASE WHEN n_tokens = 0 THEN (tok_end - n_tokens) // 512
                           ELSE (tok_end - 1) // 512 END AS BIGINT) AS last_chunk
          FROM c ORDER BY doc_id""",
+    // the transformWithState road lands the SAME rows as the fMGWS /
+    // batch-cumsum road by the StreamingSpec three-way equality — it
+    // shares the delta-slice oracle verbatim
+    "stream_pack_tws" ->
+      s"""WITH t AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+                  CAST(len(regexp_extract_all(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens
+           FROM documents WHERE doc_id % ${graft.operators.Dedup.DefaultDeltaMod} = 0),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+           FROM t)
+         SELECT doc_id, shard, n_tokens,
+                CAST((tok_end - n_tokens) // 512 AS BIGINT) AS first_chunk,
+                CAST(CASE WHEN n_tokens = 0 THEN (tok_end - n_tokens) // 512
+                          ELSE (tok_end - 1) // 512 END AS BIGINT) AS last_chunk
+         FROM c ORDER BY doc_id""",
     "doc_top_terms" ->
       """WITH t AS (
            SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
@@ -3897,6 +3926,75 @@ object SparkEntry {
           FROM scored)
         SELECT probe_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= $k
         ORDER BY probe_id, rank"""
+  }
+
+  /** Hybrid RRF retrieval fully replayed: the semantic half reuses
+    * the quantizer-literal IVF machinery ([[ivfOracleParts]])
+    * restricted to the single query vector — same cell ranking and
+    * exact-cosine rerank as [[annIvfOracle]] — the lexical half
+    * reuses the [[bm25Oracle]] CTE chain verbatim (b-prefixed names),
+    * and the fusion is integer rank arithmetic (1e6 // (kRrf + rank))
+    * over the two bounded lists joined FULL OUTER.
+    */
+  private def hybridRankRrfOracle(s: SparkSession, dir: String,
+                                  kLex: Int = 50, kSem: Int = 10,
+                                  kRrf: Int = 60, queryId: Long = 0L,
+                                  nProbe: Int = 8): String = {
+    val (centsCte, asgCte, cellSim) = ivfOracleParts(s, dir)
+    val terms = Seq("spark", "vector", "dup")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i" }
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+    val contribs = terms.indices.map(i =>
+      s"(22000 * (n_docs - df_$i) * tf_$i * s_tokens) // (10 * s_tokens * tf_$i + 3 * s_tokens + 9 * dl * n_docs)")
+    val matched = terms.indices.map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END")
+    s"""WITH $centsCte,
+        $asgCte,
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id = $queryId),
+        pcell AS MATERIALIZED (
+          SELECT probe_id, cid AS cell FROM (
+            SELECT p.probe_id, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                                      ORDER BY ($cellSim) DESC, c.cid ASC) AS cr
+            FROM p CROSS JOIN cents c)
+          WHERE cr <= $nProbe),
+        scored AS (
+          SELECT p.probe_id, a.vec_id AS neighbor_id, ${exactCosineX1e6(64)} AS cosine_x1e6
+          FROM asg a
+          JOIN pcell pc ON pc.cell = a.cell
+          JOIN p ON p.probe_id = pc.probe_id AND a.vec_id <> p.probe_id
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        sem AS (
+          SELECT neighbor_id AS id, CAST(rnk AS BIGINT) AS sem_rank FROM (
+            SELECT neighbor_id,
+                   row_number() OVER (ORDER BY cosine_x1e6 DESC, neighbor_id) AS rnk
+            FROM scored)
+          WHERE rnk <= $kSem),
+        bt AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        bc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, ${tfCols.mkString(", ")} FROM bt),
+        bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens,
+                       ${dfCols.mkString(", ")} FROM bc),
+        bsc AS (SELECT doc_id,
+                       CAST(${contribs.mkString(" + ")} AS BIGINT) AS bm25_x1000,
+                       CAST(${matched.mkString(" + ")} AS BIGINT) AS n_terms_matched
+                FROM bc, bst),
+        btop AS (SELECT * FROM bsc WHERE n_terms_matched > 0
+                 ORDER BY bm25_x1000 DESC, doc_id LIMIT $kLex),
+        lex AS (SELECT doc_id AS id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25_x1000 DESC, doc_id) AS BIGINT) AS lex_rank
+                FROM btop),
+        fused AS (
+          SELECT COALESCE(lex.id, sem.id) AS id, lex.lex_rank, sem.sem_rank,
+                 CAST(COALESCE(1000000 // ($kRrf + lex.lex_rank), 0) +
+                      COALESCE(1000000 // ($kRrf + sem.sem_rank), 0) AS BIGINT) AS rrf_x1e6
+          FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+        SELECT id,
+               CAST(ROW_NUMBER() OVER (ORDER BY rrf_x1e6 DESC, id) AS BIGINT) AS fused_rank,
+               rrf_x1e6, lex_rank, sem_rank
+        FROM fused ORDER BY id"""
   }
 
   /** The IVF kNN graph at its default dial: every vector probes its

@@ -929,6 +929,53 @@ object Similarity {
       .orderBy("tier")
   }
 
+  /** SURVEY §2 `hybrid_rank_rrf`: hybrid lexical+semantic retrieval by
+    * reciprocal-rank fusion — the RAG-serving join of the two index
+    * halves the engine already builds: [[graft.operators.TextOps
+    * .bm25Rank]]'s lexical top-k for the fixed query-term list, and
+    * [[annIvfTopK]]'s semantic top-k for the canonical query vector
+    * (probe `queryId` — the lowest id in the deterministic probe
+    * batch), fused as RRF (Cormack et al. 2009): each list contributes
+    * 1e6 div (kRrf + rank) and absent-from-a-list contributes 0. RRF
+    * is INTEGRAL (integer division of constants by small ranks), so
+    * the fused score is a pure function of the two rank lists and
+    * hash-verifies where any score-normalization fusion (min-max,
+    * z-score over floats) never could.
+    *
+    * Shape: both halves are top-k SERVING lists (≤ kLex + kSem rows
+    * total), so the fusion join and the final rank window run on a
+    * frame bounded by the dials, not the corpus — the lexical half's
+    * GlobalLimit keeps the fused window mechanically inside
+    * PlanQualitySpec's bounded-window exemption. The semantic half
+    * inherits the IVF discipline (probe set broadcast against the
+    * KB-scale centroid table, ONE cell-keyed equi-join, corpus
+    * embeddings never re-exchanged), and the probe filter prunes the
+    * broadcast side to the single query vector before any scoring.
+    * At 100 TB nothing changes: each half is already the tier's
+    * serving plan, and fusion is rank arithmetic on 2k rows.
+    */
+  def hybridRankRrf(s: SparkSession, dir: String, kLex: Int = 50,
+                    kSem: Int = 10, kRrf: Int = 60,
+                    queryId: Long = 0L): DataFrame = {
+    require(kRrf > 0, s"kRrf $kRrf must be positive")
+    val lex = graft.operators.TextOps.bm25Rank(s, dir, k = kLex)
+      .select(col("doc_id").as("id"), col("rank").as("lex_rank"))
+    val sem = annIvfTopK(s, dir, k = kSem)
+      .filter(col("probe_id") === queryId)
+      .select(col("neighbor_id").as("id"), col("rank").as("sem_rank"))
+    val fused = lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"1000000 div ($kRrf + lex_rank)"), lit(0L)) +
+         coalesce(expr(s"1000000 div ($kRrf + sem_rank)"), lit(0L)))
+          .as("rrf_x1e6"))
+    fused
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf_x1e6").desc, col("id")))
+          .cast("long"))
+      .select("id", "fused_rank", "rrf_x1e6", "lex_rank", "sem_rank")
+      .orderBy("id")
+  }
+
   /** Mean-pooled document embeddings from chunk embeddings — the
     * pooling step between chunk-level encoding and doc-level retrieval
     * (long docs embed as chunks; search/cluster/dedup often want ONE

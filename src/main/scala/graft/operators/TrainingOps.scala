@@ -113,6 +113,70 @@ object TrainingOps {
         .filter(col("doc_id") % Dedup.DefaultDeltaMod === 0),
       ctxLen, nShards)
 
+  /** SURVEY §2 `stream_pack_tws`: the r19 `transformWithState` spike
+    * PROMOTED to a load-bearing registered key (r19 verdict item 7) —
+    * this function runs the REAL Spark 4.x tws streaming query (
+    * [[graft.streaming.EventStreams.packSequencesStatefulTws]]: one
+    * ValueState[Long] running token offset per shard) end to end per
+    * invocation: a file-stream source over the delta slice of the
+    * documents parquet, Trigger.AvailableNow, a parquet sink, and the
+    * landed rows returned. The correctness gate therefore
+    * hash-verifies the NEW stateful API against the same DuckDB
+    * oracle as [[streamPackSequences]] every round — the migration
+    * cannot rot into an unexercised spike. StreamingSpec keeps the
+    * three-way tws == fMGWS == batch-twin equality across crafted
+    * micro-batch splits.
+    *
+    * Operational notes carried from the spike: tws REQUIRES the
+    * RocksDB state store provider (set for the query, restored
+    * after); the whole delta lands in ONE batch (maxFilesPerTrigger
+    * is set above any real file count) so the per-shard in-batch sort
+    * satisfies the append-log order contract regardless of file
+    * enumeration order. At 100 TB this is the same plan a production
+    * run executes continuously: constant nShards-long state, row-local
+    * token counting, one shard-keyed exchange per micro-batch.
+    */
+  def streamPackSequencesTwsRun(s: SparkSession, dir: String,
+                                ctxLen: Int = 512, nShards: Int = 8): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out  = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      val docPath = s"$dir/documents.parquet"
+      // the file-stream source requires a DIRECTORY base path: a
+      // Spark-written table (documents.parquet/ a dir of parts)
+      // streams directly; the testdata tables are SINGLE FILES, so
+      // those stream the parent dir with a glob filter selecting
+      // exactly the documents table
+      val hp = new org.apache.hadoop.fs.Path(docPath)
+      val isDir = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getFileStatus(hp).isDirectory
+      val reader = s.readStream
+        .schema(s.read.parquet(docPath).schema)
+        .option("maxFilesPerTrigger", "1000000")
+      val src = (if (isDir) reader.parquet(docPath)
+                 else reader.option("pathGlobFilter", "documents.parquet").parquet(dir))
+        .filter(col("doc_id") % Dedup.DefaultDeltaMod === 0)
+        .select("doc_id", "text")
+      val q = graft.streaming.EventStreams
+        .packSequencesStatefulTws(src, ctxLen, nShards)
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy("doc_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** The packing body over an explicit docs frame — factored so the
     * full-corpus key, the delta-slice streaming twin, and crafted spec
     * fixtures all run the identical plan.

@@ -259,6 +259,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("hybrid_rank_rrf: probe broadcast, corpus embeddings never re-exchange, documents scan pruned") {
+    val p = planFullMeta(graft.operators.Similarity.hybridRankRrf(spark, sf))
+    // the semantic half inherits the IVF discipline: the (single)
+    // query vector and its kept cells ride broadcasts, corpus
+    // embeddings never enter a hash exchange
+    assert(p.contains("BroadcastHashJoin"), s"probe-cells join not broadcast:\n$p")
+    val shuffledEmbedding = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .exists(_.contains("embedding"))
+    assert(!shuffledEmbedding, s"corpus embeddings in a shuffle:\n$p")
+    // the lexical half reads only (doc_id, text) from documents
+    val docSchemas = p.linesIterator
+      .filter(l => l.contains("documents.parquet") && l.contains("ReadSchema")).toSeq
+    assert(docSchemas.nonEmpty && docSchemas.forall(l =>
+        !l.contains("source") && !l.contains("lang") && !l.contains("n_chars")),
+      s"documents scan not pruned to (doc_id, text):\n${docSchemas.mkString("\n")}")
+    graft.Caches.clear()
+  }
+
   test("bpe_apply serves from the persisted vocab leaf — no merge fold in the hot path") {
     val p = planFullMeta(graft.operators.TrainingOps.bpeApply(spark, sf))
     // the encoded vocabulary (word -> n_syms) is a Substrate artifact
