@@ -218,6 +218,10 @@ object SparkEntry {
     "embedding_centroids" -> (Similarity.embeddingCentroids _),
     "embedding_outliers"  -> ((s, d) => Similarity.embeddingOutliers(s, d)),
     "kmeans_step"         -> ((s, d) => Similarity.kmeansStep(s, d)),
+    // greedy k-center (maxmin) diversity selection — the "pick the
+    // spread" counterpart of semdedup_keep_central; all-integral
+    // driver-synced rounds under the kmeans_fit contract
+    "diversity_kcenter"   -> ((s, d) => Similarity.diversityKcenter(s, d)),
     "kmeans_fit"          -> ((s, d) => {
       dynamicOracles("kmeans_fit") = () => kmeansFitOracle(s, d)
       Similarity.kmeansFit(s, d)
@@ -473,6 +477,7 @@ object SparkEntry {
 
   private def staticOracleSql: Map[String, String] = Map(
     "embedding_top_pc" -> topPcOracleSql(8),
+    "diversity_kcenter" -> diversityKcenterOracle(8),
     "graph_kcore" -> kcoreOracleSql(3, 16),
     "ann_lsh_topk" -> annLshOracle,
     "bpe_train" -> bpeTrainOracle,
@@ -3926,6 +3931,47 @@ object SparkEntry {
           FROM scored)
         SELECT probe_id, rank, neighbor_id, cosine_x1e6 FROM ranked WHERE rank <= $k
         ORDER BY probe_id, rank"""
+  }
+
+  /** Greedy k-center diversity selection fully replayed — the
+    * kmeans_fit discipline (no selected state embedded; every argmax
+    * recomputed from the parquet): round CTEs carry each point's
+    * integral min-d² to the selected-so-far set (LEAST-folded per
+    * round), each pick is the (md DESC, vec_id ASC) head excluding
+    * already-selected ids, seed = MIN(vec_id).
+    */
+  private def diversityKcenterOracle(k: Int): String = {
+    val dim = 64
+    def d2(qa: String, qb: String) =
+      (1 to dim).map(j => s"($qa[$j] - $qb[$j])*($qa[$j] - $qb[$j])").mkString(" + ")
+    val b = new StringBuilder
+    b ++= s"""WITH q AS MATERIALIZED (
+          SELECT vec_id, list_transform(embedding, x -> CAST(FLOOR(1000000 * CAST(x AS DOUBLE)) AS BIGINT)) AS qv
+          FROM embeddings),
+        c1 AS MATERIALIZED (SELECT vec_id, qv FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+        d1 AS MATERIALIZED (
+          SELECT d.vec_id, d.qv, CAST(${d2("d.qv", "c.qv")} AS BIGINT) AS md
+          FROM q d, c1 c)"""
+    for (r <- 2 to k) {
+      val prevD = s"d${r - 1}"
+      val selList = (Seq("SELECT vec_id FROM c1") ++
+        (2 until r).map(i => s"SELECT vec_id FROM p$i")).mkString(" UNION ALL ")
+      b ++= s""",
+        p$r AS MATERIALIZED (
+          SELECT vec_id, qv, md FROM $prevD
+          WHERE vec_id NOT IN ($selList)
+          ORDER BY md DESC, vec_id LIMIT 1)"""
+      if (r < k) b ++= s""",
+        d$r AS MATERIALIZED (
+          SELECT d.vec_id, d.qv, LEAST(d.md, CAST(${d2("d.qv", "c.qv")} AS BIGINT)) AS md
+          FROM $prevD d, p$r c)"""
+    }
+    val rows = Seq(
+      "SELECT CAST(1 AS BIGINT) AS center_rank, vec_id, CAST(NULL AS BIGINT) AS maxmin_d2 FROM c1") ++
+      (2 to k).map(r => s"SELECT CAST($r AS BIGINT), vec_id, CAST(md AS BIGINT) FROM p$r")
+    b ++= "\n        " + rows.mkString("\n        UNION ALL ")
+    b ++= "\n        ORDER BY center_rank"
+    b.toString
   }
 
   /** Hybrid RRF retrieval fully replayed: the semantic half reuses

@@ -1006,6 +1006,77 @@ object Similarity {
       .orderBy("doc_key", "pos")
   }
 
+  /** SURVEY §2 `diversity_kcenter`: greedy k-center (farthest-point /
+    * maxmin) DIVERSITY selection over the embedding corpus — the
+    * "pick the spread" counterpart of `semdedup_keep_central`'s
+    * "drop the dups": k representatives such that each new pick is
+    * the point FARTHEST from everything already picked (Gonzalez
+    * 1985, the 2-approximation to optimal k-center). The coverage-
+    * sampling step a training-data mix runs to seed a diverse
+    * eval/annotation set.
+    *
+    * ALL-INTEGRAL under the kmeans_fit contract so the selection is
+    * hash-checkable: embeddings quantize to micro longs
+    * (floor(1e6·x)), distances are exact integer squared-L2, the
+    * argmax tie-breaks (d² desc, vec_id asc), and the seed is the
+    * lowest vec_id (the kmeans_fit seeding convention). Per round —
+    * driver-synced like CC/PageRank/BPE/Lloyd — ONE pass over the
+    * cached quantized corpus computes each point's min-d² to the
+    * selected set (the ≤k selected vectors ride the plan as a
+    * LITERAL, so the pass is row-local: zero shuffle, a k·64-term
+    * fold inside codegen) and a TakeOrderedAndProject syncs the
+    * 1-row argmax. Selected ids are excluded explicitly so a
+    * degenerate all-duplicates corpus can never re-pick an id.
+    *
+    * At 100 TB: k passes over the corpus, each row-local with a
+    * 1-row reduce — no window, no join, no corpus shuffle anywhere;
+    * the selected set is KB-scale model state. The known scale dial
+    * is sampling the candidate pool (k-center on a uniform sample is
+    * the standard approximation) — the plan is unchanged, only the
+    * input filter.
+    *
+    * Oracle: the full greedy replayed as k unrolled MATERIALIZED
+    * rounds (the kmeans_fit discipline — no selected state embedded;
+    * DuckDB recomputes every argmax from the parquet). SimilaritySpec
+    * proves == a single-node greedy recompute and the non-increasing
+    * selection-distance invariant.
+    */
+  def diversityKcenter(s: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import s.implicits._
+    val q = graft.Caches.cached(
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(1000000 * CAST(x AS DOUBLE)) AS BIGINT))")
+          .as("qv")))
+    def qvOf(id: Long): Seq[Long] =
+      q.filter(col("vec_id") === id).head().getSeq[Long](1)
+    val seedId = q.agg(min("vec_id")).head().getLong(0)
+    var centerQvs = Vector(qvOf(seedId))
+    var centerIds = Vector(seedId)
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
+      (1L, seedId, None))
+    for (r <- 2 to k) {
+      // min integer squared-L2 to the selected set — selected vectors
+      // are a plan literal, the whole distance block is row-local
+      val minD2 = array_min(transform(
+        typedLit(centerQvs.map(_.toSeq)),
+        c => aggregate(
+          zip_with(col("qv"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)))
+      val top = q
+        .filter(!col("vec_id").isInCollection(centerIds))
+        .select(col("vec_id"), minD2.as("d2"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(1).head()
+      val (id, d2) = (top.getLong(0), top.getLong(1))
+      picked += ((r.toLong, id, Some(d2)))
+      centerIds :+= id
+      centerQvs :+= qvOf(id)
+    }
+    picked.toSeq.toDF("center_rank", "vec_id", "maxmin_d2")
+      .orderBy("center_rank")
+  }
+
   /** ONE exact k-means iteration (Lloyd step) — assignment + centroid
     * update — over the embedding corpus, seeded deterministically by
     * the k lowest vec_ids. The MLlib path ([[annIvfTopK]]'s coarse

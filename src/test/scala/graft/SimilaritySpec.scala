@@ -219,6 +219,42 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "sq8 codes must match embedding_quantize's checksum/min/max exactly")
   }
 
+  test("diversity_kcenter equals a single-node greedy maxmin; selection distances non-increasing") {
+    val k = 8
+    val out = Similarity.diversityKcenter(spark, sf, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+                 if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    graft.Caches.clear()
+    // reference: the operator's exact contract on collected arrays —
+    // micro-quantized vectors, integer squared-L2, (d2 desc, id asc)
+    // argmax, lowest-id seed, selected ids excluded
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(x => math.floor(1000000.0 * x.toDouble).toLong)))
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); s += t * t; j += 1 }
+      s
+    }
+    var centers = Vector(emb.head)
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Long])](
+      (1L, emb.head._1, None))
+    for (r <- 2 to k) {
+      val chosen = centers.map(_._1).toSet
+      val best = emb.iterator.filter(p => !chosen(p._1))
+        .map { case (id, qv) => (id, centers.map(c => d2(qv, c._2)).min) }
+        .maxBy { case (id, d) => (d, -id) }
+      ref += ((r.toLong, best._1, Some(best._2)))
+      centers :+= emb.find(_._1 == best._1).get
+    }
+    assert(out == ref.toSeq, s"engine $out\nref ${ref.toSeq}")
+    val ds = out.flatMap(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => b <= a },
+      s"maxmin selection distances must be non-increasing: ${ds.mkString(", ")}")
+  }
+
   test("kmeans_fit equals a plain single-node Lloyd run bit-for-bit") {
     val k = 8; val maxIters = 20
     val out = Similarity.kmeansFit(spark, sf, k = k, maxIters = maxIters)
