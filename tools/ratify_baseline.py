@@ -34,7 +34,7 @@ BASELINE = "/root/repo/BASELINE.json"
 # measured in a later round join from their first clean record.
 CURRENT_REGIME_BLOCKS = ["internal_baseline_r15_final", "internal_baseline_r16",
                          "internal_baseline_r17", "internal_baseline_r18",
-                         "internal_baseline_r19"]
+                         "internal_baseline_r19", "internal_baseline_r20"]
 
 
 def build(d):

@@ -69,6 +69,10 @@ PREFIX_FAMILY = [
 OVERRIDES = {
     "stream_dedup_ids": "events",  # events-table dedup, not documents
     "doc_embedding_pool": "embeddings",
+    # r20: hybrid fuses documents (bm25) + embeddings (IVF); documents
+    # is the faster-growing input family, so it sets the bar
+    "hybrid_rank_rrf": "documents",
+    "diversity_kcenter": "embeddings",
 }
 
 def family(key):
