@@ -234,6 +234,9 @@ object SparkEntry {
       Similarity.knnGraphIvf(s, d, nProbeCells = 16)),
     "ann_sq8_topk"        -> ((s, d) => Similarity.annSq8TopK(s, d)),
     "embedding_top_pc"    -> ((s, d) => Similarity.embeddingTopPc(s, d)),
+    // ABTT: remove the hash-verified top PC from every centered
+    // embedding — the eigensolver's output made load-bearing
+    "embedding_whiten"    -> ((s, d) => Similarity.embeddingWhiten(s, d)),
     // Training-data assembly (LLM-data pipeline)
     "sample_split_hash" -> ((s, d) => TrainingOps.sampleSplitHash(s, d)),
     "pack_sequences"    -> ((s, d) => TrainingOps.packSequences(s, d)),
@@ -337,7 +340,7 @@ object SparkEntry {
     * CASE-trunc where it uses `div`/BigInt `/`). Generated because 8
     * rounds of 5 CTEs is mechanical — the zorder/hilbert precedent.
     */
-  private def topPcOracleSql(iters: Int): String = {
+  private def topPcChainSql(iters: Int): String = {
     val b = new StringBuilder
     b ++= """WITH p AS (SELECT unnest(range(1, 65)) AS pos),
          xqr AS MATERIALIZED (SELECT vec_id, p.pos AS pos,
@@ -360,11 +363,32 @@ object SparkEntry {
          v$k AS MATERIALIZED (SELECT pos, CASE WHEN s >= 0 THEN (s * 1000000) // mx
                              ELSE -(((-s) * 1000000) // mx) END AS v FROM s$k, m$k)"""
     }
-    b ++= s"""
-         SELECT CAST(pos AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_micro
-         FROM v$iters ORDER BY pos"""
     b.toString
   }
+
+  private def topPcOracleSql(iters: Int): String =
+    s"""${topPcChainSql(iters)}
+         SELECT CAST(pos AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_micro
+         FROM v$iters ORDER BY pos"""
+
+  /** ABTT whitening fully replayed off the SAME unrolled power-
+    * iteration chain (no model state embedded): per-vector projection
+    * c = Σ xd·v (HUGEINT), removed component trunc(c·vᵢ / Σv²) via
+    * the engines' shared toward-zero division, whitened per-dim rows.
+    */
+  private def embeddingWhitenOracle(iters: Int): String =
+    s"""${topPcChainSql(iters)},
+         vden AS (SELECT SUM(v * v) AS d FROM v$iters),
+         cf AS MATERIALIZED (SELECT x.vec_id, SUM(x.xd * v.v) AS c
+                FROM xm x JOIN v$iters v USING (pos) GROUP BY x.vec_id)
+         SELECT x.vec_id, CAST(x.pos AS BIGINT) AS pos,
+                CAST(x.xd - (CASE WHEN cf.c * v.v >= 0 THEN (cf.c * v.v) // vd.d
+                                  ELSE -((-(cf.c * v.v)) // vd.d) END) AS BIGINT) AS whitened_micro
+         FROM xm x
+         JOIN v$iters v USING (pos)
+         JOIN cf ON cf.vec_id = x.vec_id
+         CROSS JOIN vden vd
+         ORDER BY x.vec_id, x.pos"""
 
   /** Oracles whose SQL embeds TRAINED MODEL STATE as literals (the PQ
     * codebooks): the query closure stashes a generator thunk when it
@@ -477,6 +501,7 @@ object SparkEntry {
 
   private def staticOracleSql: Map[String, String] = Map(
     "embedding_top_pc" -> topPcOracleSql(8),
+    "embedding_whiten" -> embeddingWhitenOracle(8),
     "diversity_kcenter" -> diversityKcenterOracle(8),
     "graph_kcore" -> kcoreOracleSql(3, 16),
     "ann_lsh_topk" -> annLshOracle,

@@ -1368,6 +1368,58 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** SURVEY §2 `embedding_whiten`: all-but-the-top (ABTT, Mu &
+    * Viswanath 2018) post-processing — remove the corpus's dominant
+    * direction from every mean-centered embedding before indexing
+    * (the top PC carries corpus-frequency signal, not semantics; every
+    * serious embedding pipeline strips it ahead of cosine retrieval).
+    * This operator makes [[embeddingTopPc]]'s hash-verified
+    * eigensolver LOAD-BEARING: its component is the model state here.
+    *
+    * ALL-INTEGRAL so the whitening replays exactly: the same micro
+    * quantization and trunc-div mean centering as the eigensolver,
+    * projection coefficient c = Σ xm·v in longs (bounded ≤ 2⁴⁸·64),
+    * and the removed component trunc(c·vᵢ / Σv²) computed in
+    * DECIMAL(38,0) (c·vᵢ crosses 2⁶³; DuckDB's HUGEINT twin) — so
+    * whitened_micro is a pure integer function of the corpus.
+    *
+    * Scale shape: v is KB-scale model state ([[graft.Caches.model]] —
+    * the eigensolver runs once per (corpus, iters)); the mean is a
+    * 64-row driver sync; whitening itself is ONE row-local pass (the
+    * vector and mean ride the plan as literals — no join anywhere,
+    * pinned in PlanQualitySpec), emitted in the family's per-dim row
+    * convention. Residual near-orthogonality |Σ wᵢ·vᵢ| < Σ|vᵢ| (per-
+    * position truncation < 1) is spec-pinned in SimilaritySpec along
+    * with a single-node recompute equality.
+    */
+  def embeddingWhiten(s: SparkSession, dir: String, iters: Int = 8): DataFrame = {
+    val v: Array[Long] = graft.Caches.model("top_pc_vec", dir, iters) {
+      embeddingTopPc(s, dir, iters).collect().map(_.getLong(1))
+    }
+    val d: Long = v.map(x => x * x).sum
+    require(d > 0, "whitening needs a non-degenerate top component")
+    val xq = Tables.embeddings(s, dir).select(col("vec_id"),
+      expr("transform(embedding, e -> CAST(FLOOR(e * CAST(1000000 AS DOUBLE)) AS BIGINT))")
+        .as("xq"))
+    val mu = xq.select(posexplode(col("xq")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .select(col("pos"), expr("sx div n").as("mu"))
+      .orderBy("pos").collect().map(_.getLong(1))
+    xq.select(col("vec_id"),
+        zip_with(col("xq"), lit(mu), (a, b) => a - b).as("xm"))
+      .select(col("vec_id"), col("xm"),
+        aggregate(zip_with(col("xm"), lit(v), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("c"))
+      .select(col("vec_id"), col("c"), posexplode(col("xm")).as(Seq("pos0", "xd")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("xd"), col("c"),
+        element_at(lit(v), (col("pos0") + 1).cast("int")).as("vi"))
+      .select(col("vec_id"), col("pos"),
+        (col("xd") - expr(s"(CAST(c AS DECIMAL(38,0)) * vi) div ${d}L"))
+          .cast("long").as("whitened_micro"))
+      .orderBy("vec_id", "pos")
+  }
+
   def annLshTopK(s: SparkSession, dir: String, k: Int = 10,
                  nBands: Int = 12, bitsPerBand: Int = 3): DataFrame = {
     GraftFunctions.ensureRegistered(s)

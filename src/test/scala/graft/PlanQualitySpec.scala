@@ -278,6 +278,16 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
     graft.Caches.clear()
   }
 
+  test("embedding_whiten is one row-local pass — no join anywhere in the plan") {
+    // the component vector and the mean ride the plan as literals
+    // (KB-scale model state), so whitening must plan as scan ->
+    // row-local projection -> output sort; any Join means the model
+    // state leaked into a data-sized frame
+    val p = plan(graft.operators.Similarity.embeddingWhiten(spark, sf))
+    assert(!p.contains("Join"), s"whitening grew a join:\n$p")
+    graft.Caches.clear()
+  }
+
   test("bpe_apply serves from the persisted vocab leaf — no merge fold in the hot path") {
     val p = planFullMeta(graft.operators.TrainingOps.bpeApply(spark, sf))
     // the encoded vocabulary (word -> n_syms) is a Substrate artifact

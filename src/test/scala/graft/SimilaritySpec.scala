@@ -219,6 +219,43 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "sq8 codes must match embedding_quantize's checksum/min/max exactly")
   }
 
+  test("embedding_whiten equals a single-node ABTT recompute; residual near-orthogonal to the top PC") {
+    val iters = 8
+    val out = Similarity.embeddingWhiten(spark, sf, iters).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val v = Similarity.embeddingTopPc(spark, sf, iters).collect().map(_.getLong(1))
+    graft.Caches.clear()
+    // reference: the operator's exact integer contract on collected
+    // arrays — micro quantize, trunc-div mean center, project onto v,
+    // subtract trunc(c*v_i / sum(v^2))
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(x => math.floor(1000000.0 * x.toDouble).toLong)))
+    val dim = emb.head._2.length
+    val n = emb.length
+    def truncDiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt / truncates toward zero
+    val mu = (0 until dim).map { j =>
+      truncDiv(BigInt(emb.map(_._2(j)).sum), BigInt(n)).toLong }
+    val d = v.map(x => BigInt(x) * BigInt(x)).sum
+    var worstResid = BigInt(0)
+    emb.foreach { case (id, qv) =>
+      val xm = (0 until dim).map(j => qv(j) - mu(j))
+      val c = BigInt((0 until dim).map(j => xm(j) * v(j)).sum)
+      var resid = BigInt(0)
+      (0 until dim).foreach { j =>
+        val w = xm(j) - truncDiv(c * BigInt(v(j)), d).toLong
+        assert(out((id, j + 1L)) == w, s"vec $id pos ${j + 1}: ${out((id, j + 1L))} != $w")
+        resid += BigInt(w) * BigInt(v(j))
+      }
+      worstResid = worstResid.max(resid.abs)
+    }
+    // per-position truncation is < 1 unit, so |sum w_i*v_i| < sum|v_i|
+    val bound = v.map(x => BigInt(x).abs).sum
+    assert(worstResid < bound,
+      s"whitened residual not near-orthogonal: $worstResid >= $bound")
+  }
+
   test("diversity_kcenter equals a single-node greedy maxmin; selection distances non-increasing") {
     val k = 8
     val out = Similarity.diversityKcenter(spark, sf, k).collect()
