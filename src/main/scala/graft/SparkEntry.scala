@@ -183,6 +183,13 @@ object SparkEntry {
       dynamicOracles("hybrid_rank_rrf") = () => hybridRankRrfOracle(s, d)
       Similarity.hybridRankRrf(s, d)
     }),
+    // the hybrid tier's quality monitor: IVF-vs-exact recall of the
+    // semantic half AND overlap@k of the served fusion vs the fusion
+    // over the exact semantic list — both sides replayable
+    "hybrid_recall_report" -> ((s, d) => {
+      dynamicOracles("hybrid_recall_report") = () => hybridRecallReportOracle(s, d)
+      Similarity.hybridRecallReport(s, d)
+    }),
     // online vector search over the substrate-persisted IVF index:
     // bit-equal to ann_ivf_topk at the same dial (only where the index
     // bytes come from differs), so it shares the quantizer-literal
@@ -4066,6 +4073,100 @@ object SparkEntry {
                CAST(ROW_NUMBER() OVER (ORDER BY rrf_x1e6 DESC, id) AS BIGINT) AS fused_rank,
                rrf_x1e6, lex_rank, sem_rank
         FROM fused ORDER BY id"""
+  }
+
+  /** The hybrid tier's recall monitor fully replayed: the served
+    * semantic list via the quantizer-literal IVF replay, the exact
+    * list via the expanded-sum brute-force cosine, the lexical chain
+    * via [[bm25Oracle]]'s CTEs, BOTH fusions through the same integer
+    * RRF arithmetic, and the two report rows as semi-join counts.
+    */
+  private def hybridRecallReportOracle(s: SparkSession, dir: String,
+                                       k: Int = 10, kLex: Int = 50,
+                                       kRrf: Int = 60, queryId: Long = 0L,
+                                       nProbe: Int = 8): String = {
+    val (centsCte, asgCte, cellSim) = ivfOracleParts(s, dir)
+    val terms = Seq("spark", "vector", "dup")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$i" }
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+    val contribs = terms.indices.map(i =>
+      s"(22000 * (n_docs - df_$i) * tf_$i * s_tokens) // (10 * s_tokens * tf_$i + 3 * s_tokens + 9 * dl * n_docs)")
+    val matched = terms.indices.map(i => s"CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END")
+    def fuseCte(name: String, semCte: String) =
+      s"""$name AS (
+          SELECT COALESCE(lex.id, sm.id) AS id,
+                 CAST(COALESCE(1000000 // ($kRrf + lex.lex_rank), 0) +
+                      COALESCE(1000000 // ($kRrf + sm.sem_rank), 0) AS BIGINT) AS rrf_x1e6
+          FROM lex FULL OUTER JOIN $semCte sm ON lex.id = sm.id),
+        ${name}_top AS (
+          SELECT id FROM (
+            SELECT id, ROW_NUMBER() OVER (ORDER BY rrf_x1e6 DESC, id) AS fr FROM $name)
+          WHERE fr <= $k)"""
+    s"""WITH $centsCte,
+        $asgCte,
+        p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id = $queryId),
+        pcell AS MATERIALIZED (
+          SELECT probe_id, cid AS cell FROM (
+            SELECT p.probe_id, c.cid,
+                   row_number() OVER (PARTITION BY p.probe_id
+                                      ORDER BY ($cellSim) DESC, c.cid ASC) AS cr
+            FROM p CROSS JOIN cents c)
+          WHERE cr <= $nProbe),
+        scored AS (
+          SELECT a.vec_id AS neighbor_id, ${exactCosineX1e6(64)} AS cosine_x1e6
+          FROM asg a
+          JOIN pcell pc ON pc.cell = a.cell
+          JOIN p ON p.probe_id = pc.probe_id AND a.vec_id <> p.probe_id
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        ssem AS (
+          SELECT neighbor_id AS id, CAST(rnk AS BIGINT) AS sem_rank FROM (
+            SELECT neighbor_id,
+                   row_number() OVER (ORDER BY cosine_x1e6 DESC, neighbor_id) AS rnk
+            FROM scored)
+          WHERE rnk <= $k),
+        escored AS (
+          SELECT e.vec_id AS neighbor_id, ${exactCosineX1e6(64)} AS cosine_x1e6
+          FROM embeddings e CROSS JOIN p
+          WHERE e.vec_id <> p.probe_id),
+        esem AS (
+          SELECT neighbor_id AS id, CAST(rnk AS BIGINT) AS sem_rank FROM (
+            SELECT neighbor_id,
+                   row_number() OVER (ORDER BY cosine_x1e6 DESC, neighbor_id) AS rnk
+            FROM escored)
+          WHERE rnk <= $k),
+        bt AS (
+          SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          FROM documents),
+        bc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, ${tfCols.mkString(", ")} FROM bt),
+        bst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens,
+                       ${dfCols.mkString(", ")} FROM bc),
+        bsc AS (SELECT doc_id,
+                       CAST(${contribs.mkString(" + ")} AS BIGINT) AS bm25_x1000,
+                       CAST(${matched.mkString(" + ")} AS BIGINT) AS n_terms_matched
+                FROM bc, bst),
+        btop AS (SELECT * FROM bsc WHERE n_terms_matched > 0
+                 ORDER BY bm25_x1000 DESC, doc_id LIMIT $kLex),
+        lex AS (SELECT doc_id AS id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY bm25_x1000 DESC, doc_id) AS BIGINT) AS lex_rank
+                FROM btop),
+        ${fuseCte("sfused", "ssem")},
+        ${fuseCte("efused", "esem")}
+        SELECT 'sem' AS tier,
+               CAST((SELECT COUNT(*) FROM ssem s JOIN esem e ON s.id = e.id) AS BIGINT) AS n_hits,
+               CAST((SELECT COUNT(*) FROM esem) AS BIGINT) AS n_expected,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM esem) > 0
+                    THEN ((SELECT COUNT(*) FROM ssem s JOIN esem e ON s.id = e.id) * 1000000)
+                         // (SELECT COUNT(*) FROM esem) END AS BIGINT) AS recall_x1e6
+        UNION ALL
+        SELECT 'fused' AS tier,
+               CAST((SELECT COUNT(*) FROM sfused_top s JOIN efused_top e ON s.id = e.id) AS BIGINT) AS n_hits,
+               CAST((SELECT COUNT(*) FROM efused_top) AS BIGINT) AS n_expected,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM efused_top) > 0
+                    THEN ((SELECT COUNT(*) FROM sfused_top s JOIN efused_top e ON s.id = e.id) * 1000000)
+                         // (SELECT COUNT(*) FROM efused_top) END AS BIGINT) AS recall_x1e6
+        ORDER BY tier"""
   }
 
   /** The IVF kNN graph at its default dial: every vector probes its

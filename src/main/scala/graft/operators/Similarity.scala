@@ -954,26 +954,84 @@ object Similarity {
     * At 100 TB nothing changes: each half is already the tier's
     * serving plan, and fusion is rank arithmetic on 2k rows.
     */
+  /** The RRF fusion body over explicit (id, lex_rank) / (id, sem_rank)
+    * lists — factored so the serving key and its recall monitor
+    * ([[hybridRecallReport]], which fuses the EXACT semantic list the
+    * same way) run the identical fusion code. Both inputs are bounded
+    * top-k lists, so the full-outer join and the rank window run on a
+    * dial-sized frame.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame, kRrf: Int): DataFrame = {
+    require(kRrf > 0, s"kRrf $kRrf must be positive")
+    lex.join(sem, Seq("id"), "full_outer")
+      .select(col("id"), col("lex_rank"), col("sem_rank"),
+        (coalesce(expr(s"1000000 div ($kRrf + lex_rank)"), lit(0L)) +
+         coalesce(expr(s"1000000 div ($kRrf + sem_rank)"), lit(0L)))
+          .as("rrf_x1e6"))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf_x1e6").desc, col("id")))
+          .cast("long"))
+  }
+
   def hybridRankRrf(s: SparkSession, dir: String, kLex: Int = 50,
                     kSem: Int = 10, kRrf: Int = 60,
                     queryId: Long = 0L): DataFrame = {
-    require(kRrf > 0, s"kRrf $kRrf must be positive")
     val lex = graft.operators.TextOps.bm25Rank(s, dir, k = kLex)
       .select(col("doc_id").as("id"), col("rank").as("lex_rank"))
     val sem = annIvfTopK(s, dir, k = kSem)
       .filter(col("probe_id") === queryId)
       .select(col("neighbor_id").as("id"), col("rank").as("sem_rank"))
-    val fused = lex.join(sem, Seq("id"), "full_outer")
-      .select(col("id"), col("lex_rank"), col("sem_rank"),
-        (coalesce(expr(s"1000000 div ($kRrf + lex_rank)"), lit(0L)) +
-         coalesce(expr(s"1000000 div ($kRrf + sem_rank)"), lit(0L)))
-          .as("rrf_x1e6"))
-    fused
-      .withColumn("fused_rank",
-        row_number().over(Window.orderBy(col("rrf_x1e6").desc, col("id")))
-          .cast("long"))
+    rrfFuse(lex, sem, kRrf)
       .select("id", "fused_rank", "rrf_x1e6", "lex_rank", "sem_rank")
       .orderBy("id")
+  }
+
+  /** SURVEY §2 `hybrid_recall_report`: the hybrid tier's QUALITY
+    * MONITOR — the role [[annRecallReport]] plays for the ANN tiers
+    * and `dedup_lsh_eval` for the banding, here for the fused serving
+    * list: how much does IVF cell pruning in the semantic half move
+    * the FUSED answer? Two bounded rows: recall@k of the IVF semantic
+    * list vs the exact brute-force list for the query vector ('sem'),
+    * and overlap@k of the served fusion vs the fusion computed with
+    * the EXACT semantic list through the SAME [[rrfFuse]] code
+    * ('fused') — the monitor cannot drift from the serving path it
+    * audits. Integral ppm; both sides replayable, so the whole
+    * monitor hash-verifies (exact expanded-sum cosine + the
+    * quantizer-literal IVF replay + the bm25 chain + integer fusion).
+    * Everything is top-k-bounded: the exact half prices one probe
+    * against the corpus (one scan), the counts are 1-row aggregates.
+    */
+  def hybridRecallReport(s: SparkSession, dir: String, k: Int = 10,
+                         kLex: Int = 50, kRrf: Int = 60,
+                         queryId: Long = 0L): DataFrame = {
+    val lex = graft.Caches.cached(
+      graft.operators.TextOps.bm25Rank(s, dir, k = kLex)
+        .select(col("doc_id").as("id"), col("rank").as("lex_rank")))
+    val exactSem = graft.Caches.cached(
+      annBruteforceTopK(s, dir, k).filter(col("probe_id") === queryId)
+        .select(col("neighbor_id").as("id"), col("rank").as("sem_rank")))
+    val servedSem = graft.Caches.cached(
+      annIvfTopK(s, dir, k).filter(col("probe_id") === queryId)
+        .select(col("neighbor_id").as("id"), col("rank").as("sem_rank")))
+    def topIds(fused: DataFrame) =
+      fused.filter(col("fused_rank") <= k).select("id")
+    def row(tier: String, got: DataFrame, want: DataFrame): DataFrame = {
+      // the annRecallReport idiom: expected count rides a broadcast
+      // 1-row aggregate, nothing reaches the driver
+      val nExpected = want.agg(count(lit(1)).as("n_expected"))
+      got.join(want, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nExpected))
+        .select(lit(tier).as("tier"), col("n_hits"), col("n_expected"),
+          when(col("n_expected") > 0,
+            expr("(n_hits * 1000000) div n_expected")).as("recall_x1e6"))
+    }
+    val semRow = row("sem",
+      servedSem.select("id"), exactSem.select("id"))
+    val fusedRow = row("fused",
+      topIds(rrfFuse(lex, servedSem, kRrf)),
+      topIds(rrfFuse(lex, exactSem, kRrf)))
+    semRow.unionAll(fusedRow).orderBy("tier")
   }
 
   /** Mean-pooled document embeddings from chunk embeddings — the

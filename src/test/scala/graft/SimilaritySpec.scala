@@ -219,6 +219,20 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "sq8 codes must match embedding_quantize's checksum/min/max exactly")
   }
 
+  test("hybrid_recall_report: fusion floors hold and the monitor reconciles with its own inputs") {
+    val rows = Similarity.hybridRecallReport(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    graft.Caches.clear()
+    assert(rows.keySet == Set("sem", "fused"))
+    rows.foreach { case (tier, (hits, expected, recall)) =>
+      assert(expected > 0 && hits <= expected, s"$tier: $hits/$expected")
+      assert(recall == hits * 1000000L / expected, s"$tier recall arithmetic")
+      // consistent with the IVF tier's >=75% floor: one pruned miss
+      // can displace at most one fused slot per missing id
+      assert(recall >= 750000L, s"$tier recall $recall below the IVF-consistent floor")
+    }
+  }
+
   test("embedding_whiten equals a single-node ABTT recompute; residual near-orthogonal to the top PC") {
     val iters = 8
     val out = Similarity.embeddingWhiten(spark, sf, iters).collect()
