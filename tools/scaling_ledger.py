@@ -72,6 +72,7 @@ OVERRIDES = {
     # r20: hybrid fuses documents (bm25) + embeddings (IVF); documents
     # is the faster-growing input family, so it sets the bar
     "hybrid_rank_rrf": "documents",
+    "hybrid_recall_report": "documents",
     "diversity_kcenter": "embeddings",
 }
 
