@@ -30,4 +30,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // HotSpot's ReservedCodeCacheSize default (240 MB) is sized for an
+  // application with a bounded class population — not for a session
+  // serving 226 distinct codegen'd queries x multiple passes plus a
+  // 10k-entry codegen cache. Once the code cache fills, the JIT stops
+  // compiling ("CodeCache is full. Compiler has been disabled.") and
+  // every key executed after that point runs interpreted: the r20
+  // driver bench measured stable 10-30x inflation on compute-dense
+  // keys late in the alphabet with ZERO recompiles — exactly this
+  // signature (r21 A/B: BENCH_R21_A_cc240.json vs _B_cc512.json).
+  // Parameterised (env) with a raised default; production services
+  // running a large query library should size it the same way.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")}",
 )

@@ -144,15 +144,80 @@ object Bench {
       val c = h.getCount
       (c, c * h.getSnapshot.getMean)
     }
+    // JVM environment provenance (r20 verdict items 1a/5): the r20
+    // driver record carried a 10-key over-2x set (attribution 26x,
+    // assoc_rules growing 8->32 s in-process, ZERO pass-2 recompiles)
+    // that no builder record reproduced, and the artifact could not
+    // say why — it recorded neither the heap, nor the
+    // ReservedCodeCacheSize in effect, nor whether HotSpot's code
+    // cache filled mid-sweep (the prime suspect: once the 240 MB
+    // default fills, JIT compilation stops and every later key runs
+    // interpreted — stable 10-30x on compute-dense keys, worsening
+    // over time, exactly the r20 signature). Every record now embeds
+    // the JVM version/flags and per-key-per-pass GC wall + CodeHeap
+    // occupancy, so "JIT stopped at key N" is readable from the
+    // artifact alone.
+    import scala.jdk.CollectionConverters._
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    def gcMillis: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Segmented code cache: CodeHeap 'non-nmethods' / 'profiled
+    // nmethods' / 'non-profiled nmethods'; unsegmented: "CodeCache".
+    def codeCachePools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "CodeCache")
+    def codeCacheUsedMb: Double =
+      codeCachePools.map(_.getUsage.getUsed).sum / 1e6
+    val codeCacheMaxMb: Double =
+      codeCachePools.map(_.getUsage.getMax.max(0L)).sum / 1e6
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala
+      .filter(a => a.startsWith("-Xmx") || a.startsWith("-Xms")
+        || a.startsWith("-XX:ReservedCodeCacheSize")
+        || a.startsWith("-XX:MaxMetaspaceSize"))
+    // Per-stage task-metric accumulation (r20 verdict item 1 closer):
+    // GC and CodeHeap answer "is the JVM sick"; these answer "where
+    // does the wall go" for a key that is slow WITHOUT being
+    // compile/GC-bound — executor run time vs wall exposes lost
+    // parallelism/scheduling stall, fetch-wait exposes shuffle-read
+    // stall, spill exposes memory pressure, shuffle-write sizes the
+    // exchanges. Updated on the (async) listener bus; per-pass deltas
+    // are therefore approximate at pass boundaries — fine for
+    // diagnosis, and exact in total.
+    object StageAgg {
+      @volatile var erMs = 0L   // executorRunTime
+      @volatile var fwMs = 0L   // shuffle fetch wait
+      @volatile var spillB = 0L // disk bytes spilled
+      @volatile var swB = 0L    // shuffle bytes written
+      def snapshot: (Long, Long, Long, Long) = (erMs, fwMs, spillB, swB)
+    }
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          StageAgg.erMs += m.executorRunTime
+          StageAgg.fwMs += m.shuffleReadMetrics.fetchWaitTime
+          StageAgg.spillB += m.diskBytesSpilled
+          StageAgg.swB += m.shuffleWriteMetrics.bytesWritten
+        }
+      }
+    })
+    val codegenCacheEntries =
+      spark.conf.getOption("spark.sql.codegen.cache.maxEntries").getOrElse("default")
+    def jvmJson: String = {
+      val args = jvmArgs.map(a => s""""${esc(a)}"""").mkString("[", ",", "]")
+      val heapMb = Runtime.getRuntime.maxMemory / 1e6
+      f"""{"java_version":"${esc(System.getProperty("java.version"))}","args":$args,"heap_max_mb":$heapMb%.0f,"code_cache_max_mb":$codeCacheMaxMb%.0f,"code_cache_used_mb":$codeCacheUsedMb%.1f,"gc_total_ms":$gcMillis,"codegen_cache_max_entries":"${esc(codegenCacheEntries)}","driver_mem_env":"${esc(sys.env.getOrElse("SPARK_DRIVER_MEM", ""))}"}"""
+    }
     // Substrate ledger: which keys READ a substrate leaf (their serving
     // ratio is not like-for-like with a baseline that built inline),
     // and which keys PAID a build this run (cold mode) with its cost.
     val substrateKeys  = scala.collection.mutable.LinkedHashSet.empty[String]
     val substrateBuilt = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    }
     // Whitespace-tolerant "did this record measure THIS sfDir" check:
     // records written by older rounds (or re-pretty-printed by tools)
     // may carry "sf": "..." with a space, which an exact-substring
@@ -261,7 +326,7 @@ object Bench {
       val pd = passDetail.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
       val cd = compileDominated.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"compile_dominated":$cd,"queries":$qs,"pass_detail":$pd,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"jvm":$jvmJson,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"compile_dominated":$cd,"cms_note":"cms = janino count x decaying-reservoir mean delta: approximate once the reservoir saturates (exact in count nc)","queries":$qs,"pass_detail":$pd,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
     // A degraded run never overwrites a canonical record unless that
     // record is itself stamped degraded — it lands in
@@ -332,7 +397,26 @@ object Bench {
     // shape the judge grades (r19 verdict item 4). An override run
     // never claims or diverts the canonical/degraded record files.
     val target = sys.env.get("SPARK_GRAFT_BENCH_RECORD")
-      .map(java.nio.file.Paths.get(_))
+      .map { raw =>
+        val p = java.nio.file.Paths.get(raw)
+        // The override routes VERBATIM, bypassing the degraded-run and
+        // SF-segregation guards below — so it must never be allowed to
+        // claim a guarded record file (ADVICE r20: an operator could
+        // silently overwrite the canonical clean record with a
+        // degraded or different-sf run). The four guarded bases and
+        // their SF-suffixed siblings are off-limits; purpose-named
+        // records (BENCH_LOCAL_DRIVERSHAPE.json, A/B runs) stay fine.
+        val guardedBases = Seq("BENCH_LOCAL", "BENCH_LOCAL_DEGRADED",
+          "BENCH_LOCAL_FILTERED", "BENCH_LOCAL_FILTERED_DEGRADED")
+        val leaf = p.getFileName.toString
+        val claimsGuarded = guardedBases.exists(b =>
+          leaf == s"$b.json" || leaf == s"${b}_$sfTag.json")
+        require(!claimsGuarded,
+          s"SPARK_GRAFT_BENCH_RECORD=$raw names a guarded canonical/degraded " +
+            "record file; those are only written through the routing guards. " +
+            "Pick a purpose-named file (e.g. BENCH_LOCAL_DRIVERSHAPE.json).")
+        p
+      }
       .getOrElse {
         if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
           guarded("BENCH_LOCAL_FILTERED.json", "BENCH_LOCAL_FILTERED_DEGRADED.json")
@@ -427,12 +511,18 @@ object Bench {
       // scorecard honest about it.
       val subAcc0   = Substrate.accessCount
       val subBuild0 = Substrate.buildSeconds
-      // (wall_s, n_compiles, compile_ms_approx) per successful pass —
-      // base passes and remeasure extras alike append here
-      val detail = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double)]
+      // (wall_s, n_compiles, compile_ms_approx, gc_ms, code_cache_mb)
+      // per successful pass — base passes and remeasure extras alike
+      // append here. gc_ms is THIS pass's collector wall; code_cache_mb
+      // is CodeHeap occupancy at pass END (a reader sees the key where
+      // it plateaus at code_cache_max_mb — the JIT-stopped point).
+      val detail = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Double, Long, Double)]
+      val stageDetail = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
       def timedPass(): Option[Double] = {
         Caches.clear()
         val (c0, m0) = compileSnapshot()
+        val g0 = gcMillis
+        val s0 = StageAgg.snapshot
         val t0 = System.nanoTime()
         try {
           // noop write = FULL materialization of every output row without
@@ -443,7 +533,9 @@ object Bench {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           val wall = (System.nanoTime() - t0) / 1e9
           val (c1, m1) = compileSnapshot()
-          detail += ((wall, c1 - c0, math.max(0.0, m1 - m0)))
+          val s1 = StageAgg.snapshot
+          detail += ((wall, c1 - c0, math.max(0.0, m1 - m0), gcMillis - g0, codeCacheUsedMb))
+          stageDetail += ((s1._1 - s0._1, s1._2 - s0._2, s1._3 - s0._3, s1._4 - s0._4))
           Some(wall)
         } catch { case e: Throwable =>
           passErrors += e.toString.linesIterator.next().take(160)
@@ -474,7 +566,16 @@ object Bench {
         val ts  = detail.map(d => f"${d._1}%.3f").mkString("[", ",", "]")
         val ncs = detail.map(_._2).mkString("[", ",", "]")
         val cms = detail.map(d => f"${d._3}%.1f").mkString("[", ",", "]")
-        passDetail(name) = s"""{"t":$ts,"nc":$ncs,"cms":$cms}"""
+        val gcs = detail.map(_._4).mkString("[", ",", "]")
+        val ccs = detail.map(d => f"${d._5}%.1f").mkString("[", ",", "]")
+        // er/fw in ms, sp/sw in MB (1-decimal): wall vs er/32 says
+        // lost parallelism; fw says shuffle-read stall; sp says spill
+        val ers = stageDetail.map(_._1).mkString("[", ",", "]")
+        val fws = stageDetail.map(_._2).mkString("[", ",", "]")
+        val sps = stageDetail.map(d => f"${d._3 / 1e6}%.1f").mkString("[", ",", "]")
+        val sws = stageDetail.map(d => f"${d._4 / 1e6}%.1f").mkString("[", ",", "]")
+        passDetail(name) =
+          s"""{"t":$ts,"nc":$ncs,"cms":$cms,"gc":$gcs,"cc":$ccs,"er":$ers,"fw":$fws,"sp":$sps,"sw":$sws}"""
         // the pass that produced the recorded min: compile-dominated
         // when janino's (approximate) wall is >= half the pass wall
         val mp = detail.minBy(_._1)
@@ -505,7 +606,7 @@ object Bench {
       .map { case (k, r) => f""""${esc(k)}":$r%.2f""" }.mkString("{", ",", "}")
     val total = timings.values.filter(_ >= 0).sum
     val cdSummary = compileDominated.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","n_timed":${timings.size},"n_failed":${errors.size},"degraded":$degraded,"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"passes":$passes,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_baseline":$worst5,"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"compile_dominated":$cdSummary,"filtered":${only.isDefined},"full_record":"${esc(target.toString)}"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"${esc(sfDir)}","n_timed":${timings.size},"n_failed":${errors.size},"degraded":$degraded,"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"passes":$passes,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_baseline":$worst5,"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"compile_dominated":$cdSummary,"jvm":$jvmJson,"filtered":${only.isDefined},"full_record":"${esc(target.toString)}"}""")
     System.out.flush()
     // rc must reflect run health: round 10's driver wrapper recorded
     // rc=0 while 50/130 queries errored, so tooling keying on rc read a

@@ -110,7 +110,18 @@ object Caches {
     * their operator are a no-op.
     */
   def clear(): Unit = synchronized {
-    frames.foreach(_.unpersist(false))
+    // BLOCKING unpersist (r21): with blocking=false the removal is
+    // async on the BlockManagerMaster, so a caller that immediately
+    // re-caches (Bench's pass loop, any re-invoked operator) stacks
+    // fresh blocks on top of zombie ones still awaiting cleanup —
+    // storage memory fills, MEMORY_AND_DISK starts evicting to disk,
+    // and on a slow-disk host each successive pass gets slower (the
+    // r20 driver record's assoc_rules grew 8.4→32 s across four
+    // in-process passes with zero recompiles and no GC signature —
+    // exactly an accumulating-state curve). Blocking waits only for
+    // block drop (milliseconds locally) and makes the memory state
+    // deterministic at every clear().
+    frames.foreach(_.unpersist(true))
     frames.clear()
     cleanups.foreach(f => f())
     cleanups.clear()

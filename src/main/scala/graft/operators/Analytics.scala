@@ -1901,9 +1901,20 @@ object Analytics {
   def attributionOver(events: DataFrame, lookbackNs: Long): DataFrame = {
     val attributed = attributionCreditsOver(events, lookbackNs)
       .select("channel", "cents")
-    val perChannel = attributed.groupBy("channel")
-      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
-    val total = attributed.agg(count(lit(1)).as("n_total"))
+    // Cached: the ≤|touch types|+1-row rollup feeds BOTH the report
+    // and the share denominator. Before r21 the denominator was a
+    // separate count over `attributed`, and because column pruning
+    // makes the two subtrees non-identical, ReuseExchange never fired
+    // — the corpus-scale user-keyed sort + window in
+    // attributionCreditsOver executed TWICE per invocation (r20
+    // verdict: the slowest key in the driver record, 2x its honest
+    // cost). Deriving n_total = sum(n_purchases) from the cached
+    // bounded rollup executes the window exactly once; the cache
+    // holds ≤4 rows and is dropped by the standard Caches.clear()
+    // lifecycle.
+    val perChannel = graft.Caches.cached(attributed.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents")))
+    val total = perChannel.agg(sum("n_purchases").cast("long").as("n_total"))
     perChannel.crossJoin(broadcast(total))
       .select(col("channel"), col("n_purchases"), col("revenue_cents"),
               expr("1000000 * n_purchases div n_total").as("share_ppm"))
@@ -1922,12 +1933,21 @@ object Analytics {
     val isTouch = col("event_type").isin("view", "click")
     val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // ONE window function: the running last-touch is last() over a
+    // (ts_ns, type) struct — before r21 this was two separate last()
+    // withColumns whose intervening Project blocked CollapseWindow,
+    // so the plan carried TWO Window operators walking the same frame
+    // (same sort, doubled per-row window-state work). Identical
+    // semantics: when(isTouch, struct) is null exactly when the two
+    // per-column when()s were, and last(ignoreNulls) picks the same
+    // row in the same (ts_ns, event_id) total order.
     events
-      .withColumn("lt_type", last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
-      .withColumn("lt_ns", last(when(isTouch, col("ts_ns")), ignoreNulls = true).over(w))
+      .withColumn("lt",
+        last(when(isTouch, struct(col("ts_ns").as("ns"), col("event_type").as("ty"))),
+             ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts_ns"),
-        coalesce(when(col("lt_ns") >= col("ts_ns") - lookbackNs, col("lt_type")),
+        coalesce(when(col("lt.ns") >= col("ts_ns") - lookbackNs, col("lt.ty")),
                  lit("none")).as("channel"),
         col("cents"))
   }

@@ -1108,6 +1108,14 @@ object Similarity {
           .as("qv")))
     def qvOf(id: Long): Seq[Long] =
       q.filter(col("vec_id") === id).head().getSeq[Long](1)
+    // Contract guard (ADVICE r20): with n < k the greedy loop's
+    // limit(1).head() would throw a bare NoSuchElementException
+    // mid-round; fail up front with the operator named, matching the
+    // kmeans_fit seeding discipline. One cheap count over the cached
+    // frame the loop reuses anyway.
+    val n = q.count()
+    require(n >= k,
+      s"diversity_kcenter: corpus holds $n vectors but k=$k centers were requested")
     val seedId = q.agg(min("vec_id")).head().getLong(0)
     var centerQvs = Vector(qvOf(seedId))
     var centerIds = Vector(seedId)

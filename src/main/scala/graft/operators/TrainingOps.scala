@@ -145,6 +145,21 @@ object TrainingOps {
     try {
       val out  = java.nio.file.Files.createTempDirectory("graft_tws_out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt").toString
+      // Both dirs are per-invocation scratch (ADVICE r20: bench passes
+      // plus gate runs were accumulating RocksDB/parquet debris in
+      // /tmp). The sink dir must outlive this call — the returned
+      // frame reads it lazily — so cleanup rides the standard
+      // Caches.clear() lifecycle (Bench/Verify/Plans run it after
+      // every key), not a finally block.
+      def rmRf(p: String): Unit = {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+                          catch { case _: java.io.IOException => () })
+      }
+      graft.Caches.onClear(() => { rmRf(out); rmRf(ckpt) })
       val docPath = s"$dir/documents.parquet"
       // the file-stream source requires a DIRECTORY base path: a
       // Spark-written table (documents.parquet/ a dir of parts)
@@ -161,16 +176,21 @@ object TrainingOps {
                  else reader.option("pathGlobFilter", "documents.parquet").parquet(dir))
         .filter(col("doc_id") % Dedup.DefaultDeltaMod === 0)
         .select("doc_id", "text")
-      val q = graft.streaming.EventStreams
+      val packed = graft.streaming.EventStreams
         .packSequencesStatefulTws(src, ctxLen, nShards)
         .toDF()
+      val q = packed
         .writeStream.outputMode("append")
         .format("parquet").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(out).orderBy("doc_id")
+      // Explicit schema (the stream's own): an EMPTY delta slice lands
+      // zero files and schema inference over the bare sink dir would
+      // throw; the seeded read returns the correctly-typed empty frame
+      // instead (ADVICE r20).
+      s.read.schema(packed.schema).parquet(out).orderBy("doc_id")
     } finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None    => s.conf.unset(key)

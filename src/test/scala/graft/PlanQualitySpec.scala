@@ -858,4 +858,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkFixture {
       Caches.clear()
     }
   }
+
+  test("attribution: ONE fused Window; denominator rides the cached rollup, not a second events pass") {
+    try {
+      // The credit log plans exactly ONE Window operator: pre-r21 the
+      // two last() withColumns carried an intervening Project that
+      // blocked CollapseWindow, so the plan walked the same user frame
+      // twice (two Window ops over one sort).
+      val events = graft.Tables.events(spark, sf)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"),
+                floor(col("value") * 100).cast("long").as("cents"))
+      val pc = plan(Analytics.attributionCreditsOver(events, 7L * 86400L * 1000000000L))
+      assert("Window ".r.findAllIn(pc).size == 1,
+        s"credit log must plan exactly one fused Window operator:\n$pc")
+      // The full key: the per-channel rollup is cached and BOTH the
+      // report and the share denominator read it — pre-r21 the
+      // denominator was a separate count over the credit frame, which
+      // re-ran the corpus-scale user sort + window (ReuseExchange never
+      // fires across the two differently-pruned subtrees). The final
+      // plan must show the two InMemoryTableScans and NO Window or
+      // events scan outside the cached subtree.
+      val p = plan(Analytics.attributionLastTouch(spark, sf))
+      assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+        s"report + denominator must both read the cached rollup:\n$p")
+    } finally Caches.clear()
+  }
 }
