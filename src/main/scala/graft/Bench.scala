@@ -403,18 +403,21 @@ object Bench {
         // SF-segregation guards below — so it must never be allowed to
         // claim a guarded record file (ADVICE r20: an operator could
         // silently overwrite the canonical clean record with a
-        // degraded or different-sf run). The four guarded bases and
-        // their SF-suffixed siblings are off-limits; purpose-named
-        // records (BENCH_LOCAL_DRIVERSHAPE.json, A/B runs) stay fine.
-        val guardedBases = Seq("BENCH_LOCAL", "BENCH_LOCAL_DEGRADED",
-          "BENCH_LOCAL_FILTERED", "BENCH_LOCAL_FILTERED_DEGRADED")
+        // degraded or different-sf run). Guarded = EVERY
+        // BENCH_LOCAL*-named file (the canonical/degraded/filtered
+        // bases and ALL their SF-suffixed siblings — an sfTag is an
+        // arbitrary dir leaf, so a same-tag equality check would let a
+        // run at one SF claim ANOTHER SF's sibling verbatim), with the
+        // single sanctioned purpose-named exception the round ritual
+        // records through this path: BENCH_LOCAL_DRIVERSHAPE.json.
         val leaf = p.getFileName.toString
-        val claimsGuarded = guardedBases.exists(b =>
-          leaf == s"$b.json" || leaf == s"${b}_$sfTag.json")
+        val claimsGuarded = leaf.startsWith("BENCH_LOCAL") &&
+          leaf != "BENCH_LOCAL_DRIVERSHAPE.json"
         require(!claimsGuarded,
           s"SPARK_GRAFT_BENCH_RECORD=$raw names a guarded canonical/degraded " +
-            "record file; those are only written through the routing guards. " +
-            "Pick a purpose-named file (e.g. BENCH_LOCAL_DRIVERSHAPE.json).")
+            "record file (BENCH_LOCAL*); those are only written through the " +
+            "routing guards. Pick a purpose-named file " +
+            "(e.g. BENCH_LOCAL_DRIVERSHAPE.json, BENCH_R21_MYRUN.json).")
         p
       }
       .getOrElse {

@@ -105,9 +105,10 @@ object Caches {
     */
   def onClear(f: () => Unit): Unit = synchronized { cleanups += f }
 
-  /** Unpersist (non-blocking) every registered frame and run every
-    * registered cleanup. Idempotent: frames already unpersisted by
-    * their operator are a no-op.
+  /** Unpersist (BLOCKING, best-effort) every registered frame and run
+    * every registered cleanup. Idempotent: frames already unpersisted
+    * by their operator are a no-op. Never throws from the unpersist
+    * path — a removal failure degrades to the old async behaviour.
     */
   def clear(): Unit = synchronized {
     // BLOCKING unpersist (r21): with blocking=false the removal is
@@ -120,8 +121,13 @@ object Caches {
     // in-process passes with zero recompiles and no GC signature —
     // exactly an accumulating-state curve). Blocking waits only for
     // block drop (milliseconds locally) and makes the memory state
-    // deterministic at every clear().
-    frames.foreach(_.unpersist(true))
+    // deterministic at every clear(). The wait can surface RPC
+    // failures (executor lost on a real cluster) that fire-and-forget
+    // never did — swallowed per frame, because clear() is a
+    // boundary-hygiene call and its callers (Bench's pass loop, batch
+    // drivers) must not die on a failed block drop.
+    frames.foreach(f => try f.unpersist(true)
+                        catch { case _: Exception => () })
     frames.clear()
     cleanups.foreach(f => f())
     cleanups.clear()

@@ -151,14 +151,22 @@ object TrainingOps {
       // frame reads it lazily — so cleanup rides the standard
       // Caches.clear() lifecycle (Bench/Verify/Plans run it after
       // every key), not a finally block.
-      def rmRf(p: String): Unit = {
+      // Whole body best-effort: Caches.onClear callbacks must never
+      // throw (a traversal race with a /tmp reaper would otherwise
+      // propagate out of Caches.clear() at the start of the NEXT
+      // bench pass and abort the whole sweep). Leftover scratch on a
+      // lost race is exactly as harmless as the pre-cleanup state.
+      def rmRf(p: String): Unit = try {
         import scala.jdk.CollectionConverters._
         val root = java.nio.file.Paths.get(p)
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.iterator().asScala.toSeq.reverseIterator
             .foreach(f => try java.nio.file.Files.deleteIfExists(f)
                           catch { case _: java.io.IOException => () })
-      }
+          finally walk.close()
+        }
+      } catch { case _: Exception => () }
       graft.Caches.onClear(() => { rmRf(out); rmRf(ckpt) })
       val docPath = s"$dir/documents.parquet"
       // the file-stream source requires a DIRECTORY base path: a

@@ -3,7 +3,7 @@
 round's bench records: per key, the best clean r21 measurement, the
 ratio vs the ratified bar and vs the r20 driver record, plus the
 r21 disposition (changed / adjudicated / examined-clean)."""
-import json, sys, collections
+import json, sys
 
 RECORDS = sys.argv[1:] or ["BENCH_R21_A_cc240.json", "BENCH_R21_B_cc512.json"]
 recs = [json.load(open(f)) for f in RECORDS]
@@ -37,10 +37,6 @@ ADJUDICATED = {
     "partition_stats": "deliberate O(F log F) trade (adjudication_r20)",
     "dedup_edit_distance": "banded candidate gen + bounded DP by contract",
 }
-lines = []
-fam = collections.defaultdict(list)
-for k in sorted(best):
-    fam[k.split("_")[0]].append(k)
 print("| key | r21 best s | vs ratified | vs r20 driver | disposition |")
 print("| --- | --- | --- | --- | --- |")
 for k in sorted(best):
