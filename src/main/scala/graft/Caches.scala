@@ -27,6 +27,39 @@ object Caches {
   def roundCheckpoint(df: DataFrame, reliable: Boolean): DataFrame =
     if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
 
+  /** Run an iterative fixpoint loop (PageRank, label propagation,
+    * connected components, BFS, k-core peel) with adaptive execution
+    * and auto-broadcast OFF, restoring the session's previous values
+    * after. The loops' per-round plans are hand-co-partitioned and
+    * shape-pinned (one corpus-scale Exchange per round riding cached
+    * hash partitionings + checkpoint-carried partitionings — see
+    * PlanQualitySpec): there is nothing left for AQE to discover, and
+    * what it does instead is pure overhead ×iters — it re-plans every
+    * round's checkpoint action, converts the node-scale side to a
+    * fresh per-round broadcast (driver collect + rebuild each round;
+    * at corpus scale that side GROWS with the graph, so the static
+    * no-broadcast SMJ is also the only shape that survives 100 TB),
+    * and its partition coalescing re-keys the carried partitionings
+    * so later rounds pay a re-Exchange the static plan never has.
+    * Measured on graph_pagerank at sf0.1/32 cores: min-of-3 9.8-11.2 s
+    * with AQE on vs 7.7-7.9 s static (r22 ledger). Conf-scoped and
+    * restored — every non-loop plan keeps AQE exactly as the session
+    * set it.
+    */
+  def staticRounds[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val bcKey  = "spark.sql.autoBroadcastJoinThreshold"
+    val aqePrev = s.conf.get(aqeKey)
+    val bcPrev  = s.conf.get(bcKey)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(bcKey, "-1")
+    try body
+    finally {
+      s.conf.set(aqeKey, aqePrev)
+      s.conf.set(bcKey, bcPrev)
+    }
+  }
+
   /** Free a checkpointed round's materialized blocks (call once its
     * successor exists; the final round should instead be registered
     * via [[onClear]]). The checkpointed frame's plan is exactly a

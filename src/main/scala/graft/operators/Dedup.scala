@@ -263,6 +263,12 @@ object Dedup {
     // confirming round instead of propagate + confirm. One round saved
     // is one checkpoint + three joins saved — the fixed per-round cost
     // dominates this operator end to end.
+    // NOT staticRounds (GraphOps.pageRank's r22 treatment): this
+    // round's pointer-jump self-joins key on rep1/rep2 — never
+    // co-partitioned with the carried hash(id), and the checkpointed
+    // sides are LogicalRDDs the static planner cannot size, so AQE's
+    // runtime broadcast of the node-scale sides is load-bearing here
+    // (r22 A/B at sf0.1/32: 4.0 s adaptive vs 12.4 s static).
     var kept = checkpointed(sym.groupBy(col("a").as(id))
       .agg(min(col("b")).as("nbr0"))
       .select(col(id), least(col(id), col("nbr0")).as(repCol)))

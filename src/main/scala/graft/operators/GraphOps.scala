@@ -76,17 +76,24 @@ object GraphOps {
     // partitionings removed that failure mode — neutral, because the
     // round frames are node-scale and job count is not the bottleneck.
     // Every-round truncation stays: same speed, simpler invariants.
-    var ranks = graft.Caches.roundCheckpoint(
-      nodes.select(col("node"), lit(initRank).as("rank")), reliable)
-    (1 to iters).foreach { _ =>
-      val next = graft.Caches.roundCheckpoint(
-        pageRankRound(edgesDeg, nodes, ranks, base), reliable)
-      graft.Caches.unpersistRound(ranks)
-      ranks = next
+    // Static round plans (Caches.staticRounds): the loop's cache
+    // builds and every round execute with AQE/auto-broadcast off so
+    // the pinned one-Exchange-per-round SMJ shape actually runs —
+    // r22 A/B: 9.8-11.2 s (AQE re-plans + re-broadcasts each round)
+    // vs 7.7-7.9 s static, min-of-3 at sf0.1/32.
+    val lastRound = graft.Caches.staticRounds(s) {
+      var ranks = graft.Caches.roundCheckpoint(
+        nodes.select(col("node"), lit(initRank).as("rank")), reliable)
+      (1 to iters).foreach { _ =>
+        val next = graft.Caches.roundCheckpoint(
+          pageRankRound(edgesDeg, nodes, ranks, base), reliable)
+        graft.Caches.unpersistRound(ranks)
+        ranks = next
+      }
+      ranks
     }
-    val lastRound = ranks
     graft.Caches.onClear(() => graft.Caches.unpersistRound(lastRound))
-    ranks.orderBy("node")
+    lastRound.orderBy("node")
   }
 
   /** The cached (nodes, edgesDeg) pair behind [[pageRank]]: nodes
@@ -493,29 +500,35 @@ object GraphOps {
     // discipline — idle-host min-of-3 at sf0.1 measured 4.28 s lazy
     // vs 3.76 s merged, and the driver's contended full-sweep run saw
     // the lazy variant at 3.1× the merged record.
-    var dist = graft.Caches.roundCheckpoint(
-      nodes.join(Hints.maybeBroadcast(seeds), Seq("part_key"), "left_semi")
-        .select(col("part_key").as("node"), lit(0L).as("hops")),
-      reliable)
-    var frontier = dist
-    var h = 0L
-    var grew = true
-    while (h < maxHops && grew) {
-      h += 1
-      val nbrs = frontier.join(sym, col("node") === col("src"))
-        .select(col("dst").as("node")).distinct()
-      val fresh = graft.Caches.roundCheckpoint(
-        nbrs.join(dist, Seq("node"), "left_anti")
-          .select(col("node"), lit(h).as("hops")),
+    var dist: DataFrame = null
+    var frontier: DataFrame = null
+    // Static round plans — same rationale and A/B evidence as
+    // [[pageRank]] (Caches.staticRounds scaladoc).
+    graft.Caches.staticRounds(nodes.sparkSession) {
+      dist = graft.Caches.roundCheckpoint(
+        nodes.join(Hints.maybeBroadcast(seeds), Seq("part_key"), "left_semi")
+          .select(col("part_key").as("node"), lit(0L).as("hops")),
         reliable)
-      grew = !fresh.isEmpty
-      if (grew) {
-        val merged = graft.Caches.roundCheckpoint(dist.unionAll(fresh), reliable)
-        graft.Caches.unpersistRound(dist)
-        if (h > 1) graft.Caches.unpersistRound(frontier)
-        dist = merged
-        frontier = fresh
-      } else graft.Caches.unpersistRound(fresh)
+      frontier = dist
+      var h = 0L
+      var grew = true
+      while (h < maxHops && grew) {
+        h += 1
+        val nbrs = frontier.join(sym, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+        val fresh = graft.Caches.roundCheckpoint(
+          nbrs.join(dist, Seq("node"), "left_anti")
+            .select(col("node"), lit(h).as("hops")),
+          reliable)
+        grew = !fresh.isEmpty
+        if (grew) {
+          val merged = graft.Caches.roundCheckpoint(dist.unionAll(fresh), reliable)
+          graft.Caches.unpersistRound(dist)
+          if (h > 1) graft.Caches.unpersistRound(frontier)
+          dist = merged
+          frontier = fresh
+        } else graft.Caches.unpersistRound(fresh)
+      }
     }
     // The final merged settled set (and the last frontier, a distinct
     // checkpoint when the loop exited with growth) back the RETURNED
@@ -605,7 +618,11 @@ object GraphOps {
     // re-exchange. The single-column checkpoint carries an unambiguous
     // hash(node); the projection above it keeps both views available
     // to the round (pinned in PlanQualitySpec).
-    val labelsInit = graft.Caches.roundCheckpoint(nodes, reliable = false)
+    // Static from round 0: the init checkpoint also materializes the
+    // input caches, whose partition layout every later round rides.
+    val labelsInit = graft.Caches.staticRounds(s) {
+      graft.Caches.roundCheckpoint(nodes, reliable = false)
+    }
     graft.Caches.onClear(() => graft.Caches.unpersistRound(labelsInit))
     var labels: DataFrame =
       labelsInit.select(col("node"), col("node").as("label"))
@@ -643,30 +660,42 @@ object GraphOps {
     // checkpoint, no per-round bookkeeping shuffle.
     val track = deltaDiv > 0
     var curCp: Option[DataFrame] = None
-    var changed: Option[DataFrame] = None
-    var changedCnt = Long.MaxValue
-    val nNodes = if (track) nodes.count() else 0L
-    var round = 0
-    while (round < iters && changedCnt > 0L) {
-      round += 1
-      val useDelta = track && changed.isDefined && changedCnt * deltaDiv.toLong <= nNodes
-      val plan =
-        if (useDelta) labelPropRoundDelta(sym, labels, changed.get)
-        else labelPropRound(sym, nodes, labels)
-      val next = graft.Caches.roundCheckpoint(
-        if (track)
-          plan.join(labels.select(col("node"), col("label").as("prev_label")), Seq("node"))
-            .select(col("node"), col("label"),
-                    (col("label") =!= col("prev_label")).as("changed"))
-        else plan,
-        reliable = false)
-      if (track) {
-        changedCnt = next.filter(col("changed")).count()
-        changed = Some(next.filter(col("changed")).select("node"))
+    // Static round plans — same rationale and A/B evidence as
+    // [[pageRank]] (Caches.staticRounds scaladoc) — but ONLY for the
+    // plain synchronous path: the delta-tracking path's per-round
+    // bookkeeping (prev-label join, frontier semi-joins on sides the
+    // static planner cannot size) leans on AQE's runtime broadcasts
+    // the same way connectedComponents' pointer jumps do (r22 A/B:
+    // label_prop 4.25→3.56 s static, label_prop_delta 5.84→8.17 s —
+    // so delta keeps AQE).
+    def inRoundConf[T](body: => T): T =
+      if (track) body else graft.Caches.staticRounds(s)(body)
+    inRoundConf {
+      var changed: Option[DataFrame] = None
+      var changedCnt = Long.MaxValue
+      val nNodes = if (track) nodes.count() else 0L
+      var round = 0
+      while (round < iters && changedCnt > 0L) {
+        round += 1
+        val useDelta = track && changed.isDefined && changedCnt * deltaDiv.toLong <= nNodes
+        val plan =
+          if (useDelta) labelPropRoundDelta(sym, labels, changed.get)
+          else labelPropRound(sym, nodes, labels)
+        val next = graft.Caches.roundCheckpoint(
+          if (track)
+            plan.join(labels.select(col("node"), col("label").as("prev_label")), Seq("node"))
+              .select(col("node"), col("label"),
+                      (col("label") =!= col("prev_label")).as("changed"))
+          else plan,
+          reliable = false)
+        if (track) {
+          changedCnt = next.filter(col("changed")).count()
+          changed = Some(next.filter(col("changed")).select("node"))
+        }
+        curCp.foreach(graft.Caches.unpersistRound)
+        curCp = Some(next)
+        labels = if (track) next.select("node", "label") else next
       }
-      curCp.foreach(graft.Caches.unpersistRound)
-      curCp = Some(next)
-      labels = if (track) next.select("node", "label") else next
     }
     val last = curCp
     graft.Caches.onClear(() => last.foreach(graft.Caches.unpersistRound))
@@ -857,23 +886,28 @@ object GraphOps {
         // ordering [dst] survives the cache, so each peel round's
         // dst-side survivor semi-join elides its corpus-scale Sort
         .repartition(col("dst")).sortWithinPartitions("dst"))
-    var alive = graft.Caches.roundCheckpoint(
-      sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
-        .filter(col("core_degree") >= k), reliable)
-    var nAlive = alive.count()
-    var changed = nAlive > 0
-    var rounds = 0
-    while (changed) {
-      rounds += 1
-      require(rounds <= 200,
-        s"k-core peel did not converge in 200 rounds (|alive|=$nAlive) — " +
-          "pathological peel chain; raise the guard deliberately, not silently")
-      val next = graft.Caches.roundCheckpoint(kcoreRound(sym, alive, k), reliable)
-      val nNext = next.count()
-      changed = nNext < nAlive && nNext > 0
-      graft.Caches.unpersistRound(alive)
-      alive = next
-      nAlive = nNext
+    var alive: DataFrame = null
+    // Static round plans — same rationale and A/B evidence as
+    // [[pageRank]] (Caches.staticRounds scaladoc).
+    graft.Caches.staticRounds(edges.sparkSession) {
+      alive = graft.Caches.roundCheckpoint(
+        sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_degree"))
+          .filter(col("core_degree") >= k), reliable)
+      var nAlive = alive.count()
+      var changed = nAlive > 0
+      var rounds = 0
+      while (changed) {
+        rounds += 1
+        require(rounds <= 200,
+          s"k-core peel did not converge in 200 rounds (|alive|=$nAlive) — " +
+            "pathological peel chain; raise the guard deliberately, not silently")
+        val next = graft.Caches.roundCheckpoint(kcoreRound(sym, alive, k), reliable)
+        val nNext = next.count()
+        changed = nNext < nAlive && nNext > 0
+        graft.Caches.unpersistRound(alive)
+        alive = next
+        nAlive = nNext
+      }
     }
     val last = alive
     graft.Caches.onClear(() => graft.Caches.unpersistRound(last))
