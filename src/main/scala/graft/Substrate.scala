@@ -189,6 +189,26 @@ object Substrate {
       plan.write.mode("overwrite").parquet(tmp)
     }
 
+  /** Read a leaf with scan parallelism at least the session default
+    * (r22). A leaf small enough to land in ONE scan split (single
+    * file, single row group — every leaf at test scale) would
+    * otherwise run its consumer's row-local CPU (codec decode,
+    * minhash band hashing, cosine scoring) on one core; the
+    * conditional round-robin fan-out spreads those rows once, at the
+    * cost of one Exchange of the leaf's own bytes. SCALE-ADAPTIVE,
+    * not a local tuning constant: a production-size leaf spans many
+    * splits, the partition count meets the target, and the read plans
+    * exactly as `spark.read.parquet` — no added Exchange. Use at
+    * consumers that do real per-row work before their first shuffle;
+    * plain reads that immediately aggregate or sort gain nothing and
+    * should stay bare.
+    */
+  def readFanout(s: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Generalization of [[materialized]] for NON-parquet artifacts (the
     * extract demo's simulated JSON store, anything whose layout a
     * DataFrame write can't produce): `build` writes arbitrary files

@@ -755,3 +755,56 @@ object SetOverlap {
     result(inter, uni)
   }
 }
+
+/** Native non-overlapping regex MATCH COUNT over a string column
+  * (r22). Spark's own `regexp_count` is RuntimeReplaceable — it
+  * rewrites to `size(regexp_extract_all(...))`, which materializes
+  * every matched token as a UTF8String inside a GenericArrayData only
+  * for `size` to discard the array; on the token-counting hot path
+  * (the BPE-ish pre-tokenizer runs over every document of the corpus)
+  * that allocation is the dominant row-local garbage. This expression
+  * runs the identical java.util.regex matcher loop — same
+  * non-overlapping leftmost-match semantics, null in → null out —
+  * with a bare counter, inside whole-stage codegen. The pattern is a
+  * plan-time literal, compiled once per expression instance.
+  */
+case class RegexpCountLong(child: Expression, pattern: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_regexp_count expects string, got ${other.simpleString}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_regexp_count"
+
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(pattern)
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = compiled.matcher(input.asInstanceOf[UTF8String].toString)
+    var c = 0L
+    while (m.find()) c += 1L
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("graftReCountPattern", compiled,
+      classOf[java.util.regex.Pattern].getName)
+    nullSafeCodeGen(ctx, ev, s => {
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      s"""
+        java.util.regex.Matcher $m = $pRef.matcher($s.toString());
+        long $c = 0L;
+        while ($m.find()) $c++;
+        ${ev.value} = $c;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RegexpCountLong =
+    copy(child = newChild)
+}

@@ -57,9 +57,20 @@ object TextFunctions {
 
   /** [[wsTokenCount]] over an ALREADY-normalized column — use with a
     * projected [[normText]] attribute so one normalize pass feeds
-    * every token expression of a row. */
+    * every token expression of a row.
+    *
+    * Computed as space-count + 1 (r22), not `size(split(norm, " "))`:
+    * split on a single-char pattern with no limit always yields
+    * exactly (#separators + 1) pieces — including the empty-string
+    * edge (split("") = [""], 0+1 = 1) and null→null — so the two
+    * forms are value-identical on EVERY string, while split
+    * materializes the token array only to count it. translate+length
+    * is a codegen'd byte scan with zero allocation. Callers that
+    * consume the token array itself still split once and take
+    * `size(toks)` on the existing array.
+    */
   def wsTokenCountOfNorm(norm: Column): Column =
-    size(split(norm, " ")).cast("long")
+    (length(norm) - length(translate(norm, " ", "")) + 1).cast("long")
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * other non-space chars — the classic pre-tokenizer split. DuckDB
@@ -70,9 +81,34 @@ object TextFunctions {
   /** [[bpeTokenCount]] over an ALREADY-normalized column. The ONE
     * definition of the BPE-ish pre-tokenizer — every operator that
     * counts tokens must route here (or through [[bpeTokenCount]]) so
-    * "token" keeps meaning one thing engine-wide. */
+    * "token" keeps meaning one thing engine-wide.
+    *
+    * Routed through the native [[graft.functions.RegexpCountLong]]
+    * kernel (r22), not `size(regexp_extract_all(...))` — and not
+    * Spark's `regexp_count`, which is RuntimeReplaceable sugar for
+    * exactly that size(extract_all) form: both count the same
+    * non-overlapping leftmost matches (null in → null out), but
+    * extract_all materializes every matched token as a string in an
+    * array only for `size` to throw it away — on the token-counting
+    * keys that array build was the dominant row-local allocation. The
+    * kernel runs the identical java.util.regex matcher loop with a
+    * bare counter inside whole-stage codegen.
+    */
   def bpeTokenCountOfNorm(norm: Column): Column =
-    size(regexp_extract_all(norm, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+    regexpCountNative(norm, "[a-z]+|[0-9]+|[^a-z0-9 ]")
+
+  /** Native match count ([[graft.functions.RegexpCountLong]]) as a
+    * Column — value-identical to `size(regexp_extract_all(c, pat))`
+    * on every input, without materializing the match array. Resolves
+    * through the session registry; registered by GraftExtensions at
+    * session build, and defensively re-registered here off the active
+    * session for foreign sessions built without the extension.
+    */
+  def regexpCountNative(c: Column, pattern: String): Column = {
+    graft.plans.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_regexp_count", c, lit(pattern))
+  }
 
   /** Canonical document fingerprint: the sorted distinct-token key
     * (fingerprint clustering à la OpenRefine). Two documents with the

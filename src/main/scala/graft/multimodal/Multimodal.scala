@@ -25,6 +25,21 @@ import graft.Tables
   */
 object Multimodal {
 
+  /** Disable ImageIO's GLOBAL temp-file stream cache once per JVM
+    * (r22). With the cache on (the JDK default), every
+    * `ImageIO.read`/`write` acquires the shared disk-cache path and
+    * its synchronized registry bookkeeping, which serializes
+    * concurrent codec tasks: StageProf measured the 32-task decode
+    * stage at 103 core-seconds of executorRunTime against 5
+    * core-seconds of CPU — 32 tasks each blocked ~3 s on the lock,
+    * making the parallel decode SLOWER than single-task. Payloads
+    * here are in-memory byte arrays, so the file cache buys nothing;
+    * with it off the same stage runs at CPU speed. JVM-wide static,
+    * idempotent, thread-safe to set repeatedly.
+    */
+  private lazy val imageIoCacheOff: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Synthesize a deterministic media payload per document: a typed
     * header + the document text as stand-in body bytes. Stands in for
     * reading real blobs (parquet binary columns work identically).
@@ -264,6 +279,7 @@ object Multimodal {
     */
   object ImageDimsCodec extends MediaCodec {
     override def open(): Array[Byte] => Long = bytes => {
+      imageIoCacheOff
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "payload is not a decodable image")
       (img.getWidth.toLong << 20) | img.getHeight.toLong
@@ -360,7 +376,9 @@ object Multimodal {
       (plan: => DataFrame): DataFrame = {
     val realDir = graft.Substrate.canonicalDir(s, dir)
     val path = graft.Substrate.materialized(s, kind, realDir, Seq.empty)(plan)
-    s.read.parquet(path)
+    // fan-out read (r22): the decode loops downstream are the corpus's
+    // heaviest row-local CPU — see Substrate.readFanout.
+    graft.Substrate.readFanout(s, path)
   }
 
   /** One REAL PNG blob per document: deterministic RGB pixels
@@ -390,7 +408,13 @@ object Multimodal {
   private def imagePayloadsPlan(s: SparkSession, dir: String,
                                 format: String): DataFrame = {
     import s.implicits._
+    // repartition BEFORE the encode loop (r22): the doc_id scan is one
+    // split at test scale, and without the fan-out the whole corpus
+    // encode runs on one core inside the substrate build. Only 8-byte
+    // ids shuffle; each payload is a pure function of its id, so the
+    // leaf data is distribution-independent.
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val w = imgW(id); val h = imgH(id)
@@ -408,6 +432,7 @@ object Multimodal {
             y += 1
           }
           val bo = new java.io.ByteArrayOutputStream()
+          imageIoCacheOff
           require(javax.imageio.ImageIO.write(img, format, bo),
             s"no JDK $format writer available (doc $id)")
           MediaPayload(id, bo.toByteArray)
@@ -424,6 +449,7 @@ object Multimodal {
     * silently skipping here would fake coverage).
     */
   private def decodeImage(id: Long, bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    imageIoCacheOff
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, s"payload of doc $id is not a decodable image")
     img
@@ -588,7 +614,9 @@ object Multimodal {
     */
   def buildPngVariantPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // same pre-encode fan-out as imagePayloadsPlan (r22)
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         it.map { id =>
           val src = phashSrc(id); val variant = isVariant(id)
@@ -608,6 +636,7 @@ object Multimodal {
             y += 1
           }
           val bo = new java.io.ByteArrayOutputStream()
+          imageIoCacheOff
           require(javax.imageio.ImageIO.write(img, "png", bo),
             s"no JDK PNG writer available (doc $id)")
           MediaPayload(id, bo.toByteArray)

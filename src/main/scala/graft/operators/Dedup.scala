@@ -132,6 +132,14 @@ object Dedup {
         .select(col("doc_id"), wordNgrams(col("toks"), shingleN).as("sh"))
         .select(col("doc_id"), transform(col("sh"), x => xxhash64(x)).as("hs"))
     }
+    // Deliberately NOT Substrate.readFanout (r22): the A/B measured
+    // the fan-out STRONGLY negative here (dedup_lsh_eval 2.5 s bare vs
+    // 5.8 s fanned, minhash_lsh 0.9 vs 2.8, min-of-4 at sf0.1/32) —
+    // the signature scan's own CPU is small and every consumer
+    // re-exchanges within a stage or two, so the extra Exchange plus
+    // 32-partition cache build is pure overhead. The fan-out pays off
+    // only where the scan stage itself does heavy row-local work (the
+    // mm codec family).
     graft.Caches.cached(s.read.parquet(path))
   }
 

@@ -107,14 +107,23 @@ object GraphOps {
       Tables.customer(s, dir).select((col("c_custkey") * 2).as("node"))
         .unionAll(Tables.supplier(s, dir).select((col("s_suppkey") * 2 + 1).as("node")))
         .repartition(col("node")))
+    // ONE edge-scale Exchange (r22), not two: the old shape paid the
+    // distinct's hash(a,b) shuffle AND the hash(src) repartition. Here
+    // the raw (still-duplicated) pair list flips first and rides a
+    // single repartition(src); the dedup then runs as a groupBy(src,
+    // dst) WITHOUT its own exchange — hash(src) clusters (src, dst) —
+    // and the outdeg window rides the same partitioning. Same edge
+    // set: dedup-after-flip equals flip-of-dedup (flipping is a
+    // bijection on pairs, and a≠b always by the parity encoding).
     val pairs = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
     val edgesDeg = graft.Caches.cached(
       edges.repartition(col("src"))
+        .groupBy(col("src"), col("dst")).agg(lit(1))
+        .select(col("src"), col("dst"))
         .withColumn("outdeg", count(lit(1)).over(Window.partitionBy("src"))))
     (nodes, edgesDeg)
   }

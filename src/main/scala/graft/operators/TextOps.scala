@@ -389,8 +389,10 @@ object TextOps {
       // Each stage counts on, then rewrites, the PREVIOUS stage's
       // attribute — projected stepwise so the regex scans run once
       // per stage, not once per downstream reference.
-      df.withColumn(s"n$i",
-          size(regexp_extract_all(col(s"red$i"), lit(pat), lit(0))).cast("long"))
+      // native match count == size(regexp_extract_all(...))
+      // value-for-value; it skips materializing every match as an
+      // array element (r22, same kernel as bpeTokenCountOfNorm).
+      df.withColumn(s"n$i", regexpCountNative(col(s"red$i"), pat))
         .withColumn(s"red${i + 1}", regexp_replace(col(s"red$i"), pat, repl))
     }
     stages.select(

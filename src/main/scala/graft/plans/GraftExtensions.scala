@@ -35,6 +35,14 @@ object GraftFunctions {
         s"$name expects a literal int at position $i, got $other")
     }
 
+  private def strArg(args: Seq[Expression], i: Int, name: String): String =
+    args(i) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) if v != null =>
+        v.toString
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal string at position $i, got $other")
+    }
+
   /** Trained PQ codebook bound at plan build: a FOLDABLE
     * array<array<array<float>>> argument (typedLit of the fitted
     * centroids) evaluated once into the primitive matrix the codegen
@@ -86,6 +94,11 @@ object GraftFunctions {
       // plane-matrix width for >1024-dim embeddings (truncation is an error).
       (args: Seq[Expression]) => SrpSignature(args(0), intArg(args, 1, "graft_srp_sig"),
         maxDim = if (args.length > 2) intArg(args, 2, "graft_srp_sig") else 1024)),
+    (FunctionIdentifier("graft_regexp_count"),
+      new ExpressionInfo(classOf[graft.functions.RegexpCountLong].getName,
+        "graft_regexp_count"),
+      (args: Seq[Expression]) => graft.functions.RegexpCountLong(args(0),
+        strArg(args, 1, "graft_regexp_count"))),
     (FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSig(args(0), intArg(args, 1, "graft_minhash"))),

@@ -29,6 +29,30 @@ class TextFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(one(markerCount(col("text"), Seq("the", "a")), "The a THE b c") == 3L)
   }
 
+  test("r22 counting forms equal the array forms on every edge shape") {
+    // wsTokenCountOfNorm is translate+length arithmetic and
+    // bpeTokenCountOfNorm is regexp_count (no match array) since r22;
+    // pin value-equality against the original size(...) forms on the
+    // edges that could diverge: empty string, null, single token,
+    // leading/trailing/multi-space (pre-normalization inputs cannot
+    // produce these, but the *OfNorm forms are public on any column).
+    import spark.implicits._
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    val rows = Seq("", "x", "a b", " a", "a ", "a  b", "1,2x @", "   ")
+    val df = rows.toDF("s").select(
+      wsTokenCountOfNorm(col("s")).as("ws_new"),
+      size(split(col("s"), " ")).cast("long").as("ws_old"),
+      bpeTokenCountOfNorm(col("s")).as("bpe_new"),
+      size(regexp_extract_all(col("s"), lit(pat), lit(0))).cast("long").as("bpe_old"))
+    df.collect().foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"ws mismatch on $r")
+      assert(r.getLong(2) == r.getLong(3), s"bpe mismatch on $r")
+    }
+    val nulls = Seq(Option.empty[String]).toDF("s").select(
+      wsTokenCountOfNorm(col("s")), bpeTokenCountOfNorm(col("s"))).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("fingerprintKey collides for same token multiset, any order/dup/case") {
     val a = one(fingerprintKey(col("text")), "b a  a C")
     val b = one(fingerprintKey(col("text")), "c B a")
