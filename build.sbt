@@ -35,11 +35,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // serving 226 distinct codegen'd queries x multiple passes plus a
   // 10k-entry codegen cache. Once the code cache fills, the JIT stops
   // compiling ("CodeCache is full. Compiler has been disabled.") and
-  // every key executed after that point runs interpreted: the r20
-  // driver bench measured stable 10-30x inflation on compute-dense
-  // keys late in the alphabet with ZERO recompiles — exactly this
-  // signature (r21 A/B: BENCH_R21_A_cc240.json vs _B_cc512.json).
-  // Parameterised (env) with a raised default; production services
-  // running a large query library should size it the same way.
+  // everything after that point runs interpreted. NOTE (r21
+  // adjudication, reworded r22 per ADVICE): cache exhaustion was
+  // RULED OUT as the r20 driver-blowup mechanism — the r21 cc240 A/B
+  // (records/r21/BENCH_R21_A_cc240.json vs _B_cc512.json) peaked at
+  // 182 of 240 MB over a full 2-pass sweep and never filled. The
+  // raised default ships as INSURANCE for longer-lived many-query
+  // sessions (more passes, more concurrent libraries), not as a fix
+  // for an identified failure. Parameterised (env); production
+  // services running a large query library should size it the same
+  // way.
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "512m")}",
 )

@@ -326,7 +326,7 @@ object Bench {
       val pd = passDetail.map { case (k, v) => s""""${esc(k)}":$v""" }.mkString("{", ",", "}")
       val cd = compileDominated.map(k => s""""${esc(k)}"""").mkString("[", ",", "]")
       val total = timings.values.filter(_ >= 0).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"jvm":$jvmJson,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"compile_dominated":$cd,"cms_note":"cms = janino count x decaying-reservoir mean delta: approximate once the reservoir saturates (exact in count nc)","queries":$qs,"pass_detail":$pd,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","action":"noop-write-materialize","passes":$passes,"timing":"min-of-passes","partial":$partial,"jvm":$jvmJson,"n_timed":${timings.size},"loadavg_ambient":$loadAmbient,"waited_s":$waitedSec,"degraded":$degraded,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"baseline_ratio":$ratioJson,"ratified_ratio":${ratifiedRatioJson(timings)},"worst5_vs_ratified":${worst5RatifiedJson(timings)},"canonical_ref":$canonicalRef,"substrate_mode":"${esc(substrateMode)}","substrate_build_sec":${f"${Substrate.buildSeconds}%.3f"},"substrate_built":$sb,"substrate_keys":$sk,"compile_dominated":$cd,"cms_note":"cms = janino count x decaying-reservoir mean delta: approximate once the reservoir saturates (exact in count nc)","er_note":"per-pass er/fw/sp/sw snapshot the async listener bus without a pass-boundary flush: a pass tail's stage metrics can be attributed to the next pass - per-pass values are approximate, per-key totals exact","queries":$qs,"pass_detail":$pd,"errors":$es,"flaky":$fs,"remeasured":$rs,"n_failed":${errors.size},"filtered":${sys.env.contains("SPARK_GRAFT_BENCH_ONLY")},"sf":"${esc(sfDir)}"}"""
     }
     // A degraded run never overwrites a canonical record unless that
     // record is itself stamped degraded — it lands in
@@ -417,8 +417,31 @@ object Bench {
           s"SPARK_GRAFT_BENCH_RECORD=$raw names a guarded canonical/degraded " +
             "record file (BENCH_LOCAL*); those are only written through the " +
             "routing guards. Pick a purpose-named file " +
-            "(e.g. BENCH_LOCAL_DRIVERSHAPE.json, BENCH_R21_MYRUN.json).")
-        p
+            "(e.g. BENCH_LOCAL_DRIVERSHAPE.json, BENCH_R22_MYRUN.json).")
+        // r22 (ADVICE r21): beyond the BENCH_LOCAL* names, the
+        // override must not verbatim-overwrite OTHER committed ledger
+        // inputs either — BASELINE/SCALING/PROGRESS and the driver's
+        // own per-round records. And it must not silently replace any
+        // EXISTING record file: override records are append-new
+        // artifacts; the one legitimately re-recorded name is the
+        // round ritual's DRIVERSHAPE file, which a DEGRADED run now
+        // routes to a _DEGRADED sibling instead of claiming the clean
+        // name (the same segregation the canonical path has).
+        val ledgerName = Seq("BASELINE", "SCALING", "PROGRESS",
+            "CORRECTNESS_", "PERF_", "VERIFY_").exists(leaf.startsWith) ||
+          leaf.matches("BENCH_[rR]\\d.*")
+        require(!ledgerName,
+          s"SPARK_GRAFT_BENCH_RECORD=$raw names a committed ledger file " +
+            "(BASELINE/SCALING/PROGRESS/driver round records); pick a " +
+            "purpose-named file that is not a ledger input.")
+        require(leaf == "BENCH_LOCAL_DRIVERSHAPE.json" ||
+            !java.nio.file.Files.exists(p),
+          s"SPARK_GRAFT_BENCH_RECORD=$raw already exists; override records " +
+            "are append-new — pick a fresh name (or delete the old file " +
+            "deliberately).")
+        if (leaf == "BENCH_LOCAL_DRIVERSHAPE.json" && degraded)
+          p.resolveSibling("BENCH_LOCAL_DRIVERSHAPE_DEGRADED.json")
+        else p
       }
       .getOrElse {
         if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))

@@ -40,6 +40,23 @@ object Multimodal {
   private lazy val imageIoCacheOff: Unit =
     javax.imageio.ImageIO.setUseCache(false)
 
+  /** Shard count for the payload-encode substrate builds (r22):
+    * scale-adaptive, not a constant — `defaultParallelism` shards on
+    * a 5000-doc test corpus wrote 32 tiny files per leaf, and the
+    * per-pass footer/listing overhead of re-reading them cost more
+    * than the parallel encode saved (mm_image_phash 0.17→0.48 s fold
+    * regression before this cap). ~1000 docs per shard keeps tiny
+    * corpora at a handful of files while a corpus-scale build still
+    * spreads across every core; production deployments size substrate
+    * files by target bytes instead (guide §6), which this converges
+    * toward as documents grow. One count() job, build-time only.
+    */
+  private def buildShards(s: SparkSession, dir: String): Int = {
+    val n = Tables.documents(s, dir).count()
+    math.max(1L, math.min(s.sparkContext.defaultParallelism.toLong,
+      n / 1000L)).toInt
+  }
+
   /** Synthesize a deterministic media payload per document: a typed
     * header + the document text as stand-in body bytes. Stands in for
     * reading real blobs (parquet binary columns work identically).
@@ -414,7 +431,7 @@ object Multimodal {
     // ids shuffle; each payload is a pure function of its id, so the
     // leaf data is distribution-independent.
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(buildShards(s, dir))
       .mapPartitions { it =>
         it.map { id =>
           val w = imgW(id); val h = imgH(id)
@@ -616,7 +633,7 @@ object Multimodal {
     import s.implicits._
     // same pre-encode fan-out as imagePayloadsPlan (r22)
     Tables.documents(s, dir).select(col("doc_id")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(buildShards(s, dir))
       .mapPartitions { it =>
         it.map { id =>
           val src = phashSrc(id); val variant = isVariant(id)
